@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over the engine's query catalog
+(``svdmovie_lens_parallel_apache_spark_spark.catalog``): every implemented
+operator from SURVEY.md §2 is registered there as a (PySpark builder,
+DuckDB oracle SQL) pair; rows-only entries (ML / LSH / streaming) carry no
+oracle and get the driver's weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -13,26 +13,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Importing these modules populates the shared REGISTRY.
+from svdmovie_lens_parallel_apache_spark_spark import catalog as _catalog
+
+for _mod in ("catalog_text", "catalog_ml"):
+    try:  # later-milestone catalogs; absence must not break the smoke check
+        __import__(f"svdmovie_lens_parallel_apache_spark_spark.{_mod}")
+    except ImportError:
+        pass
+
+REGISTRY = _catalog.REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: TPC-H Q3-shaped
+    join+agg+top-k (scan → broadcast dim join → hash agg → ordered limit)."""
+    return REGISTRY["q03_shipping_priority"].builder(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.builder for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the catalog's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Mirrors the reference's phase instrumentation idea
+(SVDMovieLensSparkJava.java:166-181: construct/load/train/test seconds) but
+per-query; `value` is the end-to-end wall time for the whole suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    t_construct = time.time()
+    from svdmovie_lens_parallel_apache_spark_spark import get_spark
+
+    spark = get_spark(app_name="svdml-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entrymod
+
+    construct_s = time.time() - t_construct
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    t0 = time.time()
+    for name, builder in sorted(qs.items()):
+        t = time.time()
+        df = builder(spark, sf_dir)
+        n = df.count()  # full materialisation of the query result
+        timings[name] = round(time.time() - t, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+    total = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "construct_sec": round(construct_s, 3),
+                "n_queries": len(qs),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

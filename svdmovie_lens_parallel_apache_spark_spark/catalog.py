@@ -1,0 +1,556 @@
+"""Query catalog: every implemented operator as a (PySpark builder, DuckDB
+oracle SQL) pair.
+
+This is the engine's public query surface and the driver's correctness
+gate (``__spark_entry__.py`` re-exports it). Naming contract: every
+computed column is aliased identically in the Spark builder and the oracle
+SQL. Float discipline: arithmetic-produced doubles are rounded on BOTH
+sides with the engine-portable formula ``floor(x*10^n + 0.5)/10^n``
+(see ``functions.scalar.portable_round`` — ``F.round``/DuckDB ``round``
+disagree on exact decimal boundaries); int-width mismatches are resolved
+by explicit casts (Spark ``row_number`` is int32, DuckDB's int64, etc.).
+
+Reference parity tags (SURVEY.md §2 operator ids) are noted per query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.scalar import clamp, portable_round as _r
+from .operators.relational import anti_join, semi_join, topk_per_group
+from .operators.stats import keyed_stats
+from .operators.windows import running_totals, sessionize, tumbling_agg
+from .sources.readers import load_table
+
+
+def _R(expr: str, n: int) -> str:
+    """DuckDB twin of functions.scalar.portable_round."""
+    return f"floor(({expr}) * 1e{n} + 0.5) / 1e{n}"
+
+
+@dataclass
+class Query:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => driver does rows-only check
+    tags: tuple = ()
+    description: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, tags=(), description: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Query(name, fn, oracle, tuple(tags), description)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp")
+
+
+# epoch seconds, floor — matches DuckDB CAST(floor(epoch(ts)) AS BIGINT)
+def _epoch_s(col):
+    return col.cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (reference S1/P2-P6/A1-A7/J1-J2 + engine additions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_R('sum(l_quantity)', 3)}                                       AS sum_qty,
+           {_R('sum(l_extendedprice)', 3)}                                  AS sum_base_price,
+           {_R('sum(l_extendedprice * (1 - l_discount))', 3)}               AS sum_disc_price,
+           {_R('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 3)} AS sum_charge,
+           {_R('avg(l_quantity)', 6)}                                       AS avg_qty,
+           {_R('avg(l_extendedprice)', 6)}                                  AS avg_price,
+           {_R('avg(l_discount)', 6)}                                       AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A1", "A3", "A5", "P2", "S1"),
+    description="TPC-H Q1-shaped pricing summary: scan→filter→hash agg with map-side partials.",
+)
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= _ts("1998-09-01 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity"), 3).alias("sum_qty"),
+            _r(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
+            _r(F.sum(disc_price), 3).alias("sum_disc_price"),
+            _r(F.sum(disc_price * (1 + F.col("l_tax"))), 3).alias("sum_charge"),
+            _r(F.avg("l_quantity"), 6).alias("avg_qty"),
+            _r(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            _r(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q03_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d')                      AS o_orderdate,
+           o_orderpriority,
+           {_R('sum(l_extendedprice * (1 - l_discount))', 3)}     AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("J1", "J3", "A1", "P2"),
+    description="TPC-H Q3-shaped: selective dim filters, fact join, top-10 by revenue. "
+    "Customer side is broadcast (small dim).",
+)
+def q03_shipping_priority(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > _ts("1998-01-01 00:00:00"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "q05_local_supplier_volume",
+    f"""
+    SELECT n_name,
+           {_R('sum(l_extendedprice * (1 - l_discount))', 3)} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("J1", "J2", "J3"),
+    description="TPC-H Q5-shaped 6-way star join; all dims broadcast, single fact shuffle.",
+)
+def q05_local_supplier_volume(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1999-01-01 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3).alias("revenue"))
+    )
+
+
+@register(
+    "per_key_stats_customer",
+    f"""
+    SELECT o_custkey,
+           count(*)                                                    AS rating_count,
+           {_R('sum(o_totalprice)', 3)}                                AS rating_sum,
+           {_R('avg(o_totalprice)', 6)}                                AS rating_avg,
+           {_R('(3.23 * 25.0 + sum(o_totalprice)) / (25.0 + count(*))', 6)} AS pseudo_avg
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("A1", "A2", "J1", "U5"),
+    description="Customer.java stats (count/sum/avg + Movie.PseudoAvg Bayesian mean) as ONE "
+    "groupBy — replaces the reference's two reduceByKey passes + join "
+    "(SVDMovieLensSparkJava.java:196-203).",
+)
+def per_key_stats_customer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    s = keyed_stats(orders, "o_custkey", "o_totalprice")
+    return s.select(
+        "o_custkey",
+        "rating_count",
+        _r(F.col("rating_sum"), 3).alias("rating_sum"),
+        _r(F.col("rating_avg"), 6).alias("rating_avg"),
+        _r(F.col("pseudo_avg"), 6).alias("pseudo_avg"),
+    )
+
+
+@register(
+    "per_key_stats_part",
+    f"""
+    SELECT l_partkey,
+           count(*)                                                    AS rating_count,
+           {_R('sum(l_quantity)', 3)}                                  AS rating_sum,
+           {_R('avg(l_quantity)', 6)}                                  AS rating_avg,
+           {_R('(3.23 * 25.0 + sum(l_quantity)) / (25.0 + count(*))', 6)} AS pseudo_avg
+    FROM lineitem
+    GROUP BY l_partkey
+    """,
+    tags=("A3", "A4", "J2", "U5"),
+    description="Movie.java per-item stats over the fact table (Movie.java:5-41 semantics).",
+)
+def per_key_stats_part(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = keyed_stats(li, "l_partkey", "l_quantity")
+    return s.select(
+        "l_partkey",
+        "rating_count",
+        _r(F.col("rating_sum"), 3).alias("rating_sum"),
+        _r(F.col("rating_avg"), 6).alias("rating_avg"),
+        _r(F.col("pseudo_avg"), 6).alias("pseudo_avg"),
+    )
+
+
+@register(
+    "filter_project",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_quantity) AS INTEGER)                  AS qty_int,
+           {_R('l_extendedprice * (1 + l_tax)', 3)}            AS gross_price
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity < 10
+    """,
+    tags=("P2", "P6", "S1"),
+    description="Projection + predicate; both reach the parquet scan (PushedFilters/ReadSchema).",
+)
+def filter_project(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_returnflag") == "R") & (F.col("l_quantity") < 10))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor("l_quantity").cast("int").alias("qty_int"),
+            _r(F.col("l_extendedprice") * (1 + F.col("l_tax")), 3).alias("gross_price"),
+        )
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part)
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+    description="Top-3 parts per brand: per-group window sort, no global sort.",
+)
+def topk_per_group_q(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return topk_per_group(
+        part, ["p_brand"], [F.desc("p_retailprice"), F.asc("p_partkey")], 3
+    ).select("p_brand", "p_partkey", "p_retailprice", "rn")
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE c_mktsegment = 'MACHINERY'
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    """,
+    tags=("join",),
+    description="Left-semi join (EXISTS).",
+)
+def join_semi(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "MACHINERY")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= _ts("2000-01-01 00:00:00"))
+    return semi_join(cust, orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+    description="Left-anti join (NOT EXISTS).",
+)
+def join_anti(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return anti_join(cust, orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "agg_distinct",
+    f"""
+    SELECT c_mktsegment,
+           count(*)                         AS n_cust,
+           count(DISTINCT c_nationkey)      AS n_nations,
+           {_R('sum(c_acctbal)', 3)}        AS sum_bal,
+           {_R('avg(c_acctbal)', 6)}        AS avg_bal,
+           min(c_acctbal)                   AS min_bal,
+           max(c_acctbal)                   AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg",),
+    description="Multi-agg incl. distinct count (expand + two-phase agg in Spark).",
+)
+def agg_distinct(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        _r(F.sum("c_acctbal"), 3).alias("sum_bal"),
+        _r(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 7500.0
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    """,
+    tags=("setop",),
+    description="EXCEPT (distinct) — high-balance customers minus early-order customers.",
+)
+def set_except(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rich = cust.where(F.col("c_acctbal") > 7500.0).select("c_custkey")
+    early = orders.where(F.col("o_orderdate") < _ts("1996-01-01 00:00:00")).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return rich.subtract(early)
+
+
+@register(
+    "set_union",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0
+    UNION
+    SELECT o_custkey AS c_custkey FROM orders
+    WHERE o_totalprice > 400000.0
+    """,
+    tags=("setop",),
+    description="UNION (distinct).",
+)
+def set_union(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.where(F.col("c_acctbal") > 9000.0).select("c_custkey")
+    b = orders.where(F.col("o_totalprice") > 400000.0).select(F.col("o_custkey").alias("c_custkey"))
+    return a.union(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (engine additions; streaming twins in streaming/jobs.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_running_totals",
+    f"""
+    SELECT user_id, event_id,
+           CAST(row_number() OVER w AS INTEGER)          AS rn,
+           {_R('sum(value) OVER w', 4)}                  AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+    description="Per-user event-time running totals.",
+)
+def window_running_totals(spark, sf_dir):
+    return running_totals(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "window_lag_gap",
+    f"""
+    SELECT user_id,
+           count(*)                AS n_gaps,
+           {_R('avg(gap_s)', 4)}   AS avg_gap_s,
+           max(gap_s)              AS max_gap_s
+    FROM (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events)
+    WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("window",),
+    description="lag() inter-event gaps per user + per-user gap stats.",
+)
+def window_lag_gap(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (_epoch_s(F.col("ts")) - F.lag(_epoch_s(F.col("ts"))).over(w)).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        _r(F.avg("gap_s"), 4).alias("avg_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+@register(
+    "sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*)                              AS n_events,
+           min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start_s,
+           max(CAST(floor(epoch(ts)) AS BIGINT)) AS session_end_s
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "session"),
+    description="Gap-based sessionization (30-min gap): lag + cumulative boundary sum. "
+    "Streaming twin: session_window / applyInPandasWithState.",
+)
+def sessionize_q(spark, sf_dir):
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
+    "event_tumbling_agg",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           count(*)                 AS n_events,
+           {_R('sum(value)', 4)}    AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window", "streaming-batch-twin"),
+    description="Tumbling 1h window aggregation (batch twin of the streaming job).",
+)
+def event_tumbling_agg(spark, sf_dir):
+    out = tumbling_agg(_t(spark, sf_dir, "events"), "hour")
+    return out.select(
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "json_extract_stats",
+    f"""
+    SELECT event_type,
+           count(*)                                                          AS n,
+           {_R("avg(CAST(json_extract_string(props, '$.k') AS INTEGER))", 6)} AS avg_k,
+           min(CAST(json_extract_string(props, '$.k') AS INTEGER))           AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER))           AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "semi-structured"),
+    description="JSON prop extraction (get_json_object) + per-type stats.",
+)
+def json_extract_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.avg(k), 6).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "global_error_metrics",
+    f"""
+    SELECT count(*) AS n,
+           {_R('avg(abs(l_quantity - pred))', 6)}                        AS mae,
+           {_R('sqrt(avg((l_quantity - pred) * (l_quantity - pred)))', 6)} AS rmse
+    FROM (
+      SELECT l_quantity,
+             least(50.0, greatest(1.0, l_quantity * 0.9 + 2.0)) AS pred
+      FROM lineitem)
+    """,
+    tags=("A5", "A6", "A7", "M2", "U1", "U4"),
+    description="Global n/MAE/RMSE in one pass with a clamped predictor column "
+    "(reference computed these with accumulators + reduce, lines 388-393,465-470).",
+)
+def global_error_metrics(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pred = clamp(F.col("l_quantity") * 0.9 + 2.0, 1.0, 50.0)
+    err = F.col("l_quantity") - pred
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.avg(F.abs(err)), 6).alias("mae"),
+        _r(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+    )

@@ -1,0 +1,58 @@
+"""Text-analysis column expressions (documents table surface).
+
+The reference has no text ops (its only string work is TSV splitting,
+``SVDMovieLensSparkJava.java:195``); these are the north-star
+training-data-pipeline additions (BASELINE.json), built as pure Catalyst
+expressions so they vectorise inside whole-stage codegen. Each has an exact
+DuckDB-SQL twin used by the oracle harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny function-word lists for the n-gram/stopword language heuristic.
+STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty strings removed (trailing separators)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles joined by single spaces.
+
+    tokens -> sliding windows of n -> 'w1 w2 w3' strings. Built with
+    transform-over-index so the same construction is expressible in DuckDB
+    (list_transform over generate_series).
+    """
+    toks = tokens(text)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), count)  # 1-based start positions; empty when count=0
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """(# non-alphanumeric-non-space chars) / length."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9 ]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped).cast("double") / F.length(text)
+    )
+
+
+def stopword_ratio(text: Column, stopwords=STOPWORDS_EN) -> Column:
+    """Fraction of tokens that are English function words — the quality /
+    language-ID signal used by C4/Gopher-style filters."""
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks).cast("double")
+    )
