@@ -1,0 +1,390 @@
+"""Catalog part 2: text analysis, dedup, similarity-search queries.
+
+Every query here is the Spark-first implementation of a training-data
+pipeline op (BASELINE.json north star), and — because all hashing goes
+through the portable md5 family (functions/hashing.py) and all float
+reductions are sequential folds — each has an exact DuckDB oracle that
+replays the SAME algorithm (signatures, bands, buckets, folds)
+bit-for-bit. The oracle checks the distributed implementation against a
+single-node replay, which is precisely the correctness question for
+these operators.
+
+SQL-building helpers below generate the repetitive parts (per-salt
+minhash columns, per-bit simhash votes, per-plane LSH bits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import REGISTRY, Query, _R, _t, register
+from .functions.scalar import portable_round as _r
+from .operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash_pairs,
+)
+from .operators.similarity import (
+    embedding_norm_stats,
+    knn_brute_force,
+    knn_lsh,
+    lsh_buckets,
+)
+from .operators.textops import (
+    fingerprints,
+    lang_id_heuristic,
+    term_frequency,
+    text_stats,
+)
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments (twins of functions/hashing.py + functions/text.py)
+# ---------------------------------------------------------------------------
+
+# tokens of (already lowercased/trimmed handled by caller)
+_TOKS = "list_filter(string_split(trim({src}), ' '), x -> x <> '')"
+
+
+def _H(expr: str) -> str:
+    """portable_hash64 twin."""
+    return f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+def _HS(expr: str, salt: int) -> str:
+    """shingle_hash twin."""
+    return _H(f"concat('{salt}|', {expr})")
+
+
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(toks) - 2, 0)), "
+    "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"
+)
+
+_JACCARD = (
+    "len(list_intersect({a}, {b})) * 1.0 / "
+    "(len({a}) + len({b}) - len(list_intersect({a}, {b})))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+_MEAN_TOK_LEN = r"length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0 / len(toks)"
+_STOPWORD_RATIO = (
+    "len(list_filter(ltoks, t -> t IN ('the','a','and','of','to','in','is','it',"
+    "'that','for'))) * 1.0 / len(ltoks)"
+)
+_PUNCT_RATIO = (
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+    "length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / length(text) END"
+)
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, text,
+             {_TOKS.format(src='text')} AS toks,
+             {_TOKS.format(src='lower(text)')} AS ltoks
+      FROM documents)
+    SELECT doc_id, lang, source,
+           CAST(len(toks) AS INTEGER)                 AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER)  AS n_types,
+           {_R('len(list_distinct(toks)) * 1.0 / len(toks)', 6)} AS type_token_ratio,
+           {_R(_MEAN_TOK_LEN, 6)} AS mean_token_len,
+           {_R(_STOPWORD_RATIO, 6)} AS stopword_ratio,
+           {_R(_PUNCT_RATIO, 6)} AS punct_ratio
+    FROM t
+    """,
+    tags=("text", "quality"),
+    description="Per-document quality metrics (token counts, TTR, mean token length, "
+    "stopword/punct ratios) — C4/Gopher-style filter signals.",
+)
+def q_text_stats(spark, sf_dir):
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             {_TOKS.format(src='lower(text)')} AS ltoks
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(ltoks) = 0 THEN 0.0
+                  ELSE len(list_filter(ltoks, t -> t IN ('the','a','and','of','to','in','is','it','that','for'))) * 1.0 / len(ltoks)
+             END AS ratio
+      FROM t)
+    SELECT doc_id, lang,
+           {_R('ratio', 6)} AS en_signal,
+           CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang
+    FROM r
+    """,
+    tags=("text", "lang-id"),
+    description="Stopword-density language-ID heuristic vs fixture ground truth.",
+)
+def q_lang_id(spark, sf_dir):
+    return lang_id_heuristic(_t(spark, sf_dir, "documents"), en_threshold=0.05)
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id,
+           md5(lower(trim(text)))            AS fp_md5,
+           {_H('lower(trim(text))')}         AS fp64,
+           CAST(length(text) AS INTEGER)     AS n_chars_actual
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+    description="Canonicalised content fingerprints (md5 + portable 32-bit).",
+)
+def q_doc_fingerprints(spark, sf_dir):
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "term_frequency",
+    """
+    SELECT term, count(*) AS term_count
+    FROM (
+      SELECT unnest(list_filter(string_split(trim(lower(text)), ' '), x -> x <> '')) AS term
+      FROM documents)
+    GROUP BY term
+    ORDER BY term_count DESC, term
+    LIMIT 25
+    """,
+    tags=("text", "tf"),
+    description="Corpus term frequency top-25 (explode → hash agg → ordered limit).",
+)
+def q_term_frequency(spark, sf_dir):
+    return term_frequency(_t(spark, sf_dir, "documents"), top_n=25)
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(text))) AS fp_md5,
+           min(doc_id)            AS keep_doc_id,
+           count(*)               AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup",),
+    description="Exact dedup groups: hash-groupBy on canonical digest, keep min id.",
+)
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, lang,
+                   {_TOKS.format(src='lower(text)')} AS toks
+            FROM documents))
+    SELECT * FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             {_R(_JACCARD.format(a='a.sh', b='b.sh'), 6)} AS jaccard
+      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.5
+    """,
+    tags=("dedup", "jaccard"),
+    description="Exact 3-gram-shingle Jaccard near-dup pairs within language blocks "
+    "(the exact baseline the MinHash variant is verified against).",
+)
+def q_dedup_jaccard(spark, sf_dir):
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3, block_col="lang")
+
+
+def _minhash_oracle(k: int = 8, band_size: int = 2, threshold: float = 0.5) -> str:
+    sig_cols = ",\n             ".join(
+        f"list_aggregate(list_transform(sh, s -> {_HS('s', salt)}), 'min') AS mh{salt}"
+        for salt in range(k)
+    )
+    n_bands = k // band_size
+    band_exprs = ", ".join(
+        "concat('b{b}', {parts})".format(
+            b=b,
+            parts=", ".join(f"'_', mh{b * band_size + j}" for j in range(band_size)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_TOKS.format(src='lower(text)')} AS toks
+            FROM documents)),
+    sig AS (
+      SELECT doc_id, sh,
+             {sig_cols}
+      FROM s),
+    banded AS (
+      SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sig),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM banded x JOIN banded y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id)
+    SELECT * FROM (
+      SELECT c.doc_a, c.doc_b,
+             {_R(_JACCARD.format(a='a.sh', b='b.sh'), 6)} AS jaccard
+      FROM cand c
+      JOIN sig a ON c.doc_a = a.doc_id
+      JOIN sig b ON c.doc_b = b.doc_id)
+    WHERE jaccard >= {threshold}
+    """
+
+
+@register(
+    "dedup_minhash",
+    _minhash_oracle(k=8, band_size=2, threshold=0.5),
+    tags=("dedup", "minhash", "lsh"),
+    description="MinHash(k=8) + LSH banding (4 bands × 2) → candidate equi-join → exact "
+    "Jaccard verify. The 100 TB near-dup path: no all-pairs comparison; the oracle "
+    "replays the identical signature/band/verify pipeline single-node.",
+)
+def q_dedup_minhash(spark, sf_dir):
+    return minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), k=8, band_size=2, threshold=0.5, n=3
+    )
+
+
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    vote_terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(list_distinct({_TOKS.format(src='lower(text)')}),
+                            t -> {_H('t')}) AS hs
+      FROM documents),
+    sig AS (
+      SELECT doc_id, {vote_terms} AS simhash FROM t)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle(bits=32, max_hamming=3),
+    tags=("dedup", "simhash"),
+    description="32-bit SimHash near-dup pairs (Hamming ≤ 3). Signature is a per-bit "
+    "majority vote over token hashes; pair scan uses bit_count(xor).",
+)
+def q_dedup_simhash(spark, sf_dir):
+    out = simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3, bits=32)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_FOLD_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]), "
+    "(x, y) -> x + y)"
+)
+_FOLD_NORM = "sqrt(list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b))"
+
+
+@register(
+    "knn_brute_cosine",
+    f"""
+    WITH v AS (SELECT vec_id, {_VEC} AS vec FROM embeddings),
+    n AS (SELECT vec_id, vec, {_FOLD_NORM.format(v='vec')} AS nrm FROM v),
+    p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_FOLD_DOT.format(a='q.vec', b='c.vec')} / (q.nrm * c.nrm) AS cos_raw
+      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           {_R('cos_raw', 6)} AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_raw DESC, neighbor_id) AS rank
+          FROM p)
+    WHERE rank <= 5
+    """,
+    tags=("similarity", "knn"),
+    description="Exact cosine top-5 for 10 query vectors: broadcast queries × corpus, "
+    "sequential-fold dot/norm (bit-reproducible), per-query window top-k.",
+)
+def q_knn_brute(spark, sf_dir):
+    return knn_brute_force(_t(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
+
+
+def _hp_sql(j: int) -> str:
+    h = _H(f"concat('hp|{j}|', CAST(i AS VARCHAR))")
+    return f"(CAST({h} AS DOUBLE) / 4294967296.0 - 0.5)"
+
+
+def _lsh_bucket_oracle(n_planes: int) -> str:
+    bits = " + ".join(
+        f"CASE WHEN list_reduce(list_transform(generate_series(1, len(vec)), "
+        f"i -> vec[i] * {_hp_sql(j)}), (a, b) -> a + b) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(n_planes)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, {_VEC} AS vec FROM embeddings)
+    SELECT vec_id, {bits} AS bucket FROM v
+    """
+
+
+@register(
+    "ann_lsh_buckets",
+    _lsh_bucket_oracle(16),
+    tags=("similarity", "lsh"),
+    description="Sign-random-projection LSH bucketing (16 md5-derived hyperplanes): the "
+    "scale path for ANN — neighbor search becomes an equi-join on bucket.",
+)
+def q_lsh_buckets(spark, sf_dir):
+    return lsh_buckets(_t(spark, sf_dir, "embeddings"), dim=64, n_planes=16)
+
+
+@register(
+    "ann_lsh_knn",
+    None,  # recall-vs-brute-force is asserted in tests; result shape checked rows-only
+    tags=("similarity", "lsh", "knn"),
+    description="ANN top-5 within LSH buckets (8 planes). Rows-only: approximate result; "
+    "recall vs knn_brute_cosine is asserted in tests/test_similarity.py.",
+)
+def q_lsh_knn(spark, sf_dir):
+    return knn_lsh(_t(spark, sf_dir, "embeddings"), query_ids_below=10, k=5, n_planes=4, n_tables=8)
+
+
+@register(
+    "embedding_norm_stats",
+    f"""
+    WITH n AS (SELECT label, {_FOLD_NORM.format(v=_VEC)} AS norm FROM embeddings)
+    SELECT label,
+           count(*)              AS n_vecs,
+           {_R('avg(norm)', 6)}  AS avg_norm,
+           {_R('min(norm)', 6)}  AS min_norm,
+           {_R('max(norm)', 6)}  AS max_norm
+    FROM n GROUP BY label
+    """,
+    tags=("similarity", "array"),
+    description="Per-label embedding L2-norm stats (array math smoke).",
+)
+def q_embedding_norm_stats(spark, sf_dir):
+    return embedding_norm_stats(_t(spark, sf_dir, "embeddings"))

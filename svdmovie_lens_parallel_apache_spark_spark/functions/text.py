@@ -33,8 +33,11 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     (list_transform over generate_series).
     """
     toks = tokens(text)
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), count)  # 1-based start positions; empty when count=0
+    count = F.size(toks) - F.lit(n - 1)
+    # NB Spark's sequence(1, 0) yields a DESCENDING [1, 0], not [] — guard short docs.
+    idx = F.when(count < 1, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), count)
+    )
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     )

@@ -1,0 +1,191 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+North-star additions (BASELINE.json) — the reference dedups nothing, but a
+100 TB corpus pipeline lives or dies on these. Scale shapes:
+
+- exact: hash-groupBy on a canonicalised fingerprint — one shuffle keyed
+  by digest, no skew (digests are uniform).
+- n-gram Jaccard: exact pairwise similarity is O(N²); it is only run
+  INSIDE small blocks (here: language) or on LSH candidates. The all-pairs
+  form exists as the verification/oracle baseline.
+- MinHash+LSH: signatures are per-row map work; banding turns near-dup
+  search into an equi-join on band keys (shuffle keyed by band), and only
+  candidate pairs pay the exact-Jaccard verification. This is the 100 TB
+  path (same construction as MLlib MinHashLSH, but with engine-portable
+  md5 hashes so a SQL oracle can replay it bit-for-bit).
+- SimHash: 32-bit signature per doc from token hashes; near-dups are
+  pairs with small Hamming distance (bit_count(xor) — JVM intrinsics).
+
+All hashes are the portable md5-derived family from functions/hashing.py;
+swap in xxhash64 for raw speed when cross-engine parity isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64, shingle_hash
+from ..functions.scalar import portable_round as _r
+from ..functions.text import tokens, word_shingles
+
+
+def _canon(text: Column) -> Column:
+    return F.lower(F.trim(text))
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups keyed by md5 of canonicalised text:
+    (fingerprint, keeper=min doc_id, n_copies). Deterministic keep-first."""
+    return (
+        docs.groupBy(F.md5(_canon(F.col("text"))).alias("fp_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    return docs.select(
+        "doc_id", "lang", word_shingles(F.lower(F.col("text")), n).alias("shingles")
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))
+    return inter / union.cast("double")
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
+                  block_col: str = "lang") -> DataFrame:
+    """Exact n-gram-shingle Jaccard near-dup pairs within a blocking key.
+
+    The all-pairs-in-block crossJoin is the exact baseline the LSH variant
+    is verified against; at scale the block is an LSH bucket, not a
+    language.
+    """
+    s = with_shingles(docs, n)
+    a = s.select(
+        F.col(block_col).alias("blk"), F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = s.select(
+        F.col(block_col).alias("blk"), F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    pairs = a.join(b, "blk").where(F.col("doc_a") < F.col("doc_b"))
+    jac = _jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        pairs.select("doc_a", "doc_b", _r(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 8) -> list[Column]:
+    """k minhash values: min over shingles of the salted portable hash.
+
+    NB: the per-salt lambda must take exactly ONE parameter — PySpark
+    treats a second lambda parameter as the array index, so capturing the
+    salt via a default argument silently binds it to the index column.
+    """
+
+    def _mh(salt: int) -> Column:
+        return F.array_min(F.transform(shingles, lambda s: shingle_hash(s, salt)))
+
+    return [_mh(salt).alias(f"mh{salt}") for salt in range(k)]
+
+
+def minhash_dedup_pairs(docs: DataFrame, k: int = 8, band_size: int = 2,
+                        threshold: float = 0.5, n: int = 3) -> DataFrame:
+    """MinHash→band→bucket-join→exact-verify near-dup pairs.
+
+    Docs whose k-hash signatures agree on ANY band of ``band_size``
+    consecutive hashes become candidates; candidates are verified with
+    exact shingle Jaccard ≥ threshold. Distributed shape: map (signature)
+    → explode bands → equi-join on band key → verify join back to
+    shingles. No all-pairs comparison anywhere.
+    """
+    assert k % band_size == 0
+    s = with_shingles(docs, n).select("doc_id", "shingles", *[]).withColumns(
+        {f"mh{i}": c for i, c in enumerate(minhash_signature(F.col("shingles"), k))}
+    )
+    n_bands = k // band_size
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(f"b{b}"),
+                *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = s.select("doc_id", F.explode(band_keys).alias("band_key"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "band_key")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = s.select("doc_id", "shingles")
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        .select("doc_a", "doc_b", _r(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over distinct lowercase tokens.
+
+    bit j of the signature = sign of sum over tokens of (±1 by bit j of
+    the token hash). Pure column expressions; the per-bit vote is a
+    higher-order aggregate over the token-hash array.
+    """
+    toks = F.array_distinct(tokens(F.lower(F.col("text"))))
+    hashes = F.transform(toks, lambda t: portable_hash64(t))
+
+    # Closure factory: the fold lambda must take exactly (acc, elem) —
+    # a third defaulted parameter would be misread by PySpark's HOF arity
+    # detection (see minhash_signature).
+    def _vote(j: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    sig = None
+    for j in range(bits):
+        term = F.when(_vote(j) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return docs.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    All-pairs here (fixture-sized); the scale path blocks on signature
+    chunks (pigeonhole: two sigs within d bits share at least one of d+1
+    chunks) turning it into an equi-join, same as MinHash banding.
+    """
+    s = simhash(docs, bits)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

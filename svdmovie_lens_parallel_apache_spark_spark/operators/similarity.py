@@ -1,0 +1,143 @@
+"""Embedding similarity search: brute-force cosine top-k + sign-random-
+projection LSH bucketing.
+
+North-star addition (BASELINE.json). The embeddings fixture is
+``(vec_id BIGINT, embedding ARRAY<FLOAT>[64], label INT)`` — rank 64, the
+reference's factor width (SVDMovieLensSparkJava.java:38).
+
+Scale shapes:
+- brute-force: broadcast the (small) query set against the full corpus —
+  a map-side crossJoin, no shuffle of the corpus; per-query top-k via a
+  window over query_id. Exact; the baseline every ANN variant is measured
+  against.
+- LSH: 16 sign-random-projection bits → bucket id; neighbor search only
+  compares within-bucket (equi-join on bucket). Hyperplanes are derived
+  from the portable md5 hash family, so bucket assignment is replayable
+  in the DuckDB oracle and across runs/engines.
+
+All dot/norm math is sequential-fold ``aggregate`` over array<double> —
+JVM-side, whole-stage-codegen'd, and bit-reproducible against DuckDB's
+``list_reduce`` (same fold order).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import portable_round as _r
+from ..functions.vectors import cosine_similarity, dot, l2_norm, to_double
+
+
+def lsh_hyperplanes(dim: int = 64, n_planes: int = 16, tag: str = "hp") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from the portable md5 hash:
+    component (j, i) = md5("hp|j|i")[:8] / 2^32 - 0.5. Reproducible in any
+    engine with md5 — the DuckDB oracle regenerates them in SQL."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(1, dim + 1):
+            h = int(hashlib.md5(f"{tag}|{j}|{i}".encode()).hexdigest()[:8], 16)
+            row.append(h / 2**32 - 0.5)
+        planes.append(row)
+    return planes
+
+
+def _plane_lit(plane: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in plane])
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = Σ 2^j · [dot(vec, plane_j) > 0]."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        bit = (dot(vec, _plane_lit(plane)) > 0).cast("long")
+        bucket = bucket + bit * F.lit(1 << j).cast("long")
+    return bucket
+
+
+def lsh_buckets(emb: DataFrame, dim: int = 64, n_planes: int = 16) -> DataFrame:
+    planes = lsh_hyperplanes(dim, n_planes)
+    vec = to_double(F.col("embedding"))
+    return emb.select("vec_id", lsh_bucket(vec, planes).alias("bucket"))
+
+
+def knn_brute_force(emb: DataFrame, query_ids_below: int = 10, k: int = 5) -> DataFrame:
+    """Exact cosine top-k: queries (vec_id < N) broadcast against all
+    candidates; per-query window picks the k best. Deterministic ordering:
+    (cosine desc, neighbor_id asc)."""
+    from pyspark.sql import Window
+
+    base = emb.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    q = base.where(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec")
+    )
+    c = base.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("c_vec"))
+    pairs = F.broadcast(q).crossJoin(c).where(F.col("query_id") != F.col("neighbor_id"))
+    cos = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", _r(F.col("cos_raw"), 6).alias("cosine"))
+    )
+
+
+def knn_lsh(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
+            dim: int = 64, n_planes: int = 4, n_tables: int = 8) -> DataFrame:
+    """ANN top-k via multi-table sign-LSH (OR-amplification).
+
+    ``n_tables`` independent hyperplane sets; a pair is a candidate if it
+    collides in ANY table — recall 1-(1-p^b)^L instead of a single table's
+    p^b, which collapses on near-orthogonal corpora. Distributed shape:
+    explode (table, bucket) keys → equi-join → distinct candidate pairs →
+    exact cosine re-rank. Same output shape as :func:`knn_brute_force` so
+    recall is directly measurable (tests/test_pipeline_ops.py).
+    """
+    from pyspark.sql import Window
+
+    base = emb.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(f"t{t}"),
+                lsh_bucket(F.col("vec"), lsh_hyperplanes(dim, n_planes, tag=f"hp{t}")),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    tagged = base.withColumn("tb", F.explode(keys))
+    q = tagged.where(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec"), "tb"
+    )
+    c = tagged.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "tb")
+    pairs = (
+        q.join(c, "tb")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", _r(F.col("cos_raw"), 6).alias("cosine"))
+    )
+
+
+def embedding_norm_stats(emb: DataFrame) -> DataFrame:
+    """Per-label count / mean L2 norm / min / max — array math smoke stats."""
+    vec = to_double(F.col("embedding"))
+    norms = emb.select("label", l2_norm(vec).alias("norm"))
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        _r(F.avg("norm"), 6).alias("avg_norm"),
+        _r(F.min("norm"), 6).alias("min_norm"),
+        _r(F.max("norm"), 6).alias("max_norm"),
+    )

@@ -1,0 +1,119 @@
+"""Behavioural tests for the training-data pipeline operators (dedup,
+similarity, text) beyond the oracle parity harness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_word_shingles_short_doc(spark):
+    from svdmovie_lens_parallel_apache_spark_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame([("a b",), ("a b c d",), ("",)], "text string")
+    out = df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()
+    assert out[0].sh == []  # 2 tokens < n → no shingles (not a [1,0] descending-seq artifact)
+    assert out[1].sh == ["a b c", "b c d"]
+    assert out[2].sh == []
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    from svdmovie_lens_parallel_apache_spark_spark.operators.dedup import exact_dedup_groups
+
+    rows = [
+        (1, "Hello World", "en", "s", 11),
+        (7, "  hello world ", "en", "s", 14),  # same after canonicalisation
+        (3, "other text", "en", "s", 10),
+    ]
+    out = {r.keep_doc_id: r.n_copies for r in exact_dedup_groups(_docs(spark, rows)).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_finds_exact_jaccard_pairs(spark, sf_dir):
+    """LSH banding must recover every pair the exact method finds at a
+    threshold comfortably above the band-probability knee."""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_dedup_pairs,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, threshold=0.9, block_col="lang").collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_dedup_pairs(docs, threshold=0.9).collect()
+    }
+    # same-lang exact pairs are a subset of LSH pairs (LSH isn't lang-blocked)
+    assert exact <= lsh
+    assert len(lsh) >= len(exact) > 0 or len(exact) == 0
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    from svdmovie_lens_parallel_apache_spark_spark.operators.dedup import simhash_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta", "en", "s", 22),
+        (2, "alpha beta gamma delta", "en", "s", 22),
+        (3, "totally different words here now", "en", "s", 32),
+    ]
+    out = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(_docs(spark, rows), max_hamming=32).collect()}
+    assert out[(1, 2)] == 0
+
+
+def test_lsh_knn_recall_vs_brute_force(spark, sf_dir):
+    from svdmovie_lens_parallel_apache_spark_spark.operators.similarity import (
+        knn_brute_force,
+        knn_lsh,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {(r.query_id, r.neighbor_id) for r in knn_brute_force(emb, 10, 5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in knn_lsh(emb, 10, 5, n_planes=4, n_tables=8).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+
+
+def test_quality_score_gate(spark):
+    from svdmovie_lens_parallel_apache_spark_spark.operators.textops import quality_score
+
+    rows = [
+        (1, "one two three four five six seven eight nine ten eleven", "en", "s", 55),
+        (2, "too short", "en", "s", 9),
+    ]
+    out = {r.doc_id: r.keep for r in quality_score(_docs(spark, rows)).collect()}
+    assert out == {1: 1, 2: 0}
+
+
+def test_clamped_fold_order_dependence(spark):
+    """The reference's per-feature clamp (SVDMovieLensSparkJava.java:503-511)
+    is order-dependent: fold != dot+final-clamp."""
+    from svdmovie_lens_parallel_apache_spark_spark.functions.vectors import clamped_fold, dot
+    from svdmovie_lens_parallel_apache_spark_spark.functions.scalar import clamp
+
+    df = spark.createDataFrame(
+        [([10.0, -10.0, 0.5], [1.0, 1.0, 1.0])], "u array<double>, m array<double>"
+    )
+    row = df.select(
+        clamped_fold(F.col("u"), F.col("m")).alias("folded"),
+        clamp(F.lit(1.0) + dot(F.col("u"), F.col("m"))).alias("dot_clamped"),
+    ).collect()[0]
+    # fold: 1+10→clamp 5; 5-10→clamp 1; 1+0.5=1.5   vs   dot: 1+0.5=1.5 both→ equal here?
+    # fold gives 1.5; dot path: 1 + (10-10+0.5)=1.5 → craft a case where they differ:
+    assert row.folded == 1.5 and row.dot_clamped == 1.5
+    df2 = spark.createDataFrame(
+        [([10.0, 0.0, -0.25], [1.0, 1.0, 1.0])], "u array<double>, m array<double>"
+    )
+    row2 = df2.select(
+        clamped_fold(F.col("u"), F.col("m")).alias("folded"),
+        clamp(F.lit(1.0) + dot(F.col("u"), F.col("m"))).alias("dot_clamped"),
+    ).collect()[0]
+    assert row2.folded == 4.75  # clamp→5 then -0.25
+    assert row2.dot_clamped == 5.0  # 1+9.75 clamped once
+    assert row2.folded != row2.dot_clamped
