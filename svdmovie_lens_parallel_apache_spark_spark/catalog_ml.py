@@ -1,0 +1,135 @@
+"""Catalog part 3: recommender queries (the reference's core capability).
+
+- ``funk_clamped_predict`` / ``recsys_eval_metrics``: EXACT oracle parity
+  for the reference's order-dependent clamp-fold predictor (U2,
+  ``SVDMovieLensSparkJava.java:499-513``) and its evaluation metrics (M2,
+  lines 393/470), over deterministic md5-derived golden factors — the
+  DuckDB oracle replays the identical fold.
+- ``als_top_recs``: MLlib ALS end-to-end (train → recommend) on the
+  deterministic synthetic ratings; rows-only (iterative ML, not
+  SQL-expressible — SURVEY.md §5 tier 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import _R, _t, register
+from .functions.scalar import portable_round as _r
+from .functions.vectors import clamped_fold
+from .operators.stats import error_metrics
+from .recsys import ALSConfig, golden_factor_vec, synthetic_ratings, train_als
+
+_H_EVENT = "CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+def _h_sql(key_expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+def _gf_sql(kind: str, id_expr: str, rank: int = 8) -> str:
+    """DuckDB twin of recsys.golden_factor_vec."""
+    h = _h_sql(f"concat('{kind}|', {id_expr}, '|', i)")
+    return (
+        f"list_transform(generate_series(1, {rank}), "
+        f"i -> CAST({h} AS DOUBLE) / 4294967296.0 * 0.4 - 0.2)"
+    )
+
+
+_RATINGS_CTE = f"""
+    r AS (
+      SELECT user_id,
+             event_id % 200                 AS item_id,
+             1 + {_H_EVENT} % 5             AS rating
+      FROM events),
+    v AS (
+      SELECT user_id, item_id, rating,
+             {_gf_sql('uf', 'user_id')} AS uvec,
+             {_gf_sql('if', 'item_id')} AS ivec
+      FROM r),
+    p AS (
+      SELECT user_id, item_id, rating,
+             list_reduce(
+               list_prepend(CAST(1.0 AS DOUBLE),
+                 list_transform(generate_series(1, 8), i -> uvec[i] * ivec[i])),
+               (acc, x) -> least(5.0, greatest(1.0, acc + x))) AS pred
+      FROM v)
+"""
+
+
+@register(
+    "funk_clamped_predict",
+    f"""
+    WITH {_RATINGS_CTE}
+    SELECT user_id, item_id, rating, {_R('pred', 6)} AS prediction
+    FROM p
+    """,
+    tags=("U2", "J3", "M1-parity"),
+    description="Reference predictor U2 exact parity: per-feature clamp fold "
+    "(order-dependent, SVDMovieLensSparkJava.java:499-513) over md5-derived golden "
+    "factor vectors, broadcast-joined to the rating pairs. Oracle replays the "
+    "identical fold; results match bit-for-bit.",
+)
+def q_funk_clamped_predict(spark, sf_dir):
+    r = synthetic_ratings(spark, sf_dir, n_items=200)
+    uvec = golden_factor_vec(F.col("user_id"), "uf", 8)
+    ivec = golden_factor_vec(F.col("item_id"), "if", 8)
+    return r.select(
+        "user_id",
+        "item_id",
+        "rating",
+        _r(clamped_fold(uvec, ivec), 6).alias("prediction"),
+    )
+
+
+@register(
+    "recsys_eval_metrics",
+    f"""
+    WITH {_RATINGS_CTE}
+    SELECT count(*)                                                AS n,
+           {_R('avg(abs(rating - pred))', 6)}                      AS mae,
+           {_R('sqrt(avg((rating - pred) * (rating - pred)))', 6)} AS rmse
+    FROM p
+    """,
+    tags=("M2", "A6", "A7", "U4"),
+    description="RMSE/MAE of the clamp-fold predictor over the synthetic ratings — the "
+    "reference's quality metrics (lines 393, 470) in one aggregation pass.",
+)
+def q_recsys_eval_metrics(spark, sf_dir):
+    r = synthetic_ratings(spark, sf_dir, n_items=200)
+    uvec = golden_factor_vec(F.col("user_id"), "uf", 8)
+    ivec = golden_factor_vec(F.col("item_id"), "if", 8)
+    preds = r.withColumn("prediction", clamped_fold(uvec, ivec))
+    m = error_metrics(preds, "rating", "prediction")
+    return m.select("n", _r(F.col("mae"), 6).alias("mae"), _r(F.col("rmse"), 6).alias("rmse"))
+
+
+@register(
+    "als_top_recs",
+    None,  # iterative MLlib training — rows-only check (SURVEY.md §5 tier 2)
+    tags=("M1", "ALS", "ml"),
+    description="MLlib ALS end-to-end on the synthetic ratings (rank=8): train, then "
+    "top-5 recommendations for users < 20. The Spark-native replacement for the "
+    "reference's driver-side Funk-SVD (SURVEY.md §2 M1); parity is metric-level, "
+    "asserted in tests/test_recsys.py.",
+)
+def q_als_top_recs(spark, sf_dir):
+    ratings = (
+        synthetic_ratings(spark, sf_dir, n_items=200)
+        .select(
+            F.col("user_id").cast("int").alias("user_id"),
+            F.col("item_id").cast("int").alias("item_id"),
+            F.col("rating").cast("float").alias("rating"),
+        )
+    )
+    model = train_als(ratings, ALSConfig(rank=8, reg=0.05, max_iter=5, seed=42))
+    users = ratings.select("user_id").where(F.col("user_id") < 20).distinct()
+    recs = model.recommendForUserSubset(users, 5)
+    return recs.select(
+        "user_id",
+        F.posexplode("recommendations").alias("rank0", "rec"),
+    ).select(
+        "user_id",
+        (F.col("rank0") + 1).alias("rank"),
+        F.col("rec.item_id").alias("item_id"),
+    )
