@@ -1,0 +1,65 @@
+"""Catalog part 4: Structured Streaming + multimodal queries (rows-only).
+
+Streaming results and pandas-UDF media extraction aren't ANSI-SQL
+expressible, so these carry no oracle (driver records the weaker
+rows-only check); their correctness gates live in tests instead:
+streaming results are asserted equal to their batch twins
+(tests/test_streaming.py), and media features are asserted deterministic
+(tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import _t, register
+from .operators.multimodal import attach_fake_media, extract_media_features, frame_sample
+from .streaming.jobs import stream_session_window, stream_tumbling_counts
+
+
+@register(
+    "streaming_tumbling_counts",
+    None,
+    tags=("streaming", "window", "watermark"),
+    description="Structured Streaming 1h tumbling window + watermark over the events "
+    "file source (availableNow trigger → memory sink). Batch twin: event_tumbling_agg; "
+    "equality asserted in tests/test_streaming.py.",
+)
+def q_streaming_tumbling(spark, sf_dir):
+    return stream_tumbling_counts(spark, sf_dir)
+
+
+@register(
+    "streaming_session_window",
+    None,
+    tags=("streaming", "session", "stateful"),
+    description="Native session_window stateful aggregation (30-min gap) on the event "
+    "stream. Batch twin: sessionize; per-user session counts asserted equal in tests.",
+)
+def q_streaming_sessions(spark, sf_dir):
+    return stream_session_window(spark, sf_dir)
+
+
+@register(
+    "multimodal_features",
+    None,
+    tags=("multimodal", "mapInPandas", "binary"),
+    description="Opaque-binary media column + Arrow-batched mapInPandas feature "
+    "extraction (decode stubbed deterministically — real codecs not in container; "
+    "schema/batching/UDF plumbing is real and deterministic).",
+)
+def q_multimodal_features(spark, sf_dir):
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return extract_media_features(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    None,
+    tags=("multimodal", "binary"),
+    description="Frame sampling over the binary media column as pure JVM byte-slicing "
+    "(every 2nd 16-byte frame) — no Python in the loop.",
+)
+def q_multimodal_frames(spark, sf_dir):
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return frame_sample(media, every_k=2).select("doc_id", "n_sampled_frames")

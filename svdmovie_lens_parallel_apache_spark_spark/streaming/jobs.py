@@ -1,0 +1,106 @@
+"""Structured Streaming surface over the events table.
+
+The reference predates Structured Streaming entirely (Spark 1.6, no
+DStreams either — SURVEY.md §2.1); this is north-star surface. Design:
+every streaming job is the SAME logical aggregation as its batch twin in
+``operators/windows.py`` — batch results are the oracle for the streaming
+results (asserted in tests/test_streaming.py), which is exactly how
+Structured Streaming's unified model is meant to be used.
+
+Scale notes: watermark bounds state (late events beyond 1h are dropped);
+tumbling windows shard state by (window, type) — no per-key skew beyond
+the hottest hour; session windows use Spark's native session_window state
+merging. On a real cluster the source is Kafka/files-on-object-store; the
+parquet file source here exercises identical operators.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events fixture (nanos → micros timestamp,
+    same normalisation as the batch reader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file source needs a directory basePath; select just events.parquet via glob
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_available_now(result: DataFrame, query_name: str, mode: str = "complete") -> None:
+    """Drain the stream with the available-now trigger into a memory sink
+    (read back via ``spark.table(query_name)``). Fresh checkpoint per run
+    so re-invocations are reproducible."""
+    ckpt = tempfile.mkdtemp(prefix=f"svdml-ckpt-{query_name}-")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str,
+                           watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``operators.windows.tumbling_agg``: 1h tumbling
+    window per event_type with a watermark for late data. Returns the
+    drained result as a batch DataFrame."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value_raw"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "n_events",
+            (F.floor(F.col("sum_value_raw") * 1e4 + 0.5) / 1e4).alias("sum_value"),
+        )
+    )
+    run_available_now(agg, "stream_tumbling_counts", mode="complete")
+    return spark.table("stream_tumbling_counts")
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str,
+                          gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (F.session_window) — the streaming-stateful
+    twin of ``operators.windows.sessionize``'s lag+cumsum construction."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start_s"),
+            F.col("w.end").cast("long").alias("session_end_s"),
+            "n_events",
+        )
+    )
+    run_available_now(agg, "stream_session_window", mode="complete")
+    return spark.table("stream_session_window")
