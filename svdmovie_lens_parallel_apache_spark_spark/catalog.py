@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.scalar import clamp, portable_round as _r
-from .operators.relational import anti_join, semi_join, topk_per_group
+from .operators.relational import anti_join, asof_join, semi_join, topk_per_group
 from .operators.stats import keyed_stats
 from .operators.windows import running_totals, sessionize, tumbling_agg
 from .sources.readers import load_table
@@ -313,14 +313,16 @@ def join_semi(spark, sf_dir):
     "join_anti",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
     tags=("join",),
-    description="Left-anti join (NOT EXISTS).",
+    description="Left-anti join (NOT EXISTS): customers with no urgent order.",
 )
 def join_anti(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
     return anti_join(cust, orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey").select(
         "c_custkey", "c_name"
     )
@@ -527,6 +529,175 @@ def json_extract_stats(spark, sf_dir):
         _r(F.avg(k), 6).alias("avg_k"),
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "rollup_pricing",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           {_R('sum(l_quantity)', 3)}    AS sum_qty,
+           count(*)                      AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+    description="ROLLUP hierarchy totals (flag, status, grand total) — Catalyst expands "
+    "grouping sets in a single aggregation.",
+)
+def rollup_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_r(F.sum("l_quantity"), 3).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("l_linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "window_rank_frames",
+    f"""
+    SELECT c_mktsegment, c_custkey,
+           CAST(rank()       OVER w AS INTEGER) AS bal_rank,
+           CAST(dense_rank() OVER w AS INTEGER) AS bal_dense_rank,
+           {_R('avg(c_acctbal) OVER wf', 6)}    AS moving_avg_bal
+    FROM customer
+    WINDOW w  AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+           wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frames"),
+    description="rank/dense_rank + rows-frame moving average per segment.",
+)
+def window_rank_frames(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wf = w.rowsBetween(-2, Window.currentRow)
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        _r(F.avg("c_acctbal").over(wf), 6).alias("moving_avg_bal"),
+    )
+
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register(
+    "pivot_event_counts",
+    f"""
+    SELECT user_id % 50 AS user_bucket,
+           {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("pivot", "agg"),
+    description="Pivot (wide per-type counts) — one hash agg with conditional counts; "
+    "explicit value list keeps the schema static (no discovery scan).",
+)
+def pivot_event_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 50).alias("user_bucket"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "stats_advanced",
+    f"""
+    SELECT l_returnflag,
+           count(*)                                        AS n,
+           {_R('stddev_samp(l_quantity)', 6)}              AS std_qty,
+           {_R('var_samp(l_quantity)', 6)}                 AS var_qty,
+           {_R('covar_samp(l_quantity, l_extendedprice)', 4)} AS covar_qty_price,
+           {_R('corr(l_quantity, l_extendedprice)', 6)}    AS corr_qty_price,
+           {_R('quantile_cont(l_quantity, 0.5)', 6)}       AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+    description="Higher-moment aggregates: stddev/variance/covariance/correlation + "
+    "exact interpolated median per group.",
+)
+def stats_advanced(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        _r(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        _r(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        _r(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        _r(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+    )
+
+
+@register(
+    "asof_last_purchase",
+    """
+    WITH u AS (
+      SELECT event_id, user_id, ts, 1 AS is_left,
+             CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS TIMESTAMP) AS p_ts,
+             CAST(NULL AS BIGINT) AS tb
+      FROM events
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT), user_id, ts, 0, event_id, ts, event_id
+      FROM events WHERE event_type = 'purchase'
+    ), f AS (
+      SELECT *,
+             last_value(p_id IGNORE NULLS) OVER w AS last_purchase_id,
+             last_value(p_ts IGNORE NULLS) OVER w AS last_purchase_ts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left, tb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS t_s,
+           last_purchase_id,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(floor(epoch(last_purchase_ts)) AS BIGINT) AS secs_since_purchase
+    FROM f WHERE is_left = 1
+    """,
+    tags=("asof", "window"),
+    description="As-of join (operator Spark lacks natively): each event gets the user's "
+    "latest purchase at-or-before its timestamp, via the union + forward-fill pattern — "
+    "one shuffle on user_id, per-user sort, no range join.",
+)
+def asof_last_purchase(spark, sf_dir):
+    from .operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    out = asof_join(
+        left,
+        right,
+        partition_col="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload={"event_id": "last_purchase_id", "ts": "last_purchase_ts"},
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _epoch_s(F.col("ts")).alias("t_s"),
+        "last_purchase_id",
+        (_epoch_s(F.col("ts")) - _epoch_s(F.col("last_purchase_ts"))).alias(
+            "secs_since_purchase"
+        ),
     )
 
 

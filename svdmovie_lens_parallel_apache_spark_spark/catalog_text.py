@@ -212,8 +212,12 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 def _minhash_oracle(k: int = 8, band_size: int = 2, threshold: float = 0.5) -> str:
+    from .operators.dedup import P31, minhash_mix_params
+
     sig_cols = ",\n             ".join(
-        f"list_aggregate(list_transform(sh, s -> {_HS('s', salt)}), 'min') AS mh{salt}"
+        "list_aggregate(list_transform(hs, h -> (h * {a} + {b}) % {p}), 'min') AS mh{salt}".format(
+            a=minhash_mix_params(salt)[0], b=minhash_mix_params(salt)[1], p=P31, salt=salt
+        )
         for salt in range(k)
     )
     n_bands = k // band_size
@@ -226,11 +230,12 @@ def _minhash_oracle(k: int = 8, band_size: int = 2, threshold: float = 0.5) -> s
     )
     return f"""
     WITH s AS (
-      SELECT doc_id, {_SHINGLES} AS sh
-      FROM (SELECT doc_id, {_TOKS.format(src='lower(text)')} AS toks
-            FROM documents)),
+      SELECT doc_id, list_distinct(list_transform(sh, s -> {_H('s')} % {P31})) AS hs
+      FROM (SELECT doc_id, {_SHINGLES} AS sh
+            FROM (SELECT doc_id, {_TOKS.format(src='lower(text)')} AS toks
+                  FROM documents))),
     sig AS (
-      SELECT doc_id, sh,
+      SELECT doc_id, hs,
              {sig_cols}
       FROM s),
     banded AS (
@@ -241,7 +246,7 @@ def _minhash_oracle(k: int = 8, band_size: int = 2, threshold: float = 0.5) -> s
         ON x.band_key = y.band_key AND x.doc_id < y.doc_id)
     SELECT * FROM (
       SELECT c.doc_a, c.doc_b,
-             {_R(_JACCARD.format(a='a.sh', b='b.sh'), 6)} AS jaccard
+             {_R(_JACCARD.format(a='a.hs', b='b.hs'), 6)} AS jaccard
       FROM cand c
       JOIN sig a ON c.doc_a = a.doc_id
       JOIN sig b ON c.doc_b = b.doc_id)

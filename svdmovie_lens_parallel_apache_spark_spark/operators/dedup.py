@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash64, shingle_hash
+from ..functions.hashing import portable_hash64
 from ..functions.scalar import portable_round as _r
 from ..functions.text import tokens, word_shingles
 
@@ -60,39 +60,82 @@ def _jaccard(a: Column, b: Column) -> Column:
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
                   block_col: str = "lang") -> DataFrame:
-    """Exact n-gram-shingle Jaccard near-dup pairs within a blocking key.
+    """Exact n-gram-shingle Jaccard near-dup pairs within a blocking key,
+    via POSTING LISTS (inverted index), not per-pair array intersection:
 
-    The all-pairs-in-block crossJoin is the exact baseline the LSH variant
-    is verified against; at scale the block is an LSH bucket, not a
-    language.
+        explode shingles → self-equi-join on (block, shingle)
+        → count rows per (doc_a, doc_b) = |A ∩ B|
+        → jaccard = ∩ / (|A| + |B| - ∩)
+
+    Equivalent to all-pairs intersection for any threshold > 0 (pairs with
+    empty intersection can't pass), but it is all shuffles + hash aggs —
+    no O(pairs × shingle-width) array scans. This is also the shape that
+    survives scale: the join fans out per-shingle by document frequency,
+    so pre-dropping ultra-common shingles (stop-shingles) bounds the
+    blowup; at 100 TB the block key is an LSH band, not a language.
     """
-    s = with_shingles(docs, n)
-    a = s.select(
-        F.col(block_col).alias("blk"), F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
+    s = with_shingles(docs, n).select(
+        F.col(block_col).alias("blk"),
+        "doc_id",
+        "shingles",
+        F.size("shingles").alias("sz"),
     )
-    b = s.select(
-        F.col(block_col).alias("blk"), F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
+    posts = s.select("blk", "doc_id", "sz", F.explode("shingles").alias("sh"))
+    a = posts.select(
+        F.col("blk"), F.col("sh"), F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
     )
-    pairs = a.join(b, "blk").where(F.col("doc_a") < F.col("doc_b"))
-    jac = _jaccard(F.col("sh_a"), F.col("sh_b"))
+    b = posts.select(
+        F.col("blk"), F.col("sh"), F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")
+    )
+    inter = (
+        a.join(b, ["blk", "sh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast(
+        "double"
+    )
     return (
-        pairs.select("doc_a", "doc_b", _r(jac, 6).alias("jaccard"))
+        inter.select("doc_a", "doc_b", _r(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
 
-def minhash_signature(shingles: Column, k: int = 8) -> list[Column]:
-    """k minhash values: min over shingles of the salted portable hash.
+P31 = 2147483647  # Mersenne prime 2^31 - 1: universal-hash modulus
 
-    NB: the per-salt lambda must take exactly ONE parameter — PySpark
+
+def minhash_mix_params(salt: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the salt's universal hash
+    h_salt(x) = (a·x + b) mod P31 — md5-derived so oracles/tests embed the
+    same literals. a·x < 2^62 fits signed 64-bit."""
+    import hashlib
+
+    a = int(hashlib.md5(f"mha|{salt}".encode()).hexdigest()[:8], 16) % P31 or 1
+    b = int(hashlib.md5(f"mhb|{salt}".encode()).hexdigest()[:8], 16) % P31
+    return a, b
+
+
+def shingle_base_hashes(shingles: Column) -> Column:
+    """Per-shingle base hash H(s) mod P31 — computed ONCE; the k minhash
+    permutations are cheap arithmetic over this array (one md5 per shingle
+    instead of k)."""
+    return F.transform(shingles, lambda s: portable_hash64(s) % P31)
+
+
+def minhash_signature(base_hashes: Column, k: int = 8) -> list[Column]:
+    """k minhash values: min over shingles of (a_salt·h + b_salt) mod P31.
+
+    NB: each per-salt lambda must take exactly ONE parameter — PySpark
     treats a second lambda parameter as the array index, so capturing the
     salt via a default argument silently binds it to the index column.
     """
 
     def _mh(salt: int) -> Column:
-        return F.array_min(F.transform(shingles, lambda s: shingle_hash(s, salt)))
+        a, b = minhash_mix_params(salt)
+        return F.array_min(
+            F.transform(base_hashes, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(P31))
+        )
 
     return [_mh(salt).alias(f"mh{salt}") for salt in range(k)]
 
@@ -108,8 +151,17 @@ def minhash_dedup_pairs(docs: DataFrame, k: int = 8, band_size: int = 2,
     shingles. No all-pairs comparison anywhere.
     """
     assert k % band_size == 0
-    s = with_shingles(docs, n).select("doc_id", "shingles", *[]).withColumns(
-        {f"mh{i}": c for i, c in enumerate(minhash_signature(F.col("shingles"), k))}
+    # materialise DISTINCT base hashes once: the k permutations are cheap
+    # arithmetic over this int array, and verification intersects int
+    # arrays instead of shingle strings (same Jaccard modulo the
+    # negligible P31 collision rate; the oracle replays hashes identically)
+    s = (
+        with_shingles(docs, n)
+        .select(
+            "doc_id",
+            F.array_distinct(shingle_base_hashes(F.col("shingles"))).alias("hs"),
+        )
+        .withColumns({f"mh{i}": c for i, c in enumerate(minhash_signature(F.col("hs"), k))})
     )
     n_bands = k // band_size
     band_keys = F.array(
@@ -130,11 +182,11 @@ def minhash_dedup_pairs(docs: DataFrame, k: int = 8, band_size: int = 2,
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = s.select("doc_id", "shingles")
+    sh = s.select("doc_id", "hs")
     verified = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
-        .select("doc_a", "doc_b", _r(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), "doc_b")
+        .select("doc_a", "doc_b", _r(_jaccard(F.col("hs_a"), F.col("hs_b")), 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
     return verified
@@ -148,14 +200,18 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     higher-order aggregate over the token-hash array.
     """
     toks = F.array_distinct(tokens(F.lower(F.col("text"))))
-    hashes = F.transform(toks, lambda t: portable_hash64(t))
+    # materialise token hashes once; the 32 per-bit votes then fold over
+    # the array column instead of re-hashing per bit
+    hashed = docs.select(
+        "doc_id", F.transform(toks, lambda t: portable_hash64(t)).alias("hs")
+    )
 
     # Closure factory: the fold lambda must take exactly (acc, elem) —
     # a third defaulted parameter would be misread by PySpark's HOF arity
     # detection (see minhash_signature).
     def _vote(j: int) -> Column:
         return F.aggregate(
-            hashes,
+            F.col("hs"),
             F.lit(0).cast("long"),
             lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
         )
@@ -166,7 +222,7 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
             F.lit(0).cast("long")
         )
         sig = term if sig is None else sig + term
-    return docs.select("doc_id", sig.alias("simhash"))
+    return hashed.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:

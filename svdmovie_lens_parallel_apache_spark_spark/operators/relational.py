@@ -34,6 +34,50 @@ def broadcast_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> D
     return fact.join(F.broadcast(dim), on=on, how=how)
 
 
+def asof_join(left: DataFrame, right: DataFrame, partition_col: str,
+              left_time: str, right_time: str,
+              payload: dict[str, str], tiebreak: str) -> DataFrame:
+    """As-of join (no native Spark operator): for each left row, attach the
+    payload of the LATEST right row with ``right_time <= left_time`` in the
+    same partition.
+
+    Implementation is the scalable union + forward-fill pattern:
+    union both sides → per-partition event-time sort → ``last(payload,
+    ignorenulls)`` over an unbounded-preceding row frame → keep left rows.
+    One shuffle on the partition key, per-key sort only — no range join,
+    no per-row probe. Right rows sort BEFORE left rows at equal times, so
+    ties are inclusive (<=). ``payload``: {right_col: output_name};
+    ``tiebreak``: unique right column ordering simultaneous right rows.
+    """
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("long").alias("__tb"),
+        *[F.lit(None).cast(dict(right.dtypes)[rc]).alias(out) for rc, out in payload.items()],
+    )
+    r = right.select(
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c != partition_col],
+        F.col(partition_col),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.col(tiebreak).cast("long").alias("__tb"),
+        *[F.col(rc).alias(out) for rc, out in payload.items()],
+    ).select(*l.columns)  # align column order for unionByName-safe union
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.col("__t"), F.col("__is_left"), F.col("__tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).select(
+        *lcols,
+        "__is_left",
+        *[F.last(out, ignorenulls=True).over(w).alias(out) for out in payload.values()],
+    )
+    return filled.where(F.col("__is_left") == 1).drop("__is_left")
+
+
 def topk_per_group(df: DataFrame, partition_by: list[str], order_by: list[Column],
                    k: int, rank_col: str = "rn") -> DataFrame:
     """Top-k rows per group via ``row_number`` over a per-group sort.

@@ -1,0 +1,60 @@
+"""Plan-shape assertions: the scale properties (pushdown, pruning,
+broadcast, JVM-only hot path) must hold, not just the row values."""
+
+from svdmovie_lens_parallel_apache_spark_spark.catalog import REGISTRY
+from svdmovie_lens_parallel_apache_spark_spark.plans.explain import (
+    plan_summary,
+    read_schema_columns,
+)
+
+
+def _plan(spark, sf_dir, name):
+    return REGISTRY[name].builder(spark, sf_dir)
+
+
+def test_filter_project_pushdown_and_pruning(spark, sf_dir):
+    df = _plan(spark, sf_dir, "filter_project")
+    s = plan_summary(df)
+    assert s["pushed_filters"], "predicates must reach the parquet scan"
+    cols = read_schema_columns(df)
+    # only the referenced columns are read — no full-width scan
+    assert set(cols) <= {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_tax", "l_returnflag",
+    }
+    assert "l_shipdate" not in cols
+
+
+def test_q03_broadcasts_dimensions(spark, sf_dir):
+    s = plan_summary(_plan(spark, sf_dir, "q03_shipping_priority"))
+    assert s["broadcast_joins"] >= 1, "customer dim must broadcast"
+    assert not s["has_python_udf"]
+
+
+def test_q05_star_join_all_broadcast(spark, sf_dir):
+    s = plan_summary(_plan(spark, sf_dir, "q05_local_supplier_volume"))
+    # customer, supplier, nation, region all broadcast; orders side may
+    # sort-merge or broadcast depending on stats — require ≥4 broadcasts.
+    assert s["broadcast_joins"] >= 4
+    assert not s["has_python_udf"]
+
+
+def test_relational_suite_is_jvm_only(spark, sf_dir):
+    """No Python UDFs anywhere in the relational/text/dedup hot paths —
+    everything is Catalyst expressions (multimodal mapInPandas is the one
+    deliberate exception)."""
+    for name, q in REGISTRY.items():
+        if name.startswith(("multimodal", "streaming", "als")):
+            continue
+        s = plan_summary(q.builder(spark, sf_dir))
+        assert not s["has_python_udf"], name
+
+
+def test_aggregations_are_two_phase(spark, sf_dir):
+    """reduceByKey-equivalent: partial (map-side) + final aggregation with
+    exactly one shuffle — the property that makes per-key stats scale."""
+    s = plan_summary(_plan(spark, sf_dir, "q01_pricing_summary"))
+    assert s["partial_agg"], "map-side partial aggregation missing"
+    assert s["exchanges"] == 1
+
+    s2 = plan_summary(_plan(spark, sf_dir, "per_key_stats_customer"))
+    assert s2["partial_agg"] and s2["exchanges"] == 1
