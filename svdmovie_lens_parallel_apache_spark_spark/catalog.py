@@ -702,6 +702,118 @@ def asof_last_purchase(spark, sf_dir):
 
 
 @register(
+    "scalar_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)             AS yr,
+           CAST(month(o_orderdate) AS INTEGER)            AS mo,
+           CAST(day(o_orderdate) AS INTEGER)              AS dom,
+           CAST(quarter(o_orderdate) AS INTEGER)          AS qtr,
+           upper(o_orderpriority)                         AS prio_upper,
+           substr(o_orderpriority, 1, 1)                  AS prio_code,
+           CAST(length(o_orderstatus) AS INTEGER)         AS status_len,
+           replace(o_orderpriority, '-', '_')             AS prio_snake,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0')     AS key_padded,
+           concat(o_orderstatus, ':', o_orderpriority)    AS status_prio,
+           CASE WHEN o_totalprice > 200000.0 THEN 'big' ELSE 'small' END AS size_class
+    FROM orders
+    WHERE o_orderpriority LIKE '%URGENT%'
+    """,
+    tags=("scalar", "string", "date"),
+    description="Scalar function surface: date part extraction, string ops, CASE, LIKE — "
+    "all JVM expressions inside codegen.",
+)
+def scalar_functions(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderpriority").like("%URGENT%")).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.regexp_replace("o_orderpriority", "-", "_").alias("prio_snake"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+        F.concat_ws(":", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.when(F.col("o_totalprice") > 200000.0, F.lit("big")).otherwise(F.lit("small")).alias(
+            "size_class"
+        ),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest({{toks}}) AS term
+            FROM documents)
+      GROUP BY doc_id, term),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, {_R('tfidf', 6)} AS tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """.format(toks="list_filter(string_split(trim(lower(text)), ' '), x -> x <> '')"),
+    tags=("text", "tfidf"),
+    description="Exact TF-IDF (tf × ln(N/df)) top-3 terms per document: explode → two "
+    "hash aggs → broadcast df join → per-doc window. HashingTF/IDF (MLlib) is the "
+    "approximate scale variant.",
+)
+def tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", _r(F.col("tfidf"), 6).alias("tfidf"), "rnk")
+    )
+
+
+@register(
+    "approx_distinct_sketch",
+    None,  # HLL sketch values are engine-specific — rows-only
+    tags=("agg", "sketch"),
+    description="approx_count_distinct (HyperLogLog++, rsd=2%) per segment — the "
+    "sketch-based path for distinct counts at 100 TB; exact twin: agg_distinct.",
+)
+def approx_distinct_sketch(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    return joined.groupBy("c_mktsegment").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
     "global_error_metrics",
     f"""
     SELECT count(*) AS n,

@@ -23,6 +23,7 @@ from .operators.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
     minhash_dedup_pairs,
+    mllib_minhash_pairs,
     simhash_pairs,
 )
 from .operators.similarity import (
@@ -30,6 +31,7 @@ from .operators.similarity import (
     knn_brute_force,
     knn_lsh,
     lsh_buckets,
+    mllib_brp_knn,
 )
 from .operators.textops import (
     fingerprints,
@@ -375,6 +377,28 @@ def q_lsh_buckets(spark, sf_dir):
 )
 def q_lsh_knn(spark, sf_dir):
     return knn_lsh(_t(spark, sf_dir, "embeddings"), query_ids_below=10, k=5, n_planes=4, n_tables=8)
+
+
+@register(
+    "dedup_minhash_mllib",
+    None,  # MLlib-internal hashes — rows-only; recall gate in tests
+    tags=("dedup", "minhash", "mllib"),
+    description="MLlib MinHashLSH near-dup variant (HashingTF sparse vectors + "
+    "approxSimilarityJoin). Portable twin: dedup_minhash.",
+)
+def q_dedup_minhash_mllib(spark, sf_dir):
+    return mllib_minhash_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "ann_brp_knn_mllib",
+    None,  # MLlib-internal projections — rows-only; recall gate in tests
+    tags=("similarity", "lsh", "mllib"),
+    description="MLlib BucketedRandomProjectionLSH ANN top-5 (Euclidean). Portable "
+    "twins: knn_brute_cosine (exact), ann_lsh_knn (portable LSH).",
+)
+def q_ann_brp_mllib(spark, sf_dir):
+    return mllib_brp_knn(_t(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
 
 
 @register(

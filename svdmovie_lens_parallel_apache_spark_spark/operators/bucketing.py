@@ -1,0 +1,42 @@
+"""Bucketing: shuffle-free co-located joins.
+
+Not in the reference (its 'co-location' was dense driver arrays indexed by
+ID — ``SVDMovieLensSparkJava.java:219-221``). At 100 TB, the fact⋈fact
+join that can't broadcast is the expensive one; pre-bucketing both tables
+on the join key by the same bucket count removes the per-query shuffle
+entirely — Spark's bucketed-scan join reads co-located buckets and skips
+the Exchange (asserted in tests/test_bucketing.py via plan_summary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   num_buckets: int = 16, sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Persist as a bucketed (+ optionally sorted) managed table. Sorting
+    within buckets additionally removes the sort from sort-merge joins."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # A fresh (in-memory) metastore forgets tables but their warehouse
+        # directories survive; saveAsTable then fails with
+        # LOCATION_ALREADY_EXISTS. Drop both.
+        import shutil
+        from urllib.parse import urlparse
+
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  on: str | list[str], how: str = "inner") -> DataFrame:
+    """Join two pre-bucketed tables — with matching bucket specs, the plan
+    has no Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)

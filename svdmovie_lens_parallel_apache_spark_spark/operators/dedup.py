@@ -192,6 +192,38 @@ def minhash_dedup_pairs(docs: DataFrame, k: int = 8, band_size: int = 2,
     return verified
 
 
+def mllib_minhash_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
+                        num_hash_tables: int = 5,
+                        num_features: int = 1 << 18) -> DataFrame:
+    """MLlib-native near-dup variant: shingles → HashingTF (binary sparse
+    vectors) → MinHashLSH.approxSimilarityJoin at Jaccard distance
+    1-threshold. Engine-internal hashes (not portable) → rows-only check;
+    recall vs the exact pairs is asserted in tests.
+
+    Same asymptotic shape as :func:`minhash_dedup_pairs` (signatures +
+    bucket join); use whichever fits the deployment — this one rides MLlib
+    maintenance, the portable one gives oracle-replayable results.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    s = with_shingles(docs, n).where(F.size("shingles") > 0)
+    feat = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
+    ).transform(s)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    ).fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="jaccard_dist")
+    return (
+        joined.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            _r(1.0 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """Per-doc SimHash over distinct lowercase tokens.
 

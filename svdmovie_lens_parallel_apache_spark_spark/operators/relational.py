@@ -34,6 +34,28 @@ def broadcast_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> D
     return fact.join(F.broadcast(dim), on=on, how=how)
 
 
+def salted_join(skewed: DataFrame, small: DataFrame, on: str,
+                salt_buckets: int = 8, how: str = "inner") -> DataFrame:
+    """Skew-mitigated join: spread each hot key of the skewed side across
+    ``salt_buckets`` shuffle partitions; replicate the small side once per
+    salt. Result is identical to a plain equi-join on ``on``.
+
+    AQE's skew-join handles most cases automatically
+    (spark.sql.adaptive.skewJoin.enabled, on in session defaults); this
+    explicit form is for when the skew is known a priori or AQE can't
+    split (e.g. a single monster key feeding an aggregation).
+    Salt is derived from xxhash64 of the whole row — deterministic, no
+    rand() (reproducible retries, no lineage nondeterminism).
+    """
+    skewed_salted = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
+    )
+    salts = F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    small_replicated = small.withColumn("__salt", salts)
+    out = skewed_salted.join(small_replicated, on=[on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
 def asof_join(left: DataFrame, right: DataFrame, partition_col: str,
               left_time: str, right_time: str,
               payload: dict[str, str], tiebreak: str) -> DataFrame:

@@ -131,6 +131,41 @@ def knn_lsh(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
     )
 
 
+def mllib_brp_knn(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
+                  bucket_length: float = 2.0, num_hash_tables: int = 3) -> DataFrame:
+    """MLlib-native ANN variant: BucketedRandomProjectionLSH (Euclidean)
+    approxSimilarityJoin + per-query top-k by distance. Engine-internal
+    random projections (seeded) → rows-only; recall vs brute force is
+    asserted in tests."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    base = emb.select(
+        "vec_id", array_to_vector(to_double(F.col("embedding"))).alias("features")
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    ).fit(base)
+    q = base.where(F.col("vec_id") < query_ids_below)
+    joined = model.approxSimilarityJoin(q, base, float("inf"), distCol="dist")
+    pairs = joined.select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        _r(F.col("dist"), 6).alias("euclidean_dist"),
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("euclidean_dist"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "euclidean_dist")
+    )
+
+
 def embedding_norm_stats(emb: DataFrame) -> DataFrame:
     """Per-label count / mean L2 norm / min / max — array math smoke stats."""
     vec = to_double(F.col("embedding"))
