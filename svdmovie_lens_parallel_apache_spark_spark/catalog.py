@@ -702,6 +702,57 @@ def asof_last_purchase(spark, sf_dir):
 
 
 @register(
+    "cube_pricing",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           {_R('sum(l_extendedprice)', 3)} AS sum_price,
+           count(*)                        AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+    description="CUBE over (flag, status): all 2^2 grouping sets in one aggregation.",
+)
+def cube_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(_r(F.sum("l_extendedprice"), 3).alias("sum_price"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("l_linestatus"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+@register(
+    "having_big_spenders",
+    f"""
+    SELECT o_custkey,
+           count(*)                     AS n_orders,
+           {_R('sum(o_totalprice)', 3)} AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING sum(o_totalprice) > 2500000.0
+    """,
+    tags=("agg", "having"),
+    description="Post-aggregation HAVING filter (Catalyst: Filter above Aggregate; the "
+    "predicate can't push below the agg).",
+)
+def having_big_spenders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("__total"))
+        .where(F.col("__total") > 2500000.0)
+        .select("o_custkey", "n_orders", _r(F.col("__total"), 3).alias("total_spend"))
+    )
+
+
+@register(
     "scalar_functions",
     """
     SELECT o_orderkey,

@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 
 from .catalog import _t, register
 from .operators.multimodal import attach_fake_media, extract_media_features, frame_sample
-from .streaming.jobs import stream_session_window, stream_tumbling_counts
+from .streaming.jobs import (
+    stream_session_window,
+    stream_tumbling_counts,
+    stream_user_totals_stateful,
+)
 
 
 @register(
@@ -38,6 +42,18 @@ def q_streaming_tumbling(spark, sf_dir):
 )
 def q_streaming_sessions(spark, sf_dir):
     return stream_session_window(spark, sf_dir)
+
+
+@register(
+    "streaming_stateful_user_totals",
+    None,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+    description="Custom stateful streaming operator (applyInPandasWithState): per-user "
+    "running totals with explicit state across micro-batches. Batch twin equality "
+    "asserted in tests/test_streaming.py.",
+)
+def q_streaming_stateful(spark, sf_dir):
+    return stream_user_totals_stateful(spark, sf_dir)
 
 
 @register(

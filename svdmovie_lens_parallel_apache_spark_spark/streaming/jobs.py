@@ -85,6 +85,64 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str,
     return spark.table("stream_tumbling_counts")
 
 
+def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals maintained in explicit state across micro-batches —
+    the escape hatch for stateful semantics the built-in windows can't
+    express (reference had nothing comparable; this is the Structured
+    Streaming replacement for hand-rolled per-key state).
+
+    State = (n_events, sum_value) per user; emits one row per user per
+    micro-batch. Drained with availableNow; batch twin = groupBy(user)
+    count/sum (asserted in tests).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    run_available_now(agg, "stream_user_totals_stateful", mode="update")
+    # update-mode memory sink appends every emission; keep each user's last
+    final = spark.table("stream_user_totals_stateful")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        final.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .select(
+            "user_id",
+            "n_events",
+            (F.floor(F.col("sum_value") * 1e4 + 0.5) / 1e4).alias("sum_value"),
+        )
+    )
+
+
 def stream_session_window(spark: SparkSession, sf_dir: str,
                           gap: str = "30 minutes",
                           watermark: str = "2 hours") -> DataFrame:

@@ -19,6 +19,37 @@ def test_stream_tumbling_equals_batch(spark, sf_dir):
     assert stream == batch
 
 
+def test_stateful_user_totals_match_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+    from svdmovie_lens_parallel_apache_spark_spark.streaming.jobs import (
+        stream_user_totals_stateful,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        r.user_id: (r.n, r.s)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.floor(F.sum("value") * 1e4 + 0.5) / 1e4).alias("s"),
+        )
+        .collect()
+    }
+    stream = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in stream_user_totals_stateful(spark, sf_dir).collect()
+    }
+    assert set(stream) == set(batch)
+    mismatches = {
+        u: (stream[u], batch[u])
+        for u in batch
+        if stream[u][0] != batch[u][0] or abs(stream[u][1] - batch[u][1]) > 1e-6
+    }
+    assert not mismatches, list(mismatches.items())[:5]
+
+
 def test_stream_sessions_match_batch_session_count(spark, sf_dir):
     from svdmovie_lens_parallel_apache_spark_spark.operators.windows import sessionize
     from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
