@@ -702,6 +702,37 @@ def asof_last_purchase(spark, sf_dir):
 
 
 @register(
+    "unpivot_metrics",
+    f"""
+    WITH wide AS (
+      SELECT l_returnflag,
+             {_R('sum(l_quantity)', 3)}      AS qty,
+             {_R('sum(l_extendedprice)', 3)} AS price,
+             {_R('sum(l_discount)', 3)}      AS disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'qty'   AS metric, qty   AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'price' AS metric, price AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'disc'  AS metric, disc  AS value FROM wide
+    """,
+    tags=("unpivot", "agg"),
+    description="Unpivot (wide→long) via stack() — the inverse of pivot_event_counts.",
+)
+def unpivot_metrics(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        _r(F.sum("l_quantity"), 3).alias("qty"),
+        _r(F.sum("l_extendedprice"), 3).alias("price"),
+        _r(F.sum("l_discount"), 3).alias("disc"),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(3, 'qty', qty, 'price', price, 'disc', disc) AS (metric, value)",
+    )
+
+
+@register(
     "cube_pricing",
     f"""
     SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,

@@ -402,6 +402,41 @@ def q_ann_brp_mllib(spark, sf_dir):
 
 
 @register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH v AS (SELECT vec_id, {_VEC} AS vec FROM embeddings),
+    n AS (SELECT vec_id, vec, {_FOLD_NORM.format(v='vec')} AS nrm FROM v)
+    SELECT * FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_R(_FOLD_DOT.format(a='a.vec', b='b.vec') + " / (a.nrm * b.nrm)", 6)} AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+    WHERE cosine >= 0.4
+    """,
+    tags=("dedup", "similarity", "embedding"),
+    description="Embedding-cosine near-dup pairs (exact all-pairs baseline, cos ≥ 0.4). "
+    "Scale path: block by LSH bucket first (ann_lsh_buckets) and verify within bucket — "
+    "same verify expression.",
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    from .functions.vectors import cosine_similarity, to_double
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            _r(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.4)
+    )
+
+
+@register(
     "embedding_norm_stats",
     f"""
     WITH n AS (SELECT label, {_FOLD_NORM.format(v=_VEC)} AS norm FROM embeddings)

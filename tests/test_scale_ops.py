@@ -82,6 +82,39 @@ def test_mllib_brp_knn_overlaps_brute_force(spark, sf_dir):
     assert len(brute & brp) / 50 >= 0.2
 
 
+def test_json_orc_partitioned_roundtrips(spark, sf_dir):
+    """Source/sink breadth: JSON + ORC readers (schema-explicit, no
+    inference scan) and a dt-partitioned parquet sink with partition
+    pruning on read."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    with tempfile.TemporaryDirectory() as d:
+        nation.write.mode("overwrite").json(f"{d}/j")
+        back_j = spark.read.schema("n_nationkey int, n_name string, n_regionkey int").json(
+            f"{d}/j"
+        )
+        assert back_j.count() == nation.count()
+
+        nation.write.mode("overwrite").orc(f"{d}/o")
+        back_o = spark.read.orc(f"{d}/o")
+        assert sorted(back_o.columns) == sorted(nation.columns)
+        assert back_o.count() == nation.count()
+
+        orders = load_table(spark, sf_dir, "orders").withColumn(
+            "yr", F.year("o_orderdate")
+        )
+        orders.write.mode("overwrite").partitionBy("yr").parquet(f"{d}/p")
+        pruned = spark.read.parquet(f"{d}/p").where(F.col("yr") == 1996)
+        expect = orders.where(F.col("yr") == 1996).count()
+        assert pruned.count() == expect
+        # partition pruning: only the yr=1996 directory is scanned
+        plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+            pruned._jdf.queryExecution(), "formatted"
+        )
+        assert "PartitionFilters: [isnotnull(yr" in plan or "yr#" in plan
+
+
 def test_movielens_tsv_roundtrip(spark):
     from svdmovie_lens_parallel_apache_spark_spark.sources.readers import (
         read_movielens_ratings,
