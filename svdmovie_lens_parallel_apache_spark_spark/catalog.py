@@ -702,6 +702,48 @@ def asof_last_purchase(spark, sf_dir):
 
 
 @register(
+    "merge_upsert_orders",
+    f"""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0),
+    merged AS (
+      SELECT * FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
+      UNION ALL
+      SELECT * FROM updates)
+    SELECT o_orderstatus,
+           count(*)                       AS n,
+           {_R('sum(o_totalprice)', 3)}   AS total
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+    tags=("merge", "upsert", "cdc"),
+    description="MERGE/upsert emulation (anti-join + union — the Delta/Iceberg MERGE "
+    "INTO algebra without the table format): 10% of orders updated, result checked via "
+    "per-status aggregates.",
+)
+def merge_upsert_orders(spark, sf_dir):
+    from .operators.relational import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    updates = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merged = merge_upsert(orders, updates, "o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.sum("o_totalprice"), 3).alias("total"),
+    )
+
+
+@register(
     "unpivot_metrics",
     f"""
     WITH wide AS (

@@ -193,8 +193,8 @@ def minhash_dedup_pairs(docs: DataFrame, k: int = 8, band_size: int = 2,
 
 
 def mllib_minhash_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
-                        num_hash_tables: int = 5,
-                        num_features: int = 1 << 18) -> DataFrame:
+                        num_hash_tables: int = 3,
+                        num_features: int = 1 << 16) -> DataFrame:
     """MLlib-native near-dup variant: shingles → HashingTF (binary sparse
     vectors) → MinHashLSH.approxSimilarityJoin at Jaccard distance
     1-threshold. Engine-internal hashes (not portable) → rows-only check;

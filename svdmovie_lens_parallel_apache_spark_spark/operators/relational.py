@@ -34,6 +34,19 @@ def broadcast_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> D
     return fact.join(F.broadcast(dim), on=on, how=how)
 
 
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str | list[str]) -> DataFrame:
+    """MERGE/upsert without a table format: rows of ``base`` whose key has
+    no update, unioned with all update rows (updates win). The anti-join +
+    union emulation of ``MERGE INTO`` (Delta/Iceberg carry the
+    transactional form; the relational algebra is identical). One shuffle
+    per side on the key; at scale write the result partition-aligned so
+    repeated merges stay co-located.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    kept = base.join(updates.select(*keys), on=keys, how="left_anti")
+    return kept.unionByName(updates)
+
+
 def salted_join(skewed: DataFrame, small: DataFrame, on: str,
                 salt_buckets: int = 8, how: str = "inner") -> DataFrame:
     """Skew-mitigated join: spread each hot key of the skewed side across
