@@ -49,6 +49,52 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
     total = time.time() - t0
 
+    # Reference four-phase instrumentation (SVDMovieLensSparkJava.java:166-181:
+    # construct / load history / calc features / process test), like-for-like:
+    # ~100k ratings at sf0.1 (the reference's MovieLens-100K scale), ALS
+    # rank=64 regParam=0.015 (reference hyperparameters, lines 38,44).
+    from pyspark.sql import functions as F
+
+    from svdmovie_lens_parallel_apache_spark_spark.operators.stats import keyed_stats
+    from svdmovie_lens_parallel_apache_spark_spark.recsys import (
+        ALSConfig,
+        evaluate,
+        predict,
+        synthetic_ratings,
+        train_als,
+    )
+
+    t = time.time()
+    ratings = synthetic_ratings(spark, sf_dir).select(
+        F.col("user_id").cast("int").alias("user_id"),
+        F.col("item_id").cast("int").alias("item_id"),
+        F.col("rating").cast("float").alias("rating"),
+    )
+    train, test = ratings.randomSplit([0.8, 0.2], seed=42)
+    train = train.cache()
+    n_train = train.count()  # LoadHistory analog: ingest + stats
+    keyed_stats(train, "user_id", "rating").count()
+    keyed_stats(train, "item_id", "rating").count()
+    load_s = time.time() - t
+
+    t = time.time()
+    model = train_als(train, ALSConfig(rank=64, reg=0.015, max_iter=10, seed=42))
+    train_s = time.time() - t
+
+    t = time.time()
+    metrics = evaluate(predict(model, test))
+    test_s = time.time() - t
+    phases = {
+        "construct_sec": round(construct_s, 3),
+        "load_sec": round(load_s, 3),
+        "train_sec": round(train_s, 3),
+        "test_sec": round(test_s, 3),
+        "n_train_ratings": n_train,
+        "test_rmse": round(metrics["rmse"], 4),
+        "test_mae": round(metrics["mae"], 4),
+    }
+    print(f"# phases: {phases}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -59,6 +105,7 @@ def main() -> None:
                 "sf": sf,
                 "construct_sec": round(construct_s, 3),
                 "n_queries": len(qs),
+                "reference_phases": phases,
             }
         )
     )

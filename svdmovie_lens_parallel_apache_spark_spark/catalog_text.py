@@ -401,31 +401,49 @@ def q_ann_brp_mllib(spark, sf_dir):
     return mllib_brp_knn(_t(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
 
 
-@register(
-    "dedup_embedding_cosine",
-    f"""
+def _cosine_dedup_oracle(n_planes: int = 8, threshold: float = 0.4) -> str:
+    bits = " + ".join(
+        f"CASE WHEN list_reduce(list_transform(generate_series(1, len(vec)), "
+        f"i -> vec[i] * {_hp_sql(j)}), (a, b) -> a + b) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(n_planes)
+    )
+    return f"""
     WITH v AS (SELECT vec_id, {_VEC} AS vec FROM embeddings),
-    n AS (SELECT vec_id, vec, {_FOLD_NORM.format(v='vec')} AS nrm FROM v)
+    n AS (SELECT vec_id, vec, {_FOLD_NORM.format(v='vec')} AS nrm,
+                 {bits} AS bucket
+          FROM v)
     SELECT * FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              {_R(_FOLD_DOT.format(a='a.vec', b='b.vec') + " / (a.nrm * b.nrm)", 6)} AS cosine
-      FROM n a JOIN n b ON a.vec_id < b.vec_id)
-    WHERE cosine >= 0.4
-    """,
-    tags=("dedup", "similarity", "embedding"),
-    description="Embedding-cosine near-dup pairs (exact all-pairs baseline, cos ≥ 0.4). "
-    "Scale path: block by LSH bucket first (ann_lsh_buckets) and verify within bucket — "
-    "same verify expression.",
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    WHERE cosine >= {threshold}
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    _cosine_dedup_oracle(4, 0.4),
+    tags=("dedup", "similarity", "embedding", "lsh"),
+    description="Embedding-cosine near-dup pairs, LSH-bucket-blocked (4 md5-derived "
+    "hyperplanes → equi-join on bucket → exact cosine verify, cos ≥ 0.4). The scale "
+    "shape: no all-pairs crossJoin — candidate generation is an equi-join; the oracle "
+    "replays the identical bucketing + fold.",
 )
 def q_dedup_embedding_cosine(spark, sf_dir):
     from .functions.vectors import cosine_similarity, to_double
+    from .operators.similarity import lsh_bucket, lsh_hyperplanes
 
     emb = _t(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", to_double(F.col("embedding")).alias("vec"))
-    a = base.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
-    b = base.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    planes = lsh_hyperplanes(64, 4, tag="hp")
+    base = emb.select(
+        "vec_id",
+        to_double(F.col("embedding")).alias("vec"),
+    ).withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+    a = base.select("bucket", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = base.select("bucket", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
     return (
-        a.crossJoin(b)
+        a.join(b, "bucket")
         .where(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",

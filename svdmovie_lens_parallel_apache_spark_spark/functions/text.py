@@ -25,14 +25,16 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles joined by single spaces.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles from an ALREADY-BOUND token array column.
 
-    tokens -> sliding windows of n -> 'w1 w2 w3' strings. Built with
-    transform-over-index so the same construction is expressible in DuckDB
-    (list_transform over generate_series).
+    ``toks`` must be a plain column reference (bind it with a prior
+    ``select(...alias())``), not an inline tokenization expression: the
+    index lambda references it once per shingle position, and Catalyst
+    does NOT common-subexpression-eliminate across higher-order-function
+    lambdas — an inline `tokens(text)` here is re-split per position
+    (O(doc_len × positions); measured 5.3s → 0.3s at sf0.1 for binding).
     """
-    toks = tokens(text)
     count = F.size(toks) - F.lit(n - 1)
     # NB Spark's sequence(1, 0) yields a DESCENDING [1, 0], not [] — guard short docs.
     idx = F.when(count < 1, F.array().cast("array<int>")).otherwise(
@@ -41,6 +43,12 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Single-expression form of :func:`shingles_from_tokens` (convenient
+    for tests/small data; prefer the bound-column form in operators)."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def punct_ratio(text: Column) -> Column:

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
 from ..functions.scalar import portable_round as _r
-from ..functions.text import tokens, word_shingles
+from ..functions.text import shingles_from_tokens, tokens
 
 
 def _canon(text: Column) -> Column:
@@ -47,8 +47,11 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 
 
 def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    return docs.select(
-        "doc_id", "lang", word_shingles(F.lower(F.col("text")), n).alias("shingles")
+    # two-step: bind tokens first so the shingle index lambda doesn't
+    # re-tokenize per position (see shingles_from_tokens docstring)
+    toksed = docs.select("doc_id", "lang", tokens(F.lower(F.col("text"))).alias("__toks"))
+    return toksed.select(
+        "doc_id", "lang", shingles_from_tokens(F.col("__toks"), n).alias("shingles")
     )
 
 
@@ -81,15 +84,30 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
         F.size("shingles").alias("sz"),
     )
     posts = s.select("blk", "doc_id", "sz", F.explode("shingles").alias("sh"))
-    a = posts.select(
-        F.col("blk"), F.col("sh"), F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
+    # single pass, no self-join: group the posting list per shingle, emit
+    # all i<j doc pairs from each list (document frequencies are small
+    # once stop-shingles are bounded, so C(df,2) per shingle stays tiny).
+    # array_sort on the structs orders by doc_id → doc_a < doc_b for free.
+    grouped = posts.groupBy("blk", "sh").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("ds")
     )
-    b = posts.select(
-        F.col("blk"), F.col("sh"), F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")
+    pair_list = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
+    pairs = grouped.select(F.explode(pair_list).alias("p"))
     inter = (
-        a.join(b, ["blk", "sh"])
-        .where(F.col("doc_a") < F.col("doc_b"))
+        pairs.select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.sz").alias("sz_a"),
+            F.col("p.b.sz").alias("sz_b"),
+        )
         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
