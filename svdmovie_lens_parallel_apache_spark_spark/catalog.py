@@ -702,6 +702,72 @@ def asof_last_purchase(spark, sf_dir):
 
 
 @register(
+    "correlated_min_price",
+    f"""
+    SELECT p.p_partkey, p.p_brand,
+           {_R('l.min_price', 3)} AS min_price
+    FROM part p
+    JOIN (SELECT l_partkey, min(l_extendedprice) AS min_price
+          FROM lineitem GROUP BY l_partkey) l
+      ON p.p_partkey = l.l_partkey
+    WHERE p.p_size > 40
+    """,
+    tags=("subquery", "join", "agg"),
+    description="TPC-H Q2-shaped correlated-minimum pattern: per-key min computed once "
+    "(de-correlated into agg + join, which is what Catalyst does to the subquery form).",
+)
+def correlated_min_price(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") > 40)
+    li = _t(spark, sf_dir, "lineitem")
+    mins = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_price"))
+    return (
+        part.join(mins, part["p_partkey"] == mins["l_partkey"])
+        .select("p_partkey", "p_brand", _r(F.col("min_price"), 3).alias("min_price"))
+    )
+
+
+@register(
+    "conditional_agg_share",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           {_R("sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN o_totalprice ELSE 0.0 END)", 3)} AS high_prio_revenue,
+           {_R('sum(o_totalprice)', 3)} AS total_revenue,
+           {_R("sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN o_totalprice ELSE 0.0 END) / sum(o_totalprice)", 6)} AS high_prio_share
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "conditional"),
+    description="TPC-H Q14-shaped conditional aggregation: CASE inside sum → per-year "
+    "revenue share of high-priority orders, one pass.",
+)
+def conditional_agg_share(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    hi = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.col("o_totalprice")
+    ).otherwise(F.lit(0.0))
+    return orders.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        _r(F.sum(hi), 3).alias("high_prio_revenue"),
+        _r(F.sum("o_totalprice"), 3).alias("total_revenue"),
+        _r(F.sum(hi) / F.sum("o_totalprice"), 6).alias("high_prio_share"),
+    )
+
+
+@register(
+    "approx_quantiles_sketch",
+    None,  # t-digest/GK sketch internals are engine-specific — rows-only
+    tags=("agg", "sketch", "quantile"),
+    description="percentile_approx (GK sketch) quartiles of extended price per return "
+    "flag — the sketch path for quantiles at 100 TB; exact twin: stats_advanced median.",
+)
+def approx_quantiles_sketch(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "merge_upsert_orders",
     f"""
     WITH updates AS (

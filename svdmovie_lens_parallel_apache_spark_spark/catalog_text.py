@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .catalog import REGISTRY, Query, _R, _t, register
+from .catalog import _R, _t, register
 from .functions.scalar import portable_round as _r
 from .operators.dedup import (
     exact_dedup_groups,
