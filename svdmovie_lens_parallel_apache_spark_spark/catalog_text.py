@@ -455,6 +455,31 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
 
 @register(
+    "deterministic_sample",
+    f"""
+    SELECT source,
+           count(*)                                        AS n_total,
+           count(*) FILTER (WHERE {_H('doc_id')} % 100 < 10) AS n_sampled
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("sampling", "pipeline"),
+    description="Deterministic 10% Bernoulli sample via the portable hash (H(id)%100<10) "
+    "— reproducible across runs/engines/retries, unlike rand()-based sampling; the "
+    "training-data staple for stable held-out splits.",
+)
+def q_deterministic_sample(spark, sf_dir):
+    from .functions.hashing import portable_hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = (portable_hash64(F.col("doc_id")) % 100 < 10).cast("long")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(sampled).alias("n_sampled"),
+    )
+
+
+@register(
     "embedding_norm_stats",
     f"""
     WITH n AS (SELECT label, {_FOLD_NORM.format(v=_VEC)} AS norm FROM embeddings)
