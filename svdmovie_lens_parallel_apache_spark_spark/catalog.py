@@ -768,6 +768,44 @@ def approx_quantiles_sketch(spark, sf_dir):
 
 
 @register(
+    "fuzzy_part_names",
+    """
+    WITH p AS (SELECT p_partkey, p_brand, p_size, p_name FROM part)
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 8
+    """,
+    tags=("fuzzy", "entity-resolution", "dedup"),
+    description="Entity-resolution fuzzy matching: edit-distance pairs within "
+    "(brand, size) blocks — blocking bounds the quadratic term, the standard "
+    "record-linkage shape.",
+)
+def fuzzy_part_names(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
+    a = p.select(
+        F.col("p_brand"), F.col("p_size"),
+        F.col("p_partkey").alias("part_a"), F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand"), F.col("p_size"),
+        F.col("p_partkey").alias("part_b"), F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, ["p_brand", "p_size"])
+        .where(F.col("part_a") < F.col("part_b"))
+        .select(
+            "part_a",
+            "part_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 8)
+    )
+
+
+@register(
     "merge_upsert_orders",
     f"""
     WITH updates AS (
