@@ -213,6 +213,47 @@ def q_dedup_jaccard(spark, sf_dir):
     return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3, block_col="lang")
 
 
+_JACCARD_PAIRS_SQL = f"""
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (SELECT doc_id, lang, {_SHINGLES} AS sh
+            FROM (SELECT doc_id, lang, {_TOKS.format(src='lower(text)')} AS toks
+                  FROM documents)) a
+      JOIN (SELECT doc_id, lang, {_SHINGLES} AS sh
+            FROM (SELECT doc_id, lang, {_TOKS.format(src='lower(text)')} AS toks
+                  FROM documents)) b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE floor(({_JACCARD.format(a='a.sh', b='b.sh')}) * 1e6 + 0.5) / 1e6 >= 0.5
+"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE p AS ({_JACCARD_PAIRS_SQL}),
+    e(src, dst) AS (
+      SELECT doc_a, doc_b FROM p
+      UNION ALL
+      SELECT doc_b, doc_a FROM p
+    ),
+    r(node, lbl) AS (
+      SELECT DISTINCT src, src FROM e
+      UNION
+      SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY node
+    """,
+    tags=("dedup", "clusters", "iterative", "graph"),
+    description="Connected components over Jaccard≥0.5 near-dup pairs (min-label "
+    "propagation to fixpoint — the iterative-DataFrame pattern). Oracle: recursive CTE "
+    "transitive closure; completes the dedup pipeline pairs → groups → keep-one.",
+)
+def q_dedup_clusters(spark, sf_dir):
+    from .operators.dedup import dedup_clusters
+
+    pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3, block_col="lang")
+    return dedup_clusters(pairs)
+
+
 def _minhash_oracle(k: int = 8, band_size: int = 2, threshold: float = 0.5) -> str:
     from .operators.dedup import P31, minhash_mix_params
 

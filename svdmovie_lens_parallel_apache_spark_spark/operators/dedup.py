@@ -242,6 +242,59 @@ def mllib_minhash_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id).
+
+    Completes the dedup pipeline: pair detection (Jaccard/MinHash/SimHash)
+    gives EDGES; keep-one-per-group needs the transitive CLOSURE. Min-label
+    propagation: every node starts labelled with itself; each iteration
+    pushes labels across edges and keeps the minimum; converges in
+    O(component diameter) iterations (near-dup clusters are shallow).
+
+    Driver-loop-with-fixpoint-check — the iterative-algorithm pattern the
+    reference used for training epochs (SVDMovieLensSparkJava.java:416-420),
+    here over DataFrames with a convergence count per round. At scale this
+    is the standard large-graph CC (alternating large/small-star joins are
+    the heavy-duty variant); localCheckpoint would truncate lineage for
+    deep graphs.
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # materialise the edge set ONCE — the upstream pair detection (LSH /
+    # posting-list joins) must not re-run per iteration; localCheckpoint
+    # also truncates lineage so plans don't grow with the loop.
+    edges_sym = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges_sym.select(F.col("src").alias("node")).distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges_sym.join(labels, edges_sym["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "cluster_id")
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """Per-doc SimHash over distinct lowercase tokens.
 

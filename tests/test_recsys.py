@@ -90,6 +90,59 @@ def test_predict_clamps_to_rating_domain(spark):
     assert lo >= 1.0 and hi <= 5.0
 
 
+def test_clamped_fold_predict_over_als_factors(spark):
+    """Integration: the reference's U2 clamp-fold predictor applied to
+    REAL ALS factors (model.userFactors/itemFactors) — predictions stay in
+    [1,5] and track model.transform's clamped output (the fold clamps
+    per-feature, transform clamps once; they agree within the per-feature
+    clamp slack on in-domain predictions)."""
+    from pyspark.sql import functions as F
+
+    from svdmovie_lens_parallel_apache_spark_spark.recsys import (
+        ALSConfig,
+        clamped_fold_predict,
+        predict,
+        train_als,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.functions.vectors import to_double
+
+    ratings = _low_rank_ratings(spark, n_users=50, n_items=80)
+    model = train_als(ratings, ALSConfig(rank=6, reg=0.05, max_iter=8, seed=4))
+    uf = model.userFactors.select("id", to_double(F.col("features")).alias("features"))
+    itf = model.itemFactors.select("id", to_double(F.col("features")).alias("features"))
+    pairs = ratings.select("user_id", "item_id").limit(300)
+    from svdmovie_lens_parallel_apache_spark_spark.functions.scalar import clamp
+    from svdmovie_lens_parallel_apache_spark_spark.functions.vectors import dot
+
+    folded_df = clamped_fold_predict(pairs, uf, itf)
+    assert folded_df.count() == 300
+    lo, hi = folded_df.agg(F.min("prediction"), F.max("prediction")).collect()[0]
+    assert 1.0 <= lo and hi <= 5.0
+
+    # U2's accumulator starts at 1.0 (the reference's 'cache' base,
+    # SVDMovieLensSparkJava.java:501), so the comparable single-clamp
+    # baseline is clamp(1 + u·v), NOT model.transform's plain dot.
+    both = (
+        pairs.join(F.broadcast(uf.withColumnRenamed("id", "user_id")), "user_id")
+        .withColumnRenamed("features", "ufeat")
+        .join(F.broadcast(itf.withColumnRenamed("id", "item_id")), "item_id")
+        .withColumnRenamed("features", "ifeat")
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.functions.vectors import clamped_fold
+
+    rows = both.select(
+        clamped_fold(F.col("ufeat"), F.col("ifeat")).alias("folded"),
+        clamp(F.lit(1.0) + dot(F.col("ufeat"), F.col("ifeat"))).alias("single_clamp"),
+    ).collect()
+    import statistics
+
+    diffs = [abs(r.folded - r.single_clamp) for r in rows]
+    # identical whenever the running sum never leaves [1,5]; tiny
+    # divergence only on paths that clip mid-fold.
+    assert statistics.median(diffs) == 0.0
+    assert statistics.mean(diffs) < 0.5
+
+
 def test_train_until_converged_stops_and_improves(spark):
     from svdmovie_lens_parallel_apache_spark_spark.recsys import (
         ALSConfig,
