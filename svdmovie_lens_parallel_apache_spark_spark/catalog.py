@@ -768,6 +768,36 @@ def approx_quantiles_sketch(spark, sf_dir):
 
 
 @register(
+    "window_distribution_ranks",
+    f"""
+    SELECT c_mktsegment, c_custkey,
+           CAST(ntile(4) OVER w AS INTEGER)     AS bal_quartile,
+           {_R('percent_rank() OVER w', 6)}     AS bal_pct_rank,
+           {_R('cume_dist() OVER w', 6)}        AS bal_cume_dist,
+           first_value(c_custkey) OVER w        AS richest_custkey
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window", "distribution"),
+    description="Distribution window functions: ntile/percent_rank/cume_dist + "
+    "first_value per segment.",
+)
+def window_distribution_ranks(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        _r(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        _r(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        F.first("c_custkey").over(w).alias("richest_custkey"),
+    )
+
+
+@register(
     "fuzzy_part_names",
     """
     WITH p AS (SELECT p_partkey, p_brand, p_size, p_name FROM part)

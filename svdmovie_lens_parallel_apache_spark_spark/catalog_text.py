@@ -254,6 +254,60 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+@register(
+    "pipeline_e2e",
+    f"""
+    WITH RECURSIVE p AS ({_JACCARD_PAIRS_SQL}),
+    e(src, dst) AS (
+      SELECT doc_a, doc_b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+    r(node, lbl) AS (
+      SELECT DISTINCT src, src FROM e
+      UNION
+      SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node),
+    clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY node),
+    quality AS (
+      SELECT d.doc_id, d.lang,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+      WHERE len({_TOKS.format(src='d.text')}) >= 20),
+    keep AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS rn
+        FROM quality)
+      WHERE rn = 1),
+    sampled AS (
+      SELECT doc_id, lang FROM keep
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50)
+    SELECT lang, count(*) AS n_docs FROM sampled GROUP BY lang
+    """,
+    tags=("pipeline", "capstone", "dedup", "quality", "sampling"),
+    description="End-to-end training-data pipeline: quality gate (≥20 tokens) → "
+    "near-dup CLUSTER dedup keep-lowest-id → deterministic 50% hash sample → per-lang "
+    "counts. Composes quality/clusters/sampling operators in one lineage; the oracle "
+    "replays the full chain (incl. the recursive-CTE closure).",
+)
+def q_pipeline_e2e(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .functions.hashing import portable_hash64
+    from .functions.text import token_count
+    from .operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5, n=3, block_col="lang")
+    clusters = dedup_clusters(pairs)
+    quality = (
+        docs.where(token_count(F.col("text")) >= 20)
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+    w = Window.partitionBy("cluster_id").orderBy("doc_id")
+    keep = quality.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    sampled = keep.where(portable_hash64(F.col("doc_id")) % 100 < 50)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def _minhash_oracle(k: int = 8, band_size: int = 2, threshold: float = 0.5) -> str:
     from .operators.dedup import P31, minhash_mix_params
 
