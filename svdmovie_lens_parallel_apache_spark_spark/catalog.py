@@ -768,6 +768,92 @@ def approx_quantiles_sketch(spark, sf_dir):
 
 
 @register(
+    "histogram_prices",
+    """
+    SELECT CAST(least(9, greatest(0, floor(l_extendedprice / 11000.0))) AS INTEGER) AS bucket,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("histogram", "agg"),
+    description="Fixed-width histogram (10 buckets over [0, 110k]) via portable floor "
+    "arithmetic — one hash agg; the building block for distribution profiling.",
+)
+def histogram_prices(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.least(F.lit(9), F.greatest(F.lit(0), F.floor(F.col("l_extendedprice") / 11000.0))).cast(
+        "int"
+    )
+    return li.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "grouping_sets_id",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+           {_R('sum(l_quantity)', 3)} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("agg", "grouping-sets"),
+    description="Explicit GROUPING SETS with grouping_id exposed (same bitmask "
+    "convention in Spark and DuckDB: last column = least-significant bit).",
+)
+def grouping_sets_id(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               floor(sum(l_quantity) * 1e3 + 0.5) / 1e3 AS sum_qty
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "bigram_top",
+    """
+    WITH t AS (
+      SELECT list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS toks
+      FROM documents),
+    b AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 0)),
+               i -> concat(toks[i], ' ', toks[i+1]))) AS bigram
+      FROM t)
+    SELECT bigram, count(*) AS n FROM b
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    tags=("text", "ngram"),
+    description="Corpus bigram frequency top-20 (the n-gram LM building block): "
+    "bound-token windows → explode → hash agg → ordered limit.",
+)
+def bigram_top(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.text import tokens
+
+    toksed = docs.select(tokens(F.lower(F.col("text"))).alias("__toks"))
+    count = F.size("__toks") - 1
+    idx = F.when(count < 1, F.array().cast("array<int>")).otherwise(F.sequence(F.lit(1), count))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, 2)))
+    return (
+        toksed.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@register(
     "window_distribution_ranks",
     f"""
     SELECT c_mktsegment, c_custkey,

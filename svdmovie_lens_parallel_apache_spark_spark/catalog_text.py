@@ -575,6 +575,20 @@ def q_deterministic_sample(spark, sf_dir):
 
 
 @register(
+    "ann_ivf_knn",
+    None,  # KMeans internals are engine-specific — rows-only; recall gate in tests
+    tags=("similarity", "ivf", "knn", "ml"),
+    description="IVF-style ANN top-5: KMeans cells (inverted file) + 4-probe search + "
+    "exact cosine re-rank. The clustering-based scale path next to the hash-based LSH "
+    "variants; recall vs knn_brute_cosine asserted in tests.",
+)
+def q_ann_ivf(spark, sf_dir):
+    from .operators.similarity import knn_ivf
+
+    return knn_ivf(_t(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
+
+
+@register(
     "embedding_norm_stats",
     f"""
     WITH n AS (SELECT label, {_FOLD_NORM.format(v=_VEC)} AS norm FROM embeddings)

@@ -166,6 +166,64 @@ def mllib_brp_knn(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
     )
 
 
+def knn_ivf(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
+            n_clusters: int = 16, n_probe: int = 4, seed: int = 42) -> DataFrame:
+    """IVF-style ANN: KMeans-partition the corpus (the inverted file), then
+    search only the ``n_probe`` nearest cells per query, exact cosine
+    re-rank inside.
+
+    The clustering-based alternative to hash-based LSH: cells adapt to the
+    data distribution, and probe count trades recall for compute. Scale
+    shape: centroid assignment is a map (broadcast centers); candidate
+    generation is an equi-join on cell id; only candidates pay the exact
+    distance. Rows-only (KMeans internals are engine-specific); recall vs
+    brute force asserted in tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    base = emb.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    featured = base.withColumn("features", array_to_vector(F.col("vec")))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(featured)
+    assigned = model.transform(featured).select(
+        "vec_id", "vec", F.col("prediction").alias("cell")
+    )
+
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    centers_df = emb.sparkSession.createDataFrame(
+        centers, "cell int, center array<double>"
+    )
+    q = assigned.where(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec")
+    )
+    # n_probe nearest cells per query (squared L2 to each centroid)
+    diff_sq = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("center"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("dist_sq"), F.asc("cell"))
+    probed = (
+        F.broadcast(q).crossJoin(F.broadcast(centers_df))
+        .select("query_id", "q_vec", "cell", diff_sq.alias("dist_sq"))
+        .withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    cands = probed.join(assigned, "cell").where(F.col("query_id") != F.col("vec_id"))
+    cos = cosine_similarity(F.col("q_vec"), F.col("vec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        cands.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", _r(F.col("cos_raw"), 6).alias("cosine"))
+    )
+
+
 def embedding_norm_stats(emb: DataFrame) -> DataFrame:
     """Per-label count / mean L2 norm / min / max — array math smoke stats."""
     vec = to_double(F.col("embedding"))

@@ -66,6 +66,21 @@ def test_mllib_minhash_finds_exact_dups(spark, sf_dir):
     assert exact_dups <= mllib, f"missed: {exact_dups - mllib}"
 
 
+def test_ivf_knn_recall_vs_brute_force(spark, sf_dir):
+    from svdmovie_lens_parallel_apache_spark_spark.operators.similarity import (
+        knn_brute_force,
+        knn_ivf,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {(r.query_id, r.neighbor_id) for r in knn_brute_force(emb, 10, 5).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in knn_ivf(emb, 10, 5).collect()}
+    assert len(ivf) == 50
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+
+
 def test_mllib_brp_knn_overlaps_brute_force(spark, sf_dir):
     from svdmovie_lens_parallel_apache_spark_spark.operators.similarity import (
         knn_brute_force,
