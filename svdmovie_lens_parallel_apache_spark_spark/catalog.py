@@ -1181,3 +1181,127 @@ def global_error_metrics(spark, sf_dir):
         _r(F.avg(F.abs(err)), 6).alias("mae"),
         _r(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
     )
+
+
+@register(
+    "sliding_window_agg",
+    f"""
+    WITH s AS (
+      SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS w0,
+             event_type, value
+      FROM events),
+    e AS (
+      SELECT w0 AS wstart, event_type, value FROM s
+      UNION ALL
+      SELECT w0 - INTERVAL 30 MINUTE AS wstart, event_type, value FROM s)
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*)              AS n_events,
+           {_R('sum(value)', 4)} AS sum_value
+    FROM e
+    GROUP BY 1, 2
+    """,
+    tags=("window", "sliding", "streaming-batch-twin"),
+    description="Hopping window (1h width / 30m slide): each event lands in exactly "
+    "two epoch-aligned windows. Spark's F.window(slideDuration) vs an explicit "
+    "2-replica union oracle — the batch twin of a sliding streaming agg.",
+)
+def sliding_window_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _r(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "top_revenue_customers",
+    f"""
+    SELECT c_custkey, c_name,
+           count(DISTINCT o_orderkey)                        AS n_orders,
+           {_R("CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)", 3)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("J1", "J3", "agg", "topk"),
+    description="TPC-H Q10-shaped returned-item revenue ranking: selective fact "
+    "filter, broadcast dim join, hash agg, deterministic ordered limit "
+    "(revenue DESC, custkey tiebreak).",
+)
+def top_revenue_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            # decimal accumulation: exact, order-independent across partial aggs —
+            # double sums of ~100 addends land on .xxx5 rounding boundaries
+            _r(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+                .cast("double"),
+                3,
+            ).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "range_band_join",
+    f"""
+    WITH bands AS (
+      SELECT CAST(i AS INTEGER)  AS band,
+             i * 11000.0         AS lo,
+             CASE WHEN i = 9 THEN 1e18 ELSE (i + 1) * 11000.0 END AS hi
+      FROM range(10) t(i))
+    SELECT band,
+           count(*)                          AS n,
+           {_R('sum(l_extendedprice)', 3)}   AS sum_price
+    FROM lineitem JOIN bands
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band
+    """,
+    tags=("join", "range-join", "interval"),
+    description="Non-equi interval join: fact rows against a tiny broadcast band "
+    "table on [lo, hi) range predicates (BroadcastNestedLoopJoin — the generic "
+    "range-join path; at scale, bin the probe side first to recover an equi-join).",
+)
+def range_band_join(spark, sf_dir):
+    bands = (
+        spark.range(10)
+        .select(
+            F.col("id").cast("int").alias("band"),
+            (F.col("id") * 11000.0).alias("lo"),
+            F.when(F.col("id") == 9, F.lit(1e18)).otherwise((F.col("id") + 1) * 11000.0).alias("hi"),
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo")) & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), _r(F.sum("l_extendedprice"), 3).alias("sum_price"))
+    )

@@ -604,3 +604,74 @@ def q_ann_ivf(spark, sf_dir):
 )
 def q_embedding_norm_stats(spark, sf_dir):
     return embedding_norm_stats(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "doc_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks), 1), 40)) AS start
+      FROM t)
+    SELECT doc_id,
+           CAST((start - 1) // 40 AS INTEGER)              AS chunk_idx,
+           CAST(len(toks[start : start + 49]) AS INTEGER)  AS n_tokens,
+           md5(array_to_string(toks[start : start + 49], ' ')) AS chunk_hash
+    FROM s
+    """,
+    tags=("text", "chunking", "pipeline"),
+    description="LLM-training document chunking: 50-token windows with 10-token "
+    "overlap (stride 40) via sequence+slice — pure JVM array exprs, no explode of "
+    "tokens (only of chunk starts), so cost is O(chunks) not O(tokens^2).",
+)
+def q_doc_chunks(spark, sf_dir):
+    from .functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toksed = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(40))
+    exploded = toksed.select(
+        "doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), 50)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+@register(
+    "stratified_sample_quota",
+    """
+    WITH h AS (
+      SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+    r AS (
+      SELECT doc_id, lang, hk,
+             row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+      FROM h)
+    SELECT lang, doc_id, CAST(rn AS INTEGER) AS rn
+    FROM r WHERE rn <= 10
+    """,
+    tags=("sampling", "stratified", "pipeline"),
+    description="Stratified sampling with a fixed quota per stratum (10 docs per "
+    "language), ordered by a deterministic md5 permutation — the mixture-balancing "
+    "step of a training-data pipeline; one shuffle on the stratum key.",
+)
+def q_stratified_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("hk")
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("hk"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("lang", "doc_id", "rn")
+    )
