@@ -675,3 +675,42 @@ def q_stratified_sample(spark, sf_dir):
         .where(F.col("rn") <= 10)
         .select("lang", "doc_id", "rn")
     )
+
+
+@register(
+    "bpe_token_counts",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe,
+             CAST(len(list_filter(string_split(trim(lower(text)), ' '), x -> x <> '')) AS INTEGER) AS n_ws
+      FROM documents)
+    SELECT lang,
+           count(*)                 AS n_docs,
+           sum(n_bpe)               AS total_bpe_tokens,
+           sum(n_ws)                AS total_ws_tokens,
+           {_R('avg(n_bpe)', 4)}    AS avg_bpe_per_doc,
+           {_R('CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws)', 6)} AS bpe_per_word
+    FROM t GROUP BY lang
+    """,
+    tags=("text", "tokenize", "pipeline"),
+    description="BPE-ish regex token counting (word / number / single-punct pieces — "
+    "the pre-merge segmentation of a byte-pair tokenizer) vs whitespace tokens, "
+    "aggregated per language: the token-budget accounting step of a training-data "
+    "pipeline. Conservative regex subset executes identically on Java regex and RE2.",
+)
+def q_bpe_token_counts(spark, sf_dir):
+    from .functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    n_bpe = F.size(F.regexp_extract_all(low, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+    n_ws = F.size(tokens(low))
+    per_doc = docs.select("lang", n_bpe.alias("n_bpe"), n_ws.alias("n_ws"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.sum("n_ws").alias("total_ws_tokens"),
+        _r(F.avg("n_bpe"), 4).alias("avg_bpe_per_doc"),
+        _r(F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6).alias("bpe_per_word"),
+    )

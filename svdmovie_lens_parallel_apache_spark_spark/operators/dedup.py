@@ -272,26 +272,26 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("cluster_id", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # Fixpoint detection: min-label propagation is MONOTONE (labels only
+    # ever decrease), so the label sum strictly decreases until the fixpoint
+    # — comparing sums replaces a join+count per iteration with one tiny agg
+    # over the already-checkpointed labels.
+    label_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(max_iter):
         prop = (
             edges_sym.join(labels, edges_sym["src"] == labels["node"])
             .select(F.col("dst").alias("node"), "cluster_id")
         )
-        new_labels = (
+        labels = (
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if new_sum == label_sum:
             break
+        label_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"), "cluster_id")
 
 

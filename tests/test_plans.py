@@ -1,6 +1,7 @@
 """Plan-shape assertions: the scale properties (pushdown, pruning,
 broadcast, JVM-only hot path) must hold, not just the row values."""
 
+import svdmovie_lens_parallel_apache_spark_spark.catalog_text  # noqa: F401 — populates REGISTRY
 from svdmovie_lens_parallel_apache_spark_spark.catalog import REGISTRY
 from svdmovie_lens_parallel_apache_spark_spark.plans.explain import (
     plan_summary,
@@ -58,3 +59,26 @@ def test_aggregations_are_two_phase(spark, sf_dir):
 
     s2 = plan_summary(_plan(spark, sf_dir, "per_key_stats_customer"))
     assert s2["partial_agg"] and s2["exchanges"] == 1
+
+
+def test_top_revenue_broadcasts_customer(spark, sf_dir):
+    s = plan_summary(_plan(spark, sf_dir, "top_revenue_customers"))
+    assert s["broadcast_joins"] >= 1, "customer dim must broadcast"
+    assert s["partial_agg"], "revenue agg must have a map-side partial phase"
+    assert not s["has_python_udf"]
+
+
+def test_range_band_join_is_broadcast_nested_loop(spark, sf_dir):
+    s = plan_summary(_plan(spark, sf_dir, "range_band_join"))
+    assert "BroadcastNestedLoopJoin" in s["nodes"], (
+        "non-equi band join must broadcast the tiny band table, "
+        "never shuffle/sort the fact side"
+    )
+    assert s["sortmerge_joins"] == 0
+
+
+def test_doc_chunks_single_stage_no_shuffle(spark, sf_dir):
+    # chunking is embarrassingly parallel: generate+explode+project, 0 exchanges
+    s = plan_summary(_plan(spark, sf_dir, "doc_chunks"))
+    assert s["exchanges"] == 0
+    assert not s["has_python_udf"]
