@@ -1305,3 +1305,73 @@ def range_band_join(spark, sf_dir):
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("n"), _r(F.sum("l_extendedprice"), 3).alias("sum_price"))
     )
+
+
+@register(
+    "user_event_sequences",
+    """
+    SELECT user_id,
+           CAST(count(*) AS INTEGER) AS n_events,
+           md5(string_agg(event_type, ',' ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)) AS seq_hash
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("pipeline", "sequence", "agg"),
+    description="Per-user ordered event sequences (next-event-prediction training "
+    "examples): collect_list of (t, event_id, type) structs, array_sort for the "
+    "deterministic order, fingerprint the joined sequence. One shuffle on user_id; "
+    "the struct sort replaces a per-user window sort.",
+)
+def user_event_sequences(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    _epoch_s(F.col("ts")).alias("t"),
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("et"),
+                )
+            )
+        ).alias("s")
+    )
+    seq_str = F.concat_ws(",", F.transform(F.col("s"), lambda x: x["et"]))
+    return s.select(
+        "user_id",
+        F.size("s").alias("n_events"),
+        F.md5(seq_str).alias("seq_hash"),
+    )
+
+
+@register(
+    "salted_join_totals",
+    f"""
+    SELECT p_brand,
+           count(*) AS n_items,
+           {_R("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)", 3)} AS sum_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    tags=("join", "skew", "salting"),
+    description="Skew-salted equi-join (deterministic xxhash64 salt spreads hot "
+    "keys over 8 buckets, small side replicated per salt) feeding a per-brand "
+    "rollup — result provably identical to the plain join, which is exactly what "
+    "the oracle replays. The manual fallback for skew AQE can't split.",
+)
+def salted_join_totals(spark, sf_dir):
+    from .operators.relational import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    pt = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    return (
+        salted_join(li, pt, "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _r(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double"), 3).alias(
+                "sum_price"
+            ),
+        )
+    )

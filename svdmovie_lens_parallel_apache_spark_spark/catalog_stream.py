@@ -79,3 +79,17 @@ def q_multimodal_features(spark, sf_dir):
 def q_multimodal_frames(spark, sf_dir):
     media = attach_fake_media(_t(spark, sf_dir, "documents"))
     return frame_sample(media, every_k=2).select("doc_id", "n_sampled_frames")
+
+
+@register(
+    "streaming_sliding_counts",
+    None,
+    tags=("streaming", "window", "sliding"),
+    description="Hopping-window (1h/30m) streaming aggregation with watermark; "
+    "each event lands in two windows held in the state store. Batch twin: "
+    "sliding_window_agg; equality asserted in tests/test_streaming.py.",
+)
+def q_streaming_sliding(spark, sf_dir):
+    from .streaming.jobs import stream_sliding_counts
+
+    return stream_sliding_counts(spark, sf_dir)

@@ -162,3 +162,23 @@ def stream_session_window(spark: SparkSession, sf_dir: str,
     )
     run_available_now(agg, "stream_session_window", mode="complete")
     return spark.table("stream_session_window")
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of the batch ``sliding_window_agg``: hopping 1h/30m
+    windows with a watermark — each event contributes to two overlapping
+    windows, maintained incrementally in the window state store."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    run_available_now(agg, "stream_sliding_counts", mode="complete")
+    return spark.table("stream_sliding_counts")

@@ -61,3 +61,20 @@ def test_stream_sessions_match_batch_session_count(spark, sf_dir):
     batch_sessions = sessionize(ev, gap_minutes=30).count()
     stream_sessions = stream_session_window(spark, sf_dir).count()
     assert stream_sessions == batch_sessions
+
+
+def test_sliding_stream_equals_batch_twin(spark, sf_dir):
+    from svdmovie_lens_parallel_apache_spark_spark.catalog import REGISTRY
+    from svdmovie_lens_parallel_apache_spark_spark.streaming.jobs import (
+        stream_sliding_counts,
+    )
+
+    streamed = {
+        (r.window_start, r.event_type): r.n_events
+        for r in stream_sliding_counts(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): r.n_events
+        for r in REGISTRY["sliding_window_agg"].builder(spark, sf_dir).collect()
+    }
+    assert streamed == batch
