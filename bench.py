@@ -71,8 +71,9 @@ def main() -> None:
         F.col("rating").cast("float").alias("rating"),
     )
     train, test = ratings.randomSplit([0.8, 0.2], seed=42)
-    train = train.cache()
+    train, test = train.cache(), test.cache()
     n_train = train.count()  # LoadHistory analog: ingest + stats
+    test.count()  # materialise: randomSplit re-sorts lineage per action otherwise
     keyed_stats(train, "user_id", "rating").count()
     keyed_stats(train, "item_id", "rating").count()
     load_s = time.time() - t

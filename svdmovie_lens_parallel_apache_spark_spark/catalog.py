@@ -1375,3 +1375,591 @@ def salted_join_totals(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion batch: every remaining TPC-H query expressible over the
+# driver fixtures (no partsupp table; no l_commitdate/l_receiptdate/
+# l_shipmode/c_phone columns — those queries are adapted to the columns that
+# exist, keeping the operator shape: semi/anti joins, correlated-subquery
+# de-correlation, distinct aggs, OR-of-ANDs pushdown, left-join count
+# distributions). Float discipline: revenue sums accumulate in DECIMAL(18,6)
+# (order-independent), then cast to double and portable-round.
+# ---------------------------------------------------------------------------
+
+
+def _dsum(expr):
+    """Order-independent sum of a double expression: accumulate as
+    DECIMAL(18,6) (exact, commutative at any parallelism) then cast back."""
+    return F.sum(expr.cast("decimal(18,6)")).cast("double")
+
+
+def _DS(expr: str) -> str:
+    return f"CAST(sum(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_REV_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "q04_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "semi", "exists", "tpch"),
+    description="TPC-H Q4-shaped order-priority check: EXISTS decorrelated to a "
+    "left-semi join with a non-equi residual (l_shipdate > o_orderdate). At scale "
+    "the semi join shuffles on orderkey once; the agg output is 5 rows.",
+)
+def q04_order_priority(spark, sf_dir):
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+            & (F.col("o_orderdate") < _ts("1997-01-01 00:00:00"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    kept = ords.join(
+        li,
+        (ords.o_orderkey == li.l_orderkey) & (li.l_shipdate > ords.o_orderdate),
+        "left_semi",
+    )
+    return kept.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q06_revenue_forecast",
+    f"""
+    SELECT {_R(_DS("l_extendedprice * l_discount"), 3)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("filter", "agg", "tpch"),
+    description="TPC-H Q6 forecast-revenue change: pure scan→filter→agg; all four "
+    "predicates push to parquet (min/max pruning on shipdate at scale), single "
+    "scalar out.",
+)
+def q06_revenue_forecast(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_r(_dsum(F.col("l_extendedprice") * F.col("l_discount")), 3).alias("revenue"))
+    )
+
+
+@register(
+    "q07_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {_R(_DS("volume"), 3)} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             {_REV_SQL} AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "broadcast", "tpch"),
+    description="TPC-H Q7 volume shipping between two nations: fact table joins "
+    "orders (shuffle) then all dims broadcast; the nation-pair disjunction is "
+    "applied post-join on broadcast-joined names. One agg shuffle.",
+)
+def q07_volume_shipping(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    ords = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_r(_dsum(_rev()), 3).alias("revenue"))
+    )
+
+
+@register(
+    "q08_market_share",
+    f"""
+    SELECT o_year,
+           {_R("CAST(sum(CAST(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)"
+               " / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE)", 6)} AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             {_REV_SQL} AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    tags=("join", "broadcast", "agg", "tpch"),
+    description="TPC-H Q8 national market share: star join (part/customer/nation/"
+    "region/supplier all broadcast, orders shuffle-joined to the fact), share = "
+    "conditional decimal sum / total decimal sum per order-year.",
+)
+def q08_market_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    ords = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE").select("r_regionkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = _rev().alias("volume")
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(F.year("o_orderdate").alias("o_year"), vol, "nation")
+    )
+    target = F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(F.lit(0.0))
+    return joined.groupBy("o_year").agg(
+        _r(_dsum(target) / _dsum(F.col("volume")), 6).alias("mkt_share")
+    )
+
+
+@register(
+    "q09_product_profit",
+    f"""
+    SELECT nation, o_year, {_R(_DS("volume"), 3)} AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             {_REV_SQL} AS volume
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    tags=("join", "broadcast", "like", "tpch"),
+    description="TPC-H Q9-shaped product profit by supplier nation and order year "
+    "(no partsupp table in the fixtures, so profit = discounted revenue): LIKE "
+    "filter pushed into the broadcast part dim, fact shuffles once for orders, "
+    "one agg shuffle.",
+)
+def q09_product_profit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%")).select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ords = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n_key"), F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_key"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(_r(_dsum(_rev()), 3).alias("sum_profit"))
+    )
+
+
+@register(
+    "q12_priority_lines",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    tags=("join", "conditional-agg", "tpch"),
+    description="TPC-H Q12-shaped priority line accounting (fixtures have no "
+    "l_shipmode; grouped by l_linestatus instead): shuffle join on orderkey, "
+    "conditional CASE counts with map-side partials.",
+)
+def q12_priority_lines(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    ).select("l_orderkey", "l_linestatus")
+    ords = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    tags=("join", "outer", "agg", "tpch"),
+    description="TPC-H Q13 customer order-count distribution: left outer join "
+    "with a residual predicate (kept customers with zero matches count as 0 via "
+    "count(col) null-skipping), then a second distribution agg. Two shuffles.",
+)
+def q13_order_distribution(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    ords = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    return (
+        cust.join(ords, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST({_REV_SQL} AS DECIMAL(18,6))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, {_R("CAST(total_rev AS DOUBLE)", 3)} AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+    tags=("agg", "subquery", "tpch"),
+    description="TPC-H Q15 top supplier: quarterly revenue per supplier in exact "
+    "DECIMAL (order-independent, so the max-equality test is deterministic at any "
+    "parallelism), scalar-subquery max decorrelated to a broadcast of the 1-row "
+    "max, supplier dim broadcast.",
+)
+def q15_top_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev().cast("decimal(18,6)")).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", _r(F.col("total_rev").cast("double"), 3).alias("total_revenue"))
+    )
+
+
+@register(
+    "q16_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("join", "distinct-agg", "tpch"),
+    description="TPC-H Q16-shaped supplier-count per part attribute (fixtures "
+    "have no partsupp; supplier relationships come from lineitem): broadcast "
+    "part dim with IN-list + <> pushed down, two-phase distinct aggregation.",
+)
+def q16_supplier_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    f"""
+    WITH part_avg AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {_R("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0", 3)} AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg ON pk = l_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * avg_qty
+    """,
+    tags=("join", "correlated", "tpch"),
+    description="TPC-H Q17 small-quantity-order revenue: the correlated per-part "
+    "avg subquery decorrelated into a pre-aggregated per-part average (exact "
+    "decimal sum / count, deterministic threshold), joined back to the fact — "
+    "the standard scale-out plan for correlated aggregates.",
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select("p_partkey")
+    return (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part_avg, F.col("pk") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            _r(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0, 3
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q18_volume_customers",
+    f"""
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date_s,
+           {_R("o_totalprice", 3)} AS o_totalprice,
+           {_R("sum(l_quantity)", 3)} AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 350
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+    tags=("join", "having", "semi", "tpch"),
+    description="TPC-H Q18 large-volume customers: the IN-subquery becomes a "
+    "pre-agg + semi join (sum(l_quantity) is exact — integer-valued doubles), "
+    "then fact re-join and per-order rollup. Quantity sums are order-independent.",
+)
+def q18_volume_customers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .where(F.col("tq") > 350)
+        .select("l_orderkey")
+    )
+    ords = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    li2 = li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+                  F.col("l_orderkey") == F.col("bk"), "left_semi")
+    return (
+        li2.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_r(F.sum("l_quantity"), 3).alias("sum_qty"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            _epoch_s(F.col("o_orderdate").cast("timestamp")).alias("o_date_s"),
+            _r(F.col("o_totalprice"), 3).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q19_banded_revenue",
+    f"""
+    SELECT {_R(_DS(_REV_SQL), 3)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("join", "or-of-ands", "tpch"),
+    description="TPC-H Q19 discounted revenue over OR-of-ANDs bands: the "
+    "disjunction spans both sides of the join, so it stays a post-join residual; "
+    "per-side implied predicates (p_size<=35, l_quantity<=30) still prune.",
+)
+def q19_banded_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    bands = (
+        ((brand == "Brand#12") & size.between(1, 15) & qty.between(1, 11))
+        | ((brand == "Brand#3") & size.between(1, 25) & qty.between(10, 20))
+        | ((brand == "Brand#14") & size.between(1, 35) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(bands)
+        .agg(_r(_dsum(_rev()), 3).alias("revenue"))
+    )
+
+
+@register(
+    "q21_sole_returner",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+    tags=("join", "semi", "anti", "exists", "tpch"),
+    description="TPC-H Q21-shaped sole-returning-supplier count (fixtures lack "
+    "l_receiptdate, so 'kept waiting' becomes 'only supplier with returns on a "
+    "multi-supplier finished order'): EXISTS → left-semi with non-equi residual, "
+    "NOT EXISTS → left-anti, both self-joins on orderkey.",
+)
+def q21_sole_returner(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    ords = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    ).alias("l2")
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    ).alias("l3")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    waiting = (
+        l1.join(ords, F.col("l1.l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("k2")) & (F.col("l1.l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("k3")) & (F.col("l1.l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    f"""
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrygroup,
+           count(*) AS numcust,
+           {_R("CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)", 3)} AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY cntrygroup
+    """,
+    tags=("anti", "subquery", "agg", "tpch"),
+    description="TPC-H Q22-shaped idle-rich-customer analysis (fixtures lack "
+    "c_phone; country code becomes nationkey%5, and 'no orders' becomes 'no "
+    "urgent orders' since every fixture customer has orders): scalar-avg "
+    "decorrelated to a broadcast 1-row cross join, NOT EXISTS → left-anti join. "
+    "Average uses exact decimal sum so the > threshold is engine-portable.",
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("ab")
+    )
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("int").alias("cntrygroup"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _r(F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 3).alias("totacctbal"),
+        )
+    )

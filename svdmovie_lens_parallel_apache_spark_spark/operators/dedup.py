@@ -227,7 +227,10 @@ def mllib_minhash_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
     s = with_shingles(docs, n).where(F.size("shingles") > 0)
     feat = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
-    ).transform(s)
+    ).transform(s).select("doc_id", "features")
+    # Both sides of the self-join and the LSH fit read this — cache one
+    # materialisation instead of recomputing shingles+TF three times.
+    feat = feat.cache()
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
     ).fit(feat)

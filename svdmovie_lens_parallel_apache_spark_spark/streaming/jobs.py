@@ -48,20 +48,35 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
-def run_available_now(result: DataFrame, query_name: str, mode: str = "complete") -> None:
+def run_available_now(result: DataFrame, query_name: str, mode: str = "complete",
+                      state_partitions: int = 8) -> None:
     """Drain the stream with the available-now trigger into a memory sink
     (read back via ``spark.table(query_name)``). Fresh checkpoint per run
-    so re-invocations are reproducible."""
+    so re-invocations are reproducible.
+
+    ``state_partitions`` pins the stateful-operator partition count for THIS
+    query (streaming state partitioning is fixed by ``spark.sql.shuffle.
+    partitions`` at first start and is per-query state, so the session conf
+    is restored afterwards). Every state partition costs a state-store
+    instance + per-micro-batch commit; size it to the real key cardinality /
+    executor count in deployment — the batch-side 32 is 4× too many for the
+    local bench and made state-store commits dominate wall time."""
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     ckpt = tempfile.mkdtemp(prefix=f"svdml-ckpt-{query_name}-")
-    q = (
-        result.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            result.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str,
