@@ -245,7 +245,8 @@ def mllib_minhash_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20,
+                   driver_edge_threshold: int = 1_000_000) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id).
 
     Completes the dedup pipeline: pair detection (Jaccard/MinHash/SimHash)
@@ -270,6 +271,36 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Near-dup EDGE lists are orders of magnitude smaller than the corpus
+    # (dups are the exception); when the materialised edge set fits the
+    # driver comfortably, a linear union-find beats paying N_iter× per-round
+    # distributed-job overhead. The distributed min-label loop below remains
+    # the path for genuinely huge edge sets (pathological dup-heavy crawls).
+    n_edges = edges_sym.count()
+    if n_edges <= driver_edge_threshold:
+        rows = edges_sym.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            ra, rb = find(row.src), find(row.dst)
+            if ra != rb:
+                # min-label union: the representative is the smallest id,
+                # matching the min-label-propagation fixpoint exactly
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = {r.src for r in rows}
+        out = [(int(n), int(find(n))) for n in sorted(nodes)]
+        return edges_sym.sparkSession.createDataFrame(
+            out, schema="doc_id long, cluster_id long"
+        )
     labels = (
         edges_sym.select(F.col("src").alias("node")).distinct()
         .withColumn("cluster_id", F.col("node"))
