@@ -1963,3 +1963,209 @@ def q22_idle_rich_customers(spark, sf_dir):
             _r(F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 3).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Events-pipeline + join-breadth additions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_typed_stats",
+    f"""
+    SELECT event_type,
+           count(k) AS n_with_k,
+           CAST(min(k) AS INTEGER) AS min_k,
+           CAST(max(k) AS INTEGER) AS max_k,
+           {_R("CAST(sum(CAST(k AS DECIMAL(18,6))) AS DOUBLE) / count(k)", 6)} AS avg_k
+    FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+    tags=("json", "schema", "agg"),
+    description="Typed JSON parsing: from_json with an explicit schema (the "
+    "scale path — one parse per row into a typed struct, vs per-field "
+    "get_json_object re-parses) feeding per-type stats; decimal-accumulated "
+    "average for engine portability.",
+)
+def json_typed_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            _r(F.sum(F.col("k").cast("decimal(18,6)")).cast("double") / F.count("k"), 6).alias(
+                "avg_k"
+            ),
+        )
+    )
+
+
+@register(
+    "event_transitions",
+    """
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+    tags=("window", "sequence", "pipeline"),
+    description="Per-user event-type transition matrix (Markov bigram counts — "
+    "next-event-prediction training statistics): lag window per user (one "
+    "shuffle on user_id, per-key sort) then a global pair count.",
+)
+def event_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type"), F.lag("event_type").over(w).alias("prev_type")
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "event_throttle_dedup",
+    """
+    SELECT event_type,
+           count(*) AS total,
+           sum(CASE WHEN prev_s IS NULL OR epoch_s - prev_s >= 300 THEN 1 ELSE 0 END) AS kept
+    FROM (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_s
+      FROM events)
+    GROUP BY event_type
+    """,
+    tags=("window", "dedup", "streaming-shaped"),
+    description="Throttle/rate-limit dedup (keep an event only if the previous "
+    "one of the same (user, type) is ≥5 min older — the batch twin of streaming "
+    "drop-duplicates-within-watermark): lag window on the composite key, "
+    "conditional count. One shuffle.",
+)
+def event_throttle_dedup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    e = ev.select(
+        "event_type",
+        _epoch_s(F.col("ts")).alias("epoch_s"),
+        F.lag(_epoch_s(F.col("ts"))).over(w).alias("prev_s"),
+    )
+    keep = F.col("prev_s").isNull() | (F.col("epoch_s") - F.col("prev_s") >= 300)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("kept"),
+    )
+
+
+@register(
+    "event_time_features",
+    f"""
+    SELECT CAST(strftime(ts, '%w') AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hod,
+           count(*) AS n_events,
+           {_R("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 4)} AS avg_value
+    FROM events
+    GROUP BY dow, hod
+    """,
+    tags=("date", "features", "agg"),
+    description="Cyclic time features (day-of-week × hour-of-day activity grid "
+    "for temporal train-data features): date-part extraction stays in codegen; "
+    "decimal-accumulated mean. Spark dayofweek is 1-based Sunday, strftime %w "
+    "0-based Sunday — normalised to 0=Sunday on both sides.",
+)
+def event_time_features(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hod")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r(F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
+@register(
+    "full_outer_reconcile",
+    """
+    SELECT n_nationkey AS nationkey,
+           coalesce(c_cnt, 0) AS n_customers,
+           coalesce(s_cnt, 0) AS n_suppliers
+    FROM nation
+    LEFT JOIN (SELECT c_nationkey, count(*) AS c_cnt FROM customer GROUP BY c_nationkey) c
+      ON n_nationkey = c_nationkey
+    LEFT JOIN (SELECT s_nationkey, count(*) AS s_cnt FROM supplier GROUP BY s_nationkey) s
+      ON n_nationkey = s_nationkey
+    """,
+    tags=("join", "outer", "agg"),
+    description="Entity reconciliation across dimensions: pre-aggregate each side "
+    "(count per nation) THEN outer-join the tiny rollups — never outer-join raw "
+    "fact tables when only aggregates are needed. Nulls from missing sides "
+    "coalesce to 0.",
+)
+def full_outer_reconcile(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("c_cnt"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("s_cnt"))
+    )
+    return (
+        nation.join(F.broadcast(c), F.col("nationkey") == F.col("ck"), "left_outer")
+        .join(F.broadcast(s), F.col("nationkey") == F.col("sk"), "left_outer")
+        .select(
+            "nationkey",
+            F.coalesce(F.col("c_cnt"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("s_cnt"), F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+    """,
+    tags=("setop",),
+    description="INTERSECT (distinct): customers active in both 1996 and 1999 — "
+    "completes the set-op surface (union/except/intersect). Catalyst plans a "
+    "left-semi join over distincts.",
+)
+def set_intersect(spark, sf_dir):
+    ords = _t(spark, sf_dir, "orders")
+
+    def year_of(y):
+        return ords.where(
+            (F.col("o_orderdate") >= _ts(f"{y}-01-01 00:00:00"))
+            & (F.col("o_orderdate") < _ts(f"{y + 1}-01-01 00:00:00"))
+        ).select("o_custkey")
+
+    return year_of(1996).intersect(year_of(1999))

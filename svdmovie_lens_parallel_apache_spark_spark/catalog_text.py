@@ -714,3 +714,84 @@ def q_bpe_token_counts(spark, sf_dir):
         _r(F.avg("n_bpe"), 4).alias("avg_bpe_per_doc"),
         _r(F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6).alias("bpe_per_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality / corpus-statistics additions (training-data pipeline surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repetition_ratio",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS.format(src='lower(text)')}) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           {_R("max(n) * 1.0 / sum(n)", 6)} AS top_share
+    FROM c GROUP BY doc_id
+    """,
+    tags=("text", "quality", "dedup"),
+    description="Repetition-ratio quality score: share of the most frequent token "
+    "per document (boilerplate/spam signal — high top_share = repetitive doc). "
+    "Explode → two-level hash agg, both with map-side partials; no windows.",
+)
+def q_repetition_ratio(spark, sf_dir):
+    from .functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        _r(F.max("n") * 1.0 / F.sum("n"), 6).alias("top_share"),
+    )
+
+
+@register(
+    "token_coverage",
+    f"""
+    WITH t AS (
+      SELECT unnest({_TOKS.format(src='lower(text)')}) AS tok FROM documents),
+    c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+    r AS (SELECT tok, n,
+                 CAST(row_number() OVER (ORDER BY n DESC, tok) AS INTEGER) AS rnk,
+                 sum(n) OVER (ORDER BY n DESC, tok
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(n) OVER () AS total
+          FROM c)
+    SELECT rnk, tok, CAST(n AS BIGINT) AS n, {_R("cum * 1.0 / total", 6)} AS cum_share
+    FROM r WHERE rnk <= 50
+    """,
+    tags=("text", "zipf", "window"),
+    description="Zipf/token-coverage curve: global token frequencies, ranked, with "
+    "the cumulative corpus share of the top-k vocabulary (BPE-vocab sizing / "
+    "coverage analysis). The unpartitioned windows run AFTER aggregation — over "
+    "the (small) distinct-token table, not the corpus.",
+)
+def q_token_coverage(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = counts.select(
+        F.row_number().over(w_rank).alias("rnk"),
+        "tok",
+        "n",
+        F.sum("n").over(w_rank.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.where(F.col("rnk") <= 50).select(
+        "rnk", "tok", "n", _r(F.col("cum") * 1.0 / F.col("total"), 6).alias("cum_share")
+    )
