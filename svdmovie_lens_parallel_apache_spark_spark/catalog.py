@@ -2169,3 +2169,44 @@ def set_intersect(spark, sf_dir):
         ).select("o_custkey")
 
     return year_of(1996).intersect(year_of(1999))
+
+
+@register(
+    "click_purchase_attribution",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_s
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tags=("join", "interval", "attribution", "streaming-shaped"),
+    description="Click→purchase attribution (same user, purchase within 1h of "
+    "the click): equi-join on user_id with an event-time range residual — the "
+    "batch twin of the streaming stream-stream interval join "
+    "(streaming/jobs.py::stream_click_attribution). One shuffle on user_id.",
+)
+def click_purchase_attribution(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (_epoch_s(F.col("p_ts")) - _epoch_s(F.col("c_ts"))).alias("gap_s"),
+    )

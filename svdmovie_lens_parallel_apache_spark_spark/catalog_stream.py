@@ -93,3 +93,18 @@ def q_streaming_sliding(spark, sf_dir):
     from .streaming.jobs import stream_sliding_counts
 
     return stream_sliding_counts(spark, sf_dir)
+
+
+@register(
+    "streaming_click_attribution",
+    None,
+    tags=("streaming", "join", "stream-stream"),
+    description="Stream-stream inner join (clicks ⋈ purchases within 1h, both "
+    "sides watermarked, event-time range constraint bounds join state). Batch "
+    "twin with exact oracle: click_purchase_attribution; equality asserted in "
+    "tests/test_streaming.py.",
+)
+def q_streaming_click_attribution(spark, sf_dir):
+    from .streaming.jobs import stream_click_attribution
+
+    return stream_click_attribution(spark, sf_dir)

@@ -197,3 +197,49 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str,
     )
     run_available_now(agg, "stream_sliding_counts", mode="complete")
     return spark.table("stream_sliding_counts")
+
+
+def stream_click_attribution(spark: SparkSession, sf_dir: str,
+                             watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a same-user click
+    within the preceding hour. Both sides are watermarked and the join has
+    an event-time range constraint — the two requirements that let the
+    state store evict matched/expired rows instead of buffering either
+    stream forever (the scale condition for stream-stream joins).
+
+    Batch twin: catalog ``click_purchase_attribution`` (exact oracle);
+    equality asserted in tests/test_streaming.py.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("gap_s"),
+    )
+    run_available_now(joined, "stream_click_attribution", mode="append")
+    return spark.table("stream_click_attribution")

@@ -78,3 +78,20 @@ def test_sliding_stream_equals_batch_twin(spark, sf_dir):
         for r in REGISTRY["sliding_window_agg"].builder(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_stream_stream_join_equals_batch_twin(spark, sf_dir):
+    from svdmovie_lens_parallel_apache_spark_spark.catalog import REGISTRY
+    from svdmovie_lens_parallel_apache_spark_spark.streaming.jobs import (
+        stream_click_attribution,
+    )
+
+    streamed = {
+        (r.user_id, r.click_id, r.purchase_id, r.gap_s)
+        for r in stream_click_attribution(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.user_id, r.click_id, r.purchase_id, r.gap_s)
+        for r in REGISTRY["click_purchase_attribution"].builder(spark, sf_dir).collect()
+    }
+    assert streamed == batch
