@@ -82,3 +82,49 @@ def test_doc_chunks_single_stage_no_shuffle(spark, sf_dir):
     s = plan_summary(_plan(spark, sf_dir, "doc_chunks"))
     assert s["exchanges"] == 0
     assert not s["has_python_udf"]
+
+
+def test_q04_semi_join_shape(spark, sf_dir):
+    """EXISTS decorrelation: a semi join (broadcast or shuffled — AQE picks
+    by size), never a full join + distinct."""
+    s = plan_summary(_plan(spark, sf_dir, "q04_order_priority"))
+    assert "BroadcastHashJoin" in s["nodes"] or "SortMergeJoin" in s["nodes"]
+    plan = __import__(
+        "svdmovie_lens_parallel_apache_spark_spark.plans.explain", fromlist=["formatted_plan"]
+    ).formatted_plan(_plan(spark, sf_dir, "q04_order_priority"))
+    assert "LeftSemi" in plan
+    assert s["partial_agg"]
+
+
+def test_q07_q08_q09_dims_broadcast(spark, sf_dir):
+    """The nation/customer/supplier/part/region dims must broadcast — the
+    fact table shuffles at most once (orders join) + once for the agg."""
+    for name, min_bc in (
+        ("q07_volume_shipping", 4),
+        ("q08_market_share", 5),
+        ("q09_product_profit", 3),
+    ):
+        s = plan_summary(_plan(spark, sf_dir, name))
+        assert s["broadcast_joins"] >= min_bc, (name, s["broadcast_joins"])
+        assert not s["has_python_udf"]
+
+
+def test_q16_distinct_agg_two_phase(spark, sf_dir):
+    """count(DISTINCT) plans as the two-shuffle expand/partial pipeline,
+    not a global repartition of raw rows."""
+    s = plan_summary(_plan(spark, sf_dir, "q16_supplier_counts"))
+    assert s["partial_agg"]
+    assert s["broadcast_joins"] >= 1, "part dim must broadcast"
+
+
+def test_q19_or_of_ands_stays_single_agg_pass(spark, sf_dir):
+    s = plan_summary(_plan(spark, sf_dir, "q19_banded_revenue"))
+    assert s["broadcast_joins"] >= 1
+    assert s["exchanges"] <= 1, "scalar agg needs at most the final exchange"
+
+
+def test_q21_semi_and_anti_self_joins(spark, sf_dir):
+    from svdmovie_lens_parallel_apache_spark_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(_plan(spark, sf_dir, "q21_sole_returner"))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
