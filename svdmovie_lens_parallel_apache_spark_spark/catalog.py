@@ -2210,3 +2210,61 @@ def click_purchase_attribution(spark, sf_dir):
         "purchase_id",
         (_epoch_s(F.col("p_ts")) - _epoch_s(F.col("c_ts"))).alias("gap_s"),
     )
+
+
+@register(
+    "grouped_ols_trend",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS x,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS yr
+      FROM events),
+    s AS (
+      SELECT event_type, count(*) AS n, sum(x) AS sx, sum(yr) AS sy,
+             sum(x * yr) AS sxy, sum(x * x) AS sxx
+      FROM b GROUP BY event_type)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           {_R("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6", 9)} AS slope_per_s
+    FROM s
+    """,
+    tags=("pandas-udf", "grouped-map", "ml"),
+    description="Per-group OLS trend (value vs event time) via applyInPandas — "
+    "the Arrow grouped-map escape hatch, exercised on semantics a GROUP BY can "
+    "also express so the Python path has an EXACT oracle: all sums are exact "
+    "integers (epoch seconds × 1e-6-quantised values; Python unbounded ints ↔ "
+    "DuckDB HUGEINT), and both engines cast numerator/denominator to double "
+    "before one IEEE division. Proves Arrow batch plumbing is bit-reproducible, "
+    "not just approximately right.",
+)
+def grouped_ols_trend(spark, sf_dir):
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        _epoch_s(F.col("ts")).alias("x"),
+        F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("yr"),
+    )
+
+    def ols(pdf: pd.DataFrame) -> pd.DataFrame:
+        # exact integer accumulation (Python ints are unbounded — x*x sums
+        # overflow int64, which is why this avoids pandas' int64 .sum())
+        xs = [int(v) for v in pdf["x"]]
+        ys = [int(v) for v in pdf["yr"]]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        # cast-then-divide mirrors DuckDB (double division of two exact ints)
+        slope = (float(n * sxy - sx * sy) / float(n * sxx - sx * sx)) / 1e6
+        import math
+
+        slope = math.floor(slope * 1e9 + 0.5) / 1e9
+        return pd.DataFrame(
+            {"event_type": [pdf["event_type"].iloc[0]], "n": [n], "slope_per_s": [slope]}
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        ols, "event_type string, n long, slope_per_s double"
+    )

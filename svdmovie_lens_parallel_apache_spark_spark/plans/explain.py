@@ -32,7 +32,10 @@ def plan_summary(df: DataFrame) -> dict:
         and "PushedFilters: []" not in plan,
         "broadcast_joins": sum(n == "BroadcastHashJoin" for n in nodes),
         "sortmerge_joins": sum(n == "SortMergeJoin" for n in nodes),
-        "has_python_udf": ("BatchEvalPython" in plan) or ("ArrowEvalPython" in plan),
+        "has_python_udf": ("BatchEvalPython" in plan)
+        or ("ArrowEvalPython" in plan)
+        or ("FlatMapGroupsInPandas" in plan)
+        or ("MapInPandas" in plan),
         # map-side combine: partial_* aggregate functions before the Exchange
         "partial_agg": "partial_" in plan,
         "exchanges": sum(n == "Exchange" for n in nodes),

@@ -44,7 +44,7 @@ def test_relational_suite_is_jvm_only(spark, sf_dir):
     everything is Catalyst expressions (multimodal mapInPandas is the one
     deliberate exception)."""
     for name, q in REGISTRY.items():
-        if name.startswith(("multimodal", "streaming", "als")):
+        if name.startswith(("multimodal", "streaming", "als", "grouped_ols")):
             continue
         s = plan_summary(q.builder(spark, sf_dir))
         assert not s["has_python_udf"], name
