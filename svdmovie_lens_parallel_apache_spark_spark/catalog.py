@@ -2268,3 +2268,102 @@ def grouped_ols_trend(spark, sf_dir):
     return ev.groupBy("event_type").applyInPandas(
         ols, "event_type string, n long, slope_per_s double"
     )
+
+
+@register(
+    "kfold_assignment",
+    """
+    SELECT fold, count(*) AS n_rows, count(DISTINCT o_custkey) AS n_customers
+    FROM (SELECT o_custkey,
+                 CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS INTEGER) AS fold
+          FROM orders)
+    GROUP BY fold
+    """,
+    tags=("ml-prep", "sampling", "hash"),
+    description="Deterministic k-fold split assignment (k=5) by portable hash of "
+    "the example key — reproducible train/validation folds with no RNG state, "
+    "the split recomputable by any engine (the property randomSplit lacks). "
+    "Per-fold row and entity counts as the audit output.",
+)
+def kfold_assignment(spark, sf_dir):
+    from .functions.hashing import portable_hash64
+
+    ords = _t(spark, sf_dir, "orders")
+    return (
+        ords.select(
+            "o_custkey",
+            (portable_hash64(F.col("o_orderkey")) % 5).cast("int").alias("fold"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "negative_samples",
+    """
+    WITH purchased AS (
+      SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    candidates AS (
+      SELECT c.c_custkey AS custkey, p.p_partkey AS partkey,
+             CAST(concat('0x', substr(md5(concat(CAST(c.c_custkey AS VARCHAR), '|', CAST(p.p_partkey AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+      FROM customer c CROSS JOIN part p
+      WHERE c.c_custkey <= 10),
+    unseen AS (
+      SELECT cd.custkey, cd.partkey, cd.h
+      FROM candidates cd
+      WHERE NOT EXISTS (SELECT 1 FROM purchased pu
+                        WHERE pu.custkey = cd.custkey AND pu.partkey = cd.partkey))
+    SELECT custkey, partkey
+    FROM (SELECT custkey, partkey,
+                 row_number() OVER (PARTITION BY custkey ORDER BY h, partkey) AS rn
+          FROM unseen)
+    WHERE rn <= 5
+    """,
+    tags=("ml-prep", "anti", "sampling", "recsys"),
+    description="Negative sampling for contrastive/recsys training: per user, "
+    "5 items they never purchased, chosen by a deterministic md5 permutation "
+    "(reproducible negatives, no RNG). Shape: small user slice × broadcast item "
+    "dim, anti-join against the interaction set, per-user top-k window. At "
+    "scale the candidate fan-out is bounded per user (sample-then-anti-join), "
+    "never a full cross product.",
+)
+def negative_samples(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .functions.hashing import portable_hash64
+
+    purchased = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("p_custkey"), F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+    users = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 10).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    items = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
+    cand = users.crossJoin(F.broadcast(items)).withColumn(
+        "h",
+        portable_hash64(
+            F.concat(F.col("custkey").cast("string"), F.lit("|"), F.col("partkey").cast("string"))
+        ),
+    )
+    unseen = cand.join(
+        purchased,
+        (F.col("custkey") == F.col("p_custkey")) & (F.col("partkey") == F.col("p_partkey")),
+        "left_anti",
+    )
+    w = Window.partitionBy("custkey").orderBy("h", "partkey")
+    return (
+        unseen.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("custkey", "partkey")
+    )
