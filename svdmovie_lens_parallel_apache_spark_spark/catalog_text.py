@@ -795,3 +795,35 @@ def q_token_coverage(spark, sf_dir):
     return ranked.where(F.col("rnk") <= 50).select(
         "rnk", "tok", "n", _r(F.col("cum") * 1.0 / F.col("total"), 6).alias("cum_share")
     )
+
+
+@register(
+    "embedding_centroids",
+    f"""
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           {_R("CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / count(*)", 6)} AS mean_v
+    FROM (
+      SELECT label, u.pos - 1 AS pos, u.v
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS pos) u)
+    GROUP BY label, pos
+    """,
+    tags=("similarity", "vector", "agg"),
+    description="Per-label embedding centroids (the KMeans/IVF building block) "
+    "in long form: posexplode the vector → per-(label, dimension) decimal-"
+    "accumulated mean — one shuffle keyed by (label, pos), order-independent "
+    "floats at any parallelism. Long form avoids a second shuffle to "
+    "reassemble arrays; downstream consumers re-pivot only the tiny "
+    "(n_labels × dim) result.",
+)
+def q_embedding_centroids(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        _r(
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_v")
+    )
