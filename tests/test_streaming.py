@@ -95,3 +95,36 @@ def test_stream_stream_join_equals_batch_twin(spark, sf_dir):
         for r in REGISTRY["click_purchase_attribution"].builder(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_foreach_batch_parquet_upsert_sink(spark, sf_dir, tmp_path):
+    """foreachBatch custom sink: micro-batches land in a parquet target via
+    arbitrary batch logic (the deploy path for sinks Structured Streaming
+    lacks natively — JDBC upserts, MERGEs). Row totals must match the
+    batch read."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+    from svdmovie_lens_parallel_apache_spark_spark.streaming.jobs import events_stream
+
+    target = str(tmp_path / "events_sink")
+    ckpt = tempfile.mkdtemp(prefix="svdml-ckpt-feb-")
+
+    def sink_batch(batch_df, batch_id):
+        (batch_df.withColumn("__batch", F.lit(batch_id))
+         .write.mode("append").parquet(target))
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    written = spark.read.parquet(target)
+    expected = load_table(spark, sf_dir, "events").count()
+    assert written.count() == expected
+    assert "__batch" in written.columns
