@@ -2367,3 +2367,164 @@ def negative_samples(spark, sf_dir):
         .where(F.col("rn") <= 5)
         .select("custkey", "partkey")
     )
+
+
+@register(
+    "cohort_retention",
+    """
+    SELECT cohort_year, order_year, count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             CAST(min(year(o_orderdate)) OVER (PARTITION BY o_custkey) AS INTEGER) AS cohort_year
+      FROM orders)
+    GROUP BY cohort_year, order_year
+    """,
+    tags=("window", "cohort", "agg"),
+    description="Cohort retention matrix: customer cohort = first-order year "
+    "(min-over-window, one shuffle on custkey), crossed with activity year. "
+    "The unbounded min window needs no sort — min is frame-free.",
+)
+def cohort_retention(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ords = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("order_year")
+    )
+    w = Window.partitionBy("o_custkey")
+    return (
+        ords.withColumn("cohort_year", F.min("order_year").over(w))
+        .groupBy("cohort_year", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "event_funnel",
+    """
+    SELECT
+      count(*) AS n_users,
+      sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS signed_up,
+      sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END) AS clicked_after,
+      sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click
+               THEN 1 ELSE 0 END) AS purchased_after
+    FROM (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_signup,
+             min(CASE WHEN event_type = 'click' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_purchase
+      FROM events GROUP BY user_id)
+    """,
+    tags=("funnel", "conditional-agg", "pipeline"),
+    description="Ordered signup→click→purchase funnel: one hash agg computes "
+    "per-user first-touch times (conditional min — no joins, no windows), one "
+    "scalar agg folds the ordering predicates. Two shuffles total regardless "
+    "of event volume.",
+)
+def event_funnel(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+
+    def first_t(kind):
+        return F.min(
+            F.when(F.col("event_type") == kind, _epoch_s(F.col("ts")))
+        ).alias(f"t_{kind}")
+
+    per_user = ev.groupBy("user_id").agg(
+        first_t("signup"), first_t("click"), first_t("purchase")
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(signed.cast("int")).alias("signed_up"),
+        F.sum(clicked.cast("int")).alias("clicked_after"),
+        F.sum(purchased.cast("int")).alias("purchased_after"),
+    )
+
+
+@register(
+    "revenue_share_by_nation",
+    f"""
+    SELECT n_name AS nation,
+           {_R("CAST(rev AS DOUBLE)", 3)} AS revenue,
+           {_R("CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE)", 6)} AS share
+    FROM (
+      SELECT n_name, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY n_name)
+    """,
+    tags=("window", "share", "agg"),
+    description="Percent-of-total: per-nation revenue share via an unpartitioned "
+    "sum window — run AFTER aggregation, over the 25-row rollup, never the fact "
+    "table. Decimal accumulation keeps the shares order-independent.",
+)
+def revenue_share_by_nation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n_key"), F.col("n_name").alias("nation")
+    )
+    rolled = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_key"))
+        .groupBy("nation")
+        .agg(F.sum(_rev().cast("decimal(18,6)")).alias("rev"))
+    )
+    total = F.sum("rev").over(Window.partitionBy())
+    return rolled.select(
+        "nation",
+        _r(F.col("rev").cast("double"), 3).alias("revenue"),
+        _r(F.col("rev").cast("double") / total.cast("double"), 6).alias("share"),
+    )
+
+
+@register(
+    "inter_event_gap_quantiles",
+    """
+    SELECT event_type,
+           count(*) AS n_gaps,
+           CAST(min(gap_s) AS BIGINT) AS min_gap,
+           CAST(floor(median(gap_s) * 1e3 + 0.5) / 1e3 AS DOUBLE) AS median_gap,
+           CAST(max(gap_s) AS BIGINT) AS max_gap
+    FROM (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_s
+      FROM events)
+    WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("window", "quantile", "stats"),
+    description="Inter-event gap distribution per type (session/engagement "
+    "statistics): per-(user, type) lag over integer epoch seconds, exact median "
+    "over the gaps. Integer gaps make the percentile interpolation "
+    "engine-portable (the .5 midpoint of two ints is exact in doubles).",
+)
+def inter_event_gap_quantiles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            (_epoch_s(F.col("ts")) - F.lag(_epoch_s(F.col("ts"))).over(w)).alias("gap_s"),
+        )
+        .where(F.col("gap_s").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_s").alias("min_gap"),
+        (F.floor(F.expr("percentile(gap_s, 0.5)") * 1e3 + 0.5) / 1e3).alias("median_gap"),
+        F.max("gap_s").alias("max_gap"),
+    )
