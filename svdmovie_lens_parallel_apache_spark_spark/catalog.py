@@ -2528,3 +2528,34 @@ def inter_event_gap_quantiles(spark, sf_dir):
         (F.floor(F.expr("percentile(gap_s, 0.5)") * 1e3 + 0.5) / 1e3).alias("median_gap"),
         F.max("gap_s").alias("max_gap"),
     )
+
+
+@register(
+    "q11_important_parts",
+    f"""
+    WITH pv AS (
+      SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS val
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT CAST(sum(val) AS DOUBLE) AS total FROM pv)
+    SELECT l_partkey, {_R("CAST(val AS DOUBLE)", 3)} AS part_value
+    FROM pv, t
+    WHERE CAST(val AS DOUBLE) > total * 0.00065
+    """,
+    tags=("agg", "subquery", "having", "tpch"),
+    description="TPC-H Q11-shaped important-stock scan (fixtures have no "
+    "partsupp; value = lineitem revenue per part): per-part decimal rollup, "
+    "scalar-subquery total decorrelated to a broadcast 1-row cross join, "
+    "fraction-of-total HAVING as a deterministic double comparison of exact "
+    "decimal sums.",
+)
+def q11_important_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("val")
+    )
+    total = pv.agg(F.sum("val").cast("double").alias("total"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("val").cast("double") > F.col("total") * 0.00065)
+        .select("l_partkey", _r(F.col("val").cast("double"), 3).alias("part_value"))
+    )
