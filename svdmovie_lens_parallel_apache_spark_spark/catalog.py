@@ -754,15 +754,19 @@ def conditional_agg_share(spark, sf_dir):
 
 @register(
     "approx_quantiles_sketch",
-    None,  # t-digest/GK sketch internals are engine-specific — rows-only
+    None,  # GK sketch internals are engine-specific — rows-only
     tags=("agg", "sketch", "quantile"),
     description="percentile_approx (GK sketch) quartiles of extended price per return "
-    "flag — the sketch path for quantiles at 100 TB; exact twin: stats_advanced median.",
+    "flag — the sketch path for quantiles at 100 TB; exact twin: stats_advanced median. "
+    "Emitted as three scalar columns (p25/p50/p75), not an array, so downstream "
+    "canonicalizers can sort/hash the rows.",
 )
 def approx_quantiles_sketch(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles"),
+        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("p25"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("p75"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1142,18 +1146,37 @@ def tfidf_top_terms(spark, sf_dir):
 
 @register(
     "approx_distinct_sketch",
-    None,  # HLL sketch values are engine-specific — rows-only
+    """
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           TRUE AS approx_ok
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
     tags=("agg", "sketch"),
     description="approx_count_distinct (HyperLogLog++, rsd=2%) per segment — the "
-    "sketch-based path for distinct counts at 100 TB; exact twin: agg_distinct.",
+    "sketch-based path for distinct counts at 100 TB; exact twin: agg_distinct. "
+    "The HLL estimate itself is engine-specific, so the hashed output carries the "
+    "exact distinct count plus a boolean asserting the sketch landed within 3×rsd "
+    "of it — the oracle pins that boolean to TRUE, so a drifting sketch fails the "
+    "hash gate.",
 )
 def approx_distinct_sketch(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     joined = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-    return joined.groupBy("c_mktsegment").agg(
+    agg = joined.groupBy("c_mktsegment").agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+    tol = F.greatest(F.lit(10.0), F.col("exact_customers") * (3 * 0.02))
+    return agg.select(
+        "c_mktsegment",
+        "exact_customers",
+        "n_orders",
+        (F.abs(F.col("approx_customers") - F.col("exact_customers")) <= tol).alias("approx_ok"),
     )
 
 
@@ -1629,8 +1652,8 @@ def q09_product_profit(spark, sf_dir):
     "q12_priority_lines",
     """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
