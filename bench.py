@@ -59,13 +59,17 @@ def main() -> None:
     from svdmovie_lens_parallel_apache_spark_spark.recsys import (
         ALSConfig,
         evaluate,
+        low_rank_ratings,
         predict,
-        synthetic_ratings,
         train_als,
     )
 
     t = time.time()
-    ratings = synthetic_ratings(spark, sf_dir).select(
+    # low-rank generative fixture (structured signal + bounded noise) so the
+    # reported RMSE measures model QUALITY against a learnable ground truth,
+    # comparable to the reference's MovieLens-100K MAE claim — hash-random
+    # ratings would make any trained model look worse than predicting the mean
+    ratings = low_rank_ratings(spark, sf_dir).select(
         F.col("user_id").cast("int").alias("user_id"),
         F.col("item_id").cast("int").alias("item_id"),
         F.col("rating").cast("float").alias("rating"),

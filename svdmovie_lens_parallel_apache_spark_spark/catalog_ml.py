@@ -18,7 +18,13 @@ from .catalog import _R, _t, register
 from .functions.scalar import portable_round as _r
 from .functions.vectors import clamped_fold
 from .operators.stats import error_metrics
-from .recsys import ALSConfig, golden_factor_vec, synthetic_ratings, train_als
+from .recsys import (
+    ALSConfig,
+    golden_factor_vec,
+    movielens_replay,
+    synthetic_ratings,
+    train_als,
+)
 
 _H_EVENT = "CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)"
 
@@ -133,3 +139,19 @@ def q_als_top_recs(spark, sf_dir):
         (F.col("rank0") + 1).alias("rank"),
         F.col("rec.item_id").alias("item_id"),
     )
+
+
+@register(
+    "movielens_replay",
+    None,  # iterative MLlib training — rows-only check (SURVEY.md §5 tier 2)
+    tags=("M1", "M2", "S1", "S2", "S3", "U1", "U4", "ALS", "capstone"),
+    description="Reference-program replay: the four-phase main() pipeline "
+    "(SVDMovieLensSparkJava.java:165-182) as one lineage — deterministic 80/20 "
+    "holdout on low-rank ratings, ALS with the reference hyperparameters "
+    "(rank=64, reg=0.015), clamped prediction, and the 5-column predictions "
+    "table of TestingData.toString() (TestingData.java:33-36): cust_id, "
+    "movie_id, rating, prediction, abs_diff. Output format + MAE gate in "
+    "tests/test_recsys.py.",
+)
+def q_movielens_replay(spark, sf_dir):
+    return movielens_replay(spark, sf_dir)

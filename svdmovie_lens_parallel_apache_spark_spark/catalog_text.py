@@ -191,45 +191,57 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup_groups(_t(spark, sf_dir, "documents"))
 
 
+# Stop-shingle document-frequency cap mirrored by the Spark operator
+# (operators/dedup.py::jaccard_pairs max_df default) — the oracle replays
+# the SAME capped posting-list algorithm, so semantics match at any df.
+_JACCARD_MAX_DF = 1000
+
+# Shared CTE chain: tokens → distinct shingles → posting lists → df cap →
+# pairwise intersection counts → rounded Jaccard. Used by the pairs query
+# and (under WITH RECURSIVE) by the clusters / pipeline capstones.
+_JACCARD_CTES = f"""jt AS (
+      SELECT doc_id, lang, {_TOKS.format(src='lower(text)')} AS toks FROM documents),
+    jsh AS (SELECT doc_id, lang, {_SHINGLES} AS sh FROM jt),
+    jposts AS (SELECT lang, doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM jsh),
+    jkept AS (
+      SELECT lang, doc_id, sz, shingle FROM (
+        SELECT lang, doc_id, sz, shingle,
+               count(*) OVER (PARTITION BY lang, shingle) AS df
+        FROM jposts)
+      WHERE df <= {_JACCARD_MAX_DF}),
+    jinter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sz_a, b.sz AS sz_b,
+             count(*) AS isect
+      FROM jkept a JOIN jkept b
+        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    jpairs AS (
+      SELECT doc_a, doc_b,
+             {_R('isect * 1.0 / (sz_a + sz_b - isect)', 6)} AS jaccard
+      FROM jinter)"""
+
+
 @register(
     "dedup_jaccard_pairs",
     f"""
-    WITH s AS (
-      SELECT doc_id, lang, {_SHINGLES} AS sh
-      FROM (SELECT doc_id, lang,
-                   {_TOKS.format(src='lower(text)')} AS toks
-            FROM documents))
-    SELECT * FROM (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             {_R(_JACCARD.format(a='a.sh', b='b.sh'), 6)} AS jaccard
-      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-    WHERE jaccard >= 0.5
+    WITH {_JACCARD_CTES}
+    SELECT doc_a, doc_b, jaccard FROM jpairs WHERE jaccard >= 0.5
     """,
     tags=("dedup", "jaccard"),
     description="Exact 3-gram-shingle Jaccard near-dup pairs within language blocks "
-    "(the exact baseline the MinHash variant is verified against).",
+    "via inverted-index posting lists with a stop-shingle df cap (max_df=1000) — "
+    "the exact baseline the MinHash variant is verified against. The oracle replays "
+    "the identical capped posting-list algorithm.",
 )
 def q_dedup_jaccard(spark, sf_dir):
     return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3, block_col="lang")
 
 
-_JACCARD_PAIRS_SQL = f"""
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM (SELECT doc_id, lang, {_SHINGLES} AS sh
-            FROM (SELECT doc_id, lang, {_TOKS.format(src='lower(text)')} AS toks
-                  FROM documents)) a
-      JOIN (SELECT doc_id, lang, {_SHINGLES} AS sh
-            FROM (SELECT doc_id, lang, {_TOKS.format(src='lower(text)')} AS toks
-                  FROM documents)) b
-        ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE floor(({_JACCARD.format(a='a.sh', b='b.sh')}) * 1e6 + 0.5) / 1e6 >= 0.5
-"""
-
-
 @register(
     "dedup_clusters",
     f"""
-    WITH RECURSIVE p AS ({_JACCARD_PAIRS_SQL}),
+    WITH RECURSIVE {_JACCARD_CTES},
+    p AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= 0.5),
     e(src, dst) AS (
       SELECT doc_a, doc_b FROM p
       UNION ALL
@@ -257,7 +269,8 @@ def q_dedup_clusters(spark, sf_dir):
 @register(
     "pipeline_e2e",
     f"""
-    WITH RECURSIVE p AS ({_JACCARD_PAIRS_SQL}),
+    WITH RECURSIVE {_JACCARD_CTES},
+    p AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= 0.5),
     e(src, dst) AS (
       SELECT doc_a, doc_b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
     r(node, lbl) AS (

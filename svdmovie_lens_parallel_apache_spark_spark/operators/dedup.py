@@ -68,20 +68,29 @@ def _jaccard(a: Column, b: Column) -> Column:
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
-                  block_col: str = "lang") -> DataFrame:
+                  block_col: str = "lang", max_df: int = 1000) -> DataFrame:
     """Exact n-gram-shingle Jaccard near-dup pairs within a blocking key,
     via POSTING LISTS (inverted index), not per-pair array intersection:
 
-        explode shingles → self-equi-join on (block, shingle)
-        → count rows per (doc_a, doc_b) = |A ∩ B|
+        explode shingles → drop stop-shingles (df > max_df)
+        → group posting list per (block, shingle), emit i<j doc pairs
+        → count rows per (doc_a, doc_b) = |A ∩ B restricted to kept shingles|
         → jaccard = ∩ / (|A| + |B| - ∩)
 
     Equivalent to all-pairs intersection for any threshold > 0 (pairs with
     empty intersection can't pass), but it is all shuffles + hash aggs —
-    no O(pairs × shingle-width) array scans. This is also the shape that
-    survives scale: the join fans out per-shingle by document frequency,
-    so pre-dropping ultra-common shingles (stop-shingles) bounds the
-    blowup; at 100 TB the block key is an LSH band, not a language.
+    no O(pairs × shingle-width) array scans.
+
+    ``max_df`` is the scale guard: a shingle appearing in df documents
+    emits C(df, 2) pairs, so ONE stop-shingle with df=10⁶ would emit
+    5·10¹¹ pairs. Shingles with df > max_df within a block are dropped
+    BEFORE pair emission (cheap count agg with map-side partials → tiny
+    stop set → broadcast anti-join), bounding both the pair blowup and the
+    posting-list aggregation buffers. Recall tradeoff: pairs whose overlap
+    is carried ONLY by ultra-common shingles score lower (the intersection
+    is restricted to kept shingles while |A|, |B| stay full), so genuinely
+    boilerplate-only "near-dups" are — deliberately — not reported.
+    Set ``max_df`` ≥ the block's doc count to disable.
     """
     s = with_shingles(docs, n).select(
         F.col(block_col).alias("blk"),
@@ -90,6 +99,13 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
         F.size("shingles").alias("sz"),
     )
     posts = s.select("blk", "doc_id", "sz", F.explode("shingles").alias("sh"))
+    stop = (
+        posts.groupBy("blk", "sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("blk", "sh")
+    )
+    posts = posts.join(F.broadcast(stop), ["blk", "sh"], "left_anti")
     # single pass, no self-join: group the posting list per shingle, emit
     # all i<j doc pairs from each list (document frequencies are small
     # once stop-shingles are bounded, so C(df,2) per shingle stays tiny).
@@ -369,19 +385,55 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
+    """Near-dup pairs by SimHash Hamming distance, via PIGEONHOLE CHUNK
+    BLOCKING — no all-pairs scan anywhere.
 
-    All-pairs here (fixture-sized); the scale path blocks on signature
-    chunks (pigeonhole: two sigs within d bits share at least one of d+1
-    chunks) turning it into an equi-join, same as MinHash banding.
+    Split each signature into ``max_hamming + 1`` disjoint bit chunks. Two
+    signatures within ``max_hamming`` differing bits can touch at most
+    ``max_hamming`` chunks, so they agree EXACTLY on at least one chunk
+    (pigeonhole) — candidate generation is therefore an equi-join on
+    (chunk_idx, chunk_val), the same shuffle shape as MinHash banding
+    (:func:`minhash_dedup_pairs`), followed by an exact
+    ``bit_count(xor) <= d`` verify on the candidates only. Recall is 100%
+    by construction; the join fan-out is bounded by docs-per-chunk-bucket
+    (chunks are ≥ bits/(d+1) wide, so buckets are fine-grained).
     """
     s = simhash(docs, bits)
-    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
-    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
-    return (
-        a.crossJoin(b)
+    n_chunks = max_hamming + 1
+    base, rem = divmod(bits, n_chunks)
+    # chunk widths as even as possible: first `rem` chunks get an extra bit
+    widths = [base + 1 if i < rem else base for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.shiftright(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("chunk_val"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    banded = s.select(
+        "doc_id", "simhash", F.explode(chunk_structs).alias("c")
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    x = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
+        "chunk_idx", "chunk_val",
+    )
+    y = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+        "chunk_idx", "chunk_val",
+    )
+    cand = (
+        x.join(y, ["chunk_idx", "chunk_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select(
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cand.select(
             "doc_a",
             "doc_b",
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),

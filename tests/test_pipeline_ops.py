@@ -117,3 +117,62 @@ def test_clamped_fold_order_dependence(spark):
     assert row2.folded == 4.75  # clamp→5 then -0.25
     assert row2.dot_clamped == 5.0  # 1+9.75 clamped once
     assert row2.folded != row2.dot_clamped
+
+
+def test_simhash_pigeonhole_recall_vs_all_pairs(spark):
+    """Chunk blocking must find EXACTLY the pairs an all-pairs Hamming scan
+    finds (pigeonhole guarantees 100% recall; the verify step kills false
+    candidates)."""
+    from itertools import combinations
+
+    from svdmovie_lens_parallel_apache_spark_spark.operators.dedup import (
+        simhash,
+        simhash_pairs,
+    )
+
+    rows = [
+        (i, f"shared common prefix tokens here variant {i % 4} tail {i % 3}", "en", "s", 50)
+        for i in range(1, 25)
+    ]
+    docs = _docs(spark, rows)
+    sigs = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+    expected = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 6
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(docs, max_hamming=6, bits=32).collect()
+    }
+    assert got == expected
+    assert len(expected) > 0  # fixture actually exercises near-dup pairs
+
+
+def test_jaccard_stop_shingle_df_cap(spark):
+    """A pathological shingle shared by EVERY doc must not drive quadratic
+    pair emission: with max_df below the corpus size, docs whose only
+    overlap is the stop-shingle produce no pair at all, while genuinely
+    near-dup docs still match on their rarer shingles."""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.dedup import jaccard_pairs
+
+    boiler = "copyright footer all rights reserved"  # → shared shingles in every doc
+    rows = [(i, f"unique body text number {i} item {i * 7} {boiler}", "en", "s", 60)
+            for i in range(1, 41)]
+    # two true near-dups sharing their whole body
+    rows += [(100, "the quick brown fox jumps over the lazy dog today", "en", "s", 49),
+             (101, "the quick brown fox jumps over the lazy dog today", "en", "s", 49)]
+    docs = _docs(spark, rows)
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, threshold=0.3, max_df=10).collect()
+    }
+    assert (100, 101) in capped
+    # boilerplate-only overlap (df=42 > max_df) emits no pairs among 1..40
+    assert all(a >= 100 for a, b in capped), capped
+    # uncapped twin DOES see the boilerplate pairs — the cap is load-bearing
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, threshold=0.3, max_df=10_000).collect()
+    }
+    assert any(a < 100 for a, b in uncapped)

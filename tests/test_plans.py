@@ -128,3 +128,20 @@ def test_q21_semi_and_anti_self_joins(spark, sf_dir):
 
     plan = formatted_plan(_plan(spark, sf_dir, "q21_sole_returner"))
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_dedup_simhash_no_cartesian(spark, sf_dir):
+    """Pigeonhole chunk blocking: candidate generation must be an equi-join
+    on (chunk_idx, chunk_val) — no all-pairs scan node anywhere."""
+    s = plan_summary(_plan(spark, sf_dir, "dedup_simhash"))
+    assert "CartesianProduct" not in s["nodes"], s["nodes"]
+    assert "BroadcastNestedLoopJoin" not in s["nodes"], s["nodes"]
+    assert not s["has_python_udf"]
+
+
+def test_dedup_jaccard_no_cartesian(spark, sf_dir):
+    """Posting-list form with stop-shingle cap: shuffles + hash aggs plus a
+    broadcast anti-join for the stop set — never a pairwise product."""
+    s = plan_summary(_plan(spark, sf_dir, "dedup_jaccard_pairs"))
+    assert "CartesianProduct" not in s["nodes"], s["nodes"]
+    assert "BroadcastNestedLoopJoin" not in s["nodes"], s["nodes"]

@@ -158,3 +158,41 @@ def test_train_until_converged_stops_and_improves(spark):
     assert 2 <= len(history) <= 4
     # non-increasing to within the tolerance across accepted rounds
     assert history[-1][1] <= history[0][1] + 0.05, history
+
+
+def test_movielens_replay_output_format_and_quality(spark, sf_dir, tmp_path):
+    """The reference-program replay must emit TestingData.toString()'s
+    5-column table (TestingData.java:33-36), write it as the reference's
+    TSV sink shape, and beat the constant-mean baseline on held-out MAE
+    (quality parity is metric-level — ALS ≠ serial SGD)."""
+    from svdmovie_lens_parallel_apache_spark_spark.recsys import ALSConfig, movielens_replay
+    from svdmovie_lens_parallel_apache_spark_spark.sources.writers import write_tsv
+
+    # sf0.001 has ~600 ratings over 15 users — use a density-matched item
+    # count and rank (the reference's rank-64 default needs MovieLens-100K
+    # density, which the sf0.01+ fixtures provide)
+    out = movielens_replay(
+        spark, sf_dir, ALSConfig(rank=8, reg=0.1, max_iter=10, seed=42), n_items=50
+    )
+    assert out.columns == ["cust_id", "movie_id", "rating", "prediction", "abs_diff"]
+    rows = out.collect()
+    assert len(rows) > 50
+    for r in rows[:20]:
+        assert 1.0 <= r.prediction <= 5.0
+        # abs_diff and prediction are portable-rounded to 6 digits
+        assert abs(r.abs_diff - abs(r.rating - r.prediction)) < 2e-6
+    mae = sum(r.abs_diff for r in rows) / len(rows)
+    mean_rating = sum(r.rating for r in rows) / len(rows)
+    baseline_mae = sum(abs(r.rating - mean_rating) for r in rows) / len(rows)
+    assert mae < baseline_mae, (mae, baseline_mae)
+    assert mae < 0.75, mae
+
+    # S3 sink parity: tab-separated, 5 fields per line
+    path = str(tmp_path / "predictions_tsv")
+    write_tsv(out, path)
+    import glob
+
+    part = sorted(glob.glob(path + "/part-*"))[0]
+    with open(part) as f:
+        first = f.readline().rstrip("\n")
+    assert len(first.split("\t")) == 5, first
