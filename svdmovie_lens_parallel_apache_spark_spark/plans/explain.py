@@ -49,6 +49,17 @@ def assert_no_python_udf(df: DataFrame) -> None:
     assert not s["has_python_udf"], "Python UDF found in a plan that should be JVM-only"
 
 
+def executed_plan(df: DataFrame) -> str:
+    """FINAL physical plan string — call AFTER an action has run the query.
+
+    With AQE the plan is re-optimized per stage at runtime (skew-join
+    splits, partition coalescing, join-strategy switches); the pre-action
+    formatted plan never shows those, so runtime-shape assertions (e.g.
+    ``SortMergeJoin(skew=true)``, ``AQEShuffleRead coalesced and skewed``)
+    must read this one."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def read_schema_columns(df: DataFrame) -> list[str]:
     """Columns actually read from the parquet scan (column pruning proof)."""
     import re

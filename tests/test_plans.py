@@ -145,3 +145,54 @@ def test_dedup_jaccard_no_cartesian(spark, sf_dir):
     s = plan_summary(_plan(spark, sf_dir, "dedup_jaccard_pairs"))
     assert "CartesianProduct" not in s["nodes"], s["nodes"]
     assert "BroadcastNestedLoopJoin" not in s["nodes"], s["nodes"]
+
+
+def test_aqe_skew_join_mitigation_engages(spark):
+    """The skewed-key story at 1000-executor scale must be TESTED, not
+    described: with the session's AQE skew-join default on, a join against
+    a pathologically skewed fact (one key = 75% of all rows) must be split
+    at runtime. Thresholds are lowered to make test-sized partitions
+    eligible — the mechanism, not the sizes, is what's asserted."""
+    from pyspark.sql import functions as F
+
+    from svdmovie_lens_parallel_apache_spark_spark.plans.explain import executed_plan
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ]
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        fact = spark.range(300_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(99_000).select(
+                (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v")
+            )
+        )
+        dim = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = fact.join(dim, "k").select((F.col("v") + F.col("w")).alias("x"))
+        assert len(j.collect()) == 399_000
+        plan = executed_plan(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan  # AQEShuffleRead split the skewed partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
