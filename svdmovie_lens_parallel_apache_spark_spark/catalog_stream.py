@@ -108,3 +108,20 @@ def q_streaming_click_attribution(spark, sf_dir):
     from .streaming.jobs import stream_click_attribution
 
     return stream_click_attribution(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup", "watermark"),
+    description="Streaming exact dedup (dropDuplicatesWithinWatermark) on "
+    "(user_id, event_type): watermark-bounded key state — the streaming twin of "
+    "exact_dedup_groups. Key-projected output is deterministic, so this streaming "
+    "query carries an EXACT oracle (batch DISTINCT).",
+)
+def q_streaming_dedup(spark, sf_dir):
+    from .streaming.jobs import stream_dedup_keys
+
+    return stream_dedup_keys(spark, sf_dir)

@@ -321,3 +321,28 @@ def stream_user_extremes_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def stream_dedup_keys(spark: SparkSession, sf_dir: str,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark``: first
+    occurrence per (user_id, event_type) key is kept; later duplicates
+    arriving within the watermark delay are dropped, and — the scale
+    condition — key state older than the watermark is EVICTED, so state
+    stays bounded on an infinite stream (plain ``dropDuplicates`` state
+    grows forever). The streaming twin of the batch exact-dedup family
+    (operators/dedup.py::exact_dedup_groups).
+
+    Output is projected to the key columns, making the result set
+    deterministic (= batch DISTINCT over the same keys) regardless of
+    which physical row was first within a micro-batch — which is what
+    gives this streaming query an exact SQL oracle.
+    """
+    ev = events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    run_available_now(deduped, "stream_dedup_keys", mode="append")
+    return spark.table("stream_dedup_keys")

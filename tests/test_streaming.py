@@ -155,3 +155,25 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
         .collect()
     }
     assert streamed == batch
+
+
+def test_streaming_dedup_equals_batch_distinct(spark, sf_dir):
+    """dropDuplicatesWithinWatermark, key-projected, must equal batch
+    DISTINCT over the same keys — and state must be watermark-bounded
+    (the operator itself enforces the watermark requirement)."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+    from svdmovie_lens_parallel_apache_spark_spark.streaming.jobs import stream_dedup_keys
+
+    got = {
+        (r.user_id, r.event_type)
+        for r in stream_dedup_keys(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
