@@ -379,6 +379,9 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    from .functions.hashing import oracle_hash_wide_sql
+
+    hash_bits = min(60, ((bits + 3) // 4) * 4)
     vote_terms = " + ".join(
         f"CASE WHEN list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) > 0 "
         f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
@@ -388,7 +391,7 @@ def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
     WITH t AS (
       SELECT doc_id,
              list_transform(list_distinct({_TOKS.format(src='lower(text)')}),
-                            t -> {_H('t')}) AS hs
+                            t -> {oracle_hash_wide_sql('t', hash_bits)}) AS hs
       FROM documents),
     sig AS (
       SELECT doc_id, {vote_terms} AS simhash FROM t)
@@ -401,13 +404,17 @@ def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
 
 @register(
     "dedup_simhash",
-    _simhash_oracle(bits=32, max_hamming=3),
+    _simhash_oracle(bits=48, max_hamming=3),
     tags=("dedup", "simhash"),
-    description="32-bit SimHash near-dup pairs (Hamming ≤ 3). Signature is a per-bit "
-    "majority vote over token hashes; pair scan uses bit_count(xor).",
+    description="48-bit SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole chunk "
+    "blocking: per-bit majority-vote signature, explode into 4 disjoint 12-bit "
+    "chunks, equi-join on (chunk_idx, chunk_val), exact bit_count(xor) verify. "
+    "48-bit signatures keep chunk buckets at 4096 values (vs 256 for 32-bit) — "
+    "bucket occupancy, and so candidate volume, stays sub-quadratic at corpus "
+    "scale. Oracle replays the identical signature + Hamming filter.",
 )
 def q_dedup_simhash(spark, sf_dir):
-    out = simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3, bits=32)
+    out = simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3, bits=48)
     return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
 

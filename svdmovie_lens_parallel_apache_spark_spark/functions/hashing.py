@@ -26,6 +26,30 @@ def portable_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
 
 
+def portable_hash_wide(col: Column, bits: int = 48) -> Column:
+    """First ``bits`` bits of md5 (bits % 4 == 0, ≤ 60) as a non-negative
+    BIGINT in [0, 2^bits).
+
+    The 32-bit :func:`portable_hash64` caps SimHash-style signatures at 32
+    meaningful bits; wider signatures (48-bit default) keep pigeonhole
+    chunk buckets fine-grained at corpus scale — 4 chunks of 12 bits give
+    4096 bucket values per chunk vs 256 at 32 bits, an ~16× cut in
+    candidate-bucket occupancy for the same Hamming radius."""
+    assert bits % 4 == 0 and bits <= 60
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, bits // 4), 16, 10).cast(
+        "bigint"
+    )
+
+
+def oracle_hash_wide_sql(expr: str, bits: int = 48) -> str:
+    """DuckDB twin of :func:`portable_hash_wide`."""
+    assert bits % 4 == 0 and bits <= 60
+    return (
+        f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, {bits // 4})) "
+        "AS BIGINT)"
+    )
+
+
 def shingle_hash(col: Column, salt: int) -> Column:
     """Salted portable hash — the `i`-th minhash permutation is
     ``min over shingles of H(i || shingle)``."""

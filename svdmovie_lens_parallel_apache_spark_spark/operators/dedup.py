@@ -356,13 +356,20 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
     bit j of the signature = sign of sum over tokens of (±1 by bit j of
     the token hash). Pure column expressions; the per-bit vote is a
-    higher-order aggregate over the token-hash array.
+    higher-order aggregate over the token-hash array. Token hashes are
+    taken wide enough to cover ``bits`` (portable md5 prefix), so
+    signatures up to 60 bits stay meaningful — wider signatures keep the
+    pigeonhole chunk buckets of :func:`simhash_pairs` fine-grained at
+    corpus scale.
     """
+    from ..functions.hashing import portable_hash_wide
+
+    hash_bits = min(60, ((bits + 3) // 4) * 4)
     toks = F.array_distinct(tokens(F.lower(F.col("text"))))
-    # materialise token hashes once; the 32 per-bit votes then fold over
+    # materialise token hashes once; the per-bit votes then fold over
     # the array column instead of re-hashing per bit
     hashed = docs.select(
-        "doc_id", F.transform(toks, lambda t: portable_hash64(t)).alias("hs")
+        "doc_id", F.transform(toks, lambda t: portable_hash_wide(t, hash_bits)).alias("hs")
     )
 
     # Closure factory: the fold lambda must take exactly (acc, elem) —
@@ -404,13 +411,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) -> Data
     # chunk widths as even as possible: first `rem` chunks get an extra bit
     widths = [base + 1 if i < rem else base for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
+
+    def chunk_of(sig: Column, i: int) -> Column:
+        return F.shiftright(sig, offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+
     chunk_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("chunk_idx"),
-                F.shiftright(F.col("simhash"), offsets[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                .alias("chunk_val"),
+                chunk_of(F.col("simhash"), i).alias("chunk_val"),
             )
             for i in range(n_chunks)
         ]
@@ -426,11 +435,25 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) -> Data
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
         "chunk_idx", "chunk_val",
     )
+    # FIRST-MATCH emission instead of distinct: a pair sharing k chunks
+    # would surface k times; keeping only the row whose chunk_idx is the
+    # pair's first agreeing chunk emits each pair exactly once via a cheap
+    # bitwise filter — no distinct shuffle over the (much wider) candidate
+    # set. Matters precisely when near-identical clusters are large (all
+    # chunks agree → 4× duplication for every true pair).
+    first_match = None
+    for i in range(n_chunks):
+        earlier_differ = F.lit(True)
+        for j in range(i):
+            earlier_differ = earlier_differ & (
+                chunk_of(F.col("sig_a"), j) != chunk_of(F.col("sig_b"), j)
+            )
+        cond = (F.col("chunk_idx") == i) & earlier_differ
+        first_match = cond if first_match is None else (first_match | cond)
     cand = (
         x.join(y, ["chunk_idx", "chunk_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where((F.col("doc_a") < F.col("doc_b")) & first_match)
         .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
     )
     return (
         cand.select(
