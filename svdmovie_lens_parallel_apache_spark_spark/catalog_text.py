@@ -847,3 +847,37 @@ def q_embedding_centroids(spark, sf_dir):
             F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)), 6
         ).alias("mean_v")
     )
+
+
+@register(
+    "doc_winnowing",
+    f"""
+    WITH wt AS (SELECT doc_id, {_TOKS.format(src='lower(text)')} AS toks FROM documents),
+    wh AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> {_H("concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])")}) AS hs
+      FROM wt),
+    wf AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(hs) < 4 THEN [list_aggregate(hs, 'min')]
+                  ELSE list_distinct(list_transform(
+                         generate_series(1, len(hs) - 3),
+                         i -> list_aggregate(hs[i:i+3], 'min')))
+             END AS fps
+      FROM wh)
+    SELECT doc_id, unnest(fps) AS fp FROM wf
+    """,
+    tags=("fingerprint", "rolling-hash", "winnowing", "dedup"),
+    description="Winnowing rolling-hash fingerprints (MOSS): positional 3-gram "
+    "hashes, min over each 4-hash window, distinct minima per doc — the "
+    "sub-linear local fingerprint for shared-passage detection; shared runs of "
+    "≥6 tokens guarantee a shared fingerprint. Oracle replays hash/window/min "
+    "selection exactly.",
+)
+def q_doc_winnowing(spark, sf_dir):
+    from .operators.textops import winnowing_fingerprints
+
+    return winnowing_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)

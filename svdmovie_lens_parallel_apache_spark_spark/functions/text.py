@@ -44,14 +44,19 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     lambdas — an inline `tokens(text)` here is re-split per position
     (O(doc_len × positions); measured 5.3s → 0.3s at sf0.1 for binding).
     """
+    return F.array_distinct(positional_shingles(toks, n))
+
+
+def positional_shingles(toks: Column, n: int = 3) -> Column:
+    """ORDERED n-word shingles (one per position, duplicates kept) — the
+    positional form rolling-hash fingerprinting needs; same binding caveat
+    as :func:`shingles_from_tokens`."""
     count = F.size(toks) - F.lit(n - 1)
     # NB Spark's sequence(1, 0) yields a DESCENDING [1, 0], not [] — guard short docs.
     idx = F.when(count < 1, F.array().cast("array<int>")).otherwise(
         F.sequence(F.lit(1), count)
     )
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:

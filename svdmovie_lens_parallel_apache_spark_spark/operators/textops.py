@@ -90,3 +90,42 @@ def term_frequency(docs: DataFrame, top_n: int = 25) -> DataFrame:
         .orderBy(F.desc("term_count"), F.asc("term"))
         .limit(top_n)
     )
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS local fingerprinting scheme), as pure column expressions:
+
+        tokens → POSITIONAL k-gram hashes h_i (rolling content hash)
+        → every window of w consecutive hashes → min per window
+        → distinct selected minima = the doc's fingerprint set
+
+    Guarantee: two docs sharing any token run of ≥ w+k-1 tokens share at
+    least one fingerprint, while only ~2/(w+1) of k-gram hashes are kept —
+    the sub-linear sketch for plagiarism/near-dup detection over 100 TB
+    (fingerprints equi-join instead of text comparison). Docs shorter than
+    one full window keep min(hs) so every non-trivial doc has ≥1
+    fingerprint. Output is exploded to (doc_id, fp) rows — joinable, no
+    array columns."""
+    from ..functions.hashing import portable_hash64 as _h
+    from ..functions.text import positional_shingles
+    from ..functions.text import tokens as _tokens
+
+    bound = docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("__toks"))
+    hashed = bound.select(
+        "doc_id",
+        F.transform(
+            positional_shingles(F.col("__toks"), k), lambda s: _h(s)
+        ).alias("hs"),
+    )
+    cnt = F.size("hs") - F.lit(w - 1)
+    idx = F.when(cnt < 1, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), cnt)
+    )
+    wins = F.transform(idx, lambda i: F.array_min(F.slice(F.col("hs"), i, w)))
+    fps = (
+        F.when(F.size("hs") == 0, F.array().cast("array<bigint>"))
+        .when(F.size("hs") < w, F.array(F.array_min("hs")))
+        .otherwise(F.array_distinct(wins))
+    )
+    return hashed.select("doc_id", F.explode(fps).alias("fp"))

@@ -176,3 +176,26 @@ def test_jaccard_stop_shingle_df_cap(spark):
         for r in jaccard_pairs(docs, threshold=0.3, max_df=10_000).collect()
     }
     assert any(a < 100 for a, b in uncapped)
+
+
+def test_winnowing_shared_passage_guarantee(spark):
+    """Winnowing (k=3, w=4): two docs sharing a run of >= w+k-1 = 6 tokens
+    must share at least one fingerprint; disjoint-vocabulary docs share
+    none."""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.textops import (
+        winnowing_fingerprints,
+    )
+
+    shared = "one two three four five six"  # exactly 6 shared tokens
+    rows = [
+        (1, f"aaa bbb {shared} ccc ddd", "en", "s", 0),
+        (2, f"xxx yyy {shared} zzz www", "en", "s", 0),
+        (3, "p q r s t u v w", "en", "s", 0),
+    ]
+    fps = winnowing_fingerprints(_docs(spark, rows), k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 6-token run must yield a common fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
