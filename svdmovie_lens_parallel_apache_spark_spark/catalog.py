@@ -2610,3 +2610,219 @@ def q11_important_parts(spark, sf_dir):
         .where(F.col("val").cast("double") > F.col("total") * 0.00065)
         .select("l_partkey", _r(F.col("val").cast("double"), 3).alias("part_value"))
     )
+
+
+@register(
+    "q02_min_cost_supplier",
+    f"""
+    WITH supply AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+      SELECT s_suppkey, s_acctbal, s_name, n_name, pk, unit_cost
+      FROM supply
+        JOIN part     ON p_partkey = pk
+        JOIN supplier ON s_suppkey = sk
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+      WHERE p_type = 'STANDARD' AND p_size < 25 AND r_name = 'EUROPE'
+    ),
+    best AS (
+      SELECT *, min(unit_cost) OVER (PARTITION BY pk) AS best_cost FROM eu
+    )
+    SELECT s_acctbal, s_name, n_name, pk AS p_partkey,
+           {_R('unit_cost', 6)} AS supply_cost
+    FROM best WHERE unit_cost = best_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("join", "window", "subquery", "tpch"),
+    description="TPC-H Q2-shaped min-cost supplier (fixtures have no partsupp; "
+    "the supply relation is the observed min unit price per (part, supplier) "
+    "from lineitem): the correlated per-part min subquery is decorrelated to a "
+    "window min (one extra exchange instead of a self-join), region/nation/part "
+    "dims broadcast, top-100 via TakeOrderedAndProject. Float-safe: the "
+    "min-equality compares identical IEEE doubles on both engines; rounding is "
+    "display-only.",
+)
+def q02_min_cost_supplier(spark, sf_dir):
+    from pyspark.sql import Window
+
+    supply = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 25)
+    ).select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal", "s_name", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE").select("r_regionkey")
+    eu = (
+        supply.join(F.broadcast(part), F.col("pk") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("sk") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    best = eu.withColumn("best_cost", F.min("unit_cost").over(Window.partitionBy("pk")))
+    return (
+        best.where(F.col("unit_cost") == F.col("best_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("pk").alias("p_partkey"),
+            _r(F.col("unit_cost"), 6).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+           {_R(_DS(_REV_SQL), 3)} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk", "tpch"),
+    description="TPC-H Q10 returned-item reporting: top-20 customers by lost "
+    "revenue in a quarter. Fact-side filters (quarter, returnflag) pushed to "
+    "the scans, orders->lineitem shuffle join, customer+nation broadcast, "
+    "decimal-accumulated revenue (order-independent), TakeOrderedAndProject "
+    "with a c_custkey tiebreak for a deterministic LIMIT.",
+)
+def q10_returned_items(spark, sf_dir):
+    ords = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1997-04-01 00:00:00"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey", "c_mktsegment"
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(_r(_dsum(_rev()), 3).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    f"""
+    SELECT {_R(
+        "100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN " + _REV_SQL +
+        " ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) / " + _DS(_REV_SQL), 6)}
+           AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    tags=("join", "conditional-agg", "tpch"),
+    description="TPC-H Q14 promo revenue share: one month of lineitem (filter "
+    "pushed to scan), part dim broadcast, both the conditional and total "
+    "revenue sums accumulated in DECIMAL(18,6) so the single-row ratio is "
+    "bit-identical at any parallelism.",
+)
+def q14_promo_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-09-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-10-01 00:00:00"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            _r(100.0 * _dsum(promo) / _dsum(_rev()), 6).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    dominant AS (
+      SELECT l_suppkey FROM (
+        SELECT l_suppkey, l_partkey, qty,
+               sum(qty) OVER (PARTITION BY l_partkey) AS part_total
+        FROM shipped
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+      ) WHERE qty > 0.3 * part_total
+    )
+    SELECT s_name, s_acctbal FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+      AND s_nationkey IN (SELECT n_nationkey FROM nation
+                          JOIN region ON n_regionkey = r_regionkey
+                          WHERE r_name = 'ASIA')
+    ORDER BY s_name
+    """,
+    tags=("join", "semi", "window", "subquery", "tpch"),
+    description="TPC-H Q20-shaped excess shippers (fixtures have no partsupp: "
+    "'availqty > half of shipped' becomes 'supplier ships >30% of a widget "
+    "part's yearly volume'): the nested IN-subqueries decorrelate to broadcast "
+    "semi joins, the correlated per-part total to a window sum. Quantities "
+    "accumulate in DECIMAL so the >30% comparison sees identical doubles on "
+    "both engines.",
+)
+def q20_excess_shippers(spark, sf_dir):
+    from pyspark.sql import Window
+
+    widget = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%")).select("p_partkey")
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+        )
+        .join(F.broadcast(widget), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("qty"))
+    )
+    dominant = (
+        shipped.withColumn("part_total", F.sum("qty").over(Window.partitionBy("l_partkey")))
+        .where(F.col("qty") > 0.3 * F.col("part_total"))
+        .select("l_suppkey")
+    )
+    asia = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

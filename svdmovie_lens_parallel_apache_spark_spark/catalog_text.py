@@ -881,3 +881,18 @@ def q_doc_winnowing(spark, sf_dir):
     from .operators.textops import winnowing_fingerprints
 
     return winnowing_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
+
+
+@register(
+    "ann_pq_knn",
+    None,  # KMeans codebook internals are engine-specific — rows-only; recall gate in tests
+    tags=("similarity", "pq", "knn", "ml"),
+    description="Product-quantization ANN top-5: per-subspace KMeans codebooks, "
+    "code-only ADC scan (16x memory compression — the billion-vector path where raw "
+    "vectors don't fit), exact cosine re-rank of the k*refine shortlist. Recall vs "
+    "knn_brute_cosine asserted in tests/test_scale_ops.py.",
+)
+def q_ann_pq(spark, sf_dir):
+    from .operators.similarity import knn_pq
+
+    return knn_pq(_t(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)

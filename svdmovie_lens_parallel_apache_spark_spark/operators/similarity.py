@@ -234,3 +234,112 @@ def embedding_norm_stats(emb: DataFrame) -> DataFrame:
         _r(F.min("norm"), 6).alias("min_norm"),
         _r(F.max("norm"), 6).alias("max_norm"),
     )
+
+
+def knn_pq(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
+           m: int = 16, n_codes: int = 16, refine: int = 8,
+           seed: int = 42) -> DataFrame:
+    """Product-quantization ANN (ADC scan + exact re-rank) — the
+    memory-compression path for billion-vector search:
+
+    1. normalize vectors to unit L2 (so L2 order == cosine order);
+    2. split into ``m`` subvectors; per-subspace KMeans codebook of
+       ``n_codes`` centroids (MLlib, ``m`` small fits);
+    3. encode the corpus as ``m`` small codes — m bytes/vector instead of
+       4·dim (16× compression at the m=16, dim=64, float32 defaults;
+       64× at m=4): the ADC scan touches ONLY codes, never raw vectors;
+    4. per query, build asymmetric-distance lookup tables (distance from
+       the query subvector to every centroid); approx distance = sum of
+       m table entries; take the top ``k·refine`` by ADC, then join back
+       to raw vectors for the exact cosine re-rank of that small set.
+
+    Scale shape: codebooks broadcast as literals; the corpus scan is a
+    map over codes (no shuffle); only k·refine candidates per query pay
+    vector I/O + exact math. Rows-only (KMeans internals are
+    engine-specific); recall vs brute force asserted in tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    dim = len(emb.select("embedding").first()[0])
+    assert dim % m == 0
+    d_sub = dim // m
+
+    raw = emb.select("vec_id", to_double(F.col("embedding")).alias("rv"))
+    unit = raw.select(
+        "vec_id",
+        F.transform(F.col("rv"), lambda x: x / l2_norm(F.col("rv"))).alias("vec"),
+    )
+    featured = unit
+    for s in range(m):
+        featured = featured.withColumn(
+            f"f{s}", array_to_vector(F.slice(F.col("vec"), s * d_sub + 1, d_sub))
+        )
+    featured = featured.cache()
+
+    codebooks = []  # per subspace: list of centroid arrays
+    encoded = featured
+    for s in range(m):
+        model = KMeans(k=n_codes, seed=seed + s, featuresCol=f"f{s}",
+                       predictionCol=f"code{s}").fit(featured)
+        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+        encoded = model.transform(encoded)
+    # the compressed corpus: id + m codes, raw vectors dropped
+    codes = encoded.select(
+        F.col("vec_id").alias("neighbor_id"), *[f"code{s}" for s in range(m)]
+    )
+
+    q = encoded.where(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec")
+    )
+
+    def _sq_dist_to(sub: Column, center: list[float]) -> Column:
+        c = F.array(*[F.lit(v) for v in center])
+        return F.aggregate(
+            F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # ADC: per subspace, distance from the query subvector to the centroid
+    # the candidate's code names — a CASE over the (broadcast-literal)
+    # codebook, summed across subspaces
+    adc = F.lit(0.0)
+    for s in range(m):
+        sub = F.slice(F.col("q_vec"), s * d_sub + 1, d_sub)
+        case = None
+        for code_id, center in enumerate(codebooks[s]):
+            d = _sq_dist_to(sub, center)
+            case = (
+                F.when(F.col(f"code{s}") == code_id, d)
+                if case is None
+                else case.when(F.col(f"code{s}") == code_id, d)
+            )
+        adc = adc + case
+
+    cand = (
+        F.broadcast(q)
+        .crossJoin(codes)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", adc.alias("adc_dist"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    short = (
+        cand.withColumn("arank", F.row_number().over(wa))
+        .where(F.col("arank") <= k * refine)
+        .select("query_id", "q_vec", "neighbor_id")
+    )
+    # exact re-rank: only the shortlist pays raw-vector I/O
+    rerank = short.join(
+        unit.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("c_vec")),
+        "neighbor_id",
+    )
+    cos = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        rerank.select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", _r(F.col("cos_raw"), 6).alias("cosine"))
+    )

@@ -196,3 +196,28 @@ def test_aqe_skew_join_mitigation_engages(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_engages(spark, tmp_path):
+    """Partition-layout story: a selective dim filter must prune fact
+    PARTITIONS at runtime (DPP inserts a dynamicpruning subquery into the
+    scan's PartitionFilters) — on 100 TB of date/tenant-partitioned data
+    this is the difference between scanning one partition and all of them."""
+    from pyspark.sql import functions as F
+
+    from svdmovie_lens_parallel_apache_spark_spark.plans.explain import formatted_plan
+
+    d = str(tmp_path / "fact_part")
+    spark.range(20_000).select(
+        (F.col("id") % 5).alias("pk"), F.col("id").alias("v")
+    ).write.partitionBy("pk").mode("overwrite").parquet(d)
+    fact = spark.read.parquet(d)
+    # dim filter on a data column NOT derivable from the join key — only
+    # runtime pruning can narrow the fact scan
+    dim = spark.createDataFrame(
+        [(0, "keep"), (1, "drop"), (2, "drop"), (3, "drop"), (4, "drop")],
+        "pk long, tag string",
+    ).where(F.col("tag") == "keep")
+    j = fact.join(dim, "pk").agg(F.sum("v").alias("s"))
+    plan = formatted_plan(j)
+    assert "dynamicpruningexpression" in plan, plan

@@ -185,3 +185,18 @@ def test_clustered_write_produces_prunable_layout(spark, sf_dir, tmp_path):
         assert lo >= prev_hi, ranges
     # row preservation
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_pq_knn_recall_vs_brute_force(spark, sf_dir):
+    from svdmovie_lens_parallel_apache_spark_spark.operators.similarity import (
+        knn_brute_force,
+        knn_pq,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {(r.query_id, r.neighbor_id) for r in knn_brute_force(emb, 10, 5).collect()}
+    pq = {(r.query_id, r.neighbor_id) for r in knn_pq(emb, 10, 5).collect()}
+    assert len(pq) == 50
+    recall = len(brute & pq) / len(brute)
+    assert recall >= 0.5, f"PQ recall collapsed: {recall}"
