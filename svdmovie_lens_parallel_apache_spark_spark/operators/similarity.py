@@ -24,6 +24,9 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -238,29 +241,38 @@ def embedding_norm_stats(emb: DataFrame) -> DataFrame:
 
 def knn_pq(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
            m: int = 16, n_codes: int = 16, refine: int = 8,
-           seed: int = 42) -> DataFrame:
+           seed: int = 42, train_sample: int = 20000) -> DataFrame:
     """Product-quantization ANN (ADC scan + exact re-rank) — the
     memory-compression path for billion-vector search:
 
     1. normalize vectors to unit L2 (so L2 order == cosine order);
-    2. split into ``m`` subvectors; per-subspace KMeans codebook of
-       ``n_codes`` centroids (MLlib, ``m`` small fits);
-    3. encode the corpus as ``m`` small codes — m bytes/vector instead of
-       4·dim (16× compression at the m=16, dim=64, float32 defaults;
-       64× at m=4): the ADC scan touches ONLY codes, never raw vectors;
-    4. per query, build asymmetric-distance lookup tables (distance from
-       the query subvector to every centroid); approx distance = sum of
-       m table entries; take the top ``k·refine`` by ADC, then join back
-       to raw vectors for the exact cosine re-rank of that small set.
+    2. train per-subspace codebooks of ``n_codes`` centroids with Lloyd's
+       algorithm on a BOUNDED driver-side sample (``train_sample`` rows) —
+       the standard PQ practice (FAISS trains codebooks on ~100k sampled
+       vectors regardless of corpus size), so training cost is O(sample),
+       not O(corpus), and stays constant at 100 TB;
+    3. encode the corpus as an ``array<int>`` of ``m`` codes via ONE
+       Arrow-batched pandas UDF pass (vectorized ‖x‖²−2x·c argmin over
+       all subspaces at once) — m bytes/vector instead of 4·dim (16×
+       compression at m=16, dim=64, float32): the ADC scan touches ONLY
+       codes, never raw vectors;
+    4. per query, precompute the asymmetric-distance lookup table
+       (m × n_codes squared distances, driver-side NumPy — queries are
+       few and broadcast); the ADC distance of a candidate is then a pure
+       JVM-side ``zip_with(codes, lut, (c, t) -> t[c]) |> sum`` — no
+       Python, no CASE chains, O(m) element_at per candidate;
+    5. take the top ``k·refine`` by ADC per query, then join back to raw
+       vectors for the exact cosine re-rank of that small set.
 
-    Scale shape: codebooks broadcast as literals; the corpus scan is a
-    map over codes (no shuffle); only k·refine candidates per query pay
-    vector I/O + exact math. Rows-only (KMeans internals are
-    engine-specific); recall vs brute force asserted in tests.
+    Scale shape: codebooks + query LUTs broadcast; the corpus scan is a
+    single map over codes (no shuffle); only k·refine candidates per
+    query pay vector I/O + exact math. The two driver collects are both
+    bounded (sample cap, query-set size) by construction. Rows-only
+    (codebook internals are engine-specific); recall vs brute force
+    asserted in tests.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
 
     dim = len(emb.select("embedding").first()[0])
     assert dim % m == 0
@@ -271,52 +283,74 @@ def knn_pq(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
         "vec_id",
         F.transform(F.col("rv"), lambda x: x / l2_norm(F.col("rv"))).alias("vec"),
     )
-    featured = unit
-    for s in range(m):
-        featured = featured.withColumn(
-            f"f{s}", array_to_vector(F.slice(F.col("vec"), s * d_sub + 1, d_sub))
-        )
-    featured = featured.cache()
 
-    codebooks = []  # per subspace: list of centroid arrays
-    encoded = featured
+    # --- codebook training on a bounded, deterministic sample ---
+    sample_rows = (
+        unit.orderBy("vec_id").limit(train_sample).select("vec").collect()
+    )
+    X = np.array([r.vec for r in sample_rows], dtype=np.float64)
+    assert len(X) >= n_codes, "corpus smaller than the codebook"
+    rng = np.random.default_rng(seed)
+    cb = np.empty((m, n_codes, d_sub))
     for s in range(m):
-        model = KMeans(k=n_codes, seed=seed + s, featuresCol=f"f{s}",
-                       predictionCol=f"code{s}").fit(featured)
-        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
-        encoded = model.transform(encoded)
-    # the compressed corpus: id + m codes, raw vectors dropped
-    codes = encoded.select(
-        F.col("vec_id").alias("neighbor_id"), *[f"code{s}" for s in range(m)]
+        Xs = X[:, s * d_sub:(s + 1) * d_sub]
+        C = Xs[rng.choice(len(Xs), n_codes, replace=False)].copy()
+        for _ in range(20):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(n_codes):
+                pts = Xs[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        cb[s] = C
+    cb_sq = (cb ** 2).sum(-1)  # (m, n_codes) centroid norms for the dot trick
+
+    @pandas_udf("array<int>")
+    def encode(batch: pd.Series) -> pd.Series:
+        V = np.array([np.asarray(v, dtype=np.float64) for v in batch])
+        if len(V) == 0:
+            return pd.Series([], dtype=object)
+        Vs = V.reshape(len(V), m, d_sub)
+        # ‖x−c‖² argmin == (‖c‖² − 2x·c) argmin; (B, m, n_codes) via einsum
+        dots = np.einsum("bmd,mcd->bmc", Vs, cb)
+        codes = (cb_sq[None, :, :] - 2.0 * dots).argmin(-1).astype("int32")
+        return pd.Series(list(codes))
+
+    codes = unit.select(
+        F.col("vec_id").alias("neighbor_id"), encode(F.col("vec")).alias("codes")
     )
 
-    q = encoded.where(F.col("vec_id") < query_ids_below).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec")
+    # --- per-query ADC lookup tables, driver-side (queries are few) ---
+    q_rows = unit.where(F.col("vec_id") < query_ids_below).collect()
+    spark = emb.sparkSession
+    q_pd = pd.DataFrame(
+        {
+            "query_id": [r.vec_id for r in q_rows],
+            "q_vec": [list(r.vec) for r in q_rows],
+            "lut": [
+                [
+                    [
+                        float(((np.asarray(r.vec[s * d_sub:(s + 1) * d_sub]) - cb[s][c]) ** 2).sum())
+                        for c in range(n_codes)
+                    ]
+                    for s in range(m)
+                ]
+                for r in q_rows
+            ],
+        }
+    )
+    q = spark.createDataFrame(
+        q_pd, "query_id bigint, q_vec array<double>, lut array<array<double>>"
     )
 
-    def _sq_dist_to(sub: Column, center: list[float]) -> Column:
-        c = F.array(*[F.lit(v) for v in center])
-        return F.aggregate(
-            F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    # ADC: per subspace, distance from the query subvector to the centroid
-    # the candidate's code names — a CASE over the (broadcast-literal)
-    # codebook, summed across subspaces
-    adc = F.lit(0.0)
-    for s in range(m):
-        sub = F.slice(F.col("q_vec"), s * d_sub + 1, d_sub)
-        case = None
-        for code_id, center in enumerate(codebooks[s]):
-            d = _sq_dist_to(sub, center)
-            case = (
-                F.when(F.col(f"code{s}") == code_id, d)
-                if case is None
-                else case.when(F.col(f"code{s}") == code_id, d)
-            )
-        adc = adc + case
+    # ADC distance: sum over subspaces of lut[s][code_s] — pure JVM lookup
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("lut"), lambda cd, tbl: F.element_at(tbl, cd + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
     cand = (
         F.broadcast(q)
