@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 # Importing these modules populates the shared REGISTRY.
 from svdmovie_lens_parallel_apache_spark_spark import catalog as _catalog
 
-for _mod in ("catalog_text", "catalog_ml", "catalog_stream"):
+for _mod in ("catalog_text", "catalog_ml", "catalog_stream", "catalog_pipeline"):
     try:  # later-milestone catalogs; absence must not break the smoke check
         __import__(f"svdmovie_lens_parallel_apache_spark_spark.{_mod}")
     except ImportError:

@@ -1,0 +1,560 @@
+"""Catalog part 5: large-scale training-data pipeline operators —
+sequence packing, weighted sampling, frequency/membership sketches,
+PII redaction, embedding quantization, rolling range windows, skew
+profiling, and Z-order clustering.
+
+The reference (801-line RDD recommender, SVDMovieLensSparkJava.java) has
+none of these; they are the 100 TB north-star additions (BASELINE.json):
+the operators an LLM training-data pipeline runs between raw crawl and
+tokenized shards. Everything hashes through the portable md5 family
+(functions/hashing.py) and rounds through portable_round, so each query
+has an exact DuckDB oracle that replays the algorithm bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import _R, _t, register
+from .functions.hashing import (
+    oracle_hash_sql,
+    oracle_shingle_hash_sql,
+    portable_hash64,
+    shingle_hash,
+)
+from .functions.scalar import portable_round as _r
+from .functions.text import token_count
+from .functions.vectors import to_double
+from .operators.sketches import bloom_positions, bloom_prune, cms_build, cms_estimate
+
+# DuckDB twin of functions.text.tokens (single-space corpus; parity proven
+# by the text_stats/doc_chunks oracles in catalog_text).
+_TOKS = "list_filter(string_split(trim({src}), ' '), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — docs -> fixed-token-budget training bins
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 256
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT lang, doc_id,
+             CAST(len({_TOKS.format(src='text')}) AS INTEGER) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT lang, doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / {_PACK_CAP}.0) AS BIGINT) AS start_bin,
+           CAST(floor(greatest(cum - 1, cum - n_tokens) / {_PACK_CAP}.0) AS BIGINT) AS end_bin,
+           (CAST(floor((cum - n_tokens) / {_PACK_CAP}.0) AS BIGINT)
+            <> CAST(floor(greatest(cum - 1, cum - n_tokens) / {_PACK_CAP}.0) AS BIGINT))
+             AS spans_boundary
+    FROM c
+    """,
+    tags=("pipeline", "packing", "window"),
+    description="LLM sequence packing (GPT-style concat-and-chunk): docs are "
+    f"concatenated per lang shard in doc_id order and cut into {_PACK_CAP}-token "
+    "training bins; each doc gets its [start_bin, end_bin] span and a "
+    "crosses-boundary flag. One window cumsum per shard — no driver loop, no "
+    "sequential fold; at 100 TB each shard packs independently after a single "
+    "shuffle on the shard key.",
+)
+def q_sequence_packing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tokens").over(w))
+    start_bin = F.floor((F.col("cum") - F.col("n_tokens")) / float(_PACK_CAP)).cast("bigint")
+    end_bin = F.floor(
+        F.greatest(F.col("cum") - 1, F.col("cum") - F.col("n_tokens")) / float(_PACK_CAP)
+    ).cast("bigint")
+    return c.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        start_bin.alias("start_bin"),
+        end_bin.alias("end_bin"),
+        (start_bin != end_bin).alias("spans_boundary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+_ES_SALT = 7
+_ES_K = 5
+
+
+@register(
+    "weighted_sample_es",
+    f"""
+    WITH s AS (
+      SELECT lang, doc_id, n_chars,
+             -ln(({oracle_shingle_hash_sql('doc_id', _ES_SALT)} + 1) / 4294967296.0)
+               / n_chars AS es_key
+      FROM documents
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rn
+      FROM s
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
+           {_R('es_key', 9)} AS es_key
+    FROM r WHERE rn <= {_ES_K}
+    """,
+    tags=("pipeline", "sampling"),
+    description="Weighted sampling without replacement (Efraimidis–Spirakis "
+    "exponential race): per-doc key = -ln(u)/w with u a portable md5 uniform "
+    f"and w = n_chars; the {_ES_K} smallest keys per lang win. One pass + a "
+    "per-shard top-k window — the distributed-safe form of weighted reservoir "
+    "sampling (no sequential reservoir state), quality-weighted corpus "
+    "sampling at any scale.",
+)
+def q_weighted_sample_es(spark, sf_dir):
+    from pyspark.sql import Window
+
+    u = (shingle_hash(F.col("doc_id"), _ES_SALT) + 1).cast("double") / F.lit(2.0**32)
+    s = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        (-F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("es_key"), F.asc("doc_id"))
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _ES_K)
+        .select("lang", "doc_id", "weight", _r(F.col("es_key"), 9).alias("es_key"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 64
+
+
+def _bucket_sql(key_expr: str, width: int) -> str:
+    return (
+        oracle_hash_sql(f"concat(CAST(j AS VARCHAR), '|', CAST({key_expr} AS VARCHAR))")
+        + f" % {width}"
+    )
+
+
+@register(
+    "heavy_hitters_cms",
+    f"""
+    WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    c AS (
+      SELECT j, {_bucket_sql('user_id', _CMS_W)} AS bucket FROM events CROSS JOIN js
+    ),
+    cells AS (
+      SELECT j, bucket, CAST(count(*) AS BIGINT) AS cell_n FROM c GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n FROM events GROUP BY 1
+    ),
+    top AS (SELECT * FROM exact ORDER BY exact_n DESC, user_id LIMIT 10),
+    probe AS (
+      SELECT user_id, exact_n, j, {_bucket_sql('user_id', _CMS_W)} AS bucket
+      FROM top CROSS JOIN js
+    ),
+    est AS (
+      SELECT user_id, exact_n, min(cell_n) AS cms_est
+      FROM probe JOIN cells USING (j, bucket) GROUP BY 1, 2
+    )
+    SELECT user_id, exact_n, cms_est, cms_est - exact_n AS overcount FROM est
+    """,
+    tags=("pipeline", "sketch", "approx"),
+    description=f"Count-min sketch heavy hitters: a {_CMS_D}x{_CMS_W}-cell CMS "
+    "(memory O(d*w) REGARDLESS of key cardinality — the always-fits frequency "
+    "summary at 100 TB) built in one groupBy, then the exact top-10 users "
+    "point-queried against it. Estimate = min over d cells; overcount >= 0 "
+    "always (collisions only inflate). The oracle replays every cell "
+    "bit-for-bit via the portable hash family.",
+)
+def q_heavy_hitters_cms(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    sketch = cms_build(ev, "user_id", _CMS_D, _CMS_W)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(10)
+    est = cms_estimate(sketch, top.select("user_id"), "user_id", _CMS_D, _CMS_W)
+    return top.join(est, "user_id").select(
+        "user_id",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_NUM_RE = "[0-9]+"
+
+
+@register(
+    "pii_redaction",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '""" + _EMAIL_RE + """')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '""" + _NUM_RE + """')) AS INTEGER) AS n_numbers,
+           md5(regexp_replace(regexp_replace(text, '""" + _EMAIL_RE + """', '<EMAIL>', 'g'),
+                              '""" + _NUM_RE + """', '<NUM>', 'g')) AS redacted_md5
+    FROM documents
+    """,
+    tags=("pipeline", "text", "redaction"),
+    description="PII scrub pass: emails then digit runs replaced with typed "
+    "placeholder tokens, per-doc match counts emitted, and the redacted text "
+    "fingerprinted (md5) so the oracle verifies the EXACT redacted bytes, not "
+    "just counts. Pure JVM regex expressions — whole-stage codegen, no UDFs; "
+    "patterns are RE2/Java-regex common subset so both engines agree.",
+)
+def q_pii_redaction(spark, sf_dir):
+    text = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, _EMAIL_RE, "<EMAIL>"), _NUM_RE, "<NUM>"
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(text, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(text, F.lit(_NUM_RE)).alias("n_numbers"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization
+# ---------------------------------------------------------------------------
+
+_QUANT_ERR = (
+    "(x - (mn + floor((x - mn) / sc + 0.5) * sc))"
+    " * (x - (mn + floor((x - mn) / sc + 0.5) * sc))"
+)
+
+
+@register(
+    "embedding_int8_quant",
+    f"""
+    WITH v AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    s AS (
+      SELECT label, vec,
+             list_aggregate(vec, 'min') AS mn, list_aggregate(vec, 'max') AS mx
+      FROM v
+    ),
+    p AS (
+      SELECT label, vec, mn,
+             CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS sc
+      FROM s
+    ),
+    e AS (
+      SELECT label,
+             list_reduce(list_transform(vec, x -> {_QUANT_ERR}), (a, b) -> a + b)
+               / len(vec) AS mse
+      FROM p
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           {_R('CAST(sum(CAST(mse AS DECIMAL(18,12))) AS DOUBLE) / count(*)', 9)} AS avg_mse,
+           {_R('max(mse)', 9)} AS max_mse
+    FROM e GROUP BY label
+    """,
+    tags=("pipeline", "embedding", "quantization"),
+    description="Per-vector int8 affine quantization (min/max range, 255 "
+    "levels — 4x embedding storage cut for ANN shortlists) with exact "
+    "reconstruction-MSE accounting per label. All array math is sequential "
+    "JVM folds (bit-reproducible vs DuckDB list_reduce); the per-label mean "
+    "accumulates in DECIMAL so it is order-independent at any parallelism.",
+)
+def q_embedding_int8_quant(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("label", to_double(F.col("embedding")).alias("vec"))
+    s = v.select(
+        "label", "vec", F.array_min("vec").alias("mn"), F.array_max("vec").alias("mx")
+    )
+    p = s.select(
+        "label",
+        "vec",
+        "mn",
+        F.when(F.col("mx") == F.col("mn"), F.lit(1.0))
+        .otherwise((F.col("mx") - F.col("mn")) / 255.0)
+        .alias("sc"),
+    )
+
+    def sq_err(x):
+        rec = F.col("mn") + F.floor((x - F.col("mn")) / F.col("sc") + 0.5) * F.col("sc")
+        return (x - rec) * (x - rec)
+
+    e = p.select(
+        "label",
+        (
+            F.aggregate(
+                F.transform(F.col("vec"), sq_err), F.lit(0.0), lambda a, b: a + b
+            )
+            / F.size("vec")
+        ).alias("mse"),
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        _r(
+            F.sum(F.col("mse").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("avg_mse"),
+        _r(F.max("mse"), 9).alias("max_mse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning
+# ---------------------------------------------------------------------------
+
+_BLOOM_M, _BLOOM_K, _BLOOM_BAL = 2048, 3, 9500
+
+
+def _bloom_pos_sql(j: int, key_expr: str) -> str:
+    return (
+        oracle_hash_sql(f"concat('{j}', '|', CAST({key_expr} AS VARCHAR))")
+        + f" % {_BLOOM_M}"
+    )
+
+
+@register(
+    "bloom_join_prune",
+    f"""
+    WITH build AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > {_BLOOM_BAL}
+    ),
+    js AS (SELECT unnest([0, 1, 2]) AS j),
+    bits AS (
+      SELECT DISTINCT j,
+             {oracle_hash_sql("concat(CAST(j AS VARCHAR), '|', CAST(c_custkey AS VARCHAR))")}
+               % {_BLOOM_M} AS pos
+      FROM build CROSS JOIN js
+    ),
+    pass AS (
+      SELECT o_orderkey FROM orders
+      WHERE EXISTS (SELECT 1 FROM bits WHERE j = 0 AND pos = {_bloom_pos_sql(0, 'o_custkey')})
+        AND EXISTS (SELECT 1 FROM bits WHERE j = 1 AND pos = {_bloom_pos_sql(1, 'o_custkey')})
+        AND EXISTS (SELECT 1 FROM bits WHERE j = 2 AND pos = {_bloom_pos_sql(2, 'o_custkey')})
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_probe,
+      (SELECT CAST(count(*) AS BIGINT) FROM pass)   AS n_bloom_pass,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM build)) AS n_true_match,
+      (SELECT CAST(count(*) AS BIGINT) FROM pass)
+        - (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM build)) AS n_false_pos
+    """,
+    tags=("pipeline", "sketch", "join-prune"),
+    description=f"Bloom-filter join pruning: a {_BLOOM_M}-bit/{_BLOOM_K}-hash "
+    "filter over the (rich-customer) build keys collapses to ONE broadcast "
+    "row; the orders probe tests membership entirely map-side — no shuffle of "
+    "the fact table — before any exact join. No false negatives by "
+    "construction; the single-row report counts probe/pass/true/false-positive "
+    "so the pruning power is itself hash-gated. Manual portable twin of "
+    "spark.sql.optimizer.runtime.bloomFilter join pruning.",
+)
+def q_bloom_join_prune(spark, sf_dir):
+    build = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > _BLOOM_BAL)
+        .select("c_custkey")
+    )
+    pos = bloom_positions(build, "c_custkey", _BLOOM_M, _BLOOM_K)
+    probe = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    passed = bloom_prune(probe, pos, "o_custkey", _BLOOM_M, _BLOOM_K)
+    true_match = probe.join(
+        build, probe.o_custkey == build.c_custkey, "left_semi"
+    )
+    return (
+        probe.agg(F.count(F.lit(1)).alias("n_probe"))
+        .crossJoin(passed.agg(F.count(F.lit(1)).alias("n_bloom_pass")))
+        .crossJoin(true_match.agg(F.count(F.lit(1)).alias("n_true_match")))
+        .select(
+            "n_probe",
+            "n_bloom_pass",
+            "n_true_match",
+            (F.col("n_bloom_pass") - F.col("n_true_match")).alias("n_false_pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling event-time range window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_window_1h",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, value
+      FROM events
+    )
+    SELECT event_id, user_id, epoch_s,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           {_R('CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)', 3)} AS val_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("pipeline", "window", "time-series"),
+    description="Per-user rolling 1-hour event count + value sum via a RANGE "
+    "window frame over epoch seconds — the event-time feature primitive "
+    "(rate limits, activity features) without self-joins. RANGE (not ROWS) "
+    "frames make tie handling deterministic; the windowed sum accumulates in "
+    "DECIMAL so results are order-independent within the frame.",
+)
+def q_rolling_window_1h(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("epoch_s"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "epoch_s",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        _r(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 3
+        ).alias("val_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "key_skew_profile",
+    f"""
+    WITH k AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT)   AS n_rows,
+           CAST(max(n) AS BIGINT)   AS max_n,
+           CAST(min(n) AS BIGINT)   AS min_n,
+           {_R('avg(n)', 6)}        AS avg_n,
+           {_R('CAST(max(n) AS DOUBLE) / sum(n)', 9)} AS top1_share
+    FROM k
+    """,
+    tags=("pipeline", "profiling", "skew"),
+    description="Partition-key skew profile: per-key counts reduced to the "
+    "shuffle-planning numbers (key cardinality, max/min/mean occupancy, "
+    "heaviest key's share). The pre-flight check that decides salting / AQE "
+    "skew handling before a 100 TB join — two cheap aggregations, no data "
+    "movement beyond the keyed count.",
+)
+def q_key_skew_profile(spark, sf_dir):
+    k = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.min("n").alias("min_n"),
+        _r(F.avg("n"), 6).alias("avg_n"),
+        _r(F.max("n").cast("double") / F.sum("n"), 9).alias("top1_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10
+
+
+def _morton_sql(x_expr: str, y_expr: str) -> str:
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"(((({x_expr}) >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"(((({y_expr}) >> {b}) & 1) << {2 * b})")
+    return " | ".join(terms)
+
+
+def morton_col(x, y, bits: int = _Z_BITS):
+    """Interleave the low ``bits`` of x and y into a Morton (Z-order) code —
+    pure bitwise Catalyst expressions, bigint in, bigint out."""
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b + 1))
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b))
+    return z
+
+
+@register(
+    "zorder_cells",
+    f"""
+    WITH m AS (
+      SELECT ({_morton_sql('o_custkey % 1024',
+                           'CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) % 1024')})
+               AS z
+      FROM orders
+    )
+    SELECT (z >> 8) AS cell,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(z) AS BIGINT) AS z_min,
+           CAST(max(z) AS BIGINT) AS z_max
+    FROM m GROUP BY 1
+    """,
+    tags=("pipeline", "layout", "zorder"),
+    description="Z-order (Morton) clustering codes over (customer, order-day): "
+    "bit-interleave both dimensions into one sort key so range-partitioned "
+    "files get TIGHT min/max footprints on BOTH columns — parquet/iceberg "
+    "file skipping works for either predicate, the multi-dimensional layout "
+    "trick behind Delta/Iceberg OPTIMIZE ZORDER. Pure bitwise exprs, "
+    "bit-identical in the oracle; the actual clustered writer + footer-stats "
+    "assertion lives in sources/writers.py::write_zordered + tests.",
+)
+def q_zorder_cells(spark, sf_dir):
+    x = F.col("o_custkey") % 1024
+    day = F.floor(F.col("o_orderdate").cast("timestamp").cast("long") / 86400)
+    y = day.cast("bigint") % 1024
+    z = morton_col(x, y)
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(z.alias("z"))
+        .groupBy(F.shiftright(F.col("z"), 8).alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+    )

@@ -44,3 +44,41 @@ def write_clustered(df: DataFrame, path: str, cluster_cols: list[str],
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_zordered(df: DataFrame, path: str, x_col: str, y_col: str,
+                   bits: int = 10, n_files: int = 8,
+                   mode: str = "overwrite") -> None:
+    """Z-order-clustered parquet layout: Morton-interleave the low ``bits``
+    of TWO cluster columns into one sort key, then range-partition + sort
+    on it (the multi-dimensional generalisation of :func:`write_clustered`,
+    what Delta/Iceberg ``OPTIMIZE ZORDER BY`` does).
+
+    Why this matters at 100 TB: single-key range clustering gives tight
+    footer min/max stats on ONE column only — predicates on the second
+    column still scan every file. Interleaving bits makes each file a
+    small rectangle in (x, y) space, so min/max file skipping stays
+    selective for EITHER predicate. Footer-stats selectivity on both
+    dimensions is asserted in tests/test_pipeline_ops.py.
+
+    Both columns must be non-negative integers (hash/bucketize first
+    otherwise); only their low ``bits`` influence placement.
+    """
+    from pyspark.sql import functions as F
+
+    from ..catalog_pipeline import morton_col
+
+    mask = (1 << bits) - 1
+    z = morton_col(
+        F.col(x_col).cast("bigint").bitwiseAND(F.lit(mask)),
+        F.col(y_col).cast("bigint").bitwiseAND(F.lit(mask)),
+        bits,
+    )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -199,3 +199,127 @@ def test_winnowing_shared_passage_guarantee(spark):
     assert by_doc[1] & by_doc[2], "shared 6-token run must yield a common fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+# ---------------------------------------------------------------------------
+# Round-2 pipeline batch: sketches, packing, quantization, z-order layout
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """CMS point estimates are >= the exact count for EVERY key (cells only
+    inflate via collisions), and exact for keys with collision-free rows."""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.sketches import cms_build, cms_estimate
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sketch = cms_build(ev, "user_id", depth=4, width=64)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_estimate(sketch, exact.select("user_id"), "user_id", depth=4, width=64)
+    joined = exact.join(est, "user_id").collect()
+    assert len(joined) == exact.count()
+    assert all(r.cms_est >= r.exact_n for r in joined)
+
+
+def test_bloom_prune_no_false_negatives(spark, sf_dir):
+    """Every probe row whose key is genuinely in the build set must pass the
+    Bloom prune; pass-rate must beat no-pruning for a selective build side."""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.sketches import bloom_positions, bloom_prune
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    build = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9500)
+        .select("c_custkey")
+    )
+    probe = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pos = bloom_positions(build, "c_custkey")
+    passed = bloom_prune(probe, pos, "o_custkey")
+    true_match = probe.join(build, probe.o_custkey == build.c_custkey, "left_semi")
+    n_probe, n_pass, n_true = probe.count(), passed.count(), true_match.count()
+    # no false negatives: every true match also passes the filter
+    missed = true_match.join(passed.select("o_orderkey"), "o_orderkey", "left_anti")
+    assert missed.count() == 0
+    assert n_true <= n_pass < n_probe  # filter actually prunes
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Bins are capacity-aligned: a doc starting in bin b starts at an offset
+    < capacity within it; spans_boundary iff the doc crosses a bin edge; and
+    per-shard token mass is conserved."""
+    import __spark_entry__ as m
+
+    cap = 256
+    rows = m.queries()["sequence_packing"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.end_bin >= r.start_bin
+        # a doc spanning means it occupies >1 bin; a non-spanning doc fits in one
+        assert r.spans_boundary == (r.end_bin != r.start_bin)
+        if r.n_tokens > 0:
+            # can't span more bins than its token count allows
+            assert (r.end_bin - r.start_bin) <= (r.n_tokens // cap) + 1
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, 0)
+        per_lang[r.lang] += r.n_tokens
+    # every shard's final doc ends in bin floor((total-1)/cap)
+    finals = {}
+    for r in rows:
+        if r.lang not in finals or r.doc_id > finals[r.lang][0]:
+            finals[r.lang] = (r.doc_id, r.end_bin)
+    for lang, (_, end_bin) in finals.items():
+        assert end_bin == max(0, (per_lang[lang] - 1)) // cap
+
+
+def test_int8_quant_error_bound(spark, sf_dir):
+    """Affine int8 reconstruction error is bounded by (scale/2)^2 per
+    dimension: avg mse <= ((range/255)/2)^2 for every label group."""
+    import __spark_entry__ as m
+
+    rows = m.queries()["embedding_int8_quant"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.avg_mse <= r.max_mse
+        # embeddings are unit-ish gaussians: range < 10 → bound (10/255/2)^2
+        assert r.max_mse < (10.0 / 255 / 2) ** 2
+
+
+def test_zordered_write_skips_on_both_dims(spark, tmp_path):
+    """Z-order layout: per-file footer min/max footprints must be selective
+    on BOTH cluster columns (each file covers a small rectangle), which a
+    single-column range sort cannot achieve for the second column."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.writers import write_zordered
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        ((F.col("id") * 2654435761) % 128).alias("y"),  # decorrelated second dim
+    )
+    path = str(tmp_path / "zord")
+    write_zordered(df, path, "x", "y", bits=7, n_files=16)
+
+    spans_x, spans_y = [], []
+    for f in _glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mn = {c: None for c in ("x", "y")}
+        mx = {c: None for c in ("x", "y")}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if name in mn and st is not None:
+                    mn[name] = st.min if mn[name] is None else min(mn[name], st.min)
+                    mx[name] = st.max if mx[name] is None else max(mx[name], st.max)
+        if mn["x"] is not None:
+            spans_x.append(mx["x"] - mn["x"] + 1)
+            spans_y.append(mx["y"] - mn["y"] + 1)
+    assert len(spans_x) >= 8
+    # each file is a rectangle far smaller than the full 128x128 domain on
+    # BOTH dims (range-sort on x alone would leave y spans ~128)
+    assert sum(spans_x) / len(spans_x) <= 64
+    assert sum(spans_y) / len(spans_y) <= 64
