@@ -169,35 +169,69 @@ def mllib_brp_knn(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
     )
 
 
+def _sample_matrix(df: DataFrame, col: str, limit: int,
+                   order_col: str = "vec_id") -> "np.ndarray":
+    """Bounded deterministic training sample: top-``limit`` rows by
+    ``order_col`` (TakeOrdered — no full sort), collected as a matrix.
+    O(limit) driver memory regardless of corpus size."""
+    rows = df.orderBy(order_col).limit(limit).select(col).collect()
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def _lloyd(X: "np.ndarray", k: int, seed: int, iters: int = 20) -> "np.ndarray":
+    """Lloyd's k-means on an in-memory sample (NumPy, ‖x‖²−2x·c+‖c‖²
+    distances so no (n,k,d) temporary). Centroid training on a bounded
+    sample is the standard IVF/PQ practice — FAISS trains on ~100k sampled
+    vectors regardless of corpus size — so this stays O(sample) at 100 TB."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), k, replace=False)].copy()
+    x_sq = (X ** 2).sum(1)
+    for _ in range(iters):
+        d2 = x_sq[:, None] - 2.0 * (X @ C.T) + (C ** 2).sum(1)[None, :]
+        assign = d2.argmin(1)
+        for c in range(k):
+            pts = X[assign == c]
+            if len(pts):
+                C[c] = pts.mean(0)
+    return C
+
+
 def knn_ivf(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
-            n_clusters: int = 16, n_probe: int = 4, seed: int = 42) -> DataFrame:
-    """IVF-style ANN: KMeans-partition the corpus (the inverted file), then
+            n_clusters: int = 16, n_probe: int = 4, seed: int = 42,
+            train_sample: int = 20000) -> DataFrame:
+    """IVF-style ANN: k-means-partition the corpus (the inverted file), then
     search only the ``n_probe`` nearest cells per query, exact cosine
     re-rank inside.
 
     The clustering-based alternative to hash-based LSH: cells adapt to the
     data distribution, and probe count trades recall for compute. Scale
-    shape: centroid assignment is a map (broadcast centers); candidate
+    shape: centroids train on a BOUNDED driver-side sample (FAISS
+    practice, O(sample) whatever the corpus size); cell assignment is one
+    Arrow-batched vectorized pass (broadcast centers); candidate
     generation is an equi-join on cell id; only candidates pay the exact
-    distance. Rows-only (KMeans internals are engine-specific); recall vs
+    distance. Rows-only (k-means internals are engine-specific); recall vs
     brute force asserted in tests.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
 
     base = emb.select("vec_id", to_double(F.col("embedding")).alias("vec"))
-    featured = base.withColumn("features", array_to_vector(F.col("vec")))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(featured)
-    assigned = model.transform(featured).select(
-        "vec_id", "vec", F.col("prediction").alias("cell")
-    )
+    C = _lloyd(_sample_matrix(base, "vec", train_sample), n_clusters, seed)
+    c_sq = (C ** 2).sum(1)
 
-    centers = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+    @pandas_udf("int")
+    def assign_cell(batch: pd.Series) -> pd.Series:
+        V = np.array([np.asarray(v, dtype=np.float64) for v in batch])
+        if len(V) == 0:
+            return pd.Series([], dtype="int32")
+        d2 = c_sq[None, :] - 2.0 * (V @ C.T)
+        return pd.Series(d2.argmin(1).astype("int32"))
+
+    assigned = base.withColumn("cell", assign_cell(F.col("vec")))
+
     centers_df = emb.sparkSession.createDataFrame(
-        centers, "cell int, center array<double>"
+        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
+        "cell int, center array<double>",
     )
     q = assigned.where(F.col("vec_id") < query_ids_below).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec")
@@ -285,24 +319,11 @@ def knn_pq(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
     )
 
     # --- codebook training on a bounded, deterministic sample ---
-    sample_rows = (
-        unit.orderBy("vec_id").limit(train_sample).select("vec").collect()
-    )
-    X = np.array([r.vec for r in sample_rows], dtype=np.float64)
+    X = _sample_matrix(unit, "vec", train_sample)
     assert len(X) >= n_codes, "corpus smaller than the codebook"
-    rng = np.random.default_rng(seed)
     cb = np.empty((m, n_codes, d_sub))
     for s in range(m):
-        Xs = X[:, s * d_sub:(s + 1) * d_sub]
-        C = Xs[rng.choice(len(Xs), n_codes, replace=False)].copy()
-        for _ in range(20):
-            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            for c in range(n_codes):
-                pts = Xs[assign == c]
-                if len(pts):
-                    C[c] = pts.mean(0)
-        cb[s] = C
+        cb[s] = _lloyd(X[:, s * d_sub:(s + 1) * d_sub], n_codes, seed + s)
     cb_sq = (cb ** 2).sum(-1)  # (m, n_codes) centroid norms for the dot trick
 
     @pandas_udf("array<int>")
