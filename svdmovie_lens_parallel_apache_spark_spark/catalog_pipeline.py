@@ -558,3 +558,310 @@ def q_zorder_cells(spark, sf_dir):
             F.max("z").alias("z_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM document scoring (perplexity-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unigram_lm_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS.format(src='lower(text)')}) AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n_t FROM toks GROUP BY 1
+    ),
+    total AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM vocab),
+    scored AS (
+      SELECT doc_id,
+             {_R('-ln(CAST(n_t AS DOUBLE) / n)', 9)} AS nll
+      FROM toks JOIN vocab USING (term), total
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           {_R('CAST(sum(CAST(nll AS DECIMAL(18,9))) AS DOUBLE) / count(*)', 6)} AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("pipeline", "text", "quality", "lm"),
+    description="Unigram language-model scoring: corpus token frequencies -> "
+    "per-doc mean negative log-likelihood (the cheap perplexity proxy used to "
+    "filter gibberish / off-distribution text before training). Two shuffles "
+    "(vocab count, per-doc agg); per-token NLLs are portable-rounded then "
+    "DECIMAL-accumulated so the per-doc mean is order-independent. At 100 TB "
+    "the vocab join shuffles on term — Zipf skew is bounded because the hot "
+    "terms are few and the join is agg-side partial-combined.",
+)
+def q_unigram_lm_score(spark, sf_dir):
+    from .functions.text import tokens as _tokens
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term"))
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
+    total = vocab.agg(F.sum("n_t").alias("n"))
+    scored = (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            _r(-F.log(F.col("n_t").cast("double") / F.col("n")), 9).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        _r(
+            F.sum(F.col("nll").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GDPR purge cascade audit
+# ---------------------------------------------------------------------------
+
+_PURGE_MOD = 97
+
+
+@register(
+    "gdpr_purge_audit",
+    f"""
+    WITH tomb AS (
+      SELECT c_custkey AS key FROM customer WHERE c_custkey % {_PURGE_MOD} = 0
+    ),
+    ev_tomb AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % {_PURGE_MOD} = 0
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM customer
+        WHERE c_custkey IN (SELECT key FROM tomb))                       AS customers_purged,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_custkey IN (SELECT key FROM tomb))                       AS orders_purged,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_custkey IN (SELECT key FROM tomb))) AS lineitems_purged,
+      (SELECT CAST(count(*) AS BIGINT) FROM events
+        WHERE user_id IN (SELECT user_id FROM ev_tomb))                  AS events_purged,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_custkey NOT IN (SELECT key FROM tomb))                   AS orders_kept,
+      (SELECT CAST(count(*) AS BIGINT) FROM events
+        WHERE user_id NOT IN (SELECT user_id FROM ev_tomb))              AS events_kept
+    """,
+    tags=("pipeline", "compliance", "purge"),
+    description="Right-to-be-forgotten cascade audit: a tombstone key set "
+    "propagates customer -> orders -> lineitem (FK chase) and user -> events, "
+    "reporting purged/kept row counts per table in one row. Every cascade "
+    "level is a broadcast semi/anti join against the (small) tombstone list — "
+    "the fact tables never shuffle; at 100 TB this is the delete-compliance "
+    "sweep you run before rewriting data files.",
+)
+def q_gdpr_purge_audit(spark, sf_dir):
+    tomb = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % _PURGE_MOD == 0)
+        .select(F.col("c_custkey").alias("key"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    ev = _t(spark, sf_dir, "events").select("user_id")
+
+    purged_orders = orders.join(
+        F.broadcast(tomb), orders.o_custkey == tomb.key, "left_semi"
+    )
+    kept_orders = orders.join(
+        F.broadcast(tomb), orders.o_custkey == tomb.key, "left_anti"
+    )
+    purged_li = li.join(
+        F.broadcast(purged_orders.select("o_orderkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    ev_purged = ev.where(F.col("user_id") % _PURGE_MOD == 0)
+    ev_kept = ev.where(~(F.col("user_id") % _PURGE_MOD == 0))
+
+    return (
+        cust.join(F.broadcast(tomb), cust.c_custkey == tomb.key, "left_semi")
+        .agg(F.count(F.lit(1)).alias("customers_purged"))
+        .crossJoin(purged_orders.agg(F.count(F.lit(1)).alias("orders_purged")))
+        .crossJoin(purged_li.agg(F.count(F.lit(1)).alias("lineitems_purged")))
+        .crossJoin(ev_purged.agg(F.count(F.lit(1)).alias("events_purged")))
+        .crossJoin(kept_orders.agg(F.count(F.lit(1)).alias("orders_kept")))
+        .crossJoin(ev_kept.agg(F.count(F.lit(1)).alias("events_kept")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (algebraic partial-agg merge)
+# ---------------------------------------------------------------------------
+
+_INC_CUT = "1997-07-01 00:00:00"
+
+
+@register(
+    "incremental_agg_merge",
+    f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {_R('CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)', 3)} AS total_value,
+           CAST(max(floor(epoch(ts))) AS BIGINT) AS last_epoch_s
+    FROM events GROUP BY user_id
+    """,
+    tags=("pipeline", "incremental", "agg"),
+    description="Incremental view maintenance: the per-user aggregate state is "
+    f"computed as base (ts < {_INC_CUT}) and delta (ts >= cut) PARTIALS, then "
+    "algebraically merged (count add, DECIMAL sum add, max of maxes) via one "
+    "full-outer join — never touching base rows again. The oracle is the "
+    "direct full recompute, so the hash gate PROVES merge == recompute: the "
+    "commutative-monoid property that makes 100 TB rollups maintainable from "
+    "deltas alone. DECIMAL accumulation keeps float sums mergeable exactly.",
+)
+def q_incremental_agg_merge(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", F.col("ts").cast("long").alias("epoch_s")
+    )
+    cut = F.lit(_INC_CUT).cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("tot"),
+            F.max("epoch_s").alias("last"),
+        )
+
+    base = partial(ev.where(F.col("ts") < cut))
+    delta = partial(ev.where(F.col("ts") >= cut))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, F.col("b.user_id") == F.col("d.user_id"), "full_outer").select(
+        F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias("user_id"),
+        (
+            F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))
+        ).alias("n_events"),
+        (
+            F.coalesce(F.col("b.tot"), F.lit(0).cast("decimal(18,6)"))
+            + F.coalesce(F.col("d.tot"), F.lit(0).cast("decimal(18,6)"))
+        ).alias("tot"),
+        F.greatest(F.col("b.last"), F.col("d.last")).alias("last_epoch_s"),
+    )
+    return merged.select(
+        "user_id",
+        "n_events",
+        _r(F.col("tot").cast("double"), 3).alias("total_value"),
+        "last_epoch_s",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "data_quality_audit",
+    """
+    SELECT 'orders_orphan_custkey' AS check_name,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+             AS n_violations,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_checked
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_dup_custkey',
+           CAST((SELECT count(*) FROM
+                  (SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1) _d)
+             AS BIGINT),
+           CAST((SELECT count(*) FROM customer) AS BIGINT)
+    UNION ALL
+    SELECT 'documents_nchar_mismatch',
+           CAST((SELECT count(*) FROM documents WHERE length(text) <> n_chars) AS BIGINT),
+           CAST((SELECT count(*) FROM documents) AS BIGINT)
+    UNION ALL
+    SELECT 'events_ts_out_of_range',
+           CAST((SELECT count(*) FROM events
+                 WHERE ts < TIMESTAMP '1995-01-01 00:00:00'
+                    OR ts >= TIMESTAMP '1999-01-01 00:00:00') AS BIGINT),
+           CAST((SELECT count(*) FROM events) AS BIGINT)
+    """,
+    tags=("pipeline", "quality", "audit"),
+    description="Data-contract audit: referential integrity (orphan FKs via "
+    "anti joins), domain constraints (non-positive quantities, out-of-range "
+    "timestamps), uniqueness (duplicate keys), and derived-column consistency "
+    "(n_chars == length(text)) — one (check, violations, checked) row each. "
+    "Each check is a single agg or broadcast anti-join; the whole report is "
+    "what a 100 TB ingest gate runs before promoting a snapshot.",
+)
+def q_data_quality_audit(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+
+    def report(name, violations_df, checked_df):
+        return (
+            violations_df.agg(F.count(F.lit(1)).alias("n_violations"))
+            .crossJoin(checked_df.agg(F.count(F.lit(1)).alias("n_checked")))
+            .select(
+                F.lit(name).alias("check_name"), "n_violations", "n_checked"
+            )
+        )
+
+    checks = [
+        report(
+            "orders_orphan_custkey",
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ),
+            orders,
+        ),
+        report(
+            "lineitem_orphan_orderkey",
+            li.join(
+                orders.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ),
+            li,
+        ),
+        report("lineitem_nonpositive_qty", li.where(F.col("l_quantity") <= 0), li),
+        report(
+            "customer_dup_custkey",
+            cust.groupBy("c_custkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1),
+            cust,
+        ),
+        report(
+            "documents_nchar_mismatch",
+            docs.where(F.length("text") != F.col("n_chars")),
+            docs,
+        ),
+        report(
+            "events_ts_out_of_range",
+            ev.where(
+                (F.col("ts") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+                | (F.col("ts") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            ),
+            ev,
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

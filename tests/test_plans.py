@@ -1,6 +1,8 @@
 """Plan-shape assertions: the scale properties (pushdown, pruning,
 broadcast, JVM-only hot path) must hold, not just the row values."""
 
+from pyspark.sql import functions as F
+
 import svdmovie_lens_parallel_apache_spark_spark.catalog_text  # noqa: F401 — populates REGISTRY
 from svdmovie_lens_parallel_apache_spark_spark.catalog import REGISTRY
 from svdmovie_lens_parallel_apache_spark_spark.plans.explain import (
@@ -221,3 +223,43 @@ def test_dynamic_partition_pruning_engages(spark, tmp_path):
     j = fact.join(dim, "pk").agg(F.sum("v").alias("s"))
     plan = formatted_plan(j)
     assert "dynamicpruningexpression" in plan, plan
+
+
+def test_bloom_prune_probe_never_shuffles(spark, sf_dir):
+    """The Bloom membership test must be map-side only: the probe table's
+    plan may broadcast the one-row bit array (BroadcastNestedLoopJoin) but
+    must contain NO Exchange and NO shuffle join on the probe side."""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.sketches import (
+        bloom_positions,
+        bloom_prune,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.plans.explain import plan_summary
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    build = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9500)
+        .select("c_custkey")
+    )
+    probe = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pruned = bloom_prune(probe, bloom_positions(build, "c_custkey"), "o_custkey")
+    s = plan_summary(pruned)
+    # the only Exchange allowed is the build side's distinct-positions agg
+    # collapsing to one row; the probe scan→filter path must be shuffle-free
+    assert s["sortmerge_joins"] == 0
+    assert not s["has_python_udf"]
+    assert s["exchanges"] <= 2  # positions distinct + single-row collect agg
+
+
+def test_cms_build_single_exchange(spark, sf_dir):
+    """CMS construction is one partial-combined groupBy over (j, bucket):
+    exactly one Exchange, map-side partial aggregation present."""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.sketches import cms_build
+    from svdmovie_lens_parallel_apache_spark_spark.plans.explain import plan_summary
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    sk = cms_build(load_table(spark, sf_dir, "events").select("user_id"), "user_id")
+    s = plan_summary(sk)
+    assert s["exchanges"] == 1
+    assert s["partial_agg"]
+    assert not s["has_python_udf"]
