@@ -865,3 +865,109 @@ def q_data_quality_audit(spark, sf_dir):
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# PageRank (iterative graph algorithm, exactly-replayable)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 4
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled power-iteration CTE chain — the single-node replay of the
+    distributed loop, exact because every iteration's ranks are
+    portable-rounded and contributions DECIMAL-accumulated."""
+    head = f"""
+    WITH base AS (
+      SELECT concat('u:', CAST(user_id AS VARCHAR)) AS u,
+             concat('t:', event_type) AS t,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM events GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT u AS src, t AS dst, w FROM base
+      UNION ALL
+      SELECT t AS src, u AS dst, w FROM base
+    ),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT node, {_R('1.0 / n', 12)} AS rank FROM nodes CROSS JOIN nn)
+    """
+    for i in range(1, _PR_ITERS + 1):
+        head += f""",
+    c{i} AS (
+      SELECT e.dst AS node,
+             CAST(sum(CAST(r.rank * e.w / o.ow AS DECIMAL(28,16))) AS DOUBLE) AS s
+      FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN outw o ON e.src = o.src
+      GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT nodes.node,
+             {_R(f'0.15 / n + {_PR_DAMP} * coalesce(s, 0.0)', 12)} AS rank
+      FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.node
+    )"""
+    head += f"""
+    SELECT node, {_R('rank', 9)} AS rank FROM r{_PR_ITERS}
+    """
+    return head
+
+
+@register(
+    "pagerank_bipartite",
+    _pagerank_oracle_sql(),
+    tags=("pipeline", "graph", "iterative"),
+    description=f"PageRank ({_PR_ITERS} power iterations, damping {_PR_DAMP}) "
+    "over the bipartite user<->event-type engagement graph — the iterative "
+    "join+agg template (contribution scatter on src, gather on dst) that "
+    "covers any link-analysis job; at web scale the same loop runs with the "
+    "edge list partitioned by src and ranks co-partitioned. Every iteration "
+    "portable-rounds ranks and DECIMAL-accumulates contributions, so the "
+    "distributed loop and the oracle's unrolled single-node CTE chain agree "
+    "bit-for-bit — an EXACT hash gate on an iterative algorithm.",
+)
+def q_pagerank_bipartite(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("u"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("t"),
+    )
+    base = ev.groupBy("u", "t").agg(F.count(F.lit(1)).cast("double").alias("w"))
+    edges = base.select(
+        F.col("u").alias("src"), F.col("t").alias("dst"), "w"
+    ).unionAll(base.select(F.col("t").alias("src"), F.col("u").alias("dst"), "w"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", _r(F.lit(1.0) / F.col("n"), 12).alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outw, "src")
+            .select(
+                "dst",
+                (F.col("rank") * F.col("w") / F.col("ow"))
+                .cast("decimal(28,16)")
+                .alias("c"),
+            )
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").cast("double").alias("s"))
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(sums, nodes.node == sums.dst, "left")
+            .select(
+                "node",
+                _r(
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(_PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", _r(F.col("rank"), 9).alias("rank"))

@@ -323,3 +323,18 @@ def test_zordered_write_skips_on_both_dims(spark, tmp_path):
     # BOTH dims (range-sort on x alone would leave y spans ~128)
     assert sum(spans_x) / len(spans_x) <= 64
     assert sum(spans_y) / len(spans_y) <= 64
+
+
+def test_pagerank_is_a_distribution_and_ranks_heavy_types_first(spark, sf_dir):
+    """Final ranks form a probability distribution (sum ~= 1 up to the
+    per-iteration rounding) and every event-type hub outranks every user
+    (types aggregate ~1/5 of all engagement each; users ~1/150)."""
+    import __spark_entry__ as m
+
+    rows = m.queries()["pagerank_bipartite"](spark, sf_dir).collect()
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-6
+    type_ranks = [r.rank for r in rows if r.node.startswith("t:")]
+    user_ranks = [r.rank for r in rows if r.node.startswith("u:")]
+    assert type_ranks and user_ranks
+    assert min(type_ranks) > max(user_ranks)

@@ -200,3 +200,45 @@ def test_pq_knn_recall_vs_brute_force(spark, sf_dir):
     assert len(pq) == 50
     recall = len(brute & pq) / len(brute)
     assert recall >= 0.5, f"PQ recall collapsed: {recall}"
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Parquet schema evolution: files written before a column existed must
+    read back under mergeSchema with nulls filled — the contract that lets a
+    100 TB table add columns without rewriting history."""
+    p = str(tmp_path / "evolving")
+    spark.range(5).selectExpr("id", "id * 2 AS a").write.parquet(f"{p}/v=1")
+    spark.range(5, 10).selectExpr(
+        "id", "id * 2 AS a", "CAST(id AS STRING) AS b"
+    ).write.parquet(f"{p}/v=2")
+    df = spark.read.option("mergeSchema", "true").option("basePath", p).parquet(
+        f"{p}/v=1", f"{p}/v=2"
+    )
+    assert set(df.columns) >= {"id", "a", "b"}
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 10
+    assert rows[1].b is None and rows[7].b == "7"
+
+
+def test_corrupt_json_records_are_quarantined_not_fatal(spark, tmp_path):
+    """PERMISSIVE JSON ingest: malformed lines land in the corrupt-record
+    column instead of failing the job — at 100 TB a crawl batch always has
+    bad lines and the pipeline must quarantine, not crash."""
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"id": 1, "v": 10}\n'
+        "{broken not json\n"
+        '{"id": 2, "v": 20}\n'
+        '{"id": "not an int", "v": 30}\n'
+    )
+    df = (
+        spark.read.schema("id INT, v INT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(src))
+    )
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.id for r in good} == {1, 2}
+    assert len(bad) == 2  # the broken line and the type-mismatched line
