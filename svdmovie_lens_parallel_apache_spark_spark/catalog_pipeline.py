@@ -976,3 +976,163 @@ def q_pagerank_bipartite(spark, sf_dir):
             )
         )
     return ranks.select("node", _r(F.col("rank"), 9).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time dimension join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_point_in_time",
+    f"""
+    WITH p AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS vf,
+             CAST(count(*) AS BIGINT) AS k
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT user_id, vf, k,
+             CAST(sum(k) OVER (PARTITION BY user_id ORDER BY vf
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             lead(vf) OVER (PARTITION BY user_id ORDER BY vf) AS vt
+      FROM p
+    ),
+    tiers AS (
+      SELECT user_id, vf, vt,
+             least(CAST(floor(cum / 5.0) AS BIGINT), 3) AS tier
+      FROM ver
+    ),
+    clicks AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS cs
+      FROM events WHERE event_type = 'click'
+    ),
+    joined AS (
+      SELECT c.event_id, c.user_id, coalesce(t.tier, 0) AS tier
+      FROM clicks c LEFT JOIN tiers t
+        ON c.user_id = t.user_id
+       AND c.cs >= t.vf AND (t.vt IS NULL OR c.cs < t.vt)
+    )
+    SELECT tier,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM joined GROUP BY tier
+    """,
+    tags=("pipeline", "scd2", "temporal-join"),
+    description="SCD2 point-in-time join: purchase history builds a versioned "
+    "user-tier dimension (valid_from = purchase time, valid_to = next "
+    "version's start via lead — classic type-2 intervals), then each click is "
+    "joined to the version VALID AT ITS EVENT TIME (not the latest), clicks "
+    "before any version defaulting to tier 0. The join shuffles on user_id "
+    "with the interval predicate as residual — co-partitioned, no range "
+    "explosion; per-user version chains are disjoint so each click matches "
+    "at most one version. This is the time-correct feature join that "
+    "prevents label leakage in training data.",
+)
+def q_scd2_point_in_time(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("long").alias("vf"))
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    w = Window.partitionBy("user_id").orderBy("vf")
+    ver = p.select(
+        "user_id",
+        "vf",
+        F.sum("k").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.lead("vf").over(w).alias("vt"),
+    )
+    tiers = ver.select(
+        "user_id",
+        "vf",
+        "vt",
+        F.least(F.floor(F.col("cum") / 5.0).cast("bigint"), F.lit(3)).alias("tier"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("cs")
+    )
+    c, t = clicks.alias("c"), tiers.alias("t")
+    joined = c.join(
+        t,
+        (F.col("c.user_id") == F.col("t.user_id"))
+        & (F.col("c.cs") >= F.col("t.vf"))
+        & (F.col("t.vt").isNull() | (F.col("c.cs") < F.col("t.vt"))),
+        "left",
+    ).select(
+        F.col("c.event_id").alias("event_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.coalesce(F.col("t.tier"), F.lit(0)).alias("tier"),
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score outlier detection (portable moments)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_outliers_z",
+    f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                  AS DOUBLE) AS ss
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT event_type, n, s / n AS mean,
+             sqrt((ss - s * s / n) / (n - 1)) AS sd
+      FROM m
+    ),
+    z AS (
+      SELECT e.event_type, abs((e.value - st.mean) / st.sd) AS az
+      FROM events e JOIN stats st USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE az > 3.0) AS BIGINT) AS n_outliers,
+           {_R('max(az)', 6)} AS max_abs_z
+    FROM z GROUP BY event_type
+    """,
+    tags=("pipeline", "stats", "outliers"),
+    description="Per-type z-score outlier screen: moments accumulate as exact "
+    "DECIMAL sums (NOT the engine's streaming variance — Welford vs "
+    "sum-of-squares differ across engines and parallelism), so mean/sd are "
+    "order-independent and the |z|>3 flag count is bit-reproducible. Two "
+    "passes over events: a 5-row stats table (broadcast back) then a map-side "
+    "flagging pass — the anomaly gate before training-data ingestion.",
+)
+def q_value_outliers_z(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    dv = F.col("value").cast("decimal(18,6)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dv).cast("double").alias("s"),
+        F.sum(dv * dv).cast("double").alias("ss"),
+    )
+    stats = m.select(
+        "event_type",
+        "n",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    z = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.abs((F.col("value") - F.col("mean")) / F.col("sd")).alias("az"),
+    )
+    return z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("az") > 3.0, 1)).alias("n_outliers"),
+        _r(F.max("az"), 6).alias("max_abs_z"),
+    )

@@ -46,6 +46,37 @@ def write_clustered(df: DataFrame, path: str, cluster_cols: list[str],
     )
 
 
+def compact_files(spark, src_path: str, dst_path: str,
+                  target_rows_per_file: int = 1_000_000,
+                  sort_cols: list[str] | None = None) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(rows / target) right-sized files, optionally re-sorting so footer
+    stats stay selective.
+
+    Why this matters at 100 TB: streaming/incremental writers leave
+    thousands of KB-sized files per partition; every downstream scan then
+    pays a task + open + footer-parse per file, and the driver pays
+    listing + planning per file. Compaction is the standing maintenance
+    job (Delta OPTIMIZE / Iceberg rewrite_data_files). Uses coalesce (no
+    shuffle) when only merging, repartitionByRange when re-sorting.
+
+    Returns {"files_before", "files_after", "rows"} for audit.
+    """
+    import glob as _glob
+
+    df = spark.read.parquet(src_path)
+    rows = df.count()
+    n_files = max(1, -(-rows // target_rows_per_file))
+    files_before = len(_glob.glob(f"{src_path}/*.parquet"))
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.coalesce(n_files)
+    out.write.mode("overwrite").parquet(dst_path)
+    files_after = len(_glob.glob(f"{dst_path}/*.parquet"))
+    return {"files_before": files_before, "files_after": files_after, "rows": rows}
+
+
 def write_zordered(df: DataFrame, path: str, x_col: str, y_col: str,
                    bits: int = 10, n_files: int = 8,
                    mode: str = "overwrite") -> None:

@@ -242,3 +242,22 @@ def test_corrupt_json_records_are_quarantined_not_fatal(spark, tmp_path):
     bad = [r for r in rows if r._corrupt_record is not None]
     assert {r.id for r in good} == {1, 2}
     assert len(bad) == 2  # the broken line and the type-mismatched line
+
+
+def test_compact_files_merges_small_files(spark, tmp_path):
+    """Compaction rewrites a fragmented directory into right-sized files,
+    preserves every row, and (with sort_cols) restores selective footer
+    stats — the standing maintenance job behind every streaming sink."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.writers import compact_files
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    # simulate a streaming sink: 64 tiny files
+    spark.range(6400).selectExpr("id", "id % 97 AS k").repartition(64).write.parquet(src)
+    report = compact_files(spark, src, dst, target_rows_per_file=3200, sort_cols=["k"])
+    assert report["files_before"] >= 60
+    assert report["files_after"] == 2
+    assert report["rows"] == 6400
+    back = spark.read.parquet(dst)
+    assert back.count() == 6400
+    assert back.agg(F.countDistinct("id")).first()[0] == 6400
