@@ -125,3 +125,43 @@ def q_streaming_dedup(spark, sf_dir):
     from .streaming.jobs import stream_dedup_keys
 
     return stream_dedup_keys(spark, sf_dir)
+
+
+@register(
+    "streaming_incremental_rollup",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)) * 1e3 + 0.5) / 1e3
+             AS total_value,
+           CAST(max(floor(epoch(ts))) AS BIGINT) AS last_epoch_s
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "incremental", "foreachBatch"),
+    description="Streaming materialized-view maintenance: foreachBatch merges "
+    "each micro-batch's per-user partial aggregate into a versioned parquet "
+    "rollup via the commutative-monoid combine (count add, DECIMAL sum add, "
+    "max of maxes) — the MERGE-into-warehouse deploy pattern. DECIMAL "
+    "accumulation makes the maintained state EXACTLY equal the one-shot batch "
+    "aggregate, so this streaming query carries an exact oracle; the "
+    "multi-micro-batch merge path is exercised in tests/test_streaming.py "
+    "with a two-file split source.",
+)
+def q_streaming_incremental_rollup(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .functions.scalar import portable_round as _r
+    from .streaming.jobs import stream_incremental_rollup
+
+    state = tempfile.mkdtemp(prefix="svdml-incr-rollup-")
+    final = stream_incremental_rollup(
+        spark, sf_dir, state, glob="events.parquet", raw_nanos=True
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        _r(F.col("tot").cast("double"), 3).alias("total_value"),
+        "last_epoch_s",
+    )

@@ -346,3 +346,92 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str,
     )
     run_available_now(deduped, "stream_dedup_keys", mode="append")
     return spark.table("stream_dedup_keys")
+
+
+def stream_incremental_rollup(spark: SparkSession, source_dir: str,
+                              state_dir: str,
+                              glob: str = "*.parquet",
+                              raw_nanos: bool = True) -> DataFrame:
+    """Streaming materialized-view maintenance: each micro-batch's per-user
+    PARTIAL aggregate (count / DECIMAL value sum / max epoch) is merged
+    into a persistent rollup via the same commutative-monoid combine that
+    ``incremental_agg_merge`` hash-proves against full recompute — the
+    foreachBatch MERGE pattern used when the sink is a warehouse table.
+
+    State lives in versioned parquet dirs (``state_dir/v{k}``, read-latest
+    then write-next, never overwrite-in-place — overwriting a directory
+    you are reading is undefined); each batch does one bounded merge join
+    against the current rollup, never re-reading historical events. At
+    100 TB the rollup is keyed-partitioned and the merge join co-locates.
+
+    Returns the final rollup DataFrame.
+    """
+    if raw_nanos:
+        # fixture layout: ts is TIMESTAMP(NANOS), surfaced as bigint
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = EVENTS_SCHEMA
+    else:
+        # re-written layout: ts is a proper timestamp already
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+                for f in EVENTS_SCHEMA.fields
+            ]
+        )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", glob)
+        .parquet(source_dir)
+    )
+    ev = (
+        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if raw_nanos
+        else raw
+    )
+
+    def merge_batch(batch_df, batch_id):
+        part = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("tot"),
+            F.max(F.col("ts").cast("long")).alias("last_epoch_s"),
+        )
+        b_spark = batch_df.sparkSession
+        import glob as _g
+
+        versions = sorted(_g.glob(f"{state_dir}/v*"))
+        if versions:
+            cur = b_spark.read.parquet(versions[-1]).alias("b")
+            d = part.alias("d")
+            merged = cur.join(
+                d, F.col("b.user_id") == F.col("d.user_id"), "full_outer"
+            ).select(
+                F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias("user_id"),
+                (
+                    F.coalesce(F.col("b.n_events"), F.lit(0))
+                    + F.coalesce(F.col("d.n_events"), F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.coalesce(F.col("b.tot"), F.lit(0).cast("decimal(18,6)"))
+                    + F.coalesce(F.col("d.tot"), F.lit(0).cast("decimal(18,6)"))
+                ).alias("tot"),
+                F.greatest(F.col("b.last_epoch_s"), F.col("d.last_epoch_s")).alias(
+                    "last_epoch_s"
+                ),
+            )
+        else:
+            merged = part
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id:06d}")
+
+    ckpt = tempfile.mkdtemp(prefix="svdml-ckpt-incr-rollup-")
+    q = (
+        ev.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import glob as _g
+
+    versions = sorted(_g.glob(f"{state_dir}/v*"))
+    return spark.read.parquet(versions[-1])

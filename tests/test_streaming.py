@@ -177,3 +177,41 @@ def test_streaming_dedup_equals_batch_distinct(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_incremental_rollup_equals_batch_recompute(spark, sf_dir, tmp_path):
+    """The foreachBatch MERGE rollup, fed the events split across TWO files
+    (two micro-batches, so the combine path genuinely runs against prior
+    state), must equal the one-shot batch aggregate: streaming view
+    maintenance is the same monoid as incremental_agg_merge."""
+    from pyspark.sql import functions as F
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+    from svdmovie_lens_parallel_apache_spark_spark.streaming.jobs import (
+        stream_incremental_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = "1997-07-01 00:00:00"
+    src = str(tmp_path / "src")
+    ev.where(F.col("ts") < cut).coalesce(1).write.parquet(f"{src}/part=a")
+    ev.where(F.col("ts") >= cut).coalesce(1).write.parquet(f"{src}/part=b")
+
+    final = stream_incremental_rollup(
+        spark, src, str(tmp_path / "state"), glob="*.parquet", raw_nanos=False
+    )
+    got = {
+        r.user_id: (r.n_events, float(r.tot), r.last_epoch_s)
+        for r in final.collect()
+    }
+    exp = {
+        r.user_id: (r.n_events, float(r.tot), r.last_epoch_s)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("tot"),
+            F.max(F.col("ts").cast("long")).alias("last_epoch_s"),
+        )
+        .collect()
+    }
+    assert got == exp
