@@ -1136,3 +1136,87 @@ def q_value_outliers_z(spark, sf_dir):
         F.count(F.when(F.col("az") > 3.0, 1)).alias("n_outliers"),
         _r(F.max("az"), 6).alias("max_abs_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal metadata correlation (documents x embeddings)
+# ---------------------------------------------------------------------------
+
+_VEC_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_NORM_D = "sqrt(list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b))"
+
+
+@register(
+    "quality_embedding_corr",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len({_TOKS.format(src='text')}) AS BIGINT) AS x
+      FROM documents
+    ),
+    e AS (
+      SELECT vec_id, {_NORM_D.format(v=_VEC_D)} AS y FROM embeddings
+    ),
+    j AS (SELECT x, y FROM d JOIN e ON doc_id = vec_id),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(CAST(x AS DOUBLE) * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+      FROM j
+    )
+    SELECT n,
+           {_R('(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))', 6)}
+             AS pearson_r,
+           {_R('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 9)} AS ols_slope
+    FROM m
+    """,
+    tags=("pipeline", "multimodal", "stats"),
+    description="Cross-modal audit: Pearson correlation + OLS slope between a "
+    "text-side signal (token count) and an embedding-side signal (L2 norm), "
+    "joined doc_id = vec_id. Moments accumulate as exact DECIMALs (not the "
+    "engine's corr(), whose accumulation order varies), so the statistic is "
+    "bit-reproducible at any parallelism — the sanity check that embeddings "
+    "and their source documents stayed aligned through a 100 TB pipeline.",
+)
+def q_quality_embedding_corr(spark, sf_dir):
+    from .functions.vectors import l2_norm
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("x")
+    )
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", l2_norm(to_double(F.col("embedding"))).alias("y")
+    )
+    j = d.join(e, d.doc_id == e.vec_id).select(
+        F.col("x").cast("double").alias("x"), "y"
+    )
+
+    def dec(c):
+        return F.sum(c.cast("decimal(28,10)")).cast("double")
+
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "n",
+        _r(
+            num
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("pearson_r"),
+        _r(num / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")), 9).alias(
+            "ols_slope"
+        ),
+    )

@@ -118,3 +118,78 @@ def test_portable_round_matches_duckdb(spark, vals, n):
         for v in vals
     ]
     assert got == expect
+
+
+@given(
+    xy=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1023),
+            st.integers(min_value=0, max_value=1023),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_settings
+def test_morton_code_is_bijective(spark, xy):
+    """Z-order interleave must be invertible: de-interleaving the Spark-computed
+    code recovers (x, y) exactly for any 10-bit pair — the property that makes
+    z-range file pruning sound."""
+    from svdmovie_lens_parallel_apache_spark_spark.catalog_pipeline import morton_col
+
+    df = spark.createDataFrame([(x, y) for x, y in xy], "x bigint, y bigint")
+    rows = df.select(
+        "x", "y", morton_col(F.col("x"), F.col("y"), 10).alias("z")
+    ).collect()
+    for r in rows:
+        x = y = 0
+        for b in range(10):
+            y |= ((r.z >> (2 * b)) & 1) << b
+            x |= ((r.z >> (2 * b + 1)) & 1) << b
+        assert (x, y) == (r.x, r.y)
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60)
+)
+@_settings
+def test_cms_overcounts_only(spark, keys):
+    """For ANY key multiset the count-min estimate is >= the exact count of
+    every key (a tiny 2x8 sketch forces collisions, so the inequality is
+    genuinely exercised, not vacuous)."""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    sk = cms_build(df, "k", depth=2, width=8)
+    exact = {k: keys.count(k) for k in set(keys)}
+    est = {
+        r.k: r.cms_est
+        for r in cms_estimate(sk, df.distinct(), "k", depth=2, width=8).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+
+
+@given(
+    build=st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=40),
+    probe=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+)
+@_settings
+def test_bloom_prune_membership_property(spark, build, probe):
+    """No false negatives ever; every surviving row either truly matches or
+    is a bona-fide false positive (collision of all k hashes) — surviving
+    keys are a superset of true matches for any input."""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.sketches import (
+        bloom_positions,
+        bloom_prune,
+    )
+
+    bdf = spark.createDataFrame([(k,) for k in sorted(build)], "key bigint")
+    pdf = spark.createDataFrame([(i, k) for i, k in enumerate(probe)], "rid bigint, key bigint")
+    pos = bloom_positions(bdf, "key", m=64, k=2)
+    passed = {r.rid for r in bloom_prune(pdf, pos, "key", m=64, k=2).collect()}
+    true_rids = {i for i, k in enumerate(probe) if k in build}
+    assert true_rids <= passed
