@@ -101,28 +101,55 @@ def knn_lsh(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
     recall is directly measurable (tests/test_pipeline_ops.py).
     """
     from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
 
     base = emb.select("vec_id", to_double(F.col("embedding")).alias("vec"))
-    keys = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                F.lit(f"t{t}"),
-                lsh_bucket(F.col("vec"), lsh_hyperplanes(dim, n_planes, tag=f"hp{t}")),
-            )
-            for t in range(n_tables)
-        ]
+    # all tables' hyperplanes as one (T·B, dim) matrix; bucket bits computed
+    # in ONE Arrow-batched matmul per batch instead of T·B interpreted HOF
+    # folds per row (rows-only query — the portable expression path, which
+    # the oracle replays bit-for-bit, lives in lsh_buckets/ann_lsh_buckets)
+    planes = np.array(
+        [lsh_hyperplanes(dim, n_planes, tag=f"hp{t}") for t in range(n_tables)],
+        dtype=np.float64,
     )
-    tagged = base.withColumn("tb", F.explode(keys))
+    flat = planes.reshape(n_tables * n_planes, dim)
+    pow2 = 1 << np.arange(n_planes)
+
+    @pandas_udf("array<string>")
+    def bucket_keys(batch: pd.Series) -> pd.Series:
+        V = np.array([np.asarray(v, dtype=np.float64) for v in batch])
+        if len(V) == 0:
+            return pd.Series([], dtype=object)
+        bits = (V @ flat.T) > 0  # (n, T·B)
+        vals = (bits.reshape(len(V), n_tables, n_planes) * pow2).sum(-1)
+        return pd.Series(
+            [[f"t{t}:{int(v)}" for t, v in enumerate(row)] for row in vals]
+        )
+
+    tagged = base.withColumn("tb", F.explode(bucket_keys(F.col("vec"))))
     q = tagged.where(F.col("vec_id") < query_ids_below).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec"), "tb"
+        F.col("vec_id").alias("query_id"), "tb"
     )
-    c = tagged.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "tb")
+    c = tagged.select(F.col("vec_id").alias("neighbor_id"), "tb")
+    # candidate ids only — the OR-amplification dedup shuffles (qid, nid)
+    # pairs, never 64-dim vectors; vectors re-attach after, with the small
+    # pair set broadcast so the corpus re-rank join is map-side
     pairs = (
-        q.join(c, "tb")
+        F.broadcast(q).join(c, "tb")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    q_vecs = base.where(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec")
+    )
+    pairs = (
+        F.broadcast(pairs)
+        .join(
+            base.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("c_vec")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q_vecs), "query_id")
     )
     cos = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))

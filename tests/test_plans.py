@@ -50,7 +50,15 @@ def test_relational_suite_is_jvm_only(spark, sf_dir):
     broadcast codebooks, the textbook Arrow use case)."""
     for name, q in REGISTRY.items():
         if name.startswith(
-            ("multimodal", "streaming", "als", "grouped_ols", "ann_pq", "ann_ivf")
+            (
+                "multimodal",
+                "streaming",
+                "als",
+                "grouped_ols",
+                "ann_pq",
+                "ann_ivf",
+                "ann_lsh_knn",  # Arrow matmul bucket keys; ann_lsh_buckets stays JVM
+            )
         ):
             continue
         s = plan_summary(q.builder(spark, sf_dir))
