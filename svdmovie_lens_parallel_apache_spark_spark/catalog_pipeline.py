@@ -138,9 +138,22 @@ def q_weighted_sample_es(spark, sf_dir):
         F.col("n_chars").cast("bigint").alias("weight"),
         (-F.log(u) / F.col("n_chars")).alias("es_key"),
     )
+    # two-phase top-k: a lang shard can be arbitrarily large (a window sort
+    # over PARTITION BY lang caps parallelism at n_langs); salting first
+    # keeps every sort bounded and the global winners are unchanged — any
+    # global top-k element is top-k within its own salt bucket too
+    w_local = Window.partitionBy("lang", "salt").orderBy(
+        F.asc("es_key"), F.asc("doc_id")
+    )
+    cand = (
+        s.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(16)))
+        .withColumn("rn", F.row_number().over(w_local))
+        .where(F.col("rn") <= _ES_K)
+        .drop("salt", "rn")
+    )
     w = Window.partitionBy("lang").orderBy(F.asc("es_key"), F.asc("doc_id"))
     return (
-        s.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _ES_K)
         .select("lang", "doc_id", "weight", _r(F.col("es_key"), 9).alias("es_key"))
     )
@@ -1168,9 +1181,12 @@ _NORM_D = "sqrt(list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b))"
       FROM j
     )
     SELECT n,
-           {_R('(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))', 6)}
-             AS pearson_r,
-           {_R('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 9)} AS ols_slope
+           CASE WHEN (n * sxx - sx * sx) > 1e-6 AND (n * syy - sy * sy) > 1e-6
+             THEN {_R('(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))', 6)}
+             ELSE NULL END AS pearson_r,
+           CASE WHEN (n * sxx - sx * sx) > 1e-6
+             THEN {_R('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 9)}
+             ELSE NULL END AS ols_slope
     FROM m
     """,
     tags=("pipeline", "multimodal", "stats"),
@@ -1206,17 +1222,143 @@ def q_quality_embedding_corr(spark, sf_dir):
         dec(F.col("x") * F.col("y")).alias("sxy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # degenerate-variance guard: a constant column (e.g. unit-normalized
+    # embedding norms) makes the true variance 0, and the 1e-10 decimal
+    # rounding can land it at a tiny NEGATIVE — sqrt would raise in the
+    # oracle and NaN here; correlation is undefined there, so emit NULL
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     return m.select(
         "n",
-        _r(
-            num
-            / F.sqrt(
-                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-            ),
-            6,
+        F.when(
+            (vx > 1e-6) & (vy > 1e-6), _r(num / F.sqrt(vx * vy), 6)
         ).alias("pearson_r"),
-        _r(num / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")), 9).alias(
-            "ols_slope"
-        ),
+        F.when(vx > 1e-6, _r(num / vx, 9)).alias("ols_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill / resample
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gap_fill_daily",
+    f"""
+    WITH days AS (
+      SELECT unnest(generate_series(DATE '1997-01-01', DATE '1997-03-31',
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (SELECT user_id, day FROM users CROSS JOIN days),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_day,
+             CAST(max(floor(epoch(ts))) AS BIGINT) AS max_ts
+      FROM events
+      WHERE ts >= TIMESTAMP '1997-01-01 00:00:00'
+        AND ts <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY 1, 2
+    )
+    SELECT g.user_id,
+           CAST(floor(epoch(g.day)) AS BIGINT) AS day_s,
+           coalesce(d.n_day, 0) AS n_day,
+           last_value(d.max_ts IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen_s
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+    tags=("pipeline", "time-series", "gap-fill"),
+    description="Time-series resampling: a dense per-user daily grid (Q1 1997) "
+    "left-joined to daily aggregates, gaps filled with 0-counts and a "
+    "forward-filled last-seen timestamp (last_value IGNORE NULLS window) — "
+    "the regularisation step before any sequence model. The grid is "
+    "users x days via a broadcast calendar explode (never a range join); "
+    "forward fill is one window per user, no self-joins.",
+)
+def q_gap_fill_daily(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    days = users.sparkSession.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1997-01-01").cast("date"),
+                F.lit("1997-03-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    grid = users.crossJoin(F.broadcast(days))
+    daily = (
+        ev.where(
+            (F.col("ts") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_day"),
+            F.max(F.col("ts").cast("long")).alias("max_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp").cast("long").alias("day_s"),
+            F.coalesce(F.col("n_day"), F.lit(0)).alias("n_day"),
+            F.last("max_ts", ignorenulls=True).over(w).alias("last_seen_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase pair mining (market-basket step 1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "copurchase_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+    tags=("pipeline", "market-basket", "self-join"),
+    description="Co-purchase pair mining (A-priori candidate step): distinct "
+    "items per order self-joined within the order key, support-thresholded. "
+    "The pair blowup is bounded by C(order_size, 2) per order (TPC-H orders "
+    "hold <= 7 items), NOT corpus-quadratic — the same posting-list shape as "
+    "jaccard_pairs; the join co-partitions on orderkey, one shuffle.",
+)
+def q_copurchase_pairs(spark, sf_dir):
+    items = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
     )
