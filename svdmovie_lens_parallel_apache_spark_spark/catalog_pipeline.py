@@ -1362,3 +1362,151 @@ def q_copurchase_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust stats (exact distributed order statistics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_stats",
+    f"""
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    b AS (
+      SELECT event_type,
+             min(CASE WHEN rn = greatest(1, CAST(floor(n * 0.05) AS BIGINT)) THEN value END) AS lo,
+             min(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS hi
+      FROM r GROUP BY 1
+    ),
+    w AS (
+      SELECT e.event_type,
+             least(greatest(e.value, b.lo), b.hi) AS wv
+      FROM events e JOIN b USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {_R('CAST(sum(CAST(wv AS DECIMAL(18,6))) AS DOUBLE) / count(*)', 6)} AS wins_mean,
+           {_R('min(wv)', 6)} AS wins_min,
+           {_R('max(wv)', 6)} AS wins_max
+    FROM w GROUP BY event_type
+    """,
+    tags=("pipeline", "stats", "robust"),
+    description="Winsorized per-type value stats: the EXACT 5th/95th order "
+    "statistics come from a rank window (row_number with an event_id "
+    "tiebreak — discrete k-th smallest, no engine-specific interpolation), "
+    "tails are clamped to them, and the winsorized mean accumulates in "
+    "DECIMAL. Robust against the heavy-tail outliers value_outliers_z "
+    "flags; exact order statistics stay well-defined (and oracle-matched) "
+    "at any parallelism, unlike percentile interpolation variants.",
+)
+def q_winsorized_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    b = r.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.lit(1), F.floor(F.col("n") * 0.05).cast("bigint")),
+                F.col("value"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.95).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("hi"),
+    )
+    w = ev.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("wv"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _r(
+            F.sum(F.col("wv").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("wins_mean"),
+        _r(F.min("wv"), 6).alias("wins_min"),
+        _r(F.max("wv"), 6).alias("wins_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching (funnel regex over ordered event strings)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sequence_pattern_match",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_users,
+      CAST(count(*) FILTER (WHERE regexp_matches(s, 's.*c.*p')) AS BIGINT)
+        AS n_signup_click_purchase,
+      CAST(count(*) FILTER (WHERE regexp_matches(s, 'cc')) AS BIGINT)
+        AS n_double_click,
+      CAST(count(*) FILTER (WHERE regexp_matches(s, 'e[^p]*$')) AS BIGINT)
+        AS n_error_never_purchased_again
+    FROM seq
+    """,
+    tags=("pipeline", "sequence", "pattern"),
+    description="MATCH_RECOGNIZE-style sequence analytics without the "
+    "operator: each user's event history collapses to an ordered initial "
+    "string (deterministic ORDER BY ts, event_id inside the aggregate), and "
+    "funnel/pattern questions become regexes — signup->click->purchase "
+    "subsequence, immediate re-click, error with no later purchase. One "
+    "groupBy; per-user state is one string; the regex pass is JVM-side. "
+    "The string_agg ordering contract is the same one user_event_sequences "
+    "already hash-gates.",
+)
+def q_sequence_pattern_match(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("long").alias("es"),
+        "event_id",
+        F.substring("event_type", 1, 1).alias("c"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("es", "event_id", "c"))
+                ),
+                lambda s: s.getField("c"),
+            ),
+        ).alias("s")
+    )
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("s").rlike("s.*c.*p"), 1)).alias(
+            "n_signup_click_purchase"
+        ),
+        F.count(F.when(F.col("s").rlike("cc"), 1)).alias("n_double_click"),
+        F.count(F.when(F.col("s").rlike("e[^p]*$"), 1)).alias(
+            "n_error_never_purchased_again"
+        ),
+    )
