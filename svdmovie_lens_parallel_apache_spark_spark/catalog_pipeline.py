@@ -1510,3 +1510,54 @@ def q_sequence_pattern_match(spark, sf_dir):
             "n_error_never_purchased_again"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal content-addressable manifest (exact media dedup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_manifest",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             unhex(md5(text)) || unhex(md5(text)) || unhex(md5(text)) || unhex(md5(text))
+               AS media_bytes
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(octet_length(media_bytes) AS INTEGER) AS byte_len,
+             md5(hex(media_bytes)) AS media_digest
+      FROM b
+    )
+    SELECT media_digest,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(byte_len) AS INTEGER) AS byte_len
+    FROM m GROUP BY media_digest
+    """,
+    tags=("pipeline", "multimodal", "dedup"),
+    description="Content-addressable media manifest: the opaque binary column "
+    "(operators/multimodal.py::attach_fake_media shape) is digested and "
+    "grouped — exact media-level dedup, byte-length accounting, and a stable "
+    "keep-lowest-id representative per blob. The digest runs JVM-side over "
+    "the bytes (no decode, no Python); at 100 TB this is the first pass that "
+    "collapses re-crawled images/videos before ANY expensive decoding. The "
+    "oracle rebuilds the same synthetic bytes and digests them bit-for-bit.",
+)
+def q_multimodal_manifest(spark, sf_dir):
+    from .operators.multimodal import attach_fake_media
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"), copies=4)
+    m = media.select(
+        "doc_id",
+        F.length("media_bytes").cast("int").alias("byte_len"),
+        F.md5(F.hex(F.col("media_bytes"))).alias("media_digest"),
+    )
+    return m.groupBy("media_digest").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("byte_len").alias("byte_len"),
+    )
