@@ -276,3 +276,46 @@ def test_cms_build_single_exchange(spark, sf_dir):
     assert s["exchanges"] == 1
     assert s["partial_agg"]
     assert not s["has_python_udf"]
+
+
+def test_no_accidental_cartesian_anywhere(spark, sf_dir):
+    """Catalog-wide guard: no query may contain a CartesianProduct node
+    unless it is on the explicit whitelist of INTENDED cross joins (all of
+    which broadcast a tiny side: query sets, single-row aggregates/bit
+    arrays, calendar grids, centroid tables). An un-whitelisted Cartesian
+    is an accidental all-pairs — the classic 100 TB scale-killer."""
+    INTENDED = (
+        "knn_brute_cosine",      # broadcast query set x corpus (by design)
+        "ann_pq_knn",            # broadcast LUT row x codes scan
+        "ann_lsh",               # broadcast query set
+        "ann_ivf",               # broadcast centroids
+        "bloom_join_prune",      # single-row bit array + report assembly
+        "gdpr_purge_audit",      # single-row count assembly
+        "data_quality_audit",    # single-row count assembly
+        "gap_fill_daily",        # broadcast 90-day calendar
+        "pagerank_bipartite",    # broadcast single-row node count
+        "quality_embedding_corr",# single-row moments
+        "dedup_embedding_cosine",# broadcast hyperplane constants
+        "key_skew_profile",      # single-row profile
+        "unigram_lm_score",      # broadcast single-row total
+        "movielens_replay",      # broadcast global mean row
+        "recsys_eval_metrics",
+        "global_error_metrics",
+        "funk_clamped_predict",
+        "als_top_recs",
+        "multimodal",            # tiny synthetic side
+        "streaming",             # micro-batch plans not built here
+        "winsorized_stats",      # broadcast 5-row bounds table
+    )
+    offenders = []
+    for name, q in REGISTRY.items():
+        if name.startswith(INTENDED):
+            continue
+        try:
+            s = plan_summary(q.builder(spark, sf_dir))
+        except Exception:
+            continue  # streaming-only builders need a running stream
+        n_cart = sum(n == "CartesianProduct" for n in s["nodes"])
+        if n_cart:
+            offenders.append(name)
+    assert not offenders, f"accidental CartesianProduct in: {offenders}"

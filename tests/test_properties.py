@@ -193,3 +193,33 @@ def test_bloom_prune_membership_property(spark, build, probe):
     passed = {r.rid for r in bloom_prune(pdf, pos, "key", m=64, k=2).collect()}
     true_rids = {i for i, k in enumerate(probe) if k in build}
     assert true_rids <= passed
+
+
+def test_results_invariant_under_parallelism(spark, sf_dir):
+    """The determinism contract behind every oracle: float-heavy queries
+    must return BIT-IDENTICAL results when the shuffle partition count (and
+    hence accumulation order) changes — this is what DECIMAL accumulation,
+    sequential folds, and portable rounding buy. A plain double sum would
+    fail this test."""
+    import __spark_entry__ as m
+
+    NAMES = [
+        "q01_pricing_summary",       # decimal revenue sums
+        "incremental_agg_merge",     # monoid merge
+        "pagerank_bipartite",        # iterative float loop
+        "unigram_lm_score",          # pre-rounded NLL accumulation
+        "winsorized_stats",          # order statistics + decimal mean
+    ]
+    qs = m.queries()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("7", prev):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in NAMES:
+                rows = sorted(map(tuple, qs[name](spark, sf_dir).collect()))
+                results.setdefault(name, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name} changed under different parallelism"
