@@ -1561,3 +1561,78 @@ def q_multimodal_manifest(spark, sf_dir):
         F.count(F.lit(1)).alias("n_copies"),
         F.min("byte_len").alias("byte_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC between two table versions)
+# ---------------------------------------------------------------------------
+
+_SNAP_CUT = "1997-07-01 00:00:00"
+
+
+@register(
+    "snapshot_diff",
+    f"""
+    WITH snap_a AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             md5(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS VARCHAR))
+               AS row_hash
+      FROM events WHERE ts < TIMESTAMP '{_SNAP_CUT}' GROUP BY user_id
+    ),
+    snap_b AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             md5(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS VARCHAR))
+               AS row_hash
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT coalesce(a.user_id, b.user_id) AS user_id,
+             CASE
+               WHEN a.user_id IS NULL THEN 'added'
+               WHEN b.user_id IS NULL THEN 'removed'
+               WHEN a.row_hash <> b.row_hash OR a.n <> b.n THEN 'changed'
+               ELSE 'unchanged'
+             END AS change
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.user_id = b.user_id
+    )
+    SELECT change, CAST(count(*) AS BIGINT) AS n_keys
+    FROM d GROUP BY change
+    """,
+    tags=("pipeline", "cdc", "diff"),
+    description="Snapshot diff / CDC derivation: two versions of the per-user "
+    "rollup (as-of a cut vs current) compared by key with value fingerprints "
+    "— added / removed / changed / unchanged counts, the change feed you "
+    "derive when the upstream can't emit one. One full-outer merge join on "
+    "the key (co-partitioned at scale); fingerprints make the value compare "
+    "O(1) per key regardless of payload width. DECIMAL-summed values keep "
+    "fingerprints deterministic, so the oracle matches exactly.",
+)
+def q_snapshot_diff(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+
+    def snap(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.md5(
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .cast("string")
+            ).alias("row_hash"),
+        )
+
+    a = snap(ev.where(F.col("ts") < F.lit(_SNAP_CUT).cast("timestamp"))).alias("a")
+    b = snap(ev).alias("b")
+    d = a.join(b, F.col("a.user_id") == F.col("b.user_id"), "full_outer").select(
+        F.when(F.col("a.user_id").isNull(), F.lit("added"))
+        .when(F.col("b.user_id").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a.row_hash") != F.col("b.row_hash"))
+            | (F.col("a.n") != F.col("b.n")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("change")
+    )
+    return d.groupBy("change").agg(F.count(F.lit(1)).alias("n_keys"))
