@@ -42,22 +42,79 @@ MOVIELENS_SCHEMA = T.StructType(
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table. Columnar scan, schema from parquet footer.
+def events_ts_layout(path: str) -> str:
+    """Probe a parquet footer for the ``ts`` physical type. The fixture has
+    shipped two layouts across driver rounds, so readers adapt per file:
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as nanos-since-epoch long
-    (``spark.sql.legacy.parquet.nanosAsLong`` — a runtime SQL conf, so it
-    works under a caller-owned session too) and rebuild a microsecond
-    timestamp with exact integer division (double division would lose
-    sub-microsecond precision at 1.7e18 ns magnitudes).
+    - ``"nanos"``: TIMESTAMP(NANOS) — Spark's vectorized reader rejects it;
+      must be read as nanos-since-epoch long via the ``nanosAsLong`` conf.
+    - ``"ntz"``: timestamp[us] without timezone — Spark surfaces
+      TIMESTAMP_NTZ; naive wall times are UTC by fixture convention.
+    - ``"ltz"``: UTC-adjusted timestamp[us] — plain TIMESTAMP, no fixup.
+
+    Footer-only read (pyarrow), so the probe is O(KB) regardless of file
+    size; at deploy scale you'd pin one layout and delete this shim.
+    """
+    import glob as _g
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_g.glob(path)) if any(c in path for c in "*?[") else [path]
+    pf = pq.ParquetFile(files[0])
+    schema = pf.metadata.schema
+    # INT96 (Spark's legacy timestamp encoding) also surfaces as
+    # timestamp[ns] in the arrow schema, but Spark reads it as a plain
+    # TIMESTAMP and the nanosAsLong conf does NOT apply — physical type
+    # must be checked before the arrow logical type.
+    for i in range(len(schema)):
+        col = schema.column(i)
+        if col.name == "ts":
+            if col.physical_type == "INT96":
+                return "ltz"
+            break
+    t = pf.schema_arrow.field("ts").type
+    if getattr(t, "unit", None) == "ns" and getattr(t, "tz", None) is None:
+        return "nanos"
+    return "ntz" if getattr(t, "tz", None) is None else "ltz"
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalise the events ``ts`` column to a plain TIMESTAMP holding the
+    fixture's UTC instant, whatever layout the scan produced:
+
+    - nanos-as-long → ``timestamp_micros(ts div 1000)`` (exact integer
+      division — double division would lose precision at 1.7e18 ns),
+    - TIMESTAMP_NTZ → ``to_utc_timestamp(ts, 'UTC')`` (naive-as-UTC,
+      independent of the session timezone — a bare cast would shift under
+      a non-UTC session),
+    - TIMESTAMP → unchanged.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Columnar scan, schema from parquet footer;
+    ``events.ts`` is normalised to TIMESTAMP via :func:`normalize_events_ts`.
+
+    SESSION INVARIANT: when the footer probe says TIMESTAMP(NANOS), the
+    ``nanosAsLong`` conf stays set for the session's lifetime — it must be
+    live whenever a lazily-built events plan executes, so a try/finally
+    restore here would break any downstream action. The flag only changes
+    behaviour for parquet files that actually carry TIMESTAMP(NANOS)
+    columns (none of the other fixture tables do); any future nanos-parquet
+    reader in this package must go through ``load_table``/``events_stream``
+    so it inherits the same convention.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+        path = f"{sf_dir}/{name}.parquet"
+        if events_ts_layout(path) == "nanos":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

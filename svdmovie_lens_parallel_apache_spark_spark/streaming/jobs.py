@@ -22,30 +22,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+_TS_TYPE_BY_LAYOUT = {
+    "nanos": T.LongType(),  # TIMESTAMP(NANOS) read as long
+    "ntz": T.TimestampNTZType(),
+    "ltz": T.TimestampType(),
+}
+
+# historical name, kept for tests/back-compat: the nanos-layout schema
+EVENTS_SCHEMA = _events_schema(T.LongType())
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events fixture (nanos → micros timestamp,
-    same normalisation as the batch reader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream of the events fixture, ``ts`` normalised to a
+    plain TIMESTAMP exactly like the batch reader (footer-probed layout:
+    nanos-as-long / TIMESTAMP_NTZ / TIMESTAMP — see
+    ``sources.readers.events_ts_layout``)."""
+    from ..sources.readers import events_ts_layout, normalize_events_ts
+
+    layout = events_ts_layout(f"{sf_dir}/events.parquet")
+    if layout == "nanos":
+        # SESSION INVARIANT (see sources/readers.py::load_table): stays set —
+        # it must be live whenever this lazy stream executes.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # file source needs a directory basePath; select just events.parquet via glob
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(_TS_TYPE_BY_LAYOUT[layout]))
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(raw)
 
 
 def run_available_now(result: DataFrame, query_name: str, mode: str = "complete",
@@ -351,7 +370,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str,
 def stream_incremental_rollup(spark: SparkSession, source_dir: str,
                               state_dir: str,
                               glob: str = "*.parquet",
-                              raw_nanos: bool = True) -> DataFrame:
+                              raw_nanos: bool | None = None) -> DataFrame:
     """Streaming materialized-view maintenance: each micro-batch's per-user
     PARTIAL aggregate (count / DECIMAL value sum / max epoch) is merged
     into a persistent rollup via the same commutative-monoid combine that
@@ -366,29 +385,27 @@ def stream_incremental_rollup(spark: SparkSession, source_dir: str,
 
     Returns the final rollup DataFrame.
     """
-    if raw_nanos:
-        # fixture layout: ts is TIMESTAMP(NANOS), surfaced as bigint
+    from ..sources.readers import events_ts_layout, normalize_events_ts
+
+    # footer-probe the ts layout (raw_nanos kept for signature back-compat;
+    # the probe supersedes it — nanos / TIMESTAMP_NTZ / TIMESTAMP all work)
+    import glob as _g
+
+    matches = _g.glob(f"{source_dir}/{glob}") or _g.glob(
+        f"{source_dir}/**/{glob}", recursive=True
+    )
+    layout = events_ts_layout(sorted(matches)[0])
+    if layout == "nanos":
+        # SESSION INVARIANT (see sources/readers.py::load_table): the conf
+        # stays set — it must be live whenever this lazy stream executes.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        schema = EVENTS_SCHEMA
-    else:
-        # re-written layout: ts is a proper timestamp already
-        schema = T.StructType(
-            [
-                f if f.name != "ts" else T.StructField("ts", T.TimestampType())
-                for f in EVENTS_SCHEMA.fields
-            ]
-        )
     raw = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(_events_schema(_TS_TYPE_BY_LAYOUT[layout]))
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", glob)
         .parquet(source_dir)
     )
-    ev = (
-        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        if raw_nanos
-        else raw
-    )
+    ev = normalize_events_ts(raw)
 
     def merge_batch(batch_df, batch_id):
         part = batch_df.groupBy("user_id").agg(
