@@ -782,20 +782,62 @@ def conditional_agg_share(spark, sf_dir):
 
 @register(
     "approx_quantiles_sketch",
-    None,  # GK sketch internals are engine-specific — rows-only
+    """
+    SELECT l_returnflag,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+           percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+           percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tags=("agg", "sketch", "quantile"),
-    description="percentile_approx (GK sketch) quartiles of extended price per return "
-    "flag — the sketch path for quantiles at 100 TB; exact twin: stats_advanced median. "
-    "Emitted as three scalar columns (p25/p50/p75), not an array, so downstream "
-    "canonicalizers can sort/hash the rows.",
+    description="percentile_approx (GK sketch, accuracy=10000) quartiles of extended "
+    "price per return flag — the sketch path for quantiles at 100 TB. The sketch "
+    "estimate itself is engine-specific, so (approx_distinct_sketch pattern) the "
+    "hashed output carries the exact percentile_disc quartiles plus booleans "
+    "asserting each sketch value lands inside the exact rank window [p-0.01, "
+    "p+0.01] — 100× the GK guarantee of 1/accuracy rank error. percentile_disc "
+    "is bit-identical between Spark and DuckDB (discrete: an actual data value, "
+    "no interpolation), so the exact columns hash-match; a drifting sketch flips "
+    "a boolean and fails the gate.",
 )
 def approx_quantiles_sketch(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("p25"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
-        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("p75"),
+
+    def _disc(p):
+        return F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY l_extendedprice)"
+        )
+
+    agg = li.groupBy("l_returnflag").agg(
+        _disc(0.25).alias("p25"),
+        _disc(0.5).alias("p50"),
+        _disc(0.75).alias("p75"),
+        # rank-window bounds: GK guarantees rank error <= n/accuracy = n/10000,
+        # far inside the +-0.01 quantile window checked here
+        _disc(0.24).alias("p25_lo"),
+        _disc(0.26).alias("p25_hi"),
+        _disc(0.49).alias("p50_lo"),
+        _disc(0.51).alias("p50_hi"),
+        _disc(0.74).alias("p75_lo"),
+        _disc(0.76).alias("p75_hi"),
+        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("a25"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a50"),
+        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("a75"),
         F.count(F.lit(1)).alias("n"),
+    )
+    ok = lambda a, lo, hi: (F.col(a) >= F.col(lo)) & (F.col(a) <= F.col(hi))  # noqa: E731
+    return agg.select(
+        "l_returnflag",
+        "p25",
+        "p50",
+        "p75",
+        "n",
+        ok("a25", "p25_lo", "p25_hi").alias("p25_ok"),
+        ok("a50", "p50_lo", "p50_hi").alias("p50_ok"),
+        ok("a75", "p75_lo", "p75_hi").alias("p75_ok"),
     )
 
 

@@ -1,18 +1,21 @@
-"""Catalog part 4: Structured Streaming + multimodal queries (rows-only).
+"""Catalog part 4: Structured Streaming + multimodal queries.
 
-Streaming results and pandas-UDF media extraction aren't ANSI-SQL
-expressible, so these carry no oracle (driver records the weaker
-rows-only check); their correctness gates live in tests instead:
-streaming results are asserted equal to their batch twins
-(tests/test_streaming.py), and media features are asserted deterministic
-(tests/test_multimodal.py).
+Streaming queries drained with the availableNow trigger in complete mode
+are deterministic functions of the (static) source, so they carry EXACT
+DuckDB oracles — the oracle states what the stream converges to once the
+source is exhausted: a tumbling/sliding window agg equals the batch
+``F.window`` agg, session windows are gaps-and-islands SQL, stateful
+per-key totals are a plain groupBy. Genuinely engine-internal surfaces
+(pandas-UDF media extraction) stay rows-only with pytest gates
+(tests/test_multimodal.py); streaming-vs-batch-twin equality is
+additionally asserted in tests/test_streaming.py.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .catalog import _t, register
+from .catalog import _R, _t, register
 from .operators.multimodal import attach_fake_media, extract_media_features, frame_sample
 from .streaming.jobs import (
     stream_session_window,
@@ -23,11 +26,20 @@ from .streaming.jobs import (
 
 @register(
     "streaming_tumbling_counts",
-    None,
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           count(*)                 AS n_events,
+           {_R('sum(value)', 4)}    AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
     tags=("streaming", "window", "watermark"),
     description="Structured Streaming 1h tumbling window + watermark over the events "
-    "file source (availableNow trigger → memory sink). Batch twin: event_tumbling_agg; "
-    "equality asserted in tests/test_streaming.py.",
+    "file source (availableNow trigger → memory sink). Complete-mode output over an "
+    "exhausted static source is deterministic, so the oracle is the batch tumbling "
+    "agg itself (same SQL as event_tumbling_agg); twin equality also asserted in "
+    "tests/test_streaming.py.",
 )
 def q_streaming_tumbling(spark, sf_dir):
     return stream_tumbling_counts(spark, sf_dir)
@@ -35,10 +47,36 @@ def q_streaming_tumbling(spark, sf_dir):
 
 @register(
     "streaming_session_window",
-    None,
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       >= 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts)
+                  AS BIGINT) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(CAST(floor(epoch(ts)) AS BIGINT))        AS session_start_s,
+           max(CAST(floor(epoch(ts)) AS BIGINT)) + 1800 AS session_end_s,
+           count(*)                                     AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
     tags=("streaming", "session", "stateful"),
     description="Native session_window stateful aggregation (30-min gap) on the event "
-    "stream. Batch twin: sessionize; per-user session counts asserted equal in tests.",
+    "stream. Exact oracle: gaps-and-islands at full microsecond precision — Spark "
+    "merges sessions on half-open interval overlap, so a new session starts iff the "
+    "gap is >= 30 min (epoch_us keeps the comparison integer-exact; double epoch() "
+    "is only quantize-safe after floor), and w.end = last event ts + gap, which "
+    "floors to floor(epoch(last_ts)) + 1800 for an integral-second gap. Batch twin: "
+    "sessionize (lag+cumsum).",
 )
 def q_streaming_sessions(spark, sf_dir):
     return stream_session_window(spark, sf_dir)
@@ -46,11 +84,20 @@ def q_streaming_sessions(spark, sf_dir):
 
 @register(
     "streaming_stateful_user_totals",
-    None,
+    f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {_R('sum(value)', 4)}    AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
     tags=("streaming", "stateful", "applyInPandasWithState"),
     description="Custom stateful streaming operator (applyInPandasWithState): per-user "
-    "running totals with explicit state across micro-batches. Batch twin equality "
-    "asserted in tests/test_streaming.py.",
+    "running totals with explicit state across micro-batches. Once the source is "
+    "exhausted each user's final emission equals the batch groupBy(count, sum) — the "
+    "portable 1e-4 rounding absorbs float-summation-order differences between the "
+    "per-micro-batch pandas accumulation and DuckDB's one-shot sum. Twin equality "
+    "also asserted in tests/test_streaming.py.",
 )
 def q_streaming_stateful(spark, sf_dir):
     return stream_user_totals_stateful(spark, sf_dir)
@@ -83,11 +130,27 @@ def q_multimodal_frames(spark, sf_dir):
 
 @register(
     "streaming_sliding_counts",
-    None,
+    """
+    WITH s AS (
+      SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS w0,
+             event_type
+      FROM events),
+    e AS (
+      SELECT w0 AS wstart, event_type FROM s
+      UNION ALL
+      SELECT w0 - INTERVAL 30 MINUTE AS wstart, event_type FROM s)
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM e
+    GROUP BY 1, 2
+    """,
     tags=("streaming", "window", "sliding"),
     description="Hopping-window (1h/30m) streaming aggregation with watermark; "
-    "each event lands in two windows held in the state store. Batch twin: "
-    "sliding_window_agg; equality asserted in tests/test_streaming.py.",
+    "each event lands in two windows held in the state store. Complete-mode "
+    "output over the exhausted source is deterministic — oracle is the explicit "
+    "2-replica union (same construction as sliding_window_agg, counts only). "
+    "Twin equality also asserted in tests/test_streaming.py.",
 )
 def q_streaming_sliding(spark, sf_dir):
     from .streaming.jobs import stream_sliding_counts
