@@ -284,12 +284,27 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20,
     the heavy-duty variant); localCheckpoint would truncate lineage for
     deep graphs.
     """
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     # materialise the edge set ONCE — the upstream pair detection (LSH /
     # posting-list joins) must not re-run per iteration; localCheckpoint
     # also truncates lineage so plans don't grow with the loop.
+    # Symmetrise with a single-pass explode rather than union(swap):
+    # union branches are separate plan subtrees, so the (expensive) pair
+    # lineage would execute TWICE in the checkpoint job — at sf0.1 that
+    # union shape alone doubled this operator's cost.
     edges_sym = (
-        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
