@@ -301,7 +301,7 @@ def embedding_norm_stats(emb: DataFrame) -> DataFrame:
 
 
 def knn_pq(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
-           m: int = 16, n_codes: int = 16, refine: int = 8,
+           m: int = 16, n_codes: int = 32, refine: int = 20,
            seed: int = 42, train_sample: int = 20000) -> DataFrame:
     """Product-quantization ANN (ADC scan + exact re-rank) — the
     memory-compression path for billion-vector search:
@@ -340,13 +340,17 @@ def knn_pq(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
     d_sub = dim // m
 
     raw = emb.select("vec_id", to_double(F.col("embedding")).alias("rv"))
-    unit = raw.select(
-        "vec_id",
-        F.transform(F.col("rv"), lambda x: x / l2_norm(F.col("rv"))).alias("vec"),
-    )
+
+    def _unit_rows(M: "np.ndarray") -> "np.ndarray":
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        return M / nrm
 
     # --- codebook training on a bounded, deterministic sample ---
-    X = _sample_matrix(unit, "vec", train_sample)
+    # normalisation happens in NumPy (here and inside encode): a JVM-side
+    # transform(x -> x / l2_norm(vec)) re-evaluates the O(dim) norm fold
+    # per ELEMENT — O(dim²) per row, and it dominated this operator's cost
+    X = _unit_rows(_sample_matrix(raw, "rv", train_sample))
     assert len(X) >= n_codes, "corpus smaller than the codebook"
     cb = np.empty((m, n_codes, d_sub))
     for s in range(m):
@@ -358,27 +362,30 @@ def knn_pq(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
         V = np.array([np.asarray(v, dtype=np.float64) for v in batch])
         if len(V) == 0:
             return pd.Series([], dtype=object)
-        Vs = V.reshape(len(V), m, d_sub)
+        Vs = _unit_rows(V).reshape(len(V), m, d_sub)
         # ‖x−c‖² argmin == (‖c‖² − 2x·c) argmin; (B, m, n_codes) via einsum
         dots = np.einsum("bmd,mcd->bmc", Vs, cb)
         codes = (cb_sq[None, :, :] - 2.0 * dots).argmin(-1).astype("int32")
         return pd.Series(list(codes))
 
-    codes = unit.select(
-        F.col("vec_id").alias("neighbor_id"), encode(F.col("vec")).alias("codes")
+    codes = raw.select(
+        F.col("vec_id").alias("neighbor_id"), encode(F.col("rv")).alias("codes")
     )
 
     # --- per-query ADC lookup tables, driver-side (queries are few) ---
-    q_rows = unit.where(F.col("vec_id") < query_ids_below).collect()
+    q_rows = raw.where(F.col("vec_id") < query_ids_below).collect()
     spark = emb.sparkSession
+    q_units = {r.vec_id: _unit_rows(np.asarray([r.rv], dtype=np.float64))[0] for r in q_rows}
     q_pd = pd.DataFrame(
         {
             "query_id": [r.vec_id for r in q_rows],
-            "q_vec": [list(r.vec) for r in q_rows],
+            # raw vector is fine for the exact re-rank: cosine is
+            # scale-invariant, so unit-normalising the query changes nothing
+            "q_vec": [list(r.rv) for r in q_rows],
             "lut": [
                 [
                     [
-                        float(((np.asarray(r.vec[s * d_sub:(s + 1) * d_sub]) - cb[s][c]) ** 2).sum())
+                        float(((q_units[r.vec_id][s * d_sub:(s + 1) * d_sub] - cb[s][c]) ** 2).sum())
                         for c in range(n_codes)
                     ]
                     for s in range(m)
@@ -412,9 +419,10 @@ def knn_pq(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
         .where(F.col("arank") <= k * refine)
         .select("query_id", "q_vec", "neighbor_id")
     )
-    # exact re-rank: only the shortlist pays raw-vector I/O
+    # exact re-rank: only the shortlist pays raw-vector I/O (raw, not unit:
+    # cosine_similarity normalises internally, so unit vectors aren't needed)
     rerank = short.join(
-        unit.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("c_vec")),
+        raw.select(F.col("vec_id").alias("neighbor_id"), F.col("rv").alias("c_vec")),
         "neighbor_id",
     )
     cos = cosine_similarity(F.col("q_vec"), F.col("c_vec"))

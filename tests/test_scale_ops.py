@@ -199,7 +199,7 @@ def test_pq_knn_recall_vs_brute_force(spark, sf_dir):
     pq = {(r.query_id, r.neighbor_id) for r in knn_pq(emb, 10, 5).collect()}
     assert len(pq) == 50
     recall = len(brute & pq) / len(brute)
-    assert recall >= 0.5, f"PQ recall collapsed: {recall}"
+    assert recall >= 0.9, f"PQ recall collapsed: {recall}"
 
 
 def test_schema_evolution_merge_read(spark, tmp_path):
