@@ -2,6 +2,8 @@
 inputs — clamp domain, dedup idempotence, single-agg ≡ agg-then-join,
 portable-round self-consistency with DuckDB."""
 
+import os
+
 import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -223,3 +225,53 @@ def test_results_invariant_under_parallelism(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     for name, (a, b) in results.items():
         assert a == b, f"{name} changed under different parallelism"
+
+
+def test_iterative_queries_invariant_under_executor_count(spark, sf_dir):
+    """Chaos twin of the shuffle-partition invariance test: the ITERATIVE
+    queries (PageRank float loop, CC min-label propagation with its
+    union-find fast path, streaming rollup monoid merge) must return
+    row-identical results when the physical executor-thread count changes
+    (local[4] session here vs a fresh local[32] process), not merely the
+    shuffle partition count — per-iteration portable rounding and DECIMAL
+    accumulation are what make this hold."""
+    import json
+    import subprocess
+    import sys
+
+    import __spark_entry__ as m
+
+    NAMES = ["pagerank_bipartite", "dedup_clusters", "streaming_incremental_rollup"]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    qs = m.queries()
+
+    def canon(rows):
+        return sorted(str(sorted(r.asDict().items())) for r in rows)
+
+    here = {n: canon(qs[n](spark, sf_dir).collect()) for n in NAMES}
+
+    script = f"""
+import sys, json
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as m
+qs = m.queries()
+out = {{}}
+for n in {NAMES!r}:
+    rows = qs[n](spark, {sf_dir!r}).collect()
+    out[n] = sorted(str(sorted(r.asDict().items())) for r in rows)
+print("RESULT::" + json.dumps(out))
+spark.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=900
+    )
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT::")]
+    assert lines, f"subprocess failed: {proc.stderr[-2000:]}"
+    other = json.loads(lines[0][len("RESULT::"):])
+    for n in NAMES:
+        assert here[n] == other[n], f"{n} changed between local[4] and local[32]"
