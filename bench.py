@@ -11,12 +11,46 @@ per-query; `value` is the end-to-end wall time for the whole suite.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+# Private temp root for THIS bench process: every mkdtemp in the engine
+# (streaming checkpoints, rollup state dirs) lands under it, so per-query
+# cleanup can delete streaming state without racing another svdml process
+# (a concurrent pytest/verify run's live checkpoint dirs share /tmp).
+_BENCH_TMP = tempfile.mkdtemp(prefix="svdml-bench-root-")
+tempfile.tempdir = _BENCH_TMP
+
+
+def _isolate(spark, baseline_tables: set) -> None:
+    """Reset session state between timed queries so each timing reflects the
+    query alone (r2 lesson: streaming memory-sink tables, temp views, cached
+    stages, and checkpoint dirs accumulated across the 140-query alphabetical
+    run and inflated late-alphabet timings 3-27x vs fresh-session cost).
+
+    Everything here is post-timing bookkeeping — it runs after the query's
+    clock stops, so it costs the suite wall time but never a query's number.
+    """
+    for q in spark.streams.active:  # availableNow queries self-terminate;
+        q.stop()  # belt-and-braces for any leaked continuous query
+    for t in spark.catalog.listTables():
+        # drop memory-sink outputs + per-query temp views; keep fixture views
+        if t.name not in baseline_tables:
+            try:
+                spark.catalog.dropTempView(t.name)
+            except Exception:
+                pass
+    spark.catalog.clearCache()
+    for d in glob.glob(os.path.join(_BENCH_TMP, "svdml-*")):
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def main() -> None:
@@ -39,6 +73,7 @@ def main() -> None:
     for name in ("lineitem", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, name).count()
 
+    baseline_tables = {t.name for t in spark.catalog.listTables()}
     timings: dict[str, float] = {}
     t0 = time.time()
     for name, builder in sorted(qs.items()):
@@ -47,6 +82,7 @@ def main() -> None:
         n = df.count()  # full materialisation of the query result
         timings[name] = round(time.time() - t, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        _isolate(spark, baseline_tables)
     total = time.time() - t0
 
     # Reference four-phase instrumentation (SVDMovieLensSparkJava.java:166-181:
