@@ -136,20 +136,24 @@ def main() -> None:
     }
     print(f"# phases: {phases}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "construct_sec": round(construct_s, 3),
-                "n_queries": len(qs),
-                "reference_phases": phases,
-            }
-        )
-    )
+    payload = {
+        "metric": "suite_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "construct_sec": round(construct_s, 3),
+        "n_queries": len(qs),
+        "reference_phases": phases,
+    }
+    # scaling rehearsal (tools/scale_rehearsal.py writes SCALING.json:
+    # per-query empirical exponents sf0.1 -> 10x replica fixture); embed
+    # so the per-round BENCH artifact carries the latest rehearsal
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            payload["scaling_rehearsal"] = json.load(f)
+    print(json.dumps(payload))
     spark.stop()
 
 

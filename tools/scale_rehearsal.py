@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Scaling rehearsal: time the heaviest catalog queries at two scale
+factors (driver sf0.1 and the 10x replica fixture from
+``tools/make_scale_fixture.py``) and record the empirical scaling
+exponent per query:
+
+    exponent = log(t_big / t_small) / log(size_ratio)
+
+~1.0 = linear, ~1.15 = n log n territory, >=1.5 smells quadratic (the
+thing this rehearsal exists to catch — a stage whose pair/candidate set
+grows with the square of the corpus).
+
+Writes SCALING.json at the repo root; bench.py embeds it in its JSON
+line (so the per-round BENCH artifact carries the rehearsal) — timings
+here are one-shot local numbers, not a tuned benchmark.
+
+Usage:
+    python tools/make_scale_fixture.py            # once, builds scratch/sf1
+    python tools/scale_rehearsal.py [q1,q2,...]   # default: built-in list
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# the round-2 fresh-session cost ranking (VERDICT.md "Performance"):
+# slowest first, spanning every heavy family — dedup pair-gen + CC,
+# ANN encode/scan, stream-stream join, text aggs, TPC-H heavies
+DEFAULT_QUERIES = [
+    "dedup_clusters",
+    "ann_pq_knn",
+    "dedup_simhash",
+    "pipeline_e2e",
+    "dedup_jaccard_pairs",
+    "dedup_minhash",
+    "streaming_click_attribution",
+    "term_frequency",
+    "q21_sole_returner",
+    "q08_market_share",
+]
+
+SMALL = os.environ.get("SPARK_GRAFT_SMALL_SF", "/root/testdata/sf0.1")
+BIG = os.environ.get("SPARK_GRAFT_BIG_SF", os.path.join(REPO, "scratch", "sf1"))
+RATIO = float(os.environ.get("SPARK_GRAFT_SF_RATIO", "10"))
+
+
+def main() -> None:
+    names = sys.argv[1].split(",") if len(sys.argv) > 1 else DEFAULT_QUERIES
+    import tempfile
+
+    tmp_root = tempfile.mkdtemp(prefix="svdml-rehearsal-root-")
+    tempfile.tempdir = tmp_root  # private: cleanup can't race other procs
+
+    from svdmovie_lens_parallel_apache_spark_spark import get_spark
+
+    spark = get_spark(app_name="svdml-scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    import glob
+    import shutil
+
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    baseline_tables = {t.name for t in spark.catalog.listTables()}
+
+    def isolate():
+        for q in spark.streams.active:
+            q.stop()
+        for t in spark.catalog.listTables():
+            if t.name not in baseline_tables:
+                try:
+                    spark.catalog.dropTempView(t.name)
+                except Exception:
+                    pass
+        spark.catalog.clearCache()
+        for d in glob.glob(os.path.join(tmp_root, "svdml-*")):
+            shutil.rmtree(d, ignore_errors=True)
+
+    out = {}
+    for name in names:
+        rec = {}
+        for tag, sf in (("small", SMALL), ("big", BIG)):
+            t0 = time.time()
+            n = qs[name](spark, sf).count()
+            rec[f"t_{tag}_s"] = round(time.time() - t0, 3)
+            rec[f"rows_{tag}"] = n
+            isolate()
+        rec["exponent"] = round(
+            math.log(max(rec["t_big_s"], 1e-3) / max(rec["t_small_s"], 1e-3))
+            / math.log(RATIO),
+            3,
+        )
+        out[name] = rec
+        print(f"# {name}: {rec}", file=sys.stderr)
+
+    payload = {
+        "small_sf_dir": SMALL,
+        "big_sf_dir": BIG,
+        "size_ratio": RATIO,
+        "queries": out,
+    }
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(json.dumps(payload))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
