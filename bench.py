@@ -114,36 +114,49 @@ def main() -> None:
         train_als,
     )
 
-    t = time.time()
-    # low-rank generative fixture (structured signal + bounded noise) so the
-    # reported RMSE measures model QUALITY against a learnable ground truth,
-    # comparable to the reference's MovieLens-100K MAE claim — hash-random
-    # ratings would make any trained model look worse than predicting the mean
-    ratings = low_rank_ratings(spark, sf_dir).select(
-        F.col("user_id").cast("int").alias("user_id"),
-        F.col("item_id").cast("int").alias("item_id"),
-        F.col("rating").cast("float").alias("rating"),
-    )
-    train, test = ratings.randomSplit([0.8, 0.2], seed=42)
-    train, test = train.cache(), test.cache()
-    n_train = train.count()  # LoadHistory analog: ingest + stats
-    test.count()  # materialise: randomSplit re-sorts lineage per action otherwise
-    keyed_stats(train, "user_id", "rating").count()
-    keyed_stats(train, "item_id", "rating").count()
-    load_s = time.time() - t
+    def run_phases():
+        t = time.time()
+        # low-rank generative fixture (structured signal + bounded noise) so
+        # the reported RMSE measures model QUALITY against a learnable ground
+        # truth, comparable to the reference's MovieLens-100K MAE claim —
+        # hash-random ratings would make any trained model look worse than
+        # predicting the mean
+        ratings = low_rank_ratings(spark, sf_dir).select(
+            F.col("user_id").cast("int").alias("user_id"),
+            F.col("item_id").cast("int").alias("item_id"),
+            F.col("rating").cast("float").alias("rating"),
+        )
+        train, test = ratings.randomSplit([0.8, 0.2], seed=42)
+        train, test = train.cache(), test.cache()
+        n_train = train.count()  # LoadHistory analog: ingest + stats
+        test.count()  # materialise: randomSplit re-sorts lineage per action
+        keyed_stats(train, "user_id", "rating").count()
+        keyed_stats(train, "item_id", "rating").count()
+        load_s = time.time() - t
 
-    t = time.time()
-    model = train_als(train, ALSConfig(rank=64, reg=0.015, max_iter=10, seed=42))
-    train_s = time.time() - t
+        t = time.time()
+        model = train_als(train, ALSConfig(rank=64, reg=0.015, max_iter=10, seed=42))
+        train_s = time.time() - t
 
-    t = time.time()
-    metrics = evaluate(predict(model, test))
-    test_s = time.time() - t
+        t = time.time()
+        metrics = evaluate(predict(model, test))
+        test_s = time.time() - t
+        train.unpersist()
+        test.unpersist()
+        return load_s, train_s, test_s, n_train, metrics
+
+    # two passes, per-phase min (same transient-contention defence as the
+    # query retime pass; caches are dropped between passes so the second
+    # run pays the same work)
+    a = run_phases()
+    spark.catalog.clearCache()
+    b = run_phases()
+    n_train, metrics = a[3], a[4]
     phases = {
         "construct_sec": round(construct_s, 3),
-        "load_sec": round(load_s, 3),
-        "train_sec": round(train_s, 3),
-        "test_sec": round(test_s, 3),
+        "load_sec": round(min(a[0], b[0]), 3),
+        "train_sec": round(min(a[1], b[1]), 3),
+        "test_sec": round(min(a[2], b[2]), 3),
         "n_train_ratings": n_train,
         "test_rmse": round(metrics["rmse"], 4),
         "test_mae": round(metrics["mae"], 4),
