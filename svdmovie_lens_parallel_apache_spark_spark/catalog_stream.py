@@ -160,11 +160,20 @@ def q_streaming_sliding(spark, sf_dir):
 
 @register(
     "streaming_click_attribution",
-    None,
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_s
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
     tags=("streaming", "join", "stream-stream"),
     description="Stream-stream inner join (clicks ⋈ purchases within 1h, both "
-    "sides watermarked, event-time range constraint bounds join state). Batch "
-    "twin with exact oracle: click_purchase_attribution; equality asserted in "
+    "sides watermarked, event-time range constraint bounds join state). Exact "
+    "oracle: append-mode inner joins emit each match exactly once, so the "
+    "drained result over the exhausted source equals the batch interval join "
+    "(same SQL as click_purchase_attribution); twin equality also asserted in "
     "tests/test_streaming.py.",
 )
 def q_streaming_click_attribution(spark, sf_dir):
