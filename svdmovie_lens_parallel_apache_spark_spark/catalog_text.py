@@ -238,6 +238,51 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 @register(
+    "benchmark_decontamination",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS.format(src='lower(text)')} AS toks FROM documents),
+    s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+    posts AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    kept AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY shingle) AS df
+        FROM posts)
+      WHERE df <= {_JACCARD_MAX_DF}),
+    bench AS (
+      SELECT doc_id AS bench_doc_id, shingle FROM kept
+      WHERE {_H('doc_id')} % 20 = 0),
+    corpus AS (
+      SELECT doc_id AS corpus_doc_id, shingle FROM kept
+      WHERE {_H('doc_id')} % 20 <> 0)
+    SELECT corpus_doc_id, bench_doc_id, count(*) AS n_shared
+    FROM corpus JOIN bench USING (shingle)
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+    tags=("dedup", "decontamination", "ngram", "pipeline"),
+    description="Benchmark decontamination (GPT-3/LLaMA-style): training docs "
+    "sharing >=2 distinct 3-gram shingles with a benchmark set (deterministic "
+    "5% hash slice standing in for a loaded eval suite). Posting-list equi-join "
+    "with stop-shingle df cap; bench side broadcast — corpus never shuffles. "
+    "Distinct from dedup: cross-corpus, any-collision signal, not Jaccard.",
+)
+def q_benchmark_decontamination(spark, sf_dir):
+    from .functions.hashing import portable_hash64
+    from .operators.dedup import ngram_collision_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_collision_pairs(
+        docs,
+        bench_cond=portable_hash64(F.col("doc_id")) % 20 == 0,
+        n=3,
+        min_shared=2,
+        max_df=_JACCARD_MAX_DF,
+    )
+
+
+@register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE {_JACCARD_CTES},

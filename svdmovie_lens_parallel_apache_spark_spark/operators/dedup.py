@@ -142,6 +142,46 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
     )
 
 
+def ngram_collision_pairs(docs: DataFrame, bench_cond: Column, n: int = 3,
+                          min_shared: int = 2, max_df: int = 1000) -> DataFrame:
+    """Benchmark DECONTAMINATION: cross-corpus n-gram collision detection —
+    the GPT-3/LLaMA-style filter that finds training documents sharing
+    n-gram shingles with an evaluation/benchmark set (a different operator
+    from within-corpus dedup: the match is corpus × benchmark, and ANY
+    shared shingle run is a signal, not just high Jaccard).
+
+    ``bench_cond`` marks the benchmark docs (here a deterministic hash
+    slice; in deployment, the loaded benchmark suite). Distributed shape:
+    shingle posting lists → stop-shingle df cap (same C(df,2)-style blowup
+    bound as :func:`jaccard_pairs`, and boilerplate shingles carry no
+    contamination signal) → equi-join on shingle with the BENCH side
+    broadcast (a benchmark suite is tiny next to a 100 TB corpus) → count
+    distinct shared shingles per (corpus_doc, bench_doc), keep pairs with
+    ``>= min_shared``. No all-pairs comparison anywhere; the corpus side
+    never shuffles for the join.
+    """
+    s = with_shingles(docs, n).select("doc_id", F.explode("shingles").alias("sh"))
+    stop = (
+        s.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("sh")
+    )
+    posts = s.join(F.broadcast(stop), "sh", "left_anti")
+    bench = posts.where(bench_cond).select(
+        F.col("doc_id").alias("bench_doc_id"), "sh"
+    )
+    corpus = posts.where(~bench_cond).select(
+        F.col("doc_id").alias("corpus_doc_id"), "sh"
+    )
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("corpus_doc_id", "bench_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 P31 = 2147483647  # Mersenne prime 2^31 - 1: universal-hash modulus
 
 
