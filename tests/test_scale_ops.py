@@ -261,3 +261,60 @@ def test_compact_files_merges_small_files(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 6400
     assert back.agg(F.countDistinct("id")).first()[0] == 6400
+
+
+def test_events_ts_layout_probe_and_normalise(spark, tmp_path):
+    """The driver fixture's events.ts parquet encoding changed between
+    rounds (TIMESTAMP(NANOS) -> naive micros); the reader must yield the
+    SAME UTC instants for every physical layout it can meet: int64-nanos,
+    TIMESTAMP_NTZ micros, INT96, and UTC-adjusted micros."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import (
+        events_ts_layout,
+        load_table,
+    )
+
+    naive = pd.to_datetime(
+        [
+            "2024-01-01 00:09:58.778549",
+            "2024-02-29 23:59:59.000001",
+            "2024-06-15 12:00:00.000000",
+        ],
+        format="%Y-%m-%d %H:%M:%S.%f",
+    )
+    expected_us = [int(t.value // 1000) for t in naive]  # naive-as-UTC micros
+    ids = list(range(len(naive)))
+
+    def write(layout_dir, arrow_type, int96=False):
+        d = tmp_path / layout_dir
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(naive).cast(arrow_type),
+            }
+        )
+        pq.write_table(
+            tbl, str(d / "events.parquet"), use_deprecated_int96_timestamps=int96
+        )
+        return str(d)
+
+    cases = {
+        "nanos": write("nanos", pa.timestamp("ns")),
+        "ntz": write("ntz", pa.timestamp("us")),
+        "ltz": write("utc", pa.timestamp("us", tz="UTC")),
+        # INT96 probes as "ltz" too (Spark reads it as plain TIMESTAMP)
+        "ltz ": write("int96", pa.timestamp("ns"), int96=True),
+    }
+    for expect_layout, d in cases.items():
+        assert events_ts_layout(f"{d}/events.parquet") == expect_layout.strip()
+        df = load_table(spark, d, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        got = {
+            r.event_id: r.us
+            for r in df.selectExpr("event_id", "unix_micros(ts) AS us").collect()
+        }
+        assert got == dict(zip(ids, expected_us)), d
