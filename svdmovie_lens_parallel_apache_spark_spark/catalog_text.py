@@ -238,6 +238,106 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 @register(
+    "dup_ngram_fraction",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS.format(src='lower(text)')} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                            i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) AS sh
+      FROM t),
+    m AS (
+      SELECT doc_id,
+             CAST(len(sh) AS BIGINT)                AS n_ngrams,
+             CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+             {_R("CASE WHEN len(sh) = 0 THEN 0.0 ELSE 1.0 - len(list_distinct(sh)) * 1.0 / len(sh) END", 6)} AS dup_frac
+      FROM s)
+    SELECT doc_id, n_ngrams, n_distinct, dup_frac, dup_frac > 0.1 AS flagged
+    FROM m
+    """,
+    tags=("quality", "repetition", "ngram", "pipeline"),
+    description="Gopher/RefinedWeb-style intra-document repetition filter: fraction "
+    "of POSITIONAL 3-gram shingles that are duplicates (1 - distinct/total) per doc, "
+    "with a >0.1 flag. Complements repetition_ratio (top-token share): this catches "
+    "looping/boilerplate spans rather than single-token spam. Pure JVM HOF exprs; "
+    "the flag compares the PORTABLY-ROUNDED fraction so the boolean is "
+    "boundary-stable across engines.",
+)
+def q_dup_ngram_fraction(spark, sf_dir):
+    from .functions.text import positional_shingles, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    ).select("doc_id", positional_shingles(F.col("toks"), 3).alias("sh"))
+    n_all = F.size("sh").cast("bigint")
+    n_dis = F.size(F.array_distinct("sh")).cast("bigint")
+    frac = _r(
+        F.when(n_all == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - n_dis.cast("double") / n_all.cast("double")
+        ),
+        6,
+    )
+    m = b.select(
+        "doc_id",
+        n_all.alias("n_ngrams"),
+        n_dis.alias("n_distinct"),
+        frac.alias("dup_frac"),
+    )
+    return m.withColumn("flagged", F.col("dup_frac") > 0.1)
+
+
+@register(
+    "source_mixture_sample",
+    f"""
+    WITH t AS (
+      SELECT source, len({_TOKS.format(src='text')}) AS ntok FROM documents),
+    a AS (
+      SELECT source, count(*) AS n_docs, sum(ntok) AS n_tokens
+      FROM t GROUP BY source),
+    w AS (SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS w_raw FROM a)
+    SELECT source,
+           CAST(n_docs AS BIGINT)   AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           {_R('w_raw / sum(w_raw) OVER ()', 6)} AS weight,
+           CAST(floor(0.5 * (sum(n_docs) OVER ()) * w_raw / sum(w_raw) OVER ())
+                AS BIGINT) AS quota
+    FROM w
+    """,
+    tags=("sampling", "mixture", "pipeline"),
+    description="LLaMA-style temperature mixture weights across sources: per-source "
+    "token mass raised to alpha=0.5 (sqrt), normalised into sampling weights, then "
+    "doc quotas for a 50%-of-corpus budget. Upweights small sources / downweights "
+    "dominant ones — the data-mixing step before training. One groupBy + one tiny "
+    "all-rows window (cardinality = #sources, inherently small); per-doc selection "
+    "against the quota is the deterministic-hash top-k already proven by "
+    "stratified_sample_quota.",
+)
+def q_source_mixture_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    w_raw = F.sqrt(F.col("n_tokens").cast("double"))
+    weight = w_raw / F.sum(w_raw).over(w_all)
+    total_docs = F.sum("n_docs").over(w_all)
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        _r(weight, 6).alias("weight"),
+        F.floor(F.lit(0.5) * total_docs * weight).cast("bigint").alias("quota"),
+    )
+
+
+@register(
     "benchmark_decontamination",
     f"""
     WITH t AS (
