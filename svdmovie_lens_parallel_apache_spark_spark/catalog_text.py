@@ -661,23 +661,32 @@ def q_ann_brp_mllib(spark, sf_dir):
     return mllib_brp_knn(_t(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
 
 
-def _cosine_dedup_oracle(n_planes: int = 8, threshold: float = 0.4) -> str:
+def _cosine_pairs_ctes(n_planes: int = 8, threshold: float = 0.4) -> str:
+    """Shared CTE chain: vectors → LSH bucket bits → bucket-blocked pairs
+    with exact cosine ≥ threshold (cpairs). Used by the pairs query and,
+    under WITH RECURSIVE, by the embedding clusters capstone."""
     bits = " + ".join(
         f"CASE WHEN list_reduce(list_transform(generate_series(1, len(vec)), "
         f"i -> vec[i] * {_hp_sql(j)}), (a, b) -> a + b) > 0 "
         f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for j in range(n_planes)
     )
-    return f"""
-    WITH v AS (SELECT vec_id, {_VEC} AS vec FROM embeddings),
+    return f"""v AS (SELECT vec_id, {_VEC} AS vec FROM embeddings),
     n AS (SELECT vec_id, vec, {_FOLD_NORM.format(v='vec')} AS nrm,
                  {bits} AS bucket
-          FROM v)
-    SELECT * FROM (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             {_R(_FOLD_DOT.format(a='a.vec', b='b.vec') + " / (a.nrm * b.nrm)", 6)} AS cosine
-      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-    WHERE cosine >= {threshold}
+          FROM v),
+    cpairs AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_R(_FOLD_DOT.format(a='a.vec', b='b.vec') + " / (a.nrm * b.nrm)", 6)} AS cosine
+        FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      WHERE cosine >= {threshold})"""
+
+
+def _cosine_dedup_oracle(n_planes: int = 8, threshold: float = 0.4) -> str:
+    return f"""
+    WITH {_cosine_pairs_ctes(n_planes, threshold)}
+    SELECT vec_a, vec_b, cosine FROM cpairs
     """
 
 
@@ -711,6 +720,40 @@ def q_dedup_embedding_cosine(spark, sf_dir):
             _r(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= 0.4)
+    )
+
+
+@register(
+    "embedding_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_cosine_pairs_ctes(4, 0.4)},
+    e(src, dst) AS (
+      SELECT vec_a, vec_b FROM cpairs
+      UNION ALL
+      SELECT vec_b, vec_a FROM cpairs
+    ),
+    r(node, lbl) AS (
+      SELECT DISTINCT src, src FROM e
+      UNION
+      SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+    )
+    SELECT node AS vec_id, min(lbl) AS cluster_id FROM r GROUP BY node
+    """,
+    tags=("dedup", "similarity", "embedding", "clusters", "graph"),
+    description="Embedding near-dup CLUSTERS: connected components over the "
+    "LSH-blocked cosine>=0.4 pairs (same min-label closure as dedup_clusters) — "
+    "completes the embedding-dedup path pairs -> groups -> keep-one, the "
+    "semantic-dedup counterpart of the shingle pipeline. Oracle: recursive-CTE "
+    "transitive closure over the replayed bucketing.",
+)
+def q_embedding_dedup_clusters(spark, sf_dir):
+    from .operators.dedup import dedup_clusters
+
+    pairs = q_dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return dedup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
     )
 
 
