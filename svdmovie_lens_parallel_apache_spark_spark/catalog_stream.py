@@ -16,7 +16,77 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .catalog import _R, _t, register
-from .operators.multimodal import attach_fake_media, extract_media_features, frame_sample
+from .functions.scalar import portable_round as _r
+from .operators.multimodal import (
+    attach_fake_media,
+    attach_synthetic_images,
+    decode_image_meta,
+    extract_media_features,
+    frame_sample,
+)
+
+# DuckDB twin of operators.multimodal.synthetic_image_hex: same literals,
+# same md5-derived dims, same hex-string concatenation. The parse queries
+# below read ONLY the constructed hex (never the dims CTE), so they verify
+# the byte arithmetic, not the generator.
+_IMG_HEX_CTE = """
+  dims AS (
+    SELECT doc_id, md5(text) AS mh,
+           CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 240 + 16 AS w,
+           CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 240 + 16 AS h,
+           CAST('0x' || substr(md5(text), 25, 2) AS INTEGER) % 12 + 1 AS n_com
+    FROM documents
+  ),
+  img AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN
+             '89504E470D0A1A0A' || '0000000D49484452' ||
+             lpad(upper(to_hex(w)), 8, '0') || lpad(upper(to_hex(h)), 8, '0') ||
+             '0806000000' || '00000000' || '0000000049454E44AE426082'
+           ELSE
+             'FFD8' || 'FFE000104A46494600010100000100010000' || 'FFFE' ||
+             lpad(upper(to_hex(n_com + 2)), 4, '0') ||
+             upper(substr(mh, 9, n_com * 2)) ||
+             'FFC0001108' ||
+             lpad(upper(to_hex(h)), 4, '0') || lpad(upper(to_hex(w)), 4, '0') ||
+             '03012200021101031101' || 'FFD9'
+           END AS hx
+    FROM dims
+  ),
+  walk AS (
+    SELECT doc_id, hx, 2 AS off, -1 AS h, -1 AS w, false AS done
+    FROM img WHERE substr(hx, 1, 4) = 'FFD8'
+    UNION ALL
+    SELECT doc_id, hx,
+           CASE WHEN marker BETWEEN 65472 AND 65474 THEN off
+                ELSE off + 2 + seglen END AS off,
+           CASE WHEN marker BETWEEN 65472 AND 65474
+                THEN CAST('0x' || substr(hx, (off + 5) * 2 + 1, 4) AS INTEGER)
+                ELSE -1 END AS h,
+           CASE WHEN marker BETWEEN 65472 AND 65474
+                THEN CAST('0x' || substr(hx, (off + 7) * 2 + 1, 4) AS INTEGER)
+                ELSE -1 END AS w,
+           (marker BETWEEN 65472 AND 65474) AS done
+    FROM (
+      SELECT doc_id, hx, off,
+             CAST('0x' || substr(hx, off * 2 + 1, 4) AS INTEGER) AS marker,
+             CAST('0x' || substr(hx, (off + 2) * 2 + 1, 4) AS INTEGER) AS seglen
+      FROM walk WHERE NOT done AND off * 2 < length(hx)
+    )
+  ),
+  parsed AS (
+    SELECT doc_id, 'png' AS media_format,
+           CAST('0x' || substr(hx, 33, 8) AS INTEGER) AS width,
+           CAST('0x' || substr(hx, 41, 8) AS INTEGER) AS height,
+           CAST(length(hx) // 2 AS INTEGER) AS byte_len, hx
+    FROM img WHERE substr(hx, 1, 16) = '89504E470D0A1A0A'
+    UNION ALL
+    SELECT walk.doc_id, 'jpeg' AS media_format,
+           CAST(walk.w AS INTEGER) AS width, CAST(walk.h AS INTEGER) AS height,
+           CAST(length(walk.hx) // 2 AS INTEGER) AS byte_len, walk.hx
+    FROM walk WHERE done
+  )
+"""
 from .streaming.jobs import (
     stream_session_window,
     stream_tumbling_counts,
@@ -105,15 +175,46 @@ def q_streaming_stateful(spark, sf_dir):
 
 @register(
     "multimodal_features",
-    None,
+    f"""
+    WITH RECURSIVE {_IMG_HEX_CTE}
+    SELECT doc_id, media_format, width, height, byte_len,
+           {_R("CAST(list_sum(list_transform(range(1, length(hx) // 2 + 1),"
+               " i -> CAST('0x' || substr(hx, 2 * i - 1, 2) AS INTEGER))) AS DOUBLE)"
+               " / (length(hx) // 2)", 6)} AS mean_byte
+    FROM parsed
+    """,
     tags=("multimodal", "mapInPandas", "binary"),
-    description="Opaque-binary media column + Arrow-batched mapInPandas feature "
-    "extraction (decode stubbed deterministically — real codecs not in container; "
-    "schema/batching/UDF plumbing is real and deterministic).",
+    description="Opaque-binary media column (REAL PNG/JPEG byte layouts, md5-derived "
+    "dims, variable-offset SOF0) + Arrow-batched mapInPandas header decode "
+    "(operators/multimodal.py::decode_media — pure struct byte arithmetic, the shape "
+    "a PIL/ffmpeg integration plugs into). EXACT oracle: DuckDB rebuilds the same "
+    "hex stream, walks the JPEG segment list with a recursive CTE, reads PNG IHDR "
+    "at fixed offsets, and means the bytes — byte-identical arithmetic on both "
+    "sides. Pixel/audio/video decode remains the documented codec boundary.",
 )
 def q_multimodal_features(spark, sf_dir):
-    media = attach_fake_media(_t(spark, sf_dir, "documents"))
-    return extract_media_features(media)
+    media = attach_synthetic_images(_t(spark, sf_dir, "documents"))
+    feats = extract_media_features(media.select("doc_id", "media_bytes"))
+    return feats.withColumn("mean_byte", _r(F.col("mean_byte"), 6))
+
+
+@register(
+    "multimodal_image_dims",
+    f"""
+    WITH RECURSIVE {_IMG_HEX_CTE}
+    SELECT doc_id, media_format, width, height, byte_len FROM parsed
+    """,
+    tags=("multimodal", "binary", "jvm"),
+    description="JVM-side image-header decode — the 100 TB hot path: format sniff + "
+    "PNG IHDR fixed-offset dims + JPEG SOF0 via a bounded segment-walk fold "
+    "(F.aggregate with a struct accumulator), all pure column expressions, zero "
+    "Python. The JPEG fixture carries a variable-length COM segment so SOF0 sits at "
+    "no fixed offset — the fold genuinely walks. Oracle mirrors the walk with a "
+    "recursive CTE over the identically constructed hex stream.",
+)
+def q_multimodal_image_dims(spark, sf_dir):
+    media = attach_synthetic_images(_t(spark, sf_dir, "documents"))
+    return decode_image_meta(media.select("doc_id", "media_bytes"))
 
 
 @register(
