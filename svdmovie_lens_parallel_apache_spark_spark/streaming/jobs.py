@@ -264,84 +264,6 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str,
     return spark.table("stream_click_attribution")
 
 
-def stream_user_extremes_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful operator on the transformWithStateInPandas API (the
-    Spark-4 successor to applyInPandasWithState): a StatefulProcessor with
-    an explicit ValueState cell per user tracking (count, max value).
-    Requires the RocksDB state-store provider — set for this query and
-    restored after (the HDFS-backed default doesn't support the new API's
-    column families).
-
-    Batch twin: groupBy(user).agg(count, max) — asserted in
-    tests/test_streaming.py.
-
-    NB: Spark's transformWithStateInPySpark runner imports google.protobuf
-    at query start; environments without protobuf can't run this operator
-    (the test importorskips). applyInPandasWithState
-    (``stream_user_totals_stateful``) is the no-extra-deps custom-state
-    path.
-    """
-    import pandas as pd
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    out_schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("n_events", T.LongType()),
-            T.StructField("max_value", T.DoubleType()),
-        ]
-    )
-    state_schema = T.StructType(
-        [T.StructField("n", T.LongType()), T.StructField("mx", T.DoubleType())]
-    )
-
-    class Extremes(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._agg = handle.getValueState("agg", state_schema)
-
-        def handleInputRows(self, key, rows, timerValues):
-            n, mx = (self._agg.get() or (0, float("-inf"))) if self._agg.exists() else (0, float("-inf"))
-            for pdf in rows:
-                n += len(pdf)
-                mx = max(mx, float(pdf["value"].max()))
-            self._agg.update((n, mx))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
-            )
-
-        def close(self) -> None:
-            pass
-
-    ev = events_stream(spark, sf_dir).select("user_id", "value")
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
-    )
-    try:
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        )
-        out = ev.groupBy("user_id").transformWithStateInPandas(
-            Extremes(), out_schema, "Update", "None"
-        )
-        run_available_now(out, "stream_user_extremes_tws", mode="update")
-    finally:
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
-    final = spark.table("stream_user_extremes_tws")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        final.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-
-
 def stream_dedup_keys(spark: SparkSession, sf_dir: str,
                       watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup via ``dropDuplicatesWithinWatermark``: first

@@ -54,6 +54,27 @@ def test_minhash_finds_exact_jaccard_pairs(spark, sf_dir):
     assert len(lsh) >= len(exact) > 0 or len(exact) == 0
 
 
+def test_distributed_cc_matches_union_find(spark, sf_dir):
+    """The 100 TB branch of dedup_clusters (distributed min-label fixpoint,
+    used above driver_edge_threshold) must produce exactly the clustering
+    of the driver union-find branch. threshold=0 forces the distributed
+    path onto the real sf fixture pairs; threshold=2**62 forces union-find."""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_pairs,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5, n=3, block_col="lang")
+    uf = {(r.doc_id, r.cluster_id)
+          for r in dedup_clusters(pairs, driver_edge_threshold=2**62).collect()}
+    dist = {(r.doc_id, r.cluster_id)
+            for r in dedup_clusters(pairs, driver_edge_threshold=0).collect()}
+    assert len(uf) > 0
+    assert dist == uf
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     from svdmovie_lens_parallel_apache_spark_spark.operators.dedup import simhash_pairs
 
@@ -77,7 +98,11 @@ def test_lsh_knn_recall_vs_brute_force(spark, sf_dir):
     brute = {(r.query_id, r.neighbor_id) for r in knn_brute_force(emb, 10, 5).collect()}
     approx = {(r.query_id, r.neighbor_id) for r in knn_lsh(emb, 10, 5, n_planes=4, n_tables=8).collect()}
     recall = len(brute & approx) / len(brute)
-    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+    # Evidence-pinned floor (r4): measured 0.72 at sf0.001, 0.60 at sf0.01
+    # with these params; floor = min(measured) - 0.05 margin, so a recall
+    # collapse of the multi-table OR-amplification fails loudly while
+    # fixture-regeneration jitter does not.
+    assert recall >= 0.55, f"LSH recall collapsed: {recall} (measured 0.72@sf0.001, 0.60@sf0.01)"
 
 
 def test_quality_score_gate(spark):

@@ -130,33 +130,6 @@ def test_foreach_batch_parquet_upsert_sink(spark, sf_dir, tmp_path):
     assert "__batch" in written.columns
 
 
-def test_transform_with_state_matches_batch(spark, sf_dir):
-    import pytest
-
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithStateInPandas runner needs protobuf",
-    )
-    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
-    from svdmovie_lens_parallel_apache_spark_spark.streaming.jobs import (
-        stream_user_extremes_tws,
-    )
-    from pyspark.sql import functions as F
-
-    streamed = {
-        (r.user_id, r.n_events, r.max_value)
-        for r in stream_user_extremes_tws(spark, sf_dir).collect()
-    }
-    batch = {
-        (r.user_id, r.n_events, r.max_value)
-        for r in load_table(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
-        .collect()
-    }
-    assert streamed == batch
-
-
 def test_streaming_dedup_equals_batch_distinct(spark, sf_dir):
     """dropDuplicatesWithinWatermark, key-projected, must equal batch
     DISTINCT over the same keys — and state must be watermark-bounded
