@@ -1280,7 +1280,10 @@ def global_error_metrics(spark, sf_dir):
     "sliding_window_agg",
     f"""
     WITH s AS (
-      SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS w0,
+      -- make_timestamp(micros) yields a NAIVE timestamp, so the strftime
+      -- below renders identically on any verifier-host TimeZone
+      -- (to_timestamp returns TIMESTAMPTZ and rendered in session TZ)
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS w0,
              event_type, value
       FROM events),
     e AS (

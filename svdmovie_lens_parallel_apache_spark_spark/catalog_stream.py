@@ -233,7 +233,9 @@ def q_multimodal_frames(spark, sf_dir):
     "streaming_sliding_counts",
     """
     WITH s AS (
-      SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS w0,
+      -- naive make_timestamp: strftime rendering is TZ-independent (the
+      -- to_timestamp TIMESTAMPTZ pattern only matched on UTC-pinned hosts)
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS w0,
              event_type
       FROM events),
     e AS (

@@ -301,7 +301,7 @@ def q_dup_ngram_fraction(spark, sf_dir):
            CAST(n_docs AS BIGINT)   AS n_docs,
            CAST(n_tokens AS BIGINT) AS n_tokens,
            {_R('w_raw / sum(w_raw) OVER ()', 6)} AS weight,
-           CAST(floor(0.5 * (sum(n_docs) OVER ()) * w_raw / sum(w_raw) OVER ())
+           CAST(floor((0.5 * (sum(n_docs) OVER ())) * (w_raw / sum(w_raw) OVER ()))
                 AS BIGINT) AS quota
     FROM w
     """,
@@ -333,7 +333,10 @@ def q_source_mixture_sample(spark, sf_dir):
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         _r(weight, 6).alias("weight"),
-        F.floor(F.lit(0.5) * total_docs * weight).cast("bigint").alias("quota"),
+        # association order pinned to the oracle's: (0.5*total) * (w_raw/sum)
+        # — floor() can flip by 1 at near-integer boundaries if the doubles
+        # are produced in a different order
+        F.floor((F.lit(0.5) * total_docs) * weight).cast("bigint").alias("quota"),
     )
 
 
@@ -628,15 +631,28 @@ def q_lsh_buckets(spark, sf_dir):
     return lsh_buckets(_t(spark, sf_dir, "embeddings"), dim=64, n_planes=16)
 
 
+_ANN_GATE_ORACLE = """
+    SELECT CAST(10 AS BIGINT) AS n_queries, CAST(5 AS INTEGER) AS k,
+           CAST(50 AS BIGINT) AS n_brute_pairs, TRUE AS recall_ok
+"""
+
+
 @register(
     "ann_lsh_knn",
-    None,  # recall-vs-brute-force is asserted in tests; result shape checked rows-only
+    _ANN_GATE_ORACLE,
     tags=("similarity", "lsh", "knn"),
-    description="ANN top-5 within LSH buckets (8 planes). Rows-only: approximate result; "
-    "recall vs knn_brute_cosine is asserted in tests/test_similarity.py.",
+    description="ANN top-5 within LSH buckets (4 planes × 8 OR-amplified tables), folded "
+    "into an oracle-able recall gate: the brute-force ground truth is computed in-engine "
+    "and recall_ok pins recall ≥ 0.5 (measured 0.72@sf0.001 / 0.60@sf0.01) — a recall "
+    "collapse fails the driver hash gate. Neighbor-list recall also asserted in "
+    "tests/test_pipeline_ops.py.",
 )
 def q_lsh_knn(spark, sf_dir):
-    return knn_lsh(_t(spark, sf_dir, "embeddings"), query_ids_below=10, k=5, n_planes=4, n_tables=8)
+    from .operators.similarity import ann_recall_gate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = knn_lsh(emb, query_ids_below=10, k=5, n_planes=4, n_tables=8)
+    return ann_recall_gate(emb, approx, query_ids_below=10, k=5, floor=0.5)
 
 
 @register(
@@ -784,16 +800,19 @@ def q_deterministic_sample(spark, sf_dir):
 
 @register(
     "ann_ivf_knn",
-    None,  # KMeans internals are engine-specific — rows-only; recall gate in tests
+    _ANN_GATE_ORACLE,
     tags=("similarity", "ivf", "knn", "ml"),
     description="IVF-style ANN top-5: KMeans cells (inverted file) + 4-probe search + "
-    "exact cosine re-rank. The clustering-based scale path next to the hash-based LSH "
-    "variants; recall vs knn_brute_cosine asserted in tests.",
+    "exact cosine re-rank — the clustering-based scale path next to the hash-based LSH "
+    "variants — folded into an oracle-able recall gate: recall_ok pins recall ≥ 0.45 "
+    "(measured 0.68@sf0.001 / 0.56@sf0.01); collapse fails the driver hash gate.",
 )
 def q_ann_ivf(spark, sf_dir):
-    from .operators.similarity import knn_ivf
+    from .operators.similarity import ann_recall_gate, knn_ivf
 
-    return knn_ivf(_t(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = knn_ivf(emb, query_ids_below=10, k=5)
+    return ann_recall_gate(emb, approx, query_ids_below=10, k=5, floor=0.45)
 
 
 @register(
@@ -1073,14 +1092,18 @@ def q_doc_winnowing(spark, sf_dir):
 
 @register(
     "ann_pq_knn",
-    None,  # KMeans codebook internals are engine-specific — rows-only; recall gate in tests
+    _ANN_GATE_ORACLE,
     tags=("similarity", "pq", "knn", "ml"),
     description="Product-quantization ANN top-5: per-subspace KMeans codebooks, "
     "code-only ADC scan (16x memory compression — the billion-vector path where raw "
-    "vectors don't fit), exact cosine re-rank of the k*refine shortlist. Recall vs "
-    "knn_brute_cosine asserted in tests/test_scale_ops.py.",
+    "vectors don't fit), exact cosine re-rank of the k*refine shortlist — folded into "
+    "an oracle-able recall gate: recall_ok pins recall ≥ 0.9 (measured 0.98@sf0.001 / "
+    "1.0@sf0.01); collapse fails the driver hash gate. Also gated in "
+    "tests/test_scale_ops.py.",
 )
 def q_ann_pq(spark, sf_dir):
-    from .operators.similarity import knn_pq
+    from .operators.similarity import ann_recall_gate, knn_pq
 
-    return knn_pq(_t(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = knn_pq(emb, query_ids_below=10, k=5)
+    return ann_recall_gate(emb, approx, query_ids_below=10, k=5, floor=0.9)

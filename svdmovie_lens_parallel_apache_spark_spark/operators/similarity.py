@@ -89,6 +89,35 @@ def knn_brute_force(emb: DataFrame, query_ids_below: int = 10, k: int = 5) -> Da
     )
 
 
+def ann_recall_gate(emb: DataFrame, approx: DataFrame, query_ids_below: int = 10,
+                    k: int = 5, floor: float = 0.5) -> DataFrame:
+    """Fold an approximate kNN result into an ORACLE-ABLE one-row gate:
+    (n_queries, k, n_brute_pairs, recall_ok). The brute-force ground truth
+    is computed in-engine (both sides already exist as operators); the
+    DuckDB oracle pins the deterministic columns and ``recall_ok = TRUE``
+    — the approx_distinct_sketch trick: a recall collapse flips the
+    boolean and fails the driver's hash gate, while the engine-specific
+    neighbor lists themselves stay out of the hashed surface.
+
+    ``floor`` is evidence-pinned per caller (measured recall − margin at
+    sf0.001/sf0.01, the two gated scales).
+    """
+    brute = knn_brute_force(emb, query_ids_below, k).select("query_id", "neighbor_id")
+    hits = brute.join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    agg = brute.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_brute_pairs"),
+    ).crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    return agg.select(
+        "n_queries",
+        F.lit(k).alias("k"),
+        "n_brute_pairs",
+        (F.col("n_hits") >= F.col("n_brute_pairs") * floor).alias("recall_ok"),
+    )
+
+
 def knn_lsh(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
             dim: int = 64, n_planes: int = 4, n_tables: int = 8) -> DataFrame:
     """ANN top-k via multi-table sign-LSH (OR-amplification).

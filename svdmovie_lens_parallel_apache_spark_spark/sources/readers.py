@@ -14,6 +14,8 @@ scans; nothing else changes.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -42,25 +44,11 @@ MOVIELENS_SCHEMA = T.StructType(
 )
 
 
-def events_ts_layout(path: str) -> str:
-    """Probe a parquet footer for the ``ts`` physical type. The fixture has
-    shipped two layouts across driver rounds, so readers adapt per file:
-
-    - ``"nanos"``: TIMESTAMP(NANOS) — Spark's vectorized reader rejects it;
-      must be read as nanos-since-epoch long via the ``nanosAsLong`` conf.
-    - ``"ntz"``: timestamp[us] without timezone — Spark surfaces
-      TIMESTAMP_NTZ; naive wall times are UTC by fixture convention.
-    - ``"ltz"``: UTC-adjusted timestamp[us] — plain TIMESTAMP, no fixup.
-
-    Footer-only read (pyarrow), so the probe is O(KB) regardless of file
-    size; at deploy scale you'd pin one layout and delete this shim.
-    """
-    import glob as _g
-
+def _probe_ts_layout_one(file_path: str) -> str:
+    """Footer-only ts-layout probe of ONE parquet file (O(KB) read)."""
     import pyarrow.parquet as pq
 
-    files = sorted(_g.glob(path)) if any(c in path for c in "*?[") else [path]
-    pf = pq.ParquetFile(files[0])
+    pf = pq.ParquetFile(file_path)
     schema = pf.metadata.schema
     # INT96 (Spark's legacy timestamp encoding) also surfaces as
     # timestamp[ns] in the arrow schema, but Spark reads it as a plain
@@ -76,6 +64,44 @@ def events_ts_layout(path: str) -> str:
     if getattr(t, "unit", None) == "ns" and getattr(t, "tz", None) is None:
         return "nanos"
     return "ntz" if getattr(t, "tz", None) is None else "ltz"
+
+
+@functools.lru_cache(maxsize=64)
+def events_ts_layout(path: str) -> str:
+    """Probe parquet footers for the ``ts`` physical type. The fixture has
+    shipped multiple layouts across driver rounds, so readers adapt:
+
+    - ``"nanos"``: TIMESTAMP(NANOS) — Spark's vectorized reader rejects it;
+      must be read as nanos-since-epoch long via the ``nanosAsLong`` conf.
+    - ``"ntz"``: timestamp[us] without timezone — Spark surfaces
+      TIMESTAMP_NTZ; naive wall times are UTC by fixture convention.
+    - ``"ltz"``: UTC-adjusted timestamp[us] — plain TIMESTAMP, no fixup.
+
+    EVERY matching file's footer is probed (not just the first): a
+    directory mixing layouts would otherwise be silently normalised per
+    one arbitrary file — that case raises instead. An empty match raises
+    a clear FileNotFoundError (previously an opaque IndexError).
+
+    Results are cached per path string for the process lifetime: fixture
+    files are immutable within a driver round, and the probe otherwise
+    re-runs on every ``load_table`` call of every catalog query. A path
+    whose layout changes mid-process (never the case here — regenerated
+    fixtures arrive in a fresh process) would need ``events_ts_layout.
+    cache_clear()``. At deploy scale you'd pin one layout and delete this
+    shim entirely.
+    """
+    import glob as _g
+
+    files = sorted(_g.glob(path)) if any(c in path for c in "*?[") else [path]
+    if not files:
+        raise FileNotFoundError(f"events_ts_layout: no parquet files match {path!r}")
+    layouts = {_probe_ts_layout_one(f) for f in files}
+    if len(layouts) > 1:
+        raise ValueError(
+            f"events_ts_layout: mixed ts layouts {sorted(layouts)} under {path!r}; "
+            "a directory must be layout-homogeneous (split the read per layout)"
+        )
+    return layouts.pop()
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
