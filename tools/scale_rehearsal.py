@@ -31,7 +31,10 @@ sys.path.insert(0, REPO)
 
 # the round-2 fresh-session cost ranking (VERDICT.md "Performance"):
 # slowest first, spanning every heavy family — dedup pair-gen + CC,
-# ANN encode/scan, stream-stream join, text aggs, TPC-H heavies
+# ANN encode/scan, stream-stream join, text aggs, TPC-H heavies; r4 adds
+# the stateful-streaming family (session windows, per-key state,
+# foreachBatch rollup merge) — state-STORE growth is a scale axis the
+# batch queries never touch
 DEFAULT_QUERIES = [
     "dedup_clusters",
     "ann_pq_knn",
@@ -43,6 +46,9 @@ DEFAULT_QUERIES = [
     "term_frequency",
     "q21_sole_returner",
     "q08_market_share",
+    "streaming_session_window",
+    "streaming_stateful_user_totals",
+    "streaming_incremental_rollup",
 ]
 
 SMALL = os.environ.get("SPARK_GRAFT_SMALL_SF", "/root/testdata/sf0.1")
