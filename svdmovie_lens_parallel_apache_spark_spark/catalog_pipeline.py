@@ -635,6 +635,174 @@ def q_unigram_lm_score(spark, sf_dir):
     )
 
 
+@register(
+    "bigram_lm_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS.format(src='lower(text)')} AS toks FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(2, len(toks) + 1), i -> toks[i - 1])) AS prev,
+             unnest(list_transform(range(2, len(toks) + 1), i -> toks[i]))     AS cur
+      FROM t
+    ),
+    uni AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n_t
+      FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1
+    ),
+    total AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM uni),
+    bg AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS n_bc FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT prev, CAST(count(*) AS BIGINT) AS n_ctx FROM pairs GROUP BY 1),
+    scored AS (
+      SELECT doc_id,
+             {_R('-ln(0.7 * (CAST(n_bc AS DOUBLE) / n_ctx) + 0.3 * (CAST(n_t AS DOUBLE) / n))', 9)} AS nll
+      FROM pairs
+      JOIN bg USING (prev, cur)
+      JOIN ctx USING (prev)
+      JOIN uni ON uni.term = pairs.cur, total
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           {_R('CAST(sum(CAST(nll AS DECIMAL(18,9))) AS DOUBLE) / count(*)', 6)} AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("pipeline", "text", "quality", "lm"),
+    description="Interpolated bigram language-model scoring (CCNet-style "
+    "perplexity-proxy quality filter, one order up from unigram_lm_score): "
+    "P(cur|prev) = 0.7·MLE_bigram + 0.3·MLE_unigram over corpus counts; per-doc "
+    "mean NLL over bigram positions. Bigrams come from ONE lag window per doc "
+    "(posexplode + lag — no array duplication per position, no self-join); counts "
+    "are two hash aggs; the scoring joins shuffle on prev/bigram with map-side "
+    "partials (Zipf-hot heads are few). Per-position NLLs are portable-rounded "
+    "then DECIMAL-accumulated, so the per-doc mean is order-independent at any "
+    "parallelism.",
+)
+def q_bigram_lm_score(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .functions.text import tokens as _tokens
+
+    pos = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(_tokens(F.lower(F.col("text")))).alias("pos", "cur"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        pos.withColumn("prev", F.lag("cur").over(w))
+        .where(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "cur")
+    )
+    uni = pos.groupBy(F.col("cur").alias("term")).agg(F.count(F.lit(1)).alias("n_t"))
+    total = uni.agg(F.sum("n_t").alias("n"))
+    bg = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n_bc"))
+    ctx = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("n_ctx"))
+    scored = (
+        pairs.join(bg, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(uni, pairs["cur"] == uni["term"])
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            _r(
+                -F.log(
+                    F.lit(0.7) * (F.col("n_bc").cast("double") / F.col("n_ctx"))
+                    + F.lit(0.3) * (F.col("n_t").cast("double") / F.col("n"))
+                ),
+                9,
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        _r(
+            F.sum(F.col("nll").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("avg_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (inject-then-redact, fully deterministic)
+# ---------------------------------------------------------------------------
+
+# Patterns chosen inside the Java-regex ∩ RE2 common subset so Spark and
+# DuckDB match byte-identically: no backrefs, no lookaround, POSIX classes.
+_PII_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+_PII_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH injected AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 5 = 0
+                    THEN ' contact ' || substr(md5(text), 1, 8) || '@example.com'
+                    ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                    THEN ' call +1-555-' ||
+                         lpad(CAST(CAST('0x' || substr(md5(md5(text)), 1, 4) AS INTEGER)
+                                   % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE_RE}')) AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PII_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_fp
+    FROM injected
+    """,
+    tags=("pipeline", "text", "pii", "redaction"),
+    description="PII redaction (Dolma/RefinedWeb-style scrub before training): "
+    "deterministic synthetic emails/phones are injected into a known doc subset "
+    "(the fixture has none), then redacted with regexes drawn from the "
+    "Java-regex ∩ RE2 common subset; emits per-doc match counts plus the md5 "
+    "fingerprint of the scrubbed text, so the oracle hash-verifies the exact "
+    "redacted bytes. Pure JVM regexp_replace/regexp_count — one scan, no "
+    "shuffle, trivially linear at 100 TB.",
+)
+def q_pii_scrub(spark, sf_dir):
+    # 4 decimal digits derived from md5 hex (hex chars a-f would not match
+    # the [0-9]{4} phone pattern) — identical conv/lpad arithmetic in the oracle
+    digits = F.lpad(
+        (F.conv(F.substring(F.md5(F.md5(F.col("text"))), 1, 4), 16, 10).cast("int") % 10000)
+        .cast("string"),
+        4,
+        "0",
+    )
+    injected = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact "),
+                    F.substring(F.md5(F.col("text")), 1, 8),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.lit(" call +1-555-"), digits)
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL_RE, "<EMAIL>"),
+        _PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return injected.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_PHONE_RE)).cast("int").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # GDPR purge cascade audit
 # ---------------------------------------------------------------------------
