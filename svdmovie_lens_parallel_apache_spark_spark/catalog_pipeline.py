@@ -803,6 +803,151 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_build_manifest",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+      FROM t
+    ),
+    posts AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    kept_sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM posts)
+      WHERE df <= 1000
+    ),
+    bench_sh AS (
+      SELECT doc_id, shingle FROM kept_sh
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0
+    ),
+    corpus_sh AS (
+      SELECT doc_id, shingle FROM kept_sh
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 <> 0
+    ),
+    contam AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT c.doc_id AS doc_id, b.doc_id AS bdoc
+        FROM corpus_sh c JOIN bench_sh b USING (shingle)
+        GROUP BY 1, 2 HAVING count(*) >= 3)
+    ),
+    corpus AS (
+      SELECT * FROM documents
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 <> 0
+    ),
+    clean AS (
+      SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    keepers AS (
+      SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(lower(trim(text)))
+    ),
+    kept AS (SELECT * FROM clean WHERE doc_id IN (SELECT doc_id FROM keepers)),
+    raw_stats AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw FROM corpus GROUP BY 1),
+    cont_stats AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated
+      FROM corpus WHERE doc_id IN (SELECT doc_id FROM contam) GROUP BY 1
+    ),
+    kept_stats AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(len(list_filter(string_split(trim(text), ' '), x -> x <> '')))
+                  AS BIGINT) AS n_tokens
+      FROM kept GROUP BY 1
+    ),
+    m AS (
+      SELECT r.source, r.n_raw,
+             CAST(coalesce(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+             CAST(r.n_raw - coalesce(c.n_contaminated, 0) - coalesce(k.n_kept, 0)
+                  AS BIGINT) AS n_dup_removed,
+             CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+             sqrt(CAST(coalesce(k.n_tokens, 0) AS DOUBLE)) AS w_raw
+      FROM raw_stats r
+      LEFT JOIN cont_stats c USING (source)
+      LEFT JOIN kept_stats k USING (source)
+    )
+    SELECT source, n_raw, n_contaminated, n_dup_removed, n_kept,
+           floor((w_raw / sum(w_raw) OVER ()) * 1e6 + 0.5) / 1e6 AS weight,
+           CAST(floor((0.5 * (sum(n_kept) OVER ()))
+                      * (w_raw / sum(w_raw) OVER ())) AS BIGINT) AS quota
+    FROM m
+    """,
+    tags=("pipeline", "capstone", "decontamination", "dedup", "mixture"),
+    description="Corpus-build manifest — the per-source funnel accounting a 100 TB "
+    "pretraining build reports: corpus split (bench held out) → benchmark "
+    "decontamination (≥3 shared capped shingles with any bench doc) → exact dedup "
+    "keep-min → per-source survivors/token mass → sqrt-temperature mixture weights "
+    "and doc quotas for a 50% budget. Composes ngram_collision_pairs, "
+    "exact_dedup_groups and the mixture math in ONE lineage; the corpus side never "
+    "shuffles for the contamination join (bench side broadcast), dedup is one "
+    "hash-groupBy, the mixture window has #sources cardinality. Oracle replays the "
+    "full chain.",
+)
+def q_corpus_build_manifest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .functions.hashing import portable_hash64
+    from .functions.text import token_count
+    from .operators.dedup import ngram_collision_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    bench_cond = portable_hash64(F.col("doc_id")) % 20 == 0
+    corpus = docs.where(~bench_cond)
+    contaminated = (
+        ngram_collision_pairs(docs, bench_cond, n=3, min_shared=3, max_df=1000)
+        .select(F.col("corpus_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    keepers = clean.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = clean.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    raw_stats = corpus.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    cont_stats = (
+        corpus.join(contaminated, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    kept_stats = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    m = (
+        raw_stats.join(cont_stats, "source", "left")
+        .join(kept_stats, "source", "left")
+        .select(
+            "source",
+            F.col("n_raw").cast("bigint").alias("n_raw"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("bigint").alias("n_contaminated"),
+            (
+                F.col("n_raw")
+                - F.coalesce(F.col("n_contaminated"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("bigint").alias("n_dup_removed"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.sqrt(F.coalesce(F.col("n_tokens"), F.lit(0)).cast("double")).alias("w_raw"),
+        )
+    )
+    w_all = Window.partitionBy()
+    weight = F.col("w_raw") / F.sum("w_raw").over(w_all)
+    total_kept = F.sum("n_kept").over(w_all)
+    return m.select(
+        "source",
+        "n_raw",
+        "n_contaminated",
+        "n_dup_removed",
+        "n_kept",
+        _r(weight, 6).alias("weight"),
+        # association order pinned to the oracle: (0.5*total) * (w_raw/sum)
+        F.floor((F.lit(0.5) * total_kept) * weight).cast("bigint").alias("quota"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # GDPR purge cascade audit
 # ---------------------------------------------------------------------------
