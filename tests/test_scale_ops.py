@@ -318,3 +318,18 @@ def test_events_ts_layout_probe_and_normalise(spark, tmp_path):
             for r in df.selectExpr("event_id", "unix_micros(ts) AS us").collect()
         }
         assert got == dict(zip(ids, expected_us)), d
+
+    # probe failure modes: empty glob is a clear error, and a directory
+    # mixing layouts raises instead of silently normalising per one file
+    import shutil
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="no parquet files"):
+        events_ts_layout(str(tmp_path / "nope-*.parquet"))
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    shutil.copy(str(tmp_path / "nanos" / "events.parquet"), str(mixed / "a.parquet"))
+    shutil.copy(str(tmp_path / "ntz" / "events.parquet"), str(mixed / "b.parquet"))
+    with _pytest.raises(ValueError, match="mixed ts layouts"):
+        events_ts_layout(str(mixed / "*.parquet"))
