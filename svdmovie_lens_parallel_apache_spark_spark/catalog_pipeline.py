@@ -948,6 +948,94 @@ def q_corpus_build_manifest(spark, sf_dir):
     )
 
 
+def _bpe_round_sql(i: int) -> str:
+    """One unrolled BPE round: bigram counts over t{i-1}, argmax with
+    (count DESC, pair ASC) tie-break, then the left-to-right non-overlapping
+    space-bounded replace producing t{i}."""
+    prev, cur = f"t{i - 1}", f"t{i}"
+    return f"""
+    p{i} AS (
+      SELECT unnest(list_transform(range(2, len(toks) + 1),
+                                   j -> toks[j - 1] || ' ' || toks[j])) AS pair
+      FROM (SELECT list_filter(string_split(trim(t), ' '), x -> x <> '') AS toks
+            FROM {prev})
+    ),
+    b{i} AS (
+      SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p{i}
+      GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1
+    ),
+    {cur} AS (
+      SELECT doc_id,
+             ' ' || trim(replace(t,
+                 ' ' || (SELECT pair FROM b{i}) || ' ',
+                 ' ' || replace((SELECT pair FROM b{i}), ' ', '_') || ' ')) || ' ' AS t
+      FROM {prev}
+    )"""
+
+
+@register(
+    "bpe_merge_rounds",
+    f"""
+    WITH t0 AS (
+      SELECT doc_id, ' ' || lower(trim(text)) || ' ' AS t FROM documents
+    ),
+    {",".join(_bpe_round_sql(i) for i in (1, 2, 3))}
+    SELECT 1 AS round, pair AS merged_pair, n AS n_occurrences FROM b1
+    UNION ALL SELECT 2, pair, n FROM b2
+    UNION ALL SELECT 3, pair, n FROM b3
+    """,
+    tags=("pipeline", "tokenizer", "bpe", "iterative"),
+    description="BPE merge training (3 rounds) — the tokenizer-training primitive: "
+    "each round counts adjacent token pairs corpus-wide, merges the most frequent "
+    "(ties broken lexicographically) by joining the pair with '_', and re-tokenises. "
+    "Iterative driver loop over DataFrames (the CC-fixpoint pattern: one 1-row "
+    "collect per round, pair counting via the lag-window bigram shape — no array "
+    "duplication, map-side partial aggs). Merge application is a space-bounded "
+    "left-to-right non-overlapping string replace, a semantics both engines share "
+    "verbatim, so the oracle (3 unrolled CTE rounds) replays training exactly. At "
+    "100 TB each round is one shuffle on pair + one broadcast scalar — classic "
+    "iterative-Spark; real tokenizers run ~30-50k rounds on a bounded corpus "
+    "SAMPLE, which this shape serves unchanged.",
+)
+def q_bpe_merge_rounds(spark, sf_dir):
+    from pyspark.sql import Window
+
+    rounds = 3
+    txt = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit(" "), F.lower(F.trim(F.col("text"))), F.lit(" ")).alias("t")
+    )
+    out = []
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    for r in range(1, rounds + 1):
+        toks = F.filter(F.split(F.trim(F.col("t")), " "), lambda x: x != "")
+        pos = txt.select("doc_id", F.posexplode(toks).alias("pos", "cur"))
+        pairs = (
+            pos.withColumn("prev", F.lag("cur").over(w))
+            .where(F.col("prev").isNotNull())
+            .select(F.concat_ws(" ", "prev", "cur").alias("pair"))
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()[0]
+        )
+        out.append((r, best["pair"], int(best["n"])))
+        merged = best["pair"].replace(" ", "_")
+        txt = txt.select(
+            "doc_id",
+            F.concat(
+                F.lit(" "),
+                F.trim(F.replace(F.col("t"), F.lit(f" {best['pair']} "), F.lit(f" {merged} "))),
+                F.lit(" "),
+            ).alias("t"),
+        ).localCheckpoint(eager=True)  # truncate lineage per round, like the CC loop
+    return txt.sparkSession.createDataFrame(
+        out, schema="round int, merged_pair string, n_occurrences bigint"
+    )
+
+
 # ---------------------------------------------------------------------------
 # GDPR purge cascade audit
 # ---------------------------------------------------------------------------
