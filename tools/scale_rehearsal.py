@@ -49,6 +49,9 @@ DEFAULT_QUERIES = [
     "streaming_session_window",
     "streaming_stateful_user_totals",
     "streaming_incremental_rollup",
+    "bpe_merge_rounds",
+    "bigram_lm_score",
+    "corpus_build_manifest",
 ]
 
 SMALL = os.environ.get("SPARK_GRAFT_SMALL_SF", "/root/testdata/sf0.1")
@@ -105,13 +108,21 @@ def main() -> None:
         out[name] = rec
         print(f"# {name}: {rec}", file=sys.stderr)
 
+    # scoped runs MERGE into the existing file (a names argument would
+    # otherwise silently drop every other query's recorded exponent)
+    path = os.path.join(REPO, "SCALING.json")
+    merged = out
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f).get("queries", {})
+        merged = {**prior, **out}
     payload = {
         "small_sf_dir": SMALL,
         "big_sf_dir": BIG,
         "size_ratio": RATIO,
-        "queries": out,
+        "queries": merged,
     }
-    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(json.dumps(payload))
     spark.stop()
