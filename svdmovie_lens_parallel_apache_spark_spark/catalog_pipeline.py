@@ -1036,6 +1036,47 @@ def q_bpe_merge_rounds(spark, sf_dir):
     )
 
 
+@register(
+    "recsys_quality_gate",
+    """
+    SELECT CAST(16 AS INTEGER) AS rank, TRUE AS mae_beats_mean, TRUE AS rmse_beats_mean
+    """,
+    tags=("recsys", "als", "gate", "ml"),
+    description="Model-quality regression gate for the ALS surface (the recall_ok "
+    "pattern applied to training): fit rank-16 ALS on the deterministic 80/20 hash "
+    "holdout of a DENSE scale-independent low-rank block (50 users × 200 items, "
+    "same generative structure as the bench fixture — the events-derived pairs "
+    "give ~5 ratings/user at sf≤0.01, unlearnable for any factor model), evaluate "
+    "held-out MAE/RMSE against the predict-the-training-mean baseline, and pin "
+    "'beats 0.8× baseline' booleans the oracle asserts TRUE. The gate trips only "
+    "on genuine training collapse; MLlib's internal factor values stay out of the "
+    "hashed surface. Full prediction tables remain available via als_top_recs / "
+    "movielens_replay (rows-only by design).",
+)
+def q_recsys_quality_gate(spark, sf_dir):
+    from .functions.hashing import portable_hash64
+    from .recsys import ALSConfig, dense_low_rank_block, evaluate, predict, train_als
+
+    ratings = dense_low_rank_block(spark, n_users=50, n_items=200)
+    split_key = F.concat(
+        F.col("user_id").cast("string"), F.lit("|"), F.col("item_id").cast("string"),
+        F.lit("|split"),
+    )
+    is_test = portable_hash64(split_key) % 10 >= 8
+    train = ratings.where(~is_test).cache()
+    test = ratings.where(is_test).cache()
+    model = train_als(train, ALSConfig(rank=16, max_iter=5))
+    m = evaluate(predict(model, test))
+    mean = float(train.agg(F.avg("rating")).collect()[0][0])
+    base = evaluate(test.withColumn("prediction", F.lit(mean)))
+    train.unpersist()
+    test.unpersist()
+    return spark.createDataFrame(
+        [(16, bool(m["mae"] < 0.8 * base["mae"]), bool(m["rmse"] < 0.8 * base["rmse"]))],
+        schema="rank int, mae_beats_mean boolean, rmse_beats_mean boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # GDPR purge cascade audit
 # ---------------------------------------------------------------------------

@@ -219,10 +219,23 @@ def q_multimodal_image_dims(spark, sf_dir):
 
 @register(
     "multimodal_frame_sample",
-    None,
+    """
+    WITH b AS (
+      SELECT doc_id,
+             unhex(md5(text)) || unhex(md5(text)) || unhex(md5(text)) || unhex(md5(text))
+               AS media_bytes
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(range(0, greatest(octet_length(media_bytes) // 16 - 1, 0) + 1),
+                                i -> i % 2 = 0)) AS INTEGER) AS n_sampled_frames
+    FROM b
+    """,
     tags=("multimodal", "binary"),
     description="Frame sampling over the binary media column as pure JVM byte-slicing "
-    "(every 2nd 16-byte frame) — no Python in the loop.",
+    "(every 2nd 16-byte frame) — no Python in the loop. EXACT oracle: rebuilds the "
+    "same blob and replays the frame-index arithmetic (floor(len/16) frames, keep "
+    "every 2nd, same n=0 edge semantics).",
 )
 def q_multimodal_frames(spark, sf_dir):
     media = attach_fake_media(_t(spark, sf_dir, "documents"))

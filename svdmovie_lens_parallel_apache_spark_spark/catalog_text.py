@@ -657,24 +657,78 @@ def q_lsh_knn(spark, sf_dir):
 
 @register(
     "dedup_minhash_mllib",
-    None,  # MLlib-internal hashes — rows-only; recall gate in tests
+    f"""
+    WITH {_JACCARD_CTES}
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, TRUE AS all_exact_found
+    FROM jpairs WHERE jaccard >= 0.95
+    """,
     tags=("dedup", "minhash", "mllib"),
     description="MLlib MinHashLSH near-dup variant (HashingTF sparse vectors + "
-    "approxSimilarityJoin). Portable twin: dedup_minhash.",
+    "approxSimilarityJoin at Jaccard distance 0.5), folded into an oracle-able "
+    "containment gate: every exact same-lang Jaccard≥0.95 pair (DuckDB-computable "
+    "ground truth) must appear in the MLlib result — all_exact_found pinned TRUE, "
+    "so an LSH recall collapse fails the driver hash gate. Portable twin with full "
+    "pair output: dedup_minhash.",
 )
 def q_dedup_minhash_mllib(spark, sf_dir):
-    return mllib_minhash_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    docs = _t(spark, sf_dir, "documents")
+    exact = jaccard_pairs(docs, threshold=0.95, n=3, block_col="lang").select(
+        "doc_a", "doc_b"
+    )
+    mllib = mllib_minhash_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    missed = exact.join(mllib, ["doc_a", "doc_b"], "left_anti")
+    return exact.agg(F.count(F.lit(1)).alias("n_exact_pairs")).crossJoin(
+        missed.agg((F.count(F.lit(1)) == 0).alias("all_exact_found"))
+    )
+
+
+@register(
+    "knn_brute_l2",
+    f"""
+    WITH v AS (SELECT vec_id, {_VEC} AS vec FROM embeddings),
+    p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_transform(generate_series(1, len(q.vec)),
+                                        i -> (q.vec[i] - c.vec[i]) * (q.vec[i] - c.vec[i])),
+                         (x, y) -> x + y) AS d2_raw
+      FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           {_R('d2_raw', 6)} AS sq_dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY d2_raw ASC, neighbor_id) AS rank
+          FROM p)
+    WHERE rank <= 5
+    """,
+    tags=("similarity", "knn", "euclidean"),
+    description="Exact Euclidean top-5 (squared-distance ordering) for 10 query "
+    "vectors: broadcast queries × corpus, sequential-fold sum of squared diffs, "
+    "per-query window top-k — the exact ground truth for the Euclidean-metric "
+    "MLlib BRP variant, next to the cosine brute baseline.",
+)
+def q_knn_brute_l2(spark, sf_dir):
+    from .operators.similarity import knn_brute_force_l2
+
+    return knn_brute_force_l2(_t(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
 
 
 @register(
     "ann_brp_knn_mllib",
-    None,  # MLlib-internal projections — rows-only; recall gate in tests
+    _ANN_GATE_ORACLE,
     tags=("similarity", "lsh", "mllib"),
-    description="MLlib BucketedRandomProjectionLSH ANN top-5 (Euclidean). Portable "
-    "twins: knn_brute_cosine (exact), ann_lsh_knn (portable LSH).",
+    description="MLlib BucketedRandomProjectionLSH ANN top-5 (Euclidean), folded "
+    "into an oracle-able recall gate against the exact Euclidean brute force "
+    "(knn_brute_l2 — the metric-correct ground truth): recall_ok pins recall ≥ 0.8 "
+    "(measured 0.92@sf0.001 / 0.94@sf0.01); collapse fails the driver hash gate.",
 )
 def q_ann_brp_mllib(spark, sf_dir):
-    return mllib_brp_knn(_t(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
+    from .operators.similarity import ann_recall_gate, knn_brute_force_l2
+
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = mllib_brp_knn(emb, query_ids_below=10, k=5)
+    return ann_recall_gate(
+        emb, approx, query_ids_below=10, k=5, floor=0.8,
+        brute=knn_brute_force_l2(emb, query_ids_below=10, k=5),
+    )
 
 
 def _cosine_pairs_ctes(n_planes: int = 8, threshold: float = 0.4) -> str:

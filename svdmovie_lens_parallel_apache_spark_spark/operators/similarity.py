@@ -89,8 +89,37 @@ def knn_brute_force(emb: DataFrame, query_ids_below: int = 10, k: int = 5) -> Da
     )
 
 
+def knn_brute_force_l2(emb: DataFrame, query_ids_below: int = 10, k: int = 5) -> DataFrame:
+    """Exact EUCLIDEAN top-k (squared-distance ordering — monotone in the
+    distance, no sqrt needed): broadcast queries × corpus, sequential-fold
+    sum of squared diffs, per-query window. Deterministic ordering:
+    (sq_dist asc, neighbor_id asc). The exact twin for the MLlib BRP-LSH
+    variant, whose metric is Euclidean rather than cosine."""
+    from pyspark.sql import Window
+
+    base = emb.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    q = base.where(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec")
+    )
+    c = base.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("c_vec"))
+    pairs = F.broadcast(q).crossJoin(c).where(F.col("query_id") != F.col("neighbor_id"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2_raw"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", d2.alias("d2_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", _r(F.col("d2_raw"), 6).alias("sq_dist"))
+    )
+
+
 def ann_recall_gate(emb: DataFrame, approx: DataFrame, query_ids_below: int = 10,
-                    k: int = 5, floor: float = 0.5) -> DataFrame:
+                    k: int = 5, floor: float = 0.5,
+                    brute: DataFrame | None = None) -> DataFrame:
     """Fold an approximate kNN result into an ORACLE-ABLE one-row gate:
     (n_queries, k, n_brute_pairs, recall_ok). The brute-force ground truth
     is computed in-engine (both sides already exist as operators); the
@@ -100,9 +129,13 @@ def ann_recall_gate(emb: DataFrame, approx: DataFrame, query_ids_below: int = 10
     neighbor lists themselves stay out of the hashed surface.
 
     ``floor`` is evidence-pinned per caller (measured recall − margin at
-    sf0.001/sf0.01, the two gated scales).
+    sf0.001/sf0.01, the two gated scales). ``brute`` overrides the ground
+    truth (default cosine brute force) — pass :func:`knn_brute_force_l2`
+    for Euclidean-metric approximations like MLlib BRP.
     """
-    brute = knn_brute_force(emb, query_ids_below, k).select("query_id", "neighbor_id")
+    if brute is None:
+        brute = knn_brute_force(emb, query_ids_below, k)
+    brute = brute.select("query_id", "neighbor_id")
     hits = brute.join(
         approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
     )

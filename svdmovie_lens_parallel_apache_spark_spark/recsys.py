@@ -175,6 +175,43 @@ def synthetic_ratings(spark: SparkSession, sf_dir: str, n_items: int = 200) -> D
     )
 
 
+def structured_rating(user_col, item_col, rank: int = 4, scale: float = 30.0,
+                      noise: float = 1.0):
+    """The low-rank generative rating EXPRESSION shared by
+    :func:`low_rank_ratings` (events-derived pairs) and
+    :func:`dense_low_rank_block` (dense cross):
+    clamp[1,5](3 + scale·(u·v) + noise·uniform(-0.5,0.5)), all md5-keyed."""
+    uvec = golden_factor_vec(user_col, "lru", rank)
+    ivec = golden_factor_vec(item_col, "lri", rank)
+    dot = F.aggregate(
+        F.zip_with(uvec, ivec, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    key = F.concat(user_col.cast("string"), F.lit("|"), item_col.cast("string"))
+    noise_c = (portable_hash64(key) % 10001).cast("double") / 10000.0 - 0.5
+    return F.least(
+        F.lit(float(MAX_RATING)),
+        F.greatest(
+            F.lit(float(MIN_RATING)),
+            F.lit(3.0) + F.lit(scale) * dot + F.lit(noise) * noise_c,
+        ),
+    )
+
+
+def dense_low_rank_block(spark: SparkSession, n_users: int = 50,
+                         n_items: int = 200, rank: int = 4) -> DataFrame:
+    """DENSE low-rank ratings: every (user, item) pair in the block, same
+    generative structure as :func:`low_rank_ratings`. Scale-INDEPENDENT —
+    a quality gate that trains on this block measures the training code,
+    not the events fixture's per-user sparsity (at sf≤0.01 the events
+    pairs give ~5 ratings/user, unlearnable for any per-user factor
+    model)."""
+    users = spark.range(n_users).select(F.col("id").cast("int").alias("user_id"))
+    items = spark.range(n_items).select(F.col("id").cast("int").alias("item_id"))
+    pairs = F.broadcast(users).crossJoin(items)
+    rating = structured_rating(F.col("user_id"), F.col("item_id"), rank)
+    return pairs.select("user_id", "item_id", rating.cast("float").alias("rating"))
+
+
 def low_rank_ratings(spark: SparkSession, sf_dir: str, n_items: int = 400,
                      rank: int = 4, scale: float = 30.0,
                      noise: float = 1.0) -> DataFrame:
@@ -195,22 +232,7 @@ def low_rank_ratings(spark: SparkSession, sf_dir: str, n_items: int = 400,
     pairs = ev.select(
         "user_id", (F.col("event_id") % n_items).alias("item_id")
     ).dropDuplicates(["user_id", "item_id"])
-    uvec = golden_factor_vec(F.col("user_id"), "lru", rank)
-    ivec = golden_factor_vec(F.col("item_id"), "lri", rank)
-    dot = F.aggregate(
-        F.zip_with(uvec, ivec, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    key = F.concat(
-        F.col("user_id").cast("string"), F.lit("|"), F.col("item_id").cast("string")
-    )
-    noise_c = (portable_hash64(key) % 10001).cast("double") / 10000.0 - 0.5
-    rating = F.least(
-        F.lit(float(MAX_RATING)),
-        F.greatest(
-            F.lit(float(MIN_RATING)),
-            F.lit(3.0) + F.lit(scale) * dot + F.lit(noise) * noise_c,
-        ),
-    )
+    rating = structured_rating(F.col("user_id"), F.col("item_id"), rank, scale, noise)
     return pairs.select("user_id", "item_id", rating.alias("rating"))
 
 
