@@ -241,7 +241,10 @@ def test_iterative_queries_invariant_under_executor_count(spark, sf_dir):
 
     import __spark_entry__ as m
 
-    NAMES = ["pagerank_bipartite", "dedup_clusters", "streaming_incremental_rollup"]
+    # bpe_merge_rounds: r4 iterative op — corpus-wide argmax per round
+    # with lexicographic tie-break must not depend on partitioning
+    NAMES = ["pagerank_bipartite", "dedup_clusters", "streaming_incremental_rollup",
+             "bpe_merge_rounds"]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     qs = m.queries()
 
