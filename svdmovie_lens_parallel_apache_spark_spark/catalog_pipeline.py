@@ -998,9 +998,17 @@ def _bpe_round_sql(i: int) -> str:
     "SAMPLE, which this shape serves unchanged.",
 )
 def q_bpe_merge_rounds(spark, sf_dir):
+    merges, _ = _bpe_train(spark, sf_dir, rounds=3)
+    return spark.createDataFrame(
+        merges, schema="round int, merged_pair string, n_occurrences bigint"
+    )
+
+
+def _bpe_train(spark, sf_dir, rounds: int = 3):
+    """The BPE training loop shared by the merge-table and encode queries:
+    returns ([(round, pair, count)], final space-tokenised corpus DF)."""
     from pyspark.sql import Window
 
-    rounds = 3
     txt = _t(spark, sf_dir, "documents").select(
         "doc_id", F.concat(F.lit(" "), F.lower(F.trim(F.col("text"))), F.lit(" ")).alias("t")
     )
@@ -1031,9 +1039,44 @@ def q_bpe_merge_rounds(spark, sf_dir):
                 F.lit(" "),
             ).alias("t"),
         ).localCheckpoint(eager=True)  # truncate lineage per round, like the CC loop
-    return txt.sparkSession.createDataFrame(
-        out, schema="round int, merged_pair string, n_occurrences bigint"
+    return out, txt
+
+
+@register(
+    "bpe_encode_tokens",
+    f"""
+    WITH t0 AS (
+      SELECT doc_id, ' ' || lower(trim(text)) || ' ' AS t FROM documents
+    ),
+    {",".join(_bpe_round_sql(i) for i in (1, 2, 3))}
+    SELECT t0.doc_id,
+           CAST(len(list_filter(string_split(trim(t0.t), ' '), x -> x <> ''))
+                AS INTEGER) AS n_tokens_raw,
+           CAST(len(list_filter(string_split(trim(t3.t), ' '), x -> x <> ''))
+                AS INTEGER) AS n_tokens_bpe
+    FROM t0 JOIN t3 ON t0.doc_id = t3.doc_id
+    """,
+    tags=("pipeline", "tokenizer", "bpe"),
+    description="BPE ENCODE — apply the 3 learned merges back to the corpus and "
+    "report per-doc token counts before/after (the compression accounting a "
+    "tokenizer change ships with). Same training loop as bpe_merge_rounds, then "
+    "one per-doc split-count; the oracle replays training AND encoding through "
+    "the identical unrolled rounds.",
+)
+def q_bpe_encode_tokens(spark, sf_dir):
+    from .functions.text import token_count
+
+    _, encoded = _bpe_train(spark, sf_dir, rounds=3)
+    raw = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.lower(F.trim(F.col("text")))).cast("int").alias("n_tokens_raw")
     )
+    bpe = encoded.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.trim(F.col("t")), " "), lambda x: x != ""))
+        .cast("int")
+        .alias("n_tokens_bpe"),
+    )
+    return raw.join(bpe, "doc_id")
 
 
 @register(
