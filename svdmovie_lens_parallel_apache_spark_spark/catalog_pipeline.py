@@ -992,7 +992,14 @@ def _bpe_round_sql(i: int) -> str:
     "collect per round, pair counting via the lag-window bigram shape — no array "
     "duplication, map-side partial aggs). Merge application is a space-bounded "
     "left-to-right non-overlapping string replace, a semantics both engines share "
-    "verbatim, so the oracle (3 unrolled CTE rounds) replays training exactly. At "
+    "verbatim, so the oracle (3 unrolled CTE rounds) replays the SAME semantics. "
+    "Known deviation from canonical BPE, shared by both engines: n_occurrences "
+    "is the OVERLAPPING adjacent-pair count, while the space-bounded string "
+    "replace applies merges NON-overlapping left-to-right and the consumed "
+    "boundary space blocks the next match — a run ' a a a a ' counts 3 "
+    "'a a' pairs, canonical BPE merges 2, this replace merges 1. Counts "
+    "therefore overstate applied merges on boundary-sharing runs; training "
+    "deviates from canonical BPE there (documented, not hidden). At "
     "100 TB each round is one shuffle on pair + one broadcast scalar — classic "
     "iterative-Spark; real tokenizers run ~30-50k rounds on a bounded corpus "
     "SAMPLE, which this shape serves unchanged.",

@@ -631,9 +631,18 @@ def q_lsh_buckets(spark, sf_dir):
     return lsh_buckets(_t(spark, sf_dir, "embeddings"), dim=64, n_planes=16)
 
 
+# Derived from the fixture, not pinned: testdata is regenerated between
+# driver rounds, so a hard-coded (10, 50) would false-fail if a regenerated
+# embeddings table ever shipped fewer than 10 low-id vectors (or < 6 rows).
+# n_queries = vectors with vec_id < 10; each query's brute top-k has
+# min(k, corpus-1) neighbors. recall_ok stays the only engine-coupled bit.
 _ANN_GATE_ORACLE = """
-    SELECT CAST(10 AS BIGINT) AS n_queries, CAST(5 AS INTEGER) AS k,
-           CAST(50 AS BIGINT) AS n_brute_pairs, TRUE AS recall_ok
+    SELECT CAST(count(*) FILTER (WHERE vec_id < 10) AS BIGINT) AS n_queries,
+           CAST(5 AS INTEGER) AS k,
+           CAST(count(*) FILTER (WHERE vec_id < 10)
+                * least(5, count(*) - 1) AS BIGINT) AS n_brute_pairs,
+           TRUE AS recall_ok
+    FROM embeddings
 """
 
 

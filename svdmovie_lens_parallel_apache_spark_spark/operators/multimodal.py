@@ -174,6 +174,12 @@ def decode_image_meta(media: DataFrame, max_segments: int = 12) -> DataFrame:
         marker = _be(off, 2)
         seglen = _be(off + 2, 2)
         is_sof = (marker >= 0xFFC0) & (marker <= 0xFFC2)
+        # standalone markers carry NO length field: TEM (FF01), RST0-7
+        # (FFD0-D7), stray SOI (FFD8) — consuming a phantom 2-byte length
+        # there mis-skips the walk on real-world JPEGs. EOI (FFD9) ends
+        # the image: stop cleanly with -1 dims (no frame header found).
+        is_eoi = marker == 0xFFD9
+        is_standalone = (marker == 0xFF01) | ((marker >= 0xFFD0) & (marker <= 0xFFD8))
         return (
             F.when(acc["done"] == 1, acc)
             .when(
@@ -184,6 +190,16 @@ def decode_image_meta(media: DataFrame, max_segments: int = 12) -> DataFrame:
                     _be(off + 7, 2).alias("w"),
                     F.lit(1).alias("done"),
                 ),
+            )
+            .when(
+                is_eoi,
+                F.struct(off.alias("off"), F.lit(-1).alias("h"), F.lit(-1).alias("w"),
+                         F.lit(1).alias("done")),
+            )
+            .when(
+                is_standalone,
+                F.struct((off + 2).alias("off"), F.lit(-1).alias("h"),
+                         F.lit(-1).alias("w"), F.lit(0).alias("done")),
             )
             .when(  # not at a FF-marker: corrupt stream, stop with -1 dims
                 (marker < 0xFF00) | marker.isNull(),
@@ -218,11 +234,22 @@ def decode_media(data: bytes, max_segments: int = 64) -> dict:
     if data[:2] == b"\xff\xd8":
         off = 2
         for _ in range(max_segments):
-            if off + 9 > len(data) or data[off] != 0xFF:
+            if off + 2 > len(data) or data[off] != 0xFF:
                 break
-            if 0xC0 <= data[off + 1] <= 0xC2:
+            m = data[off + 1]
+            if 0xC0 <= m <= 0xC2:
+                if off + 9 > len(data):
+                    break
                 h, w = struct.unpack(">HH", data[off + 5 : off + 9])
                 return {"media_format": "jpeg", "width": w, "height": h}
+            if m == 0xD9:  # EOI: end of image, no frame header seen
+                break
+            if m == 0x01 or 0xD0 <= m <= 0xD8:
+                # TEM / RST0-7 / stray SOI: standalone markers, no length field
+                off += 2
+                continue
+            if off + 4 > len(data):
+                break
             off += 2 + struct.unpack(">H", data[off + 2 : off + 4])[0]
         return {"media_format": "jpeg", "width": -1, "height": -1}
     raise NotImplementedError(

@@ -15,6 +15,7 @@ scans; nothing else changes.
 from __future__ import annotations
 
 import functools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,7 +67,6 @@ def _probe_ts_layout_one(file_path: str) -> str:
     return "ntz" if getattr(t, "tz", None) is None else "ltz"
 
 
-@functools.lru_cache(maxsize=64)
 def events_ts_layout(path: str) -> str:
     """Probe parquet footers for the ``ts`` physical type. The fixture has
     shipped multiple layouts across driver rounds, so readers adapt:
@@ -82,23 +82,30 @@ def events_ts_layout(path: str) -> str:
     one arbitrary file — that case raises instead. An empty match raises
     a clear FileNotFoundError (previously an opaque IndexError).
 
-    Results are cached per path string for the process lifetime: fixture
-    files are immutable within a driver round, and the probe otherwise
-    re-runs on every ``load_table`` call of every catalog query. A path
-    whose layout changes mid-process (never the case here — regenerated
-    fixtures arrive in a fresh process) would need ``events_ts_layout.
-    cache_clear()``. At deploy scale you'd pin one layout and delete this
-    shim entirely.
+    Results are cached per **(file list, mtime, size)** fingerprint, not
+    per path string: the fixture IS regenerated between driver rounds, so
+    a long-lived process that straddles a regeneration must not reuse a
+    stale layout (an ntz<->ltz flip silently shifts every instant). The
+    fingerprint stat is O(files), footer parsing only happens on a miss.
+    At deploy scale you'd pin one layout and delete this shim entirely.
     """
     import glob as _g
 
     files = sorted(_g.glob(path)) if any(c in path for c in "*?[") else [path]
     if not files:
         raise FileNotFoundError(f"events_ts_layout: no parquet files match {path!r}")
-    layouts = {_probe_ts_layout_one(f) for f in files}
+    fingerprint = tuple(
+        (f, int(os.stat(f).st_mtime_ns), os.stat(f).st_size) for f in files
+    )
+    return _events_ts_layout_cached(fingerprint)
+
+
+@functools.lru_cache(maxsize=64)
+def _events_ts_layout_cached(fingerprint: tuple) -> str:
+    layouts = {_probe_ts_layout_one(f) for f, _mt, _sz in fingerprint}
     if len(layouts) > 1:
         raise ValueError(
-            f"events_ts_layout: mixed ts layouts {sorted(layouts)} under {path!r}; "
+            f"events_ts_layout: mixed ts layouts {sorted(layouts)}; "
             "a directory must be layout-homogeneous (split the read per layout)"
         )
     return layouts.pop()

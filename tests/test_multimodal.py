@@ -87,3 +87,43 @@ def test_codec_boundary_is_explicitly_stubbed_for_non_images():
         decode_media(b"\x00" * 16)
     with pytest.raises(NotImplementedError):
         decode_media(b"RIFF....WAVE")  # audio container: codec territory
+
+
+def test_jpeg_standalone_markers_have_no_length_field(spark):
+    """TEM (FF01) and RST0-7 (FFD0-D7) carry no 2-byte length; a walk that
+    consumes a phantom length there mis-skips real-world JPEGs. EOI (FFD9)
+    must end the walk cleanly. Exercised through BOTH parsers: the Python
+    struct walk directly and the JVM F.aggregate fold via a one-row DF."""
+    import struct as s
+
+    from pyspark.sql import functions as F
+
+    from svdmovie_lens_parallel_apache_spark_spark.operators.multimodal import (
+        decode_image_meta,
+        decode_media,
+    )
+
+    with_standalone = (
+        b"\xff\xd8"
+        + b"\xff\x01"  # TEM: standalone
+        + b"\xff\xd0" + b"\xff\xd7"  # RST0, RST7: standalone
+        + b"\xff\xe0" + s.pack(">H", 2 + 5) + b"JFIF\x00"  # APP0 with length
+        + b"\xff\xc0" + s.pack(">H", 17) + b"\x08" + s.pack(">HH", 240, 320) + b"\x00" * 10
+        + b"\xff\xd9"
+    )
+    ends_at_eoi = b"\xff\xd8" + b"\xff\xd9"  # EOI before any frame header
+
+    assert decode_media(with_standalone) == {
+        "media_format": "jpeg", "width": 320, "height": 240,
+    }
+    assert decode_media(ends_at_eoi) == {
+        "media_format": "jpeg", "width": -1, "height": -1,
+    }
+
+    df = spark.createDataFrame(
+        [(1, bytearray(with_standalone)), (2, bytearray(ends_at_eoi))],
+        "doc_id long, media_bytes binary",
+    )
+    jvm = {r.doc_id: r for r in decode_image_meta(df).collect()}
+    assert (jvm[1].media_format, jvm[1].width, jvm[1].height) == ("jpeg", 320, 240)
+    assert (jvm[2].media_format, jvm[2].width, jvm[2].height) == ("jpeg", -1, -1)

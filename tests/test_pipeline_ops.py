@@ -99,10 +99,13 @@ def test_lsh_knn_recall_vs_brute_force(spark, sf_dir):
     approx = {(r.query_id, r.neighbor_id) for r in knn_lsh(emb, 10, 5, n_planes=4, n_tables=8).collect()}
     recall = len(brute & approx) / len(brute)
     # Evidence-pinned floor (r4): measured 0.72 at sf0.001, 0.60 at sf0.01
-    # with these params; floor = min(measured) - 0.05 margin, so a recall
-    # collapse of the multi-table OR-amplification fails loudly while
-    # fixture-regeneration jitter does not.
-    assert recall >= 0.55, f"LSH recall collapsed: {recall} (measured 0.72@sf0.001, 0.60@sf0.01)"
+    # with these params; floor = min(measured) - 0.10 margin (r5: widened
+    # from 0.05 and aligned with the catalog gate's 0.5 floor — the fixture
+    # is regenerated between rounds and recall legitimately jitters), so a
+    # recall collapse of the multi-table OR-amplification fails loudly
+    # while fixture-regeneration jitter does not. On failure: re-measure on
+    # the fresh fixture before suspecting a code regression.
+    assert recall >= 0.50, f"LSH recall collapsed: {recall} (measured 0.72@sf0.001, 0.60@sf0.01)"
 
 
 def test_quality_score_gate(spark):

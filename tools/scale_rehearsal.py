@@ -105,17 +105,23 @@ def main() -> None:
             / math.log(RATIO),
             3,
         )
+        # stamp each record with the fixture pair it was measured against:
+        # scoped runs merge into SCALING.json, and without the stamp a
+        # merged file can silently mix exponents from different fixture
+        # generations while only the header records the latest dirs
+        rec["fixtures"] = f"{SMALL} -> {BIG}"
         out[name] = rec
         print(f"# {name}: {rec}", file=sys.stderr)
 
     # scoped runs MERGE into the existing file (a names argument would
-    # otherwise silently drop every other query's recorded exponent)
+    # otherwise silently drop every other query's recorded exponent) —
+    # but prune entries for queries since removed/renamed from the catalog
     path = os.path.join(REPO, "SCALING.json")
     merged = out
     if os.path.exists(path):
         with open(path) as f:
             prior = json.load(f).get("queries", {})
-        merged = {**prior, **out}
+        merged = {**{k: v for k, v in prior.items() if k in qs}, **out}
     payload = {
         "small_sf_dir": SMALL,
         "big_sf_dir": BIG,

@@ -33,11 +33,17 @@ def compare(a, b):
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
-            ok = np.allclose(av.astype(float), bv.astype(float), atol=0, rtol=0, equal_nan=True)
+            # element mask (not allclose) so the reported row is the real
+            # first float mismatch — a string-compare fallback misreports
+            # non-finite or -0.0 cells ('nan' == 'nan' strings but the
+            # float compare is what gated)
+            af, bf = av.astype(float), bv.astype(float)
+            eq = (af == bf) | (np.isnan(af) & np.isnan(bf))
+            ok, mask = bool(eq.all()), ~eq
         else:
-            ok = (pd.Series(av).astype(str) == pd.Series(bv).astype(str)).all()
+            eqs = (pd.Series(av).astype(str) == pd.Series(bv).astype(str)).to_numpy()
+            ok, mask = bool(eqs.all()), ~eqs
         if not ok:
-            mask = ~(pd.Series(av).astype(str) == pd.Series(bv).astype(str)).to_numpy()
             i = int(np.argmax(mask))
             return False, f"col {c} row {i}: spark={av[i]!r} oracle={bv[i]!r}"
     return True, ""
@@ -58,8 +64,10 @@ def main():
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as m
 
-    if only is None:
-        print("entry rows:", len(m.entry(spark).collect()))
+    # entry() smoke runs in scoped mode too — it's the driver's first gate,
+    # and skipping it in `only` runs previously left it untested in quick
+    # iteration loops
+    print("entry rows:", len(m.entry(spark).collect()))
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
