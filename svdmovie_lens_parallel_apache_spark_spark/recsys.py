@@ -258,6 +258,12 @@ def movielens_replay(spark: SparkSession, sf_dir: str,
         F.col("item_id").cast("int").alias("item_id"),
         F.col("rating").cast("float").alias("rating"),
     )
+    return _replay_from_ratings(ratings, cfg or ALSConfig())
+
+
+def _replay_from_ratings(ratings: DataFrame, cfg: ALSConfig) -> DataFrame:
+    """Shared four-phase tail: deterministic 80/20 hash holdout → ALS →
+    clamped predict → the reference's 5-column predictions table."""
     split_key = F.concat(
         F.col("user_id").cast("string"), F.lit("|"), F.col("item_id").cast("string"),
         F.lit("|split"),
@@ -265,7 +271,7 @@ def movielens_replay(spark: SparkSession, sf_dir: str,
     is_test = portable_hash64(split_key) % 10 >= 8
     train = ratings.where(~is_test)
     test = ratings.where(is_test)
-    model = train_als(train, cfg or ALSConfig())
+    model = train_als(train, cfg)
     preds = predict(model, test)
     from .functions.scalar import portable_round as _pr
 
@@ -276,6 +282,22 @@ def movielens_replay(spark: SparkSession, sf_dir: str,
         _pr(F.col("prediction"), 6).alias("prediction"),
         _pr(F.abs(F.col("rating").cast("double") - F.col("prediction")), 6).alias("abs_diff"),
     )
+
+
+def dense_replay(spark: SparkSession, cfg: ALSConfig | None = None,
+                 n_users: int = 50, n_items: int = 200) -> DataFrame:
+    """The replay pipeline over the FIXTURE-FREE dense low-rank block —
+    every input is md5-derived from (n_users, n_items), nothing reads
+    testdata. Exists so a golden-hash determinism gate can pin the full
+    four-phase output bit-exactly across rounds: the driver fixture is
+    regenerated between rounds (so pinning ``movielens_replay``'s hash
+    would false-fail), but this block never changes. ALS itself is
+    bit-stable across thread counts / shuffle-partition counts (its block
+    partitioner keys on id hash with a FIXED block count, not on
+    parallelism) — verified by ``tests/test_recsys.py``'s golden-hash test
+    running under two different session shapes."""
+    ratings = dense_low_rank_block(spark, n_users=n_users, n_items=n_items)
+    return _replay_from_ratings(ratings, cfg or ALSConfig(rank=8, max_iter=5))
 
 
 def golden_factor_vec(id_col, kind: str, rank: int = 8):

@@ -242,9 +242,14 @@ def test_iterative_queries_invariant_under_executor_count(spark, sf_dir):
     import __spark_entry__ as m
 
     # bpe_merge_rounds: r4 iterative op — corpus-wide argmax per round
-    # with lexicographic tie-break must not depend on partitioning
+    # with lexicographic tie-break must not depend on partitioning.
+    # movielens_replay (r5): the full four-phase ALS pipeline — MLlib ALS
+    # block-partitions on id hash with a FIXED block count, so the trained
+    # factors (and hence the 5-column predictions table) must be
+    # bit-identical under different thread counts; paired with the
+    # fixture-free golden-hash gate in test_recsys.py
     NAMES = ["pagerank_bipartite", "dedup_clusters", "streaming_incremental_rollup",
-             "bpe_merge_rounds"]
+             "bpe_merge_rounds", "movielens_replay"]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     qs = m.queries()
 
