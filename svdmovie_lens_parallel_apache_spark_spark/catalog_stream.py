@@ -353,3 +353,48 @@ def q_streaming_incremental_rollup(spark, sf_dir):
         _r(F.col("tot").cast("double"), 3).alias("total_value"),
         "last_epoch_s",
     )
+
+
+@register(
+    "image_pixel_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, md5(text) AS mh,
+             CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) % 16 + 4 AS w,
+             CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) % 16 + 4 AS h
+      FROM documents
+    ), b AS (
+      SELECT doc_id, w, h, w * h * 4 AS total,
+             list_transform(range(1, 17),
+                            i -> CAST('0x' || substr(mh, 2 * i - 1, 2) AS INTEGER))
+               AS db
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS INTEGER) AS n_pixels,
+           floor(CAST(list_sum(db) * (total // 16)
+                      + COALESCE(list_sum(db[1 : total % 16]), 0) AS DOUBLE)
+                 / total * 1e6 + 0.5) / 1e6 AS mean_pixel
+    FROM b
+    """,
+    tags=("multimodal", "pixels", "codec", "mapInPandas"),
+    description="REAL PNG pixel decode, oracle-gated end-to-end (r5): the engine "
+    "builds COMPLETE valid PNGs (zlib-compressed IDAT, real chunk CRCs, scanline "
+    "filters cycling None/Sub/Up/Average/Paeth) whose RGBA bytes tile the md5(text) "
+    "digest, then a second mapInPandas stage decodes them back — stdlib zlib "
+    "inflate + NumPy unfilter, no codec library — and reports per-image pixel "
+    "statistics. The DuckDB oracle computes the EXPECTED mean in closed form from "
+    "the md5 hex and the dims formula, so any corruption across "
+    "deflate → inflate → unfilter shifts the mean and fails the hash gate. The "
+    "codec boundary narrows to JPEG pixels (DCT+Huffman) / audio / video "
+    "(operators/multimodal.py). 100 TB shape: two partition-parallel Arrow-batched "
+    "stages, nothing collected.",
+)
+def q_image_pixel_stats(spark, sf_dir):
+    from .operators.multimodal import attach_synthetic_pixel_images, extract_pixel_features
+
+    media = attach_synthetic_pixel_images(_t(spark, sf_dir, "documents"))
+    feats = extract_pixel_features(media)
+    return feats.withColumn("mean_pixel", _r(F.col("mean_pixel"), 6))

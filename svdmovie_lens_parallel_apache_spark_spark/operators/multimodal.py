@@ -15,15 +15,23 @@ North-star addition (BASELINE.json). Pattern for 100 TB pipelines:
   (:func:`decode_image_meta`, the 100 TB hot path: zero Python) and
   Python-side (:func:`decode_media`, the ``mapInPandas`` codec-boundary
   shape a real PIL/ffmpeg integration would use);
-- PIXEL decode / audio / video still require real codecs (PIL /
-  torchaudio / ffmpeg — not in this container), so :func:`decode_media`
-  raises ``NotImplementedError`` for any non-PNG/JPEG payload: the stub
-  boundary is now codec-only, header decode is real.
+- PNG PIXEL decode is REAL (r5): DEFLATE is stdlib zlib and PNG's
+  scanline filters are byte arithmetic, so :func:`decode_png_pixels`
+  (chunk walk → inflate → unfilter, all five filter types) and
+  :func:`encode_png_rgba` (real CRCs, filter-cycling writer) round-trip
+  RGBA8 bit-exactly with no codec library; pixel statistics and
+  thumbnails run over genuinely decompressed pixels, oracle-gated
+  end-to-end by the ``image_pixel_stats`` closed-form DuckDB twin;
+- JPEG pixel decode (DCT + Huffman), audio and video still require real
+  codecs (PIL / torchaudio / ffmpeg — not in this container), so
+  :func:`decode_media` raises ``NotImplementedError`` there: the stub
+  boundary is codec-only and now excludes PNG entirely.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -253,8 +261,9 @@ def decode_media(data: bytes, max_segments: int = 64) -> dict:
             off += 2 + struct.unpack(">H", data[off + 2 : off + 4])[0]
         return {"media_format": "jpeg", "width": -1, "height": -1}
     raise NotImplementedError(
-        "pixel/audio/video decode requires a real codec (PIL/torchaudio/ffmpeg), "
-        "not installed; PNG/JPEG header metadata is decoded natively"
+        "JPEG pixel / audio / video decode requires a real codec "
+        "(PIL/torchaudio/ffmpeg), not installed; PNG/JPEG header metadata AND "
+        "full PNG pixel decode (decode_png_pixels) are native"
     )
 
 
@@ -319,3 +328,256 @@ def frame_sample(media: DataFrame, every_k: int = 2, frame_bytes: int = 16) -> D
         F.size(frames).alias("n_sampled_frames"),
         frames.alias("frames"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG pixel codec — stdlib zlib + NumPy, no external codec library.
+#
+# The codec boundary narrows here (r5): PNG PIXEL decode is real — the
+# format's compression is DEFLATE (stdlib zlib) and its per-scanline
+# filters are byte arithmetic (NumPy), so nothing beyond the standard
+# library is needed for a spec-correct RGBA8 round-trip. JPEG pixel
+# decode (DCT + Huffman), audio and video remain the documented boundary
+# where a real deployment vendors PIL/torchaudio/ffmpeg.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png_rgba(pixels: "np.ndarray", cycle_filters: bool = True) -> bytes:
+    """Spec-valid RGBA8 PNG writer: real chunk CRCs, one zlib IDAT stream,
+    and (by default) the scanline filter type CYCLING 0..4 per row — so any
+    decoder exercised against this output must implement every filter
+    (None/Sub/Up/Average/Paeth), not just the trivial one."""
+    import numpy as np
+
+    h, w, c = pixels.shape
+    assert c == 4 and pixels.dtype == np.uint8
+    bpp = 4
+    out = []
+    prior = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        raw = pixels[y].reshape(-1).astype(np.int32)
+        ft = y % 5 if cycle_filters else 0
+        left = np.concatenate([np.zeros(bpp, np.int32), raw[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prior[:-bpp]])
+        if ft == 0:
+            filt = raw
+        elif ft == 1:
+            filt = raw - left
+        elif ft == 2:
+            filt = raw - prior
+        elif ft == 3:
+            filt = raw - (left + prior) // 2
+        else:
+            pred = np.array(
+                [_paeth(int(left[i]), int(prior[i]), int(upleft[i])) for i in range(w * bpp)],
+                dtype=np.int32,
+            )
+            filt = raw - pred
+        out.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(data: bytes) -> "np.ndarray":
+    """REAL PNG pixel decode with the standard library only: chunk walk →
+    concatenated-IDAT zlib inflate → per-scanline unfilter (all five
+    filter types per the PNG spec) → (h, w, 4) uint8 array. Supports the
+    bit-depth-8 / color-type-6 (RGBA) profile this engine writes; other
+    profiles raise (they need palette / bit-unpacking handling a real
+    deployment takes from PIL)."""
+    import numpy as np
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    off, w = 8, None
+    idat = bytearray()
+    while off + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[off : off + 4])
+        tag = data[off + 4 : off + 8]
+        payload = data[off + 8 : off + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", payload)
+            if (depth, color, interlace) != (8, 6, 0):
+                raise NotImplementedError(
+                    f"PNG profile (depth={depth}, color={color}, interlace={interlace}) "
+                    "needs a full codec; this decoder covers RGBA8 non-interlaced"
+                )
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        off += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 4, w * 4
+    assert len(raw) == h * (1 + stride), "IDAT length mismatch"
+    img = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        row = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).astype(np.int32)
+        pos += 1 + stride
+        prior = img[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            rec = row
+        elif ft == 1:
+            rec = row.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) % 256
+        elif ft == 2:
+            rec = (row + prior) % 256
+        elif ft == 3:
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + (left + prior[x]) // 2) % 256
+        elif ft == 4:
+            rec = row.copy()
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                upleft = int(prior[x - bpp]) if x >= bpp else 0
+                rec[x] = (rec[x] + _paeth(left, int(prior[x]), upleft)) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        img[y] = rec.astype(np.uint8)
+    return img.reshape(h, w, 4)
+
+
+def synthetic_pixel_dims(digest: bytes) -> tuple[int, int]:
+    """(w, h) in 4..19 from the first two md5 bytes — the DuckDB oracle
+    mirrors this as CAST('0x'||substr(mh,1,2) AS INT) % 16 + 4."""
+    return digest[0] % 16 + 4, digest[1] % 16 + 4
+
+
+def attach_synthetic_pixel_images(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, media_bytes) where media_bytes is a COMPLETE
+    valid PNG (real CRCs, zlib IDAT, filter types cycling 0..4): pixel
+    content is the md5(text) digest tiled row-major over w×h RGBA bytes,
+    so downstream pixel statistics have a CLOSED FORM an SQL oracle can
+    compute — while the engine path must genuinely deflate, inflate and
+    unfilter to reproduce it. Arrow-batched mapInPandas (codec work is
+    the irreducible Python/C call; everything else stays columnar)."""
+    import hashlib
+
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_bytes", T.BinaryType()),
+        ]
+    )
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(str(text).encode("utf-8")).digest()
+                w, h = synthetic_pixel_dims(digest)
+                total = w * h * 4
+                reps = -(-total // 16)
+                flat = np.frombuffer(digest * reps, dtype=np.uint8)[:total]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_bytes": encode_png_rgba(flat.reshape(h, w, 4)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media_bytes"])
+
+    return docs.select("doc_id", "text").mapInPandas(_build, schema)
+
+
+PIXEL_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+    ]
+)
+
+
+def extract_pixel_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched PIXEL-level feature extraction: full PNG decode
+    (:func:`decode_png_pixels` — inflate + unfilter) per row inside the
+    batch loop, then NumPy statistics over the decoded array. The 100 TB
+    shape: partition-parallel Python workers each decoding a bounded batch
+    of blobs; nothing is collected."""
+    import numpy as np
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media_bytes"]):
+                px = decode_png_pixels(bytes(blob))
+                h, w, _ = px.shape
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "n_pixels": w * h,
+                        "mean_pixel": float(np.mean(px.astype(np.float64))),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in PIXEL_FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(_extract, PIXEL_FEATURE_SCHEMA)
+
+
+def thumbnail_gray(media: DataFrame, size: int = 4) -> DataFrame:
+    """Decode → grayscale → nearest-neighbor resize to size×size, pure
+    NumPy (index-sampling resize — the no-codec core of a thumbnail op).
+    Returns the thumbnail flattened as array<double> row-major."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("thumb", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media_bytes"]):
+                px = decode_png_pixels(bytes(blob)).astype(np.float64)
+                gray = px[:, :, :3].mean(axis=2)
+                h, w = gray.shape
+                ys = (np.arange(size) * h) // size
+                xs = (np.arange(size) * w) // size
+                rows.append(
+                    {"doc_id": doc_id, "thumb": gray[np.ix_(ys, xs)].reshape(-1).tolist()}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "thumb"])
+
+    return media.mapInPandas(_thumb, schema)

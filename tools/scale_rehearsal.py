@@ -14,9 +14,18 @@ Writes SCALING.json at the repo root; bench.py embeds it in its JSON
 line (so the per-round BENCH artifact carries the rehearsal) — timings
 here are one-shot local numbers, not a tuned benchmark.
 
+A SECOND decade (sf1 -> sf10, i.e. 100x the driver's sf0.1) is recorded
+under the ``second_decade`` key when run with SPARK_GRAFT_DECADE=2: one
+decade of measurement only supports one decade of extrapolation, and the
+100 TB claim deserves two. Decade-2 runs default to
+scratch/sf1 -> scratch/sf10 and a curated heavy subset (a full catalog
+pass at sf10 is hours, not minutes).
+
 Usage:
     python tools/make_scale_fixture.py            # once, builds scratch/sf1
-    python tools/scale_rehearsal.py [q1,q2,...]   # default: built-in list
+    python tools/make_scale_fixture.py /root/testdata/sf0.1 scratch/sf10 100
+    python tools/scale_rehearsal.py [q1,q2,...]   # decade 1 (sf0.1 -> sf1)
+    SPARK_GRAFT_DECADE=2 python tools/scale_rehearsal.py [q1,q2,...]
 """
 from __future__ import annotations
 
@@ -54,13 +63,37 @@ DEFAULT_QUERIES = [
     "corpus_build_manifest",
 ]
 
-SMALL = os.environ.get("SPARK_GRAFT_SMALL_SF", "/root/testdata/sf0.1")
-BIG = os.environ.get("SPARK_GRAFT_BIG_SF", os.path.join(REPO, "scratch", "sf1"))
+# decade-2 subset: the queries whose decade-1 exponents were highest or
+# whose mechanism changes shape with size (pair generation, fixpoint
+# iteration count, ANN scan width) — the ones a second decade can falsify
+DECADE2_QUERIES = [
+    "dedup_jaccard_pairs",   # 0.92 at decade 1 — closest to superlinear
+    "dedup_clusters",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_pq_knn",
+    "pipeline_e2e",
+    "bigram_lm_score",
+    "term_frequency",
+    "q21_sole_returner",
+    "bpe_merge_rounds",
+]
+
+DECADE = os.environ.get("SPARK_GRAFT_DECADE", "1")
+_D2 = DECADE == "2"
+SMALL = os.environ.get(
+    "SPARK_GRAFT_SMALL_SF",
+    os.path.join(REPO, "scratch", "sf1") if _D2 else "/root/testdata/sf0.1",
+)
+BIG = os.environ.get(
+    "SPARK_GRAFT_BIG_SF", os.path.join(REPO, "scratch", "sf10" if _D2 else "sf1")
+)
 RATIO = float(os.environ.get("SPARK_GRAFT_SF_RATIO", "10"))
 
 
 def main() -> None:
-    names = sys.argv[1].split(",") if len(sys.argv) > 1 else DEFAULT_QUERIES
+    default = DECADE2_QUERIES if _D2 else DEFAULT_QUERIES
+    names = sys.argv[1].split(",") if len(sys.argv) > 1 else default
     import tempfile
 
     tmp_root = tempfile.mkdtemp(prefix="svdml-rehearsal-root-")
@@ -115,19 +148,39 @@ def main() -> None:
 
     # scoped runs MERGE into the existing file (a names argument would
     # otherwise silently drop every other query's recorded exponent) —
-    # but prune entries for queries since removed/renamed from the catalog
+    # but prune entries for queries since removed/renamed from the catalog.
+    # Decade 1 lives at the top level (back-compat with bench embedding);
+    # decade 2 under "second_decade"; each preserves the other on write.
     path = os.path.join(REPO, "SCALING.json")
-    merged = out
+    prior_full = {}
     if os.path.exists(path):
         with open(path) as f:
-            prior = json.load(f).get("queries", {})
-        merged = {**{k: v for k, v in prior.items() if k in qs}, **out}
-    payload = {
+            prior_full = json.load(f)
+    prior = (
+        prior_full.get("second_decade", {}).get("queries", {})
+        if _D2
+        else prior_full.get("queries", {})
+    )
+    merged = {**{k: v for k, v in prior.items() if k in qs}, **out}
+    block = {
         "small_sf_dir": SMALL,
         "big_sf_dir": BIG,
         "size_ratio": RATIO,
         "queries": merged,
     }
+    # other top-level keys (the other decade, cc_natural_rehearsal, ...)
+    # are preserved verbatim on write
+    if _D2:
+        payload = {
+            **{k: v for k, v in prior_full.items() if k != "second_decade"},
+            "second_decade": block,
+        }
+    else:
+        own = ("small_sf_dir", "big_sf_dir", "size_ratio", "queries")
+        payload = {
+            **{k: v for k, v in prior_full.items() if k not in own},
+            **block,
+        }
     with open(path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(json.dumps(payload))
