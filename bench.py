@@ -83,12 +83,14 @@ def main() -> None:
         timings[name] = round(time.time() - t, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
         _isolate(spark, baseline_tables)
-    # Second pass over the slowest queries, keeping the min: transient
-    # host-level contention windows (observed: 4-30x inflation for whatever
-    # alphabetical block ran during them) otherwise masquerade as query
-    # regressions in the per-round artifact. The min of two isolated runs
-    # is the honest cost; re-timing only the tail keeps the pass cheap.
-    retimed = sorted(timings, key=timings.get, reverse=True)[:12]
+    # Second pass, keeping the min: transient host-level contention windows
+    # (observed: 4-30x inflation for whatever alphabetical block ran during
+    # them) otherwise masquerade as query regressions in the per-round
+    # artifact. Every query over 1s gets retimed (r4 verdict: the 12-slowest
+    # cutoff left sub-second tail entries single-sample and noisy
+    # round-over-round); the sub-1s floor keeps the pass cheap where noise
+    # can't exceed ~1s anyway.
+    retimed = [n for n, t in timings.items() if t > 1.0]
     for name in retimed:
         t = time.time()
         qs[name](spark, sf_dir).count()

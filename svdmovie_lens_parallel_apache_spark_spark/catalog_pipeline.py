@@ -1011,9 +1011,18 @@ def q_bpe_merge_rounds(spark, sf_dir):
     )
 
 
-def _bpe_train(spark, sf_dir, rounds: int = 3):
+def _bpe_train(spark, sf_dir, rounds: int = 3, round_times: list | None = None):
     """The BPE training loop shared by the merge-table and encode queries:
-    returns ([(round, pair, count)], final space-tokenised corpus DF)."""
+    returns ([(round, pair, count)], final space-tokenised corpus DF).
+
+    ``round_times`` (optional, mutated) collects per-round wall seconds —
+    the depth-rehearsal evidence that cost per merge round stays FLAT as
+    rounds accumulate (localCheckpoint truncates lineage each round, so
+    round 50 pays the same one pair-count shuffle + one bounded limit(1)
+    collect as round 1; tools/bpe_depth_rehearsal.py records it and
+    tests/test_scale_ops.py gates it)."""
+    import time as _time
+
     from pyspark.sql import Window
 
     txt = _t(spark, sf_dir, "documents").select(
@@ -1022,6 +1031,7 @@ def _bpe_train(spark, sf_dir, rounds: int = 3):
     out = []
     w = Window.partitionBy("doc_id").orderBy("pos")
     for r in range(1, rounds + 1):
+        _t0 = _time.time()
         toks = F.filter(F.split(F.trim(F.col("t")), " "), lambda x: x != "")
         pos = txt.select("doc_id", F.posexplode(toks).alias("pos", "cur"))
         pairs = (
@@ -1046,6 +1056,8 @@ def _bpe_train(spark, sf_dir, rounds: int = 3):
                 F.lit(" "),
             ).alias("t"),
         ).localCheckpoint(eager=True)  # truncate lineage per round, like the CC loop
+        if round_times is not None:
+            round_times.append(round(_time.time() - _t0, 3))
     return out, txt
 
 

@@ -72,3 +72,31 @@ def read_schema_columns(df: DataFrame) -> list[str]:
             if name:
                 cols.add(name)
     return sorted(cols)
+
+
+def plan_fingerprint(df: DataFrame) -> dict:
+    """Canonical, committable physical-plan shape for regression snapshots.
+
+    A reduced, stats-stable projection of :func:`plan_summary`: the fields
+    that decide 100 TB behavior (join strategies, shuffle count, pushdown,
+    Python-worker presence, map-side combine) without anything that varies
+    run-to-run (partition counts, codegen stage ids, file split counts).
+    ``tools/plan_fingerprints.py`` snapshots the whole catalog into
+    PLAN_FINGERPRINTS.json and ``tests/test_plan_fingerprints.py`` asserts
+    equality — a lost pushdown or an accidental cartesian in ANY of the
+    catalog queries fails a test instead of landing silently.
+    """
+    s = plan_summary(df)
+    nodes = s["nodes"]
+    return {
+        "pushed_filters": s["pushed_filters"],
+        "broadcast_joins": s["broadcast_joins"],
+        "sortmerge_joins": s["sortmerge_joins"],
+        "shuffled_hash_joins": sum(n == "ShuffledHashJoin" for n in nodes),
+        "bnl_joins": sum(n == "BroadcastNestedLoopJoin" for n in nodes),
+        "cartesian": sum(n == "CartesianProduct" for n in nodes),
+        "exchanges": s["exchanges"],
+        "scans": s["scans"],
+        "python_udf": s["has_python_udf"],
+        "partial_agg": s["partial_agg"],
+    }

@@ -130,10 +130,22 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch. Drained with availableNow; batch twin = groupBy(user)
     count/sum (asserted in tests).
     """
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+    agg = user_totals_stateful_transform(ev)
+    run_available_now(agg, "stream_user_totals_stateful", mode="update")
+    # update-mode memory sink appends every emission; keep each user's last
+    return latest_user_totals(spark.table("stream_user_totals_stateful"))
+
+
+def user_totals_stateful_transform(ev: DataFrame) -> DataFrame:
+    """The applyInPandasWithState stage alone, source- and sink-agnostic:
+    ``ev`` is any (streaming) DataFrame with ``user_id``/``value`` columns.
+    Extracted so the live multi-micro-batch tests (file-split source, rate
+    source, RocksDB state store — tests/test_streaming_live.py) drive the
+    SAME operator the availableNow catalog job drains."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ev = events_stream(spark, sf_dir).select("user_id", "value")
     out_schema = T.StructType(
         [
             T.StructField("user_id", T.LongType()),
@@ -156,17 +168,19 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.update((n, s))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
 
-    agg = ev.groupBy("user_id").applyInPandasWithState(
+    return ev.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    run_available_now(agg, "stream_user_totals_stateful", mode="update")
-    # update-mode memory sink appends every emission; keep each user's last
-    final = spark.table("stream_user_totals_stateful")
+
+
+def latest_user_totals(emissions: DataFrame) -> DataFrame:
+    """Collapse an update-mode emission log to each user's final state
+    (n_events is monotone per user, so max-n wins)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
-        final.withColumn("__rn", F.row_number().over(w))
+        emissions.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
         .select(
@@ -183,7 +197,18 @@ def stream_session_window(spark: SparkSession, sf_dir: str,
     """Native session windows (F.session_window) — the streaming-stateful
     twin of ``operators.windows.sessionize``'s lag+cumsum construction."""
     ev = events_stream(spark, sf_dir)
-    agg = (
+    agg = session_window_transform(ev, gap=gap, watermark=watermark)
+    run_available_now(agg, "stream_session_window", mode="complete")
+    return spark.table("stream_session_window")
+
+
+def session_window_transform(ev: DataFrame, gap: str = "30 minutes",
+                             watermark: str = "2 hours") -> DataFrame:
+    """The session-window stage alone (``ev`` = any streaming DataFrame
+    with ``ts``/``user_id``); shared by the availableNow catalog job and
+    the live multi-micro-batch tests, so cross-batch session-state merging
+    is exercised against the single-batch result."""
+    return (
         ev.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -194,8 +219,6 @@ def stream_session_window(spark: SparkSession, sf_dir: str,
             "n_events",
         )
     )
-    run_available_now(agg, "stream_session_window", mode="complete")
-    return spark.table("stream_session_window")
 
 
 def stream_sliding_counts(spark: SparkSession, sf_dir: str,
