@@ -333,3 +333,23 @@ def test_events_ts_layout_probe_and_normalise(spark, tmp_path):
     shutil.copy(str(tmp_path / "ntz" / "events.parquet"), str(mixed / "b.parquet"))
     with _pytest.raises(ValueError, match="mixed ts layouts"):
         events_ts_layout(str(mixed / "*.parquet"))
+
+
+def test_bpe_per_round_cost_is_flat_in_depth(spark, sf_dir):
+    """Merge-depth gate (r4 verdict #5): per-round BPE training cost must
+    not grow with the number of accumulated merges — round 25 pays the
+    same one pair-count shuffle + bounded limit(1) argmax as round 3
+    (localCheckpoint truncates lineage each round). The generous 2.5x
+    median band absorbs local timing noise while still catching the
+    failure mode this guards (lineage growth => cost linear in depth =>
+    last rounds several-fold slower). Full 50-round sf0.1 evidence:
+    tools/bpe_depth_rehearsal.py -> SCALING.json["bpe_depth"]."""
+    import statistics
+
+    from svdmovie_lens_parallel_apache_spark_spark.catalog_pipeline import _bpe_train
+
+    times = []
+    _bpe_train(spark, sf_dir, rounds=25, round_times=times)
+    early = statistics.median(times[2:7])
+    late = statistics.median(times[-5:])
+    assert late <= 2.5 * early, f"per-round cost grew with depth: {times}"
