@@ -398,3 +398,49 @@ def q_image_pixel_stats(spark, sf_dir):
     media = attach_synthetic_pixel_images(_t(spark, sf_dir, "documents"))
     feats = extract_pixel_features(media)
     return feats.withColumn("mean_pixel", _r(F.col("mean_pixel"), 6))
+
+
+@register(
+    "audio_pcm_stats",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(text), 5, 2) AS INTEGER) AS b2,
+             CAST('0x' || substr(md5(text), 7, 2) AS INTEGER) AS b3,
+             CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) AS b4
+      FROM documents
+    ), p AS (
+      SELECT doc_id,
+             (b2 % 16 + 4) * 16 AS n,
+             (b3 % 8 + 1) * 1000 AS amp,
+             b4 % 8 + 2 AS half
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST(n // 8 AS INTEGER) AS duration_ms,
+           floor(CAST(amp AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rms,
+           CAST(amp AS INTEGER) AS peak,
+           CAST((n - 1) // half AS INTEGER) AS zero_crossings
+    FROM p
+    """,
+    tags=("multimodal", "audio", "codec", "mapInPandas"),
+    description="REAL WAV/PCM audio decode, oracle-gated end-to-end (r5): the engine "
+    "writes COMPLETE valid WAVs (RIFF chunk stream with fmt, a junk LIST chunk "
+    "forcing a real chunk walk, little-endian PCM16 data) carrying an md5-derived "
+    "square wave per document, then a second mapInPandas stage decodes the PCM back "
+    "— stdlib struct RIFF walk + NumPy frombuffer, no codec library — and reports "
+    "RMS / peak / zero-crossing / duration stats. The DuckDB oracle computes every "
+    "expected value in closed form from the md5 hex (square wave: rms = peak = amp, "
+    "crossings = (n-1)//half), so any endianness, offset or chunk-walk error fails "
+    "the hash gate. Audio joins PNG pixels on the REAL side of the codec boundary, "
+    "which narrows to JPEG pixels (DCT+Huffman) and video containers "
+    "(operators/multimodal.py). 100 TB shape: two partition-parallel Arrow-batched "
+    "stages, nothing collected.",
+)
+def q_audio_pcm_stats(spark, sf_dir):
+    from .operators.multimodal import attach_synthetic_audio, extract_audio_features
+
+    media = attach_synthetic_audio(_t(spark, sf_dir, "documents"))
+    feats = extract_audio_features(media)
+    return feats.withColumn("rms", _r(F.col("rms"), 6))

@@ -22,10 +22,17 @@ North-star addition (BASELINE.json). Pattern for 100 TB pipelines:
   RGBA8 bit-exactly with no codec library; pixel statistics and
   thumbnails run over genuinely decompressed pixels, oracle-gated
   end-to-end by the ``image_pixel_stats`` closed-form DuckDB twin;
-- JPEG pixel decode (DCT + Huffman), audio and video still require real
-  codecs (PIL / torchaudio / ffmpeg — not in this container), so
-  :func:`decode_media` raises ``NotImplementedError`` there: the stub
-  boundary is codec-only and now excludes PNG entirely.
+- AUDIO decode is REAL too (r5): WAV is a RIFF chunk container and PCM16
+  is raw little-endian samples, so :func:`decode_wav_pcm` (chunk walk
+  tolerant of LIST/junk chunks) + :func:`encode_wav_pcm16` round-trip
+  bit-exactly with stdlib struct + NumPy; RMS/peak/zero-crossing features
+  are oracle-gated by the ``audio_pcm_stats`` closed-form DuckDB twin;
+- JPEG pixel decode (DCT + Huffman), compressed audio (ADPCM/MP3) and
+  video containers still require real codecs (PIL / torchaudio / ffmpeg —
+  not in this container), so :func:`decode_media` raises
+  ``NotImplementedError`` there and :func:`decode_wav_pcm` rejects
+  non-PCM16-mono profiles loudly: the stub boundary is codec-only and now
+  excludes PNG and uncompressed WAV entirely.
 """
 
 from __future__ import annotations
@@ -581,3 +588,156 @@ def thumbnail_gray(media: DataFrame, size: int = 4) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "thumb"])
 
     return media.mapInPandas(_thumb, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio codec: WAV / PCM16 (r5). RIFF is a chunked container and PCM
+# is raw little-endian samples — both stdlib-parseable, so audio joins PNG
+# on the REAL side of the codec boundary (which narrows to JPEG pixels +
+# video). The writer emits a junk LIST chunk before `data` on purpose:
+# readers must WALK chunks, not assume fixed offsets, exactly like
+# real-world WAVs carrying LIST/INFO metadata.
+# ---------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 8000
+
+
+def encode_wav_pcm16(samples: "np.ndarray", sample_rate: int = WAV_SAMPLE_RATE,
+                     junk: bytes = b"") -> bytes:
+    """Spec-valid mono 16-bit PCM WAV writer (RIFF/WAVE + fmt + optional
+    LIST junk chunk + data). ``samples`` is an int16 array."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,              # audio format: PCM
+        1,              # channels: mono
+        sample_rate,
+        sample_rate * 2,  # byte rate
+        2,              # block align
+        16,             # bits per sample
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if junk:
+        pad = junk + (b"\x00" if len(junk) % 2 else b"")
+        chunks += b"LIST" + struct.pack("<I", len(pad)) + pad
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_pcm(data: bytes) -> tuple[int, "np.ndarray"]:
+    """Mono PCM16 WAV reader: RIFF chunk walk (fmt may be followed by any
+    number of LIST/fact/junk chunks before data — offsets are discovered,
+    never assumed), returns (sample_rate, int16 sample array). Loudly
+    rejects non-PCM16-mono profiles — compressed WAV payloads (ADPCM,
+    mu-law) are a real codec boundary like JPEG pixels."""
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, sample_rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise NotImplementedError(
+                    f"only PCM16 mono is decoded here (got fmt={audio_fmt}, "
+                    f"ch={channels}, bits={bits}) — compressed WAV profiles "
+                    "are a codec boundary"
+                )
+            sample_rate = rate
+        elif tag == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return sample_rate, samples
+
+
+def synthetic_audio_params(digest: bytes) -> tuple[int, int, int]:
+    """(n_samples, amplitude, half_period) from md5 bytes 2..4 — the DuckDB
+    oracle mirrors this byte arithmetic on the md5 hex."""
+    n = (digest[2] % 16 + 4) * 16          # 64..304 samples
+    amp = (digest[3] % 8 + 1) * 1000       # 1000..8000
+    half = digest[4] % 8 + 2               # 2..9 samples per half-cycle
+    return n, amp, half
+
+
+def attach_synthetic_audio(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, media_bytes) where media_bytes is a COMPLETE
+    valid WAV: a square wave, sample[i] = ±amp flipping every ``half``
+    samples, parameters md5-derived per doc. The waveform's RMS, peak and
+    zero-crossing count have closed forms an SQL oracle computes from the
+    md5 hex — while the engine path must genuinely walk RIFF chunks and
+    reinterpret little-endian PCM to reproduce them. The writer inserts
+    the digest as a LIST junk chunk so fixed-offset readers fail."""
+    import hashlib
+
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_bytes", T.BinaryType()),
+        ]
+    )
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(str(text).encode("utf-8")).digest()
+                n, amp, half = synthetic_audio_params(digest)
+                i = np.arange(n)
+                s = np.where((i // half) % 2 == 0, amp, -amp).astype(np.int16)
+                rows.append(
+                    {"doc_id": doc_id, "media_bytes": encode_wav_pcm16(s, junk=digest)}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media_bytes"])
+
+    return docs.select("doc_id", "text").mapInPandas(_build, schema)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction over genuinely decoded PCM:
+    RIFF walk + frombuffer per row, then NumPy RMS / peak / zero-crossing
+    stats. Same 100 TB shape as the pixel path: partition-parallel Python
+    workers over bounded batches, nothing collected."""
+    import numpy as np
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media_bytes"]):
+                rate, s = decode_wav_pcm(bytes(blob))
+                s64 = s.astype(np.int64)  # ±8000 squares overflow int16
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": len(s),
+                        "duration_ms": int(len(s) * 1000 // rate),
+                        "rms": float(np.sqrt(np.mean((s64 * s64).astype(np.float64)))),
+                        "peak": int(np.max(np.abs(s64))),
+                        "zero_crossings": int(np.count_nonzero(s64[:-1] * s64[1:] < 0)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(_extract, AUDIO_FEATURE_SCHEMA)

@@ -201,3 +201,76 @@ def test_pixel_features_and_thumbnail_over_spark(spark, sf_dir):
     for doc_id, t in thumbs.items():
         assert len(t) == 16
         assert all(0.0 <= v <= 255.0 for v in t)
+
+
+def test_wav_pcm_codec_round_trip_with_chunk_walk():
+    """WAV writer/reader round-trip: the junk LIST chunk before `data`
+    forces a genuine RIFF chunk walk (fixed-offset readers would
+    misparse), and the PCM payload must survive little-endian
+    reinterpretation bit-exactly."""
+    import numpy as np
+
+    from svdmovie_lens_parallel_apache_spark_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_wav_pcm16,
+    )
+
+    rng = np.arange(-300, 300, dtype=np.int16) * 100
+    blob = encode_wav_pcm16(rng, sample_rate=16000, junk=b"metadata-of-odd-len")
+    rate, out = decode_wav_pcm(blob)
+    assert rate == 16000
+    assert np.array_equal(out, rng)
+    # without junk too (chunk walk must not REQUIRE the LIST chunk)
+    rate2, out2 = decode_wav_pcm(encode_wav_pcm16(rng))
+    assert rate2 == 8000 and np.array_equal(out2, rng)
+
+
+def test_wav_decoder_rejects_non_pcm16_mono_profiles():
+    """Compressed / multi-channel WAV profiles are a codec boundary like
+    JPEG pixels: the decoder must refuse loudly, never misread."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from svdmovie_lens_parallel_apache_spark_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_wav_pcm16,
+    )
+
+    blob = bytearray(encode_wav_pcm16(np.zeros(8, dtype=np.int16)))
+    fmt_off = blob.index(b"fmt ") + 8
+    blob[fmt_off : fmt_off + 2] = struct.pack("<H", 2)  # ADPCM
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_wav_pcm(b"RIFFxxxxNOPE")
+
+
+def test_audio_features_over_spark_match_waveform_math(spark, sf_dir):
+    """Engine path end-to-end on a handful of docs: encode → decode →
+    features must equal the closed-form square-wave math per doc."""
+    import hashlib
+
+    from svdmovie_lens_parallel_apache_spark_spark.operators.multimodal import (
+        attach_synthetic_audio,
+        extract_audio_features,
+        synthetic_audio_params,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(12).cache()
+    feats = {
+        r.doc_id: r
+        for r in extract_audio_features(attach_synthetic_audio(docs)).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        d = hashlib.md5(str(row.text).encode("utf-8")).digest()
+        n, amp, half = synthetic_audio_params(d)
+        f = feats[row.doc_id]
+        assert f.n_samples == n
+        assert f.duration_ms == n // 8
+        assert f.rms == float(amp)
+        assert f.peak == amp
+        assert f.zero_crossings == (n - 1) // half
+    docs.unpersist()
