@@ -444,3 +444,81 @@ def q_audio_pcm_stats(spark, sf_dir):
     media = attach_synthetic_audio(_t(spark, sf_dir, "documents"))
     feats = extract_audio_features(media)
     return feats.withColumn("rms", _r(F.col("rms"), 6))
+
+
+@register(
+    "video_frame_stats",
+    """
+    WITH p AS (
+      SELECT doc_id, text,
+             CAST('0x' || substr(md5(text), 11, 2) AS INTEGER) % 4 + 3 AS n,
+             CAST('0x' || substr(md5(text), 13, 2) AS INTEGER) % 12 + 4 AS w,
+             CAST('0x' || substr(md5(text), 15, 2) AS INTEGER) % 12 + 4 AS h
+      FROM documents
+    ), fr AS (
+      SELECT p.doc_id, p.n, p.w, p.h, p.h * p.w * 3 AS total, s.f,
+             list_transform(range(1, 17),
+                            i -> CAST('0x' || substr(md5(p.text || '|' || s.f),
+                                                     2 * i - 1, 2) AS INTEGER)) AS db
+      FROM p CROSS JOIN (SELECT unnest(range(0, 6)) AS f) s
+      WHERE s.f < p.n
+    ), fsum AS (
+      SELECT doc_id, n, w, h, total, f,
+             list_sum(db) * (total // 16)
+               + COALESCE(list_sum(db[1 : total % 16]), 0) AS s_frame,
+             db
+      FROM fr
+    ), pairs AS (
+      SELECT a.doc_id,
+             list_sum(list_transform(range(1, 17),
+                      i -> abs(a.db[i] - b.db[i])
+                           * (a.total // 16
+                              + CASE WHEN i <= a.total % 16 THEN 1 ELSE 0 END)))
+               AS d_pair
+      FROM fsum a JOIN fsum b
+        ON a.doc_id = b.doc_id AND b.f = a.f + 1
+    ), agg AS (
+      SELECT f.doc_id,
+             any_value(f.n) AS n, any_value(f.w) AS w, any_value(f.h) AS h,
+             any_value(f.total) AS total,
+             SUM(f.s_frame) AS s_all,
+             MAX(CASE WHEN f.f = 0 THEN f.db[1] END) AS tlr
+      FROM fsum f GROUP BY f.doc_id
+    ), mo AS (
+      SELECT doc_id, SUM(d_pair) AS d_all FROM pairs GROUP BY doc_id
+    )
+    SELECT agg.doc_id,
+           CAST(agg.n AS INTEGER) AS n_frames,
+           CAST(agg.w AS INTEGER) AS width,
+           CAST(agg.h AS INTEGER) AS height,
+           floor(CAST(agg.s_all AS DOUBLE) / (agg.n * agg.total) * 1e6 + 0.5) / 1e6
+             AS mean_brightness,
+           floor(CAST(mo.d_all AS DOUBLE) / ((agg.n - 1) * agg.total) * 1e6 + 0.5) / 1e6
+             AS motion,
+           CAST(agg.tlr AS INTEGER) AS top_left_r
+    FROM agg JOIN mo ON agg.doc_id = mo.doc_id
+    """,
+    tags=("multimodal", "video", "codec", "mapInPandas"),
+    description="REAL video decode for the uncompressed profile, oracle-gated "
+    "end-to-end (r5): the engine writes COMPLETE valid AVIs (RIFF with nested "
+    "hdrl/strl/movi LISTs, idx1 index, per-frame 00db chunks storing 24-bit DIB "
+    "pixels BGR bottom-up with 4-byte row stride) whose decoded-space RGB frames "
+    "tile per-frame md5(text|f) digests, then a second mapInPandas stage decodes "
+    "them back — stdlib struct container walk + NumPy stride unpad / row flip / "
+    "channel reorder — and reports frame count, dims, mean brightness, inter-frame "
+    "motion and the frame-0 top-left red channel (the position-sensitive probe a "
+    "missed flip or BGR swap cannot survive). The DuckDB oracle computes every "
+    "value in closed form from md5 hex with exact integer sums divided once, so "
+    "the float compare holds at atol=0. The codec boundary is now compressed "
+    "formats only: JPEG pixels, ADPCM/MP3 audio, MJPEG/H.264 video "
+    "(operators/multimodal.py). 100 TB shape: two partition-parallel Arrow-batched "
+    "stages, nothing collected.",
+)
+def q_video_frame_stats(spark, sf_dir):
+    from .operators.multimodal import attach_synthetic_video, extract_video_features
+
+    media = attach_synthetic_video(_t(spark, sf_dir, "documents"))
+    feats = extract_video_features(media)
+    return feats.withColumn("mean_brightness", _r(F.col("mean_brightness"), 6)).withColumn(
+        "motion", _r(F.col("motion"), 6)
+    )

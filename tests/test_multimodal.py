@@ -274,3 +274,71 @@ def test_audio_features_over_spark_match_waveform_math(spark, sf_dir):
         assert f.peak == amp
         assert f.zero_crossings == (n - 1) // half
     docs.unpersist()
+
+
+def test_avi_dib_codec_round_trip_and_rejection():
+    """AVI writer/reader round-trip over random frames: the reader must
+    undo all three DIB storage conventions (4-byte row stride, bottom-up
+    rows, BGR order) bit-exactly, and refuse compressed streams loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from svdmovie_lens_parallel_apache_spark_spark.operators.multimodal import (
+        decode_avi_dib,
+        encode_avi_dib,
+    )
+
+    rng = np.random.default_rng(11)
+    for w in (4, 5, 6, 7):  # every stride-padding residue of w*3 mod 4
+        frames = rng.integers(0, 256, size=(3, 5, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_avi_dib(encode_avi_dib(frames)), frames)
+
+    blob = bytearray(encode_avi_dib(rng.integers(0, 256, (2, 4, 4, 3), dtype=np.uint8)))
+    off = blob.index(b"strf") + 8 + 16
+    blob[off : off + 4] = struct.pack("<I", 0x47504A4D)  # 'MJPG'
+    with pytest.raises(NotImplementedError):
+        decode_avi_dib(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_avi_dib(b"RIFFxxxxWAVE")
+
+
+def test_video_features_over_spark_are_position_sensitive(spark, sf_dir):
+    """Engine path end-to-end on a handful of docs, plus the flip/swap
+    probe: corrupting the decode by skipping the row flip must change
+    top_left_r for at least one doc (means alone would forgive it)."""
+    import hashlib
+
+    import numpy as np
+
+    from svdmovie_lens_parallel_apache_spark_spark.operators.multimodal import (
+        attach_synthetic_video,
+        decode_avi_dib,
+        extract_video_features,
+        synthetic_video_params,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(8).cache()
+    media_rows = attach_synthetic_video(docs).collect()
+    feats = {
+        r.doc_id: r
+        for r in extract_video_features(attach_synthetic_video(docs)).collect()
+    }
+    any_flip_sensitive = False
+    for row in docs.select("doc_id", "text").collect():
+        d = hashlib.md5(str(row.text).encode("utf-8")).digest()
+        n, w, h = synthetic_video_params(d)
+        f = feats[row.doc_id]
+        assert (f.n_frames, f.width, f.height) == (n, w, h)
+        assert f.top_left_r == hashlib.md5(f"{row.text}|0".encode("utf-8")).digest()[0]
+        blob = next(bytes(m.media_bytes) for m in media_rows if m.doc_id == row.doc_id)
+        fr = decode_avi_dib(blob)
+        # a decoder that forgot the bottom-up flip would report this instead:
+        wrong_tlr = int(fr[0, -1, 0, 0])
+        if wrong_tlr != f.top_left_r:
+            any_flip_sensitive = True
+        assert f.mean_brightness == float(np.mean(fr.astype(np.float64)))
+    assert any_flip_sensitive, "fixture degenerate: flip probe has no power"
+    docs.unpersist()
