@@ -283,3 +283,36 @@ spark.stop()
     other = json.loads(lines[0][len("RESULT::"):])
     for n in NAMES:
         assert here[n] == other[n], f"{n} changed between local[4] and local[32]"
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    w=st.integers(1, 23),
+    h=st.integers(1, 11),
+    n=st.integers(1, 5),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    n_samp=st.integers(0, 400),
+)
+@_settings
+def test_wav_and_avi_codecs_round_trip_any_content(seed, w, h, n, rate, n_samp):
+    """Property: the WAV and AVI codecs round-trip ARBITRARY content and
+    shapes bit-exactly — amplitude extremes (int16 min/max), zero-length
+    audio, 1-pixel frames, every stride-padding residue. Pure NumPy, no
+    Spark session; hypothesis drives the shapes the fixed tests miss."""
+    import numpy as np
+
+    from svdmovie_lens_parallel_apache_spark_spark.operators.multimodal import (
+        decode_avi_dib,
+        decode_wav_pcm,
+        encode_avi_dib,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-(2**15), 2**15, size=n_samp, dtype=np.int64).astype(np.int16)
+    got_rate, got = decode_wav_pcm(encode_wav_pcm16(samples, sample_rate=rate,
+                                                    junk=bytes(rng.bytes(seed % 7))))
+    assert got_rate == rate and np.array_equal(got, samples)
+
+    frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_avi_dib(encode_avi_dib(frames)), frames)

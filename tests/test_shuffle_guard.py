@@ -111,3 +111,34 @@ def test_audit_covers_whole_catalog():
         f"queries with no shuffle audit: {missing} — "
         "run `python tools/shuffle_audit.py` and commit"
     )
+
+
+def test_shuffle_volume_grows_linearly_across_sf():
+    """THE quadratic detector (sharper than any within-SF ratio): for the
+    pair-generating risk family, shuffle-write bytes must grow ~linearly
+    with the corpus — sw(sf0.1)/sw(sf0.01) <= 22 for 10x the data (2.2x
+    headroom over linear; a quadratic candidate set would measure ~100x).
+    Uses the committed audit blocks (both refreshed by
+    tools/shuffle_audit.py); queries below a 64 KiB floor in either block
+    are skipped (absolute bytes too small to carry signal)."""
+    with open(AUDIT_PATH) as f:
+        audit = json.load(f)
+    small = audit["/root/testdata/sf0.01"]
+    big = audit.get("/root/testdata/sf0.1", {})
+    floor = 64 * 1024
+    checked, breaches = [], {}
+    for name in RISK_QUERIES:
+        if name not in big:
+            continue
+        s, b = small[name]["shuffle_write_bytes"], big[name]["shuffle_write_bytes"]
+        if s < floor or b < floor:
+            continue
+        ratio = b / s
+        checked.append(name)
+        if ratio > 22.0:
+            breaches[name] = round(ratio, 1)
+    assert len(checked) >= 5, f"too few measurable queries: {checked}"
+    assert not breaches, (
+        f"superlinear shuffle growth at 10x data: {breaches} — "
+        "a candidate set is exploding; check band/bucket caps"
+    )

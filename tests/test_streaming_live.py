@@ -176,10 +176,13 @@ def test_rate_source_continuous_query(spark):
         user_totals_stateful_transform,
     )
 
+    # 12 rows/s over 10s of stream time: even a slow (~5s) query startup
+    # leaves >=5s of live arrivals across >=10 half-second triggers, so the
+    # >=3-commit assertion has wide margin on a loaded host
     n_vals, n_users = 120, 7
     src = (
         spark.readStream.format("rate")
-        .option("rowsPerSecond", 20)
+        .option("rowsPerSecond", 12)
         .load()
         .where(F.col("value") < n_vals)
         .select(
