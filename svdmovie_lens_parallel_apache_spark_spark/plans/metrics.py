@@ -10,6 +10,19 @@ Reads Spark's AppStatusStore through the JVM gateway (the same store the
 UI serves); works with ``spark.ui.enabled=false``. Per-query attribution
 is by stage-id set difference, which is robust to the store evicting OLD
 stages mid-run (cumulative-sum diffing is not).
+
+MEASURED CAVEAT (verified empirically: an sf0.01 and an sf0.1 documents
+scan both report ~3.4 KB): under local-mode Spark 4 the stage-level
+``input_bytes`` reflects per-file fixed accounting from the vectorized
+parquet reader, NOT bytes actually scanned. Consequently the audit's
+``amplification`` (= shuffle_write / input) is a RELATIVE per-query
+fingerprint — stable for a given fixture + SF, so regression-comparable
+against a committed baseline — never an absolute data-amplification
+ratio, and never comparable ACROSS scale factors. The absolute
+pair-explosion detector is therefore the cross-SF SHUFFLE-WRITE growth
+gate (sw(sf0.1)/sw(sf0.01) ≈ 10 for linear operators, ~100 for
+quadratic — tests/test_shuffle_guard.py), which compares sw against sw
+and needs no input denominator.
 """
 
 from __future__ import annotations

@@ -47,11 +47,13 @@ RISK_QUERIES = [
     "pipeline_e2e",
 ]
 
-# absolute amplification ceilings by measured envelope (sf0.01 audit:
-# tiny snappy-compressed pruned inputs vs uncompressed shuffle rows make
-# the RATIOS look large; what matters is the ORDER OF MAGNITUDE):
-# pair-generation tops out at ~308 (copurchase_pairs), the events window
-# family at ~78, everything else under ~31.
+# absolute amplification ceilings by measured envelope (sf0.01 audit).
+# NOTE on units: local-mode input_bytes is per-file fixed accounting, not
+# bytes scanned (plans/metrics.py docstring, measured) — so these ratios
+# are RELATIVE per-query fingerprints whose absolute magnitude is
+# meaningless but whose DRIFT is the regression signal. Envelope at
+# sf0.01: pair-generation tops out at ~308 (copurchase_pairs), the events
+# window family at ~78, everything else under ~31; caps are ~3-4x that.
 FAMILY_CAPS = {
     "copurchase_pairs": 1200.0,
     "dedup_jaccard_pairs": 700.0,
