@@ -30,14 +30,14 @@ def _split_events_by_ts(spark, sf_dir, n_files=4):
     """Write the events fixture as n time-ordered parquet files so a
     maxFilesPerTrigger=1 stream replays it in n micro-batches with the
     watermark advancing monotonically."""
+    from pyspark.sql import Window
+
     from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
 
     ev = load_table(spark, sf_dir, "events").orderBy("ts", "event_id").cache()
     n = ev.count()
     rows_per = (n + n_files - 1) // n_files
-    ranked = ev.withColumn(
-        "__rk", F.row_number().over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("ts", "event_id"))
-    )
+    ranked = ev.withColumn("__rk", F.row_number().over(Window.orderBy("ts", "event_id")))
     out_dir = tempfile.mkdtemp(prefix="svdml-evsplit-")
     for i in range(n_files):
         chunk = ranked.where(
