@@ -33,13 +33,19 @@ North-star addition (BASELINE.json). Pattern for 100 TB pipelines:
   unpad → row flip → BGR→RGB) + :func:`encode_avi_dib` round-trip
   bit-exactly; frame/brightness/motion features are oracle-gated by the
   ``video_frame_stats`` closed-form DuckDB twin;
-- only genuinely COMPRESSED formats still require real codec libraries
-  (JPEG pixels: DCT+Huffman; ADPCM/MP3 audio; MJPEG/H.264 video — PIL /
-  torchaudio / ffmpeg, not in this container): :func:`decode_media`
-  raises ``NotImplementedError`` there, :func:`decode_wav_pcm` rejects
-  non-PCM16-mono and :func:`decode_avi_dib` rejects non-DIB streams
-  loudly. Every container walk, entropy-free decompression (DEFLATE via
-  stdlib zlib) and raw-sample reinterpretation is implemented for real.
+- JPEG PIXELS are REAL too (r5): baseline sequential grayscale JFIF —
+  real 8×8 DCT, quantization, canonical-Huffman entropy coding with byte
+  stuffing — is implemented from mathematics in
+  ``operators/jpegcodec.py`` (the decoder builds its Huffman tables from
+  the stream's own DHT segment); the ``jpeg_roundtrip_stats`` gate pins
+  the quant=1 near-lossless error envelope per document, and a
+  handcrafted-bitstream byte-equality test anchors the entropy coder
+  independently so an encoder/decoder bug pair cannot cancel;
+- the remaining boundary is profile breadth, not missing mathematics:
+  progressive/subsampled-chroma/arithmetic JPEG, ADPCM/MP3 audio and
+  inter-frame video codecs (H.264 etc.) still belong to PIL / torchaudio
+  / ffmpeg. Every decoder here rejects those profiles loudly
+  (``NotImplementedError``) rather than misreading them.
 """
 
 from __future__ import annotations
@@ -962,3 +968,104 @@ def extract_video_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FEATURE_SCHEMA.fields])
 
     return media.mapInPandas(_extract, VIDEO_FEATURE_SCHEMA)
+
+
+def synthetic_gray_dims(digest: bytes) -> tuple[int, int]:
+    """(w, h) in 4..19 from md5 bytes 8..9 (distinct from the PNG/audio/
+    video parameter bytes so each codec fixture varies independently)."""
+    return digest[8] % 16 + 4, digest[9] % 16 + 4
+
+
+def attach_synthetic_jpeg(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, text, media_bytes): a COMPLETE baseline JFIF
+    (real DCT, real Huffman entropy coding — operators/jpegcodec.py) whose
+    grayscale pixels tile the md5(text) digest over w×h. ``text`` rides
+    along so the decode stage can re-derive the source for an error-
+    envelope comparison without a join."""
+    import hashlib
+
+    import numpy as np
+
+    from .jpegcodec import encode_jpeg_baseline_gray
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("media_bytes", T.BinaryType()),
+        ]
+    )
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(str(text).encode("utf-8")).digest()
+                w, h = synthetic_gray_dims(digest)
+                total = w * h
+                reps = -(-total // 16)
+                img = np.frombuffer(digest * reps, dtype=np.uint8)[:total].reshape(h, w)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "text": str(text),
+                        "media_bytes": encode_jpeg_baseline_gray(img),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "text", "media_bytes"])
+
+    return docs.select("doc_id", "text").mapInPandas(_build, schema)
+
+
+JPEG_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_src_pixel", T.DoubleType()),
+        T.StructField("roundtrip_ok", T.BooleanType()),
+    ]
+)
+
+
+def jpeg_roundtrip_features(media: DataFrame, max_abs_err: int = 2) -> DataFrame:
+    """Decode each baseline JFIF (segment walk → Huffman decode → dequant →
+    IDCT) and compare against the re-derived source: ``roundtrip_ok`` is
+    the per-doc error-envelope gate (quant=1 coefficient rounding through
+    an orthonormal IDCT bounds the error; measured max |diff| = 1, pinned
+    at ≤ 2). ``mean_src_pixel`` is computed from the DECODED image ±
+    envelope — reported from source so the SQL oracle has a closed form;
+    the envelope gate is what ties decode to content."""
+    import hashlib
+
+    import numpy as np
+
+    from .jpegcodec import decode_jpeg_baseline_gray
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, blob in zip(pdf["doc_id"], pdf["text"], pdf["media_bytes"]):
+                digest = hashlib.md5(str(text).encode("utf-8")).digest()
+                w, h = synthetic_gray_dims(digest)
+                total = w * h
+                reps = -(-total // 16)
+                src = np.frombuffer(digest * reps, dtype=np.uint8)[:total].reshape(h, w)
+                dec = decode_jpeg_baseline_gray(bytes(blob))
+                ok = (
+                    dec.shape == src.shape
+                    and int(np.max(np.abs(dec.astype(np.int64) - src.astype(np.int64))))
+                    <= max_abs_err
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "mean_src_pixel": float(np.mean(src.astype(np.float64))),
+                        "roundtrip_ok": bool(ok),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in JPEG_ROUNDTRIP_SCHEMA.fields])
+
+    return media.mapInPandas(_extract, JPEG_ROUNDTRIP_SCHEMA)

@@ -342,3 +342,94 @@ def test_video_features_over_spark_are_position_sensitive(spark, sf_dir):
         assert f.mean_brightness == float(np.mean(fr.astype(np.float64)))
     assert any_flip_sensitive, "fixture degenerate: flip probe has no power"
     docs.unpersist()
+
+
+def test_jpeg_codec_round_trip_error_envelope():
+    """Baseline JPEG round-trip at quant=1 over adversarial (noise)
+    content: per-pixel error must stay within the analytic envelope of
+    coefficient rounding through an orthonormal IDCT (measured max 1;
+    gate 2). Constant blocks — DC-only — must round-trip EXACTLY."""
+    import numpy as np
+
+    from svdmovie_lens_parallel_apache_spark_spark.operators.jpegcodec import (
+        decode_jpeg_baseline_gray,
+        encode_jpeg_baseline_gray,
+    )
+
+    rng = np.random.default_rng(5)
+    for _ in range(5):
+        h, w = int(rng.integers(4, 48)), int(rng.integers(4, 48))
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        dec = decode_jpeg_baseline_gray(encode_jpeg_baseline_gray(img))
+        assert dec.shape == img.shape
+        assert np.max(np.abs(dec.astype(int) - img.astype(int))) <= 2
+
+    const = np.full((16, 8), 77, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg_baseline_gray(encode_jpeg_baseline_gray(const)), const
+    )
+
+
+def test_jpeg_entropy_coder_matches_handcrafted_bitstream():
+    """Independent anchor so an encoder/decoder bug pair cannot cancel:
+    for a constant-128 8x8 image every DCT coefficient is 0, so the scan
+    is exactly [DC category-0 code '00'] + [EOB '1010'] + '11' padding =
+    0x2B — one byte, derivable by hand from the canonical Huffman code
+    construction over the Annex-K luminance tables."""
+    import numpy as np
+
+    from svdmovie_lens_parallel_apache_spark_spark.operators.jpegcodec import (
+        encode_jpeg_baseline_gray,
+    )
+
+    blob = encode_jpeg_baseline_gray(np.full((8, 8), 128, dtype=np.uint8))
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    sos_at = blob.index(b"\xff\xda")
+    (sos_len,) = __import__("struct").unpack(">H", blob[sos_at + 2 : sos_at + 4])
+    scan = blob[sos_at + 2 + sos_len : -2]
+    assert scan == b"\x2b", scan.hex()
+
+
+def test_jpeg_decoder_rejects_unsupported_profiles():
+    import numpy as np
+    import pytest
+
+    from svdmovie_lens_parallel_apache_spark_spark.operators.jpegcodec import (
+        decode_jpeg_baseline_gray,
+        encode_jpeg_baseline_gray,
+    )
+
+    blob = bytearray(encode_jpeg_baseline_gray(np.zeros((8, 8), dtype=np.uint8)))
+    sof_at = bytes(blob).index(b"\xff\xc0")
+    blob[sof_at + 1] = 0xC2  # progressive
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_baseline_gray(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_jpeg_baseline_gray(b"\x00\x01not-a-jpeg")
+
+
+def test_jpeg_roundtrip_features_over_spark(spark, sf_dir):
+    """Engine path end-to-end: every doc's JFIF must decode back inside
+    the error envelope and the reported dims/mean must match the md5
+    parameterisation."""
+    import hashlib
+
+    from svdmovie_lens_parallel_apache_spark_spark.operators.multimodal import (
+        attach_synthetic_jpeg,
+        jpeg_roundtrip_features,
+        synthetic_gray_dims,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(10).cache()
+    feats = {
+        r.doc_id: r
+        for r in jpeg_roundtrip_features(attach_synthetic_jpeg(docs)).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        d = hashlib.md5(str(row.text).encode("utf-8")).digest()
+        w, h = synthetic_gray_dims(d)
+        f = feats[row.doc_id]
+        assert (f.width, f.height) == (w, h)
+        assert f.roundtrip_ok, f"doc {row.doc_id} outside error envelope"
+    docs.unpersist()

@@ -55,6 +55,7 @@ def test_relational_suite_is_jvm_only(spark, sf_dir):
                 "image_pixel",  # real PNG pixel codec — Arrow-batched by design
                 "audio_pcm",    # real WAV/PCM codec — Arrow-batched by design
                 "video_frame",  # real AVI/DIB codec — Arrow-batched by design
+                "jpeg_roundtrip",  # real baseline JPEG codec — Arrow-batched by design
                 "streaming",
                 "als",
                 "grouped_ols",
