@@ -251,11 +251,24 @@ def decode_image_meta(media: DataFrame, max_segments: int = 12) -> DataFrame:
 
 
 def decode_media(data: bytes, max_segments: int = 64) -> dict:
-    """The codec boundary, Python side. PNG/JPEG header decode is REAL
-    (pure ``struct`` byte arithmetic — the same walk a PIL integration
-    would delegate to the library); anything else (pixel decode, audio,
-    video) needs codecs not in this container and raises
-    ``NotImplementedError``."""
+    """Format-sniffing dispatch, Python side — the integration point a
+    PIL/ffmpeg-backed deployment would extend. PNG/JPEG header decode is
+    inline ``struct`` byte arithmetic; RIFF containers (WAV audio, AVI
+    video) route to the real native decoders and return modality-typed
+    metadata. Unrecognised formats raise ``NotImplementedError``; the
+    per-codec decoders raise it themselves for compressed profiles they
+    don't cover (ADPCM, MJPEG, ...)."""
+    if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        rate, samples = decode_wav_pcm(data)
+        return {
+            "media_format": "wav/pcm16",
+            "sample_rate": rate,
+            "n_samples": int(len(samples)),
+        }
+    if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        frames = decode_avi_dib(data)
+        n, h, w, _ = frames.shape
+        return {"media_format": "avi/dib24", "width": w, "height": h, "n_frames": n}
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         w, h = struct.unpack(">II", data[16:24])
         return {"media_format": "png", "width": w, "height": h}
@@ -281,9 +294,9 @@ def decode_media(data: bytes, max_segments: int = 64) -> dict:
             off += 2 + struct.unpack(">H", data[off + 2 : off + 4])[0]
         return {"media_format": "jpeg", "width": -1, "height": -1}
     raise NotImplementedError(
-        "JPEG pixel / audio / video decode requires a real codec "
-        "(PIL/torchaudio/ffmpeg), not installed; PNG/JPEG header metadata AND "
-        "full PNG pixel decode (decode_png_pixels) are native"
+        "unrecognised media format; native decoders cover PNG (headers + "
+        "pixels), baseline JPEG (headers + pixels via operators/jpegcodec), "
+        "WAV/PCM16 and AVI/DIB — other formats need PIL/torchaudio/ffmpeg"
     )
 
 

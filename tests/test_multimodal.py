@@ -79,14 +79,28 @@ def test_frame_sample_keeps_every_other_frame(spark, sf_dir):
 
 
 def test_codec_boundary_is_explicitly_stubbed_for_non_images():
-    """Pixel/audio/video decode needs real codecs — that boundary stays an
-    explicit NotImplementedError; only header decode is native."""
-    from svdmovie_lens_parallel_apache_spark_spark.operators.multimodal import decode_media
+    """decode_media dispatches to the native decoders (PNG, baseline JPEG,
+    WAV/PCM16, AVI/DIB); unrecognised formats and compressed profiles the
+    per-codec decoders don't cover stay an explicit error, never a
+    misread."""
+    import numpy as np
+
+    from svdmovie_lens_parallel_apache_spark_spark.operators.multimodal import (
+        decode_media,
+        encode_avi_dib,
+        encode_wav_pcm16,
+    )
 
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x00" * 16)
-    with pytest.raises(NotImplementedError):
-        decode_media(b"RIFF....WAVE")  # audio container: codec territory
+        decode_media(b"\x00" * 16)  # unknown container
+    with pytest.raises(ValueError):
+        decode_media(b"RIFF....WAVE")  # truncated/invalid WAV body
+
+    m = decode_media(encode_wav_pcm16(np.arange(10, dtype=np.int16), sample_rate=16000))
+    assert m == {"media_format": "wav/pcm16", "sample_rate": 16000, "n_samples": 10}
+    fr = np.zeros((2, 4, 6, 3), dtype=np.uint8)
+    m = decode_media(encode_avi_dib(fr))
+    assert m == {"media_format": "avi/dib24", "width": 6, "height": 4, "n_frames": 2}
 
 
 def test_jpeg_standalone_markers_have_no_length_field(spark):
