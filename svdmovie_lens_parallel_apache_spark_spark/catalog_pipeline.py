@@ -2140,3 +2140,217 @@ def q_snapshot_diff(spark, sf_dir):
         .alias("change")
     )
     return d.groupBy("change").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style heuristic quality filter — rule-based doc gating
+# ---------------------------------------------------------------------------
+
+# Rule thresholds. The rule SHAPES are the published Gopher/C4 heuristics
+# (Rae et al. 2021 §A.1.1: word-count bounds, mean-word-length band,
+# symbol-to-word ratio, alphabetic-word fraction, stopword floor; the
+# repetition rule is the doc-level analogue of Gopher's duplicate-line
+# fractions). Two bounds are tightened so the rules actually discriminate
+# on the synthetic single-space corpus (measured sf0.01 quantiles:
+# wc p10=21/p50=56, mwl p10=4.26/p90=4.77, top-token share p90=0.14);
+# production values are noted inline.
+_GQ_WC_LO, _GQ_WC_HI = 30, 100_000        # Gopher: 50 .. 100k words
+_GQ_MWL_LO, _GQ_MWL_HI = 3.0, 4.6          # Gopher: 3 .. 10 chars
+_GQ_STOP_MIN = 2                           # Gopher: >= 2 stopwords
+_GQ_ALPHA_MIN = 0.8                        # Gopher: >= 80% words alphabetic
+_GQ_SYM_MAX = 0.1                          # Gopher: # / '...' per word <= 0.1
+_GQ_REP_MAX = 0.125                        # top-token share cap (dup-line analogue)
+_GQ_STOPS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+
+@register(
+    "gopher_quality_filter",
+    f"""
+    WITH g AS (
+      SELECT lang, text, {_TOKS.format(src='lower(text)')} AS ltoks
+      FROM documents),
+    m AS (
+      SELECT lang,
+             len(ltoks) AS wc,
+             length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0 / len(ltoks) AS mwl,
+             len(list_filter(ltoks, t -> t IN {str(_GQ_STOPS)})) AS stop_n,
+             len(list_filter(ltoks, t -> regexp_matches(t, '[a-z]'))) * 1.0
+               / len(ltoks) AS alpha_frac,
+             ((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3.0) * 1.0
+               / len(ltoks) AS sym_ratio,
+             len(list_filter(ltoks, t -> t = list_aggregate(ltoks, 'mode'))) * 1.0
+               / len(ltoks) AS top_share
+      FROM g WHERE len(ltoks) > 0),
+    r AS (
+      SELECT lang,
+             (wc < {_GQ_WC_LO} OR wc > {_GQ_WC_HI}) AS f_wc,
+             (mwl < {_GQ_MWL_LO} OR mwl > {_GQ_MWL_HI}) AS f_mwl,
+             (stop_n < {_GQ_STOP_MIN}) AS f_stop,
+             (alpha_frac < {_GQ_ALPHA_MIN}) AS f_alpha,
+             (sym_ratio > {_GQ_SYM_MAX}) AS f_sym,
+             (top_share > {_GQ_REP_MAX}) AS f_rep
+      FROM m)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+           CAST(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+           CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+           CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+           CAST(sum(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol,
+           CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS fail_repetition,
+           CAST(sum(CASE WHEN NOT (f_wc OR f_mwl OR f_stop OR f_alpha OR f_sym OR f_rep)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           {_R('sum(CASE WHEN NOT (f_wc OR f_mwl OR f_stop OR f_alpha OR f_sym OR f_rep) '
+               'THEN 1 ELSE 0 END) * 1.0 / count(*)', 6)} AS keep_rate
+    FROM r GROUP BY lang
+    """,
+    tags=("pipeline", "quality", "gopher", "text"),
+    description="Gopher-style heuristic quality gate: six doc-level rules "
+    "(word-count bounds, mean-word-length band, stopword floor, alphabetic-"
+    "word fraction, symbol-to-word ratio, top-token repetition share) -> "
+    "per-lang rule-failure counts and keep rate. Pure Catalyst expressions "
+    "(one HOF pass per rule family, no explode, no shuffle before the "
+    "per-lang agg) — the doc-local shape that streams at 100 TB.",
+)
+def q_gopher_quality_filter(spark, sf_dir):
+    from .functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    ltoks = tokens(F.lower(F.col("text")))
+    d = docs.select("lang", "text", ltoks.alias("ltoks")).where(
+        F.size("ltoks") > 0
+    )
+    wc = F.size("ltoks")
+    mwl = (
+        F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+        * F.lit(1.0)
+        / wc
+    )
+    stop_n = F.size(F.filter(F.col("ltoks"), lambda t: t.isin(*_GQ_STOPS)))
+    alpha_frac = (
+        F.size(F.filter(F.col("ltoks"), lambda t: t.rlike("[a-z]")))
+        * F.lit(1.0)
+        / wc
+    )
+    n_hash = F.length("text") - F.length(F.regexp_replace(F.col("text"), "#", ""))
+    n_ell = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), r"\.\.\.", ""))
+    ) / F.lit(3.0)
+    sym_ratio = (n_hash + n_ell) * F.lit(1.0) / wc
+    # max token frequency == longest run in the sorted array: one fold,
+    # no per-doc explode+groupBy shuffle (the mode twin in the oracle)
+    srt = F.array_sort(F.col("ltoks"))
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    max_freq = F.aggregate(
+        srt,
+        zero,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_share = max_freq * F.lit(1.0) / wc
+    r = d.select(
+        "lang",
+        ((wc < _GQ_WC_LO) | (wc > _GQ_WC_HI)).alias("f_wc"),
+        ((mwl < _GQ_MWL_LO) | (mwl > _GQ_MWL_HI)).alias("f_mwl"),
+        (stop_n < _GQ_STOP_MIN).alias("f_stop"),
+        (alpha_frac < _GQ_ALPHA_MIN).alias("f_alpha"),
+        (sym_ratio > _GQ_SYM_MAX).alias("f_sym"),
+        (top_share > _GQ_REP_MAX).alias("f_rep"),
+    )
+    keep = ~(
+        F.col("f_wc")
+        | F.col("f_mwl")
+        | F.col("f_stop")
+        | F.col("f_alpha")
+        | F.col("f_sym")
+        | F.col("f_rep")
+    )
+
+    def n_fail(c):
+        return F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")
+
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n_fail("f_wc").alias("fail_word_count"),
+        n_fail("f_mwl").alias("fail_mean_word_len"),
+        n_fail("f_stop").alias("fail_stopword"),
+        n_fail("f_alpha").alias("fail_alpha"),
+        n_fail("f_sym").alias("fail_symbol"),
+        n_fail("f_rep").alias("fail_repetition"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_keep"),
+        _r(
+            F.sum(F.when(keep, 1).otherwise(0)) * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias("keep_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-outlier trimming — per-lang rank-based percentile filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "length_percentile_filter",
+    """
+    WITH r AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents),
+    k AS (
+      SELECT lang, n_chars,
+             CAST(floor(n * 5 / 100.0) AS BIGINT) AS cut, rk, n
+      FROM r)
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rk > cut AND rk <= n - cut THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(min(CASE WHEN rk > cut AND rk <= n - cut THEN n_chars END) AS BIGINT)
+             AS min_kept_chars,
+           CAST(max(CASE WHEN rk > cut AND rk <= n - cut THEN n_chars END) AS BIGINT)
+             AS max_kept_chars,
+           CAST(sum(CASE WHEN rk > cut AND rk <= n - cut THEN n_chars ELSE 0 END) AS BIGINT)
+             AS bytes_kept,
+           CAST(sum(CASE WHEN rk <= cut OR rk > n - cut THEN n_chars ELSE 0 END) AS BIGINT)
+             AS bytes_dropped
+    FROM k GROUP BY lang
+    """,
+    tags=("pipeline", "quality", "percentile", "window"),
+    description="Per-language length-outlier removal: drop the shortest and "
+    "longest 5% of docs by exact rank (row_number over (lang, n_chars, doc_id) "
+    "vs floor(n*0.05) cuts — deterministic integer logic, bit-exact across "
+    "engines) and report kept/dropped byte budgets. Exact ranks need a "
+    "per-lang sort; at 100 TB swap the window for approxQuantile cutoffs "
+    "(one pass, mergeable GK sketches) — the trimming semantics stay the same.",
+)
+def q_length_percentile_filter(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    k = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn("cut", F.floor(F.col("n") * 5 / 100.0))
+    kept = (F.col("rk") > F.col("cut")) & (F.col("rk") <= F.col("n") - F.col("cut"))
+    return k.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.min(F.when(kept, F.col("n_chars"))).cast("long").alias("min_kept_chars"),
+        F.max(F.when(kept, F.col("n_chars"))).cast("long").alias("max_kept_chars"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).cast("long").alias("bytes_kept"),
+        F.sum(F.when(~kept, F.col("n_chars")).otherwise(0)).cast("long").alias("bytes_dropped"),
+    )

@@ -1170,3 +1170,62 @@ def q_ann_pq(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     approx = knn_pq(emb, query_ids_below=10, k=5)
     return ann_recall_gate(emb, approx, query_ids_below=10, k=5, floor=0.9)
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    p AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= 0.5),
+    e(src, dst) AS (
+      SELECT doc_a, doc_b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+    r(node, lbl) AS (
+      SELECT DISTINCT src, src FROM e
+      UNION
+      SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node),
+    clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY node),
+    scored AS (
+      SELECT c.cluster_id, c.doc_id,
+             CAST(len({_TOKS.format(src='d.text')}) AS BIGINT) AS wc
+      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id),
+    ranked AS (
+      SELECT cluster_id, doc_id, wc,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY wc DESC, doc_id) AS rn
+      FROM scored)
+    SELECT cluster_id,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keep_doc_id,
+           CAST(max(CASE WHEN rn = 1 THEN wc END) AS BIGINT) AS kept_wc,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN rn > 1 THEN wc ELSE 0 END) AS BIGINT) AS dropped_wc
+    FROM ranked GROUP BY cluster_id
+    """,
+    tags=("dedup", "clusters", "quality", "pipeline"),
+    description="Quality-aware dedup retention: near-dup clusters (Jaccard>=0.5 "
+    "pairs -> connected components) keep the LONGEST member (word count, "
+    "doc_id tie-break) instead of the lowest id — the keep-best policy "
+    "production near-dedup uses so boilerplate stubs don't displace the full "
+    "document. Per cluster: representative, its length, member count, and the "
+    "token budget reclaimed. Integer scoring keeps the oracle bit-exact.",
+)
+def q_dedup_keep_best(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .functions.text import token_count
+    from .operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5, n=3, block_col="lang")
+    clusters = dedup_clusters(pairs)
+    scored = clusters.join(
+        docs.select("doc_id", token_count(F.col("text")).cast("long").alias("wc")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("wc"), F.asc("doc_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).cast("long").alias("keep_doc_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("wc"))).cast("long").alias("kept_wc"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.when(F.col("rn") > 1, F.col("wc")).otherwise(0)).cast("long").alias("dropped_wc"),
+    )

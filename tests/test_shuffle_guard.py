@@ -40,6 +40,7 @@ RISK_QUERIES = [
     "dedup_exact",
     "benchmark_decontamination",
     "dedup_embedding_cosine",
+    "dedup_keep_best",
     "embedding_dedup_clusters",
     "ann_lsh_buckets",
     "ann_brp_knn_mllib",
