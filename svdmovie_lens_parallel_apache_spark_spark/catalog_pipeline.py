@@ -2354,3 +2354,46 @@ def q_length_percentile_filter(spark, sf_dir):
         F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).cast("long").alias("bytes_kept"),
         F.sum(F.when(~kept, F.col("n_chars")).otherwise(0)).cast("long").alias("bytes_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource (Spark 4 extension point) — oracle-gated source
+# ---------------------------------------------------------------------------
+
+_SYNTH_N_DOCS = 2000
+
+from .sources.python_datasource import synthetic_docs_oracle_sql as _synth_oracle_sql
+
+
+@register(
+    "synthetic_source_stats",
+    _synth_oracle_sql(_SYNTH_N_DOCS),
+    tags=("sources", "python-datasource", "pushdown"),
+    description="Custom Python DataSource (pyspark.sql.datasource, Spark 4): "
+    "a deterministic synthetic document corpus generated source-side in "
+    "pure Python — planner-integrated input partitions (disjoint id ranges, "
+    "partition-count invariant) and lang-equality pushFilters. The oracle "
+    "replays the GENERATOR in DuckDB (generate_series + md5 word picks) and "
+    "pins per-lang counts plus summed per-doc text fingerprints, so the "
+    "source's exact text BYTES are gated, not just its row counts. The "
+    "source surface a 100 TB engine needs for internal services/formats "
+    "Spark has no built-in reader for.",
+)
+def q_synthetic_source_stats(spark, sf_dir):
+    from .functions.hashing import portable_hash64
+    from .sources.python_datasource import register_synthetic_docs
+
+    register_synthetic_docs(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", _SYNTH_N_DOCS)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        F.min("n_words").cast("long").alias("min_words"),
+        F.max("n_words").cast("long").alias("max_words"),
+        F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
+    )

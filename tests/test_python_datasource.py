@@ -1,0 +1,71 @@
+"""Custom Python DataSource (Spark 4 pyspark.sql.datasource) surface.
+
+The oracle gate (synthetic_source_stats, exact DuckDB replay of the
+generator including text fingerprints) covers correctness of the default
+read path; these tests cover the SOURCE semantics the oracle can't see:
+partition-count invariance, filter pushdown equivalence (pushed lang
+equality == post-hoc filter), residual-filter handoff, and schema.
+"""
+
+from pyspark.sql import functions as F
+
+from svdmovie_lens_parallel_apache_spark_spark.sources.python_datasource import (
+    LANGS,
+    gen_doc,
+    register_synthetic_docs,
+)
+
+
+def _read(spark, n_docs=500, n_partitions=4):
+    register_synthetic_docs(spark)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", n_docs)
+        .option("n_partitions", n_partitions)
+        .load()
+    )
+
+
+def test_schema_and_rowcount(spark):
+    df = _read(spark)
+    assert df.columns == ["doc_id", "lang", "text", "n_words"]
+    assert dict(df.dtypes)["doc_id"] == "bigint"
+    assert df.count() == 500
+
+
+def test_partition_count_invariance(spark):
+    a = _read(spark, n_partitions=1).orderBy("doc_id").collect()
+    b = _read(spark, n_partitions=7).orderBy("doc_id").collect()
+    assert a == b
+    # and the planner actually got 7 input splits
+    assert _read(spark, n_partitions=7).rdd.getNumPartitions() == 7
+
+
+def test_rows_match_pure_generator(spark):
+    rows = {r.doc_id: r for r in _read(spark, n_docs=50).collect()}
+    for doc_id in range(50):
+        did, lang, text, n_words = gen_doc(doc_id)
+        r = rows[did]
+        assert (r.lang, r.text, r.n_words) == (lang, text, n_words)
+
+
+def test_lang_pushdown_equals_post_filter(spark):
+    full = _read(spark)
+    for lang in LANGS[:2]:
+        pushed = _read(spark).where(F.col("lang") == lang)
+        post = [r.doc_id for r in full.collect() if r.lang == lang]
+        got = [r.doc_id for r in pushed.orderBy("doc_id").collect()]
+        assert got == sorted(post)
+
+
+def test_residual_filter_still_applied(spark):
+    # n_words predicate is NOT handled by pushFilters — Spark must keep
+    # its own Filter on top and produce the right rows anyway
+    df = _read(spark).where((F.col("lang") == "en") & (F.col("n_words") > 50))
+    rows = df.collect()
+    expected = [
+        gen_doc(i) for i in range(500)
+    ]
+    expected = [t for t in expected if t[1] == "en" and t[3] > 50]
+    assert sorted(r.doc_id for r in rows) == [t[0] for t in expected]
+    assert all(r.n_words > 50 for r in rows)

@@ -62,6 +62,11 @@ FAMILY_CAPS = {
     "pipeline_e2e": 450.0,
     "ann_brp_knn_mllib": 80.0,
     "movielens_replay": 30.0,
+    # Python DataSource scan reports no input_bytes to the stage metrics
+    # (generated rows, not file reads), so the ratio degenerates to
+    # sw/1 = absolute shuffle bytes — cap it in BYTES (the 5-row agg
+    # shuffles ~3 KB; 64 KB of headroom still trips on any explosion)
+    "synthetic_source_stats": 65536.0,
 }
 DEFAULT_CAP = 320.0
 
