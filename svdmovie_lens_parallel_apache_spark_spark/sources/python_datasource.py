@@ -96,6 +96,7 @@ def _build():
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         EqualTo,
         InputPartition,
     )
@@ -136,6 +137,44 @@ def _build():
                     continue
                 yield row
 
+    class SyntheticDocsStreamReader(DataSourceStreamReader):
+        """Micro-batch stream of the SAME corpus the batch reader yields
+        (same ids → same bytes): each ``latestOffset`` call releases the
+        next ``batch_docs`` ids up to ``n_docs``, ``partitions`` splits the
+        [start, end) id range, and rows are generated executor-side in
+        ``read`` — the partition-planned stream reader (not the driver-side
+        Simple variant), matching how a real high-rate source scales.
+        Offsets are plain ``{"id": n}`` dicts, so checkpoint replay
+        re-generates identical rows (determinism IS the replay contract)."""
+
+        def __init__(self, options):
+            self.n_docs = int(options.get("n_docs", 1000))
+            self.batch_docs = int(options.get("batch_docs", 100))
+            self.n_partitions = int(options.get("n_partitions", 4))
+            self._latest = 0
+
+        def initialOffset(self):
+            return {"id": 0}
+
+        def latestOffset(self):
+            self._latest = min(self._latest + self.batch_docs, self.n_docs)
+            return {"id": self._latest}
+
+        def partitions(self, start, end):
+            lo, hi = start["id"], end["id"]
+            n = max(1, self.n_partitions)
+            chunk = max(1, -(-(hi - lo) // n))
+            return [
+                _Range(s, min(s + chunk, hi)) for s in range(lo, hi, chunk)
+            ] or [_Range(lo, hi)]
+
+        def read(self, partition):
+            for doc_id in range(partition.start, partition.end):
+                yield gen_doc(doc_id)
+
+        def commit(self, end):
+            pass
+
     class SyntheticDocsDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -146,6 +185,9 @@ def _build():
 
         def reader(self, schema):
             return SyntheticDocsReader(self.options)
+
+        def streamReader(self, schema):
+            return SyntheticDocsStreamReader(self.options)
 
     return SyntheticDocsDataSource
 

@@ -69,3 +69,61 @@ def test_residual_filter_still_applied(spark):
     expected = [t for t in expected if t[1] == "en" and t[3] > 50]
     assert sorted(r.doc_id for r in rows) == [t[0] for t in expected]
     assert all(r.n_words > 50 for r in rows)
+
+
+def test_stream_reader_matches_batch_over_microbatches(spark):
+    """The partition-planned Python stream reader replays the SAME corpus
+    as the batch reader across >=3 real micro-batches (150-id offset
+    steps over 500 ids): complete-mode per-lang counts in a memory sink
+    must equal the batch groupBy, and progress must show multiple
+    non-empty batches."""
+    import tempfile
+    import time
+
+    register_synthetic_docs(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("n_docs", 500)
+        .option("batch_docs", 150)
+        .option("n_partitions", 4)
+        .load()
+    )
+    assert stream.isStreaming
+    counts = stream.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    ckpt = tempfile.mkdtemp(prefix="svdml-pyds-ckpt-")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("pyds_lang_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        total = 0
+        while time.time() < deadline:
+            rows = spark.sql("SELECT sum(n) AS s FROM pyds_lang_counts").collect()
+            total = rows[0].s or 0
+            if total == 500:
+                break
+            time.sleep(0.5)
+        assert total == 500, f"stream drained only {total}/500 rows"
+        n_batches = sum(
+            1 for p in q.recentProgress
+            if (p["numInputRows"] if isinstance(p, dict) else p.numInputRows) > 0
+        )
+        assert n_batches >= 3, f"expected >=3 non-empty micro-batches, saw {n_batches}"
+    finally:
+        q.stop()
+    got = {
+        r.lang: r.n
+        for r in spark.sql("SELECT * FROM pyds_lang_counts").collect()
+    }
+    want = {
+        r.lang: r.n
+        for r in _read(spark, n_docs=500)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
