@@ -127,3 +127,64 @@ def test_stream_reader_matches_batch_over_microbatches(spark):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# tsv_shards sink (python_datasink.py): two-phase commit protocol
+# ---------------------------------------------------------------------------
+
+
+def _sink_write(spark, path, n_docs=300, **opts):
+    from svdmovie_lens_parallel_apache_spark_spark.sources.python_datasink import (
+        register_tsv_shards,
+    )
+
+    register_tsv_shards(spark)
+    df = _read(spark, n_docs=n_docs, n_partitions=4)
+    w = df.write.format("tsv_shards").mode("append")
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.save(path)
+    return df
+
+
+def test_sink_roundtrip_and_manifest(spark, tmp_path):
+    import json
+    import os
+
+    out = str(tmp_path / "shards")
+    df = _sink_write(spark, out)
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert manifest["n_rows"] == 300
+    assert manifest["n_shards"] == 4
+    files = sorted(f for f in os.listdir(out) if f.endswith(".tsv"))
+    assert files == sorted(s["file"] for s in manifest["shards"])
+    assert "_tmp" not in os.listdir(out)
+    # byte-level round-trip through a plain TSV read
+    back = (
+        spark.read.option("sep", "\t")
+        .schema("doc_id bigint, lang string, text string, n_words int")
+        .csv(out)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_sink_abort_leaves_no_partial_output(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    out = str(tmp_path / "aborted")
+    # doc 0's doc_id value '0' trips the injected failure in one task
+    with _pytest.raises(Exception):
+        _sink_write(spark, out, fail_on_value="0")
+    leftovers = [
+        f for f in (os.listdir(out) if os.path.isdir(out) else [])
+        if f != "_tmp"
+    ]
+    assert leftovers == [], f"aborted write published files: {leftovers}"
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    tmp_dir = os.path.join(out, "_tmp")
+    assert not os.path.isdir(tmp_dir) or os.listdir(tmp_dir) == []
