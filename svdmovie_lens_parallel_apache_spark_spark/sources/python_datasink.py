@@ -21,6 +21,22 @@ that makes a distributed write exactly-once:
 Shards are TSV (no header), matching the reference's sink shape; text
 columns must be tab/newline-free (true for every fixture and for the
 synthetic corpus — asserted per row rather than silently corrupted).
+
+Semantics per save mode: ``append`` publishes new shards and MERGES the
+manifest with any existing one (prior data stays visible); ``overwrite``
+publishes, then removes every previously-manifested shard and writes a
+manifest naming only this job's shards. Temp shards live under a
+per-JOB ``_tmp/<job-id>/`` subdir, so concurrent jobs on the same path
+never touch each other's in-flight files (last manifest still wins —
+concurrent commits to one path need a table format, not a file sink).
+
+Scope note: the local publish step (driver-side ``os.replace``) assumes
+driver and executors share one filesystem — true for local[...] and any
+POSIX shared mount. On an object store there is no rename: tasks write
+straight to unique final keys and ``commit`` publishes by writing the
+manifest alone (readers trust only manifested shards). The two-phase
+protocol — private task output, manifest as the commit record, abort
+cleans temp — is the part that transfers unchanged.
 """
 
 from __future__ import annotations
@@ -51,10 +67,14 @@ def _build():
                 raise ValueError("tsv_shards sink requires a path")
             self.overwrite = overwrite
             self.fail_on_value = options.get("fail_on_value")  # test hook
+            # per-JOB temp namespace: the writer is constructed once on
+            # the driver and pickled to every task, so this id is shared
+            # by the job's tasks and by commit/abort — and by nobody else
+            self.job_id = uuid.uuid4().hex
 
         def write(self, iterator):
             # executor-side: private temp shard; never visible to readers
-            tmp_dir = os.path.join(self.path, "_tmp")
+            tmp_dir = os.path.join(self.path, "_tmp", self.job_id)
             os.makedirs(tmp_dir, exist_ok=True)
             name = f"part-{uuid.uuid4().hex}.tsv"
             tmp = os.path.join(tmp_dir, name)
@@ -78,20 +98,37 @@ def _build():
             return _ShardDone(tmp_path=tmp, filename=name, n_rows=n)
 
         def commit(self, messages):
-            shards = []
+            manifest_path = os.path.join(self.path, "_MANIFEST.json")
+            prior = []
+            if not self.overwrite and os.path.exists(manifest_path):
+                with open(manifest_path) as f:
+                    prior = json.load(f)["shards"]
+            shards = list(prior)
             for m in messages:
                 if m is None:
                     continue
                 final = os.path.join(self.path, m.filename)
                 os.replace(m.tmp_path, final)  # atomic publish
                 shards.append({"file": m.filename, "n_rows": m.n_rows})
+            if self.overwrite and os.path.exists(manifest_path):
+                # retire everything the PREVIOUS manifest published
+                # (after the new shards are in place: uuid names never
+                # collide, so there is no window with zero data files)
+                mine = {s["file"] for s in shards}
+                with open(manifest_path) as f:
+                    for s in json.load(f)["shards"]:
+                        if s["file"] not in mine:
+                            try:
+                                os.remove(os.path.join(self.path, s["file"]))
+                            except FileNotFoundError:
+                                pass
             manifest = {
                 "format": "tsv",
                 "n_shards": len(shards),
                 "n_rows": sum(s["n_rows"] for s in shards),
                 "shards": sorted(shards, key=lambda s: s["file"]),
             }
-            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            with open(manifest_path, "w") as f:
                 json.dump(manifest, f, indent=1, sort_keys=True)
             self._cleanup_tmp()
 
@@ -99,14 +136,21 @@ def _build():
             self._cleanup_tmp()
 
         def _cleanup_tmp(self):
-            # anything still under _tmp/ is uncommitted by definition:
-            # shards from FAILED tasks (no commit message ever returned)
-            # and from speculative/retried duplicates — published files
-            # were already os.replace'd into the parent
+            # anything still under THIS JOB's _tmp/<job-id>/ is
+            # uncommitted by definition: shards from FAILED tasks (no
+            # commit message ever returned) and speculative/retried
+            # duplicates — published files were already os.replace'd out.
+            # Other jobs' temp namespaces are left alone.
             import shutil
 
-            tmp_dir = os.path.join(self.path, "_tmp")
+            tmp_dir = os.path.join(self.path, "_tmp", self.job_id)
             shutil.rmtree(tmp_dir, ignore_errors=True)
+            root = os.path.join(self.path, "_tmp")
+            try:
+                if os.path.isdir(root) and not os.listdir(root):
+                    os.rmdir(root)
+            except OSError:
+                pass
 
     class TsvShardsDataSource(DataSource):
         @classmethod

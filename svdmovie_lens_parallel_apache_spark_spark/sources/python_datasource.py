@@ -62,9 +62,11 @@ def gen_doc(doc_id: int) -> tuple[int, str, str, int]:
 def synthetic_docs_oracle_sql(n_docs: int) -> str:
     """DuckDB replay of the generator: same hashes, same words, same text
     bytes. Used by the catalog oracle; also handy for external audits."""
+    from ..functions.hashing import oracle_hash_sql
+
     vocab = "[" + ", ".join(f"'{w}'" for w in VOCAB) + "]"
     langs = "[" + ", ".join(f"'{l}'" for l in LANGS) + "]"
-    h = "CAST(concat('0x', substr(md5({s}), 1, 8)) AS BIGINT)"
+    h = oracle_hash_sql("{s}")
     return f"""
     WITH ids AS (SELECT unnest(generate_series(0, {n_docs - 1})) AS doc_id),
     d AS (
@@ -145,7 +147,14 @@ def _build():
         ``read`` — the partition-planned stream reader (not the driver-side
         Simple variant), matching how a real high-rate source scales.
         Offsets are plain ``{"id": n}`` dicts, so checkpoint replay
-        re-generates identical rows (determinism IS the replay contract)."""
+        re-generates identical rows (determinism IS the replay contract).
+
+        Restart safety: ``_latest`` is driver-memory pacing state, lost on
+        restart — so it re-syncs to MAX of every offset Spark hands back
+        (``partitions`` replays the pending batch from the checkpoint log
+        before any new ``latestOffset`` call; ``commit`` covers the
+        committed ones). Without the re-sync a restarted query would
+        re-emit already-committed id ranges."""
 
         def __init__(self, options):
             self.n_docs = int(options.get("n_docs", 1000))
@@ -162,6 +171,7 @@ def _build():
 
         def partitions(self, start, end):
             lo, hi = start["id"], end["id"]
+            self._latest = max(self._latest, hi)  # checkpoint re-sync
             n = max(1, self.n_partitions)
             chunk = max(1, -(-(hi - lo) // n))
             return [
@@ -173,7 +183,7 @@ def _build():
                 yield gen_doc(doc_id)
 
         def commit(self, end):
-            pass
+            self._latest = max(self._latest, end["id"])  # checkpoint re-sync
 
     class SyntheticDocsDataSource(DataSource):
         @classmethod

@@ -174,7 +174,6 @@ def test_sink_abort_leaves_no_partial_output(spark, tmp_path):
     import os
 
     import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
 
     out = str(tmp_path / "aborted")
     # doc 0's doc_id value '0' trips the injected failure in one task
@@ -188,3 +187,37 @@ def test_sink_abort_leaves_no_partial_output(spark, tmp_path):
     assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
     tmp_dir = os.path.join(out, "_tmp")
     assert not os.path.isdir(tmp_dir) or os.listdir(tmp_dir) == []
+
+
+def test_sink_append_merges_manifest_overwrite_replaces(spark, tmp_path):
+    import json
+    import os
+
+    out = str(tmp_path / "modes")
+    _sink_write(spark, out, n_docs=100)
+    _sink_write(spark, out, n_docs=200)  # append: both jobs stay visible
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        m = json.load(f)
+    assert m["n_rows"] == 300 and m["n_shards"] == 8
+    files = {f for f in os.listdir(out) if f.endswith(".tsv")}
+    assert files == {s["file"] for s in m["shards"]}
+
+    # overwrite: only the new job's shards survive, on disk AND in manifest
+    from svdmovie_lens_parallel_apache_spark_spark.sources.python_datasink import (
+        register_tsv_shards,
+    )
+
+    register_tsv_shards(spark)
+    df = _read(spark, n_docs=50, n_partitions=2)
+    df.write.format("tsv_shards").mode("overwrite").save(out)
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        m2 = json.load(f)
+    assert m2["n_rows"] == 50 and m2["n_shards"] == 2
+    files2 = {f for f in os.listdir(out) if f.endswith(".tsv")}
+    assert files2 == {s["file"] for s in m2["shards"]}
+    back = (
+        spark.read.option("sep", "\t")
+        .schema("doc_id bigint, lang string, text string, n_words int")
+        .csv(out)
+    )
+    assert back.count() == 50
