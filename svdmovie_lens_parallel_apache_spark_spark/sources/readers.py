@@ -174,3 +174,15 @@ def read_movielens_ratings(spark: SparkSession, path: str) -> DataFrame:
     so the CSV scan only materialises three columns.
     """
     return read_tsv(spark, path, MOVIELENS_SCHEMA).select("user_id", "movie_id", "rating")
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines scan with an EXPLICIT schema: at 100 TB schema inference
+    is a full extra pass over the data — never let Spark infer here."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — footer statistics give the same filter pushdown and
+    file pruning behavior as the parquet readers above."""
+    return spark.read.orc(path)

@@ -113,3 +113,27 @@ def write_zordered(df: DataFrame, path: str, x_col: str, y_col: str,
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
+                compression: str | None = "gzip") -> None:
+    """JSON-lines sink (one object per row, optionally gzipped) — the
+    interchange format most external training-data tooling consumes.
+    Splittable only when uncompressed; gzip shards must stay small enough
+    that one file ≈ one task (the writer inherits the upstream partition
+    count, so repartition to the shard budget first)."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by=None) -> None:
+    """ORC sink (built-in, zlib, footer statistics) — the columnar
+    interchange with Hive/Trino stacks; same pushdown/pruning behavior as
+    the parquet path."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
