@@ -2397,3 +2397,38 @@ def q_synthetic_source_stats(spark, sf_dir):
         F.max("n_words").cast("long").alias("max_words"),
         F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
     )
+
+
+@register(
+    "synthetic_source_pushdown",
+    f"""
+    WITH src AS ({_synth_oracle_sql(_SYNTH_N_DOCS).replace("GROUP BY lang", "GROUP BY lang")})
+    SELECT * FROM src WHERE lang = 'en'
+    """,
+    tags=("sources", "python-datasource", "pushdown"),
+    description="The pushFilters path of the Python DataSource under the "
+    "oracle gate: the SAME per-lang stats but read with a lang='en' "
+    "predicate, which the source prunes at generation time (rows of other "
+    "langs are never materialised). Oracle = the full-replay stats "
+    "filtered after the fact — equality proves pushed-filter pruning "
+    "changes WHAT is generated, never what is returned.",
+)
+def q_synthetic_source_pushdown(spark, sf_dir):
+    from .functions.hashing import portable_hash64
+    from .sources.python_datasource import register_synthetic_docs
+
+    register_synthetic_docs(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", _SYNTH_N_DOCS)
+        .option("n_partitions", 8)
+        .load()
+        .where(F.col("lang") == "en")
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        F.min("n_words").cast("long").alias("min_words"),
+        F.max("n_words").cast("long").alias("max_words"),
+        F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
+    )

@@ -67,6 +67,7 @@ FAMILY_CAPS = {
     # sw/1 = absolute shuffle bytes — cap it in BYTES (the 5-row agg
     # shuffles ~3 KB; 64 KB of headroom still trips on any explosion)
     "synthetic_source_stats": 65536.0,
+    "synthetic_source_pushdown": 65536.0,
 }
 DEFAULT_CAP = 320.0
 
