@@ -2402,7 +2402,7 @@ def q_synthetic_source_stats(spark, sf_dir):
 @register(
     "synthetic_source_pushdown",
     f"""
-    WITH src AS ({_synth_oracle_sql(_SYNTH_N_DOCS).replace("GROUP BY lang", "GROUP BY lang")})
+    WITH src AS ({_synth_oracle_sql(_SYNTH_N_DOCS)})
     SELECT * FROM src WHERE lang = 'en'
     """,
     tags=("sources", "python-datasource", "pushdown"),
@@ -2431,4 +2431,127 @@ def q_synthetic_source_pushdown(spark, sf_dir):
         F.min("n_words").cast("long").alias("min_words"),
         F.max("n_words").cast("long").alias("max_words"),
         F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-log table format (sources/snapshot_table.py) — time travel gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_time_travel",
+    f"""
+    SELECT 1 AS version, lang,
+           count(*)                       AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)   AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp
+    FROM documents WHERE lang = 'en' GROUP BY lang
+    UNION ALL
+    SELECT 2 AS version, lang,
+           count(*)                       AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)   AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp
+    FROM documents WHERE lang IN ('en', 'de') GROUP BY lang
+    """,
+    tags=("sources", "table-format", "time-travel"),
+    description="Snapshot-log table format end-to-end under the oracle gate: "
+    "commit the en-language documents as table version 1, APPEND the de-"
+    "language documents as version 2, then time-travel-read BOTH versions "
+    "back and fingerprint their text bytes. The oracle recomputes each "
+    "version's stats straight from the source table, so the gate proves "
+    "(a) version 1 stays byte-identical after the append — snapshot "
+    "isolation — and (b) version 2 is exactly old-plus-new — append "
+    "atomicity. The capability layer (numbered snapshot chain, put-if-"
+    "absent commit, schema evolution) a 100 TB corpus pipeline sits on; "
+    "protocol details in sources/snapshot_table.py.",
+)
+def q_snapshot_time_travel(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import read_snapshot, write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    table = tempfile.mkdtemp(prefix="svdml-snaptable-")
+    v1 = write_snapshot(docs.where(F.col("lang") == "en"), table, mode="append")
+    v2 = write_snapshot(docs.where(F.col("lang") == "de"), table, mode="append")
+
+    def stats(version):
+        return (
+            read_snapshot(spark, table, version)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
+            )
+            .select(F.lit(version).alias("version"), "lang", "n_docs", "sum_chars", "text_fp")
+        )
+
+    return stats(v1).unionByName(stats(v2))
+
+
+@register(
+    "length_percentile_filter_scalable",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           TRUE AS lo_rank_ok,
+           TRUE AS hi_rank_ok,
+           TRUE AS kept_ge_ok
+    FROM documents GROUP BY lang
+    """,
+    tags=("pipeline", "quality", "percentile", "sketch"),
+    description="The 100 TB form of length_percentile_filter: per-lang 5%/95% "
+    "cutoffs from ONE mergeable-sketch pass (percentile_approx, GK with rank "
+    "error eps=1/accuracy=0.01) + a broadcast cutoff join — no per-lang sort "
+    "window, so 5 langs never become 5 giant skewed sort partitions. The "
+    "gate booleans assert exactly what the GK bound guarantees and nothing "
+    "more: each returned cutoff's rank sits within eps*n of its target "
+    "(checked two-sided via strict-below / at-or-below counts, which "
+    "bracket rank under ties), and the kept count is at least "
+    "(0.90-2*eps)*n. The oracle pins all three TRUE plus exact per-lang "
+    "n_docs — a sketch regression (wrong quantile, broken accuracy knob) "
+    "flips a boolean and fails the driver hash gate. Exact-rank companion: "
+    "length_percentile_filter.",
+)
+def q_length_percentile_filter_scalable(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    eps = 0.01  # GK rank error = 1/accuracy
+    cuts = (
+        docs.groupBy("lang")
+        .agg(
+            F.percentile_approx(
+                "n_chars", F.array(F.lit(0.05), F.lit(0.95)), F.lit(100)
+            ).alias("pc")
+        )
+        .select("lang", F.col("pc")[0].alias("lo"), F.col("pc")[1].alias("hi"))
+    )
+    x = F.col("n_chars")
+    counts = (
+        docs.join(F.broadcast(cuts), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((x < F.col("lo")).cast("long")).alias("n_below_lo"),
+            F.sum((x <= F.col("lo")).cast("long")).alias("n_le_lo"),
+            F.sum((x < F.col("hi")).cast("long")).alias("n_below_hi"),
+            F.sum((x <= F.col("hi")).cast("long")).alias("n_le_hi"),
+            F.sum((x > F.col("hi")).cast("long")).alias("n_above_hi"),
+        )
+    )
+    n = F.col("n")
+    kept = n - F.col("n_below_lo") - F.col("n_above_hi")
+    return counts.select(
+        "lang",
+        n.alias("n_docs"),
+        (
+            (F.col("n_below_lo") <= (0.05 + eps) * n + 1)
+            & (F.col("n_le_lo") >= (0.05 - eps) * n - 1)
+        ).alias("lo_rank_ok"),
+        (
+            (F.col("n_below_hi") <= (0.95 + eps) * n + 1)
+            & (F.col("n_le_hi") >= (0.95 - eps) * n - 1)
+        ).alias("hi_rank_ok"),
+        (kept >= (0.90 - 2 * eps) * n - 2).alias("kept_ge_ok"),
     )

@@ -67,6 +67,12 @@ def _build():
                 raise ValueError("tsv_shards sink requires a path")
             self.overwrite = overwrite
             self.fail_on_value = options.get("fail_on_value")  # test hook
+            # transient-failure test hook: fail only attempt 0 of the
+            # task holding this value, so a real Spark task RETRY (not
+            # abort) exercises the two-phase protocol; attempts are
+            # recorded to attempt_log so the test can prove a retry ran
+            self.fail_attempt0_on_value = options.get("fail_attempt0_on_value")
+            self.attempt_log = options.get("attempt_log")
             # per-JOB temp namespace: the writer is constructed once on
             # the driver and pickled to every task, so this id is shared
             # by the job's tasks and by commit/abort — and by nobody else
@@ -93,6 +99,21 @@ def _build():
                             raise RuntimeError(
                                 f"injected task failure on {v!r}"
                             )
+                        if (
+                            self.fail_attempt0_on_value is not None
+                            and v == self.fail_attempt0_on_value
+                        ):
+                            from pyspark import TaskContext
+
+                            att = TaskContext.get().attemptNumber()
+                            if self.attempt_log:
+                                with open(self.attempt_log, "a") as lf:
+                                    lf.write(f"{att}\n")
+                            if att == 0:
+                                raise RuntimeError(
+                                    f"injected TRANSIENT failure on {v!r} "
+                                    f"(attempt {att})"
+                                )
                     f.write("\t".join(vals) + "\n")
                     n += 1
             return _ShardDone(tmp_path=tmp, filename=name, n_rows=n)
@@ -100,36 +121,44 @@ def _build():
         def commit(self, messages):
             manifest_path = os.path.join(self.path, "_MANIFEST.json")
             prior = []
-            if not self.overwrite and os.path.exists(manifest_path):
+            if os.path.exists(manifest_path):
                 with open(manifest_path) as f:
                     prior = json.load(f)["shards"]
-            shards = list(prior)
+            shards = [] if self.overwrite else list(prior)
             for m in messages:
                 if m is None:
                     continue
                 final = os.path.join(self.path, m.filename)
                 os.replace(m.tmp_path, final)  # atomic publish
                 shards.append({"file": m.filename, "n_rows": m.n_rows})
-            if self.overwrite and os.path.exists(manifest_path):
-                # retire everything the PREVIOUS manifest published
-                # (after the new shards are in place: uuid names never
-                # collide, so there is no window with zero data files)
-                mine = {s["file"] for s in shards}
-                with open(manifest_path) as f:
-                    for s in json.load(f)["shards"]:
-                        if s["file"] not in mine:
-                            try:
-                                os.remove(os.path.join(self.path, s["file"]))
-                            except FileNotFoundError:
-                                pass
             manifest = {
                 "format": "tsv",
                 "n_shards": len(shards),
                 "n_rows": sum(s["n_rows"] for s in shards),
                 "shards": sorted(shards, key=lambda s: s["file"]),
             }
-            with open(manifest_path, "w") as f:
+            # the manifest IS the commit record, so its swap must be
+            # atomic and must land BEFORE any old shard is retired: a
+            # crash then leaves either the old manifest (every file it
+            # names still exists) or the new one (retired shards become
+            # unreferenced orphans, never dangling references)
+            tmp_manifest = os.path.join(
+                self.path, "_tmp", self.job_id, "_MANIFEST.json"
+            )
+            os.makedirs(os.path.dirname(tmp_manifest), exist_ok=True)
+            with open(tmp_manifest, "w") as f:
                 json.dump(manifest, f, indent=1, sort_keys=True)
+            os.replace(tmp_manifest, manifest_path)
+            if self.overwrite:
+                # retire everything the PREVIOUS manifest published
+                # (uuid names never collide, so no zero-data window)
+                mine = {s["file"] for s in shards}
+                for s in prior:
+                    if s["file"] not in mine:
+                        try:
+                            os.remove(os.path.join(self.path, s["file"]))
+                        except FileNotFoundError:
+                            pass
             self._cleanup_tmp()
 
         def abort(self, messages):

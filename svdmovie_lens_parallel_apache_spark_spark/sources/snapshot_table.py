@@ -1,0 +1,265 @@
+"""Minimal snapshot-log table format (Iceberg/Delta-shaped) over parquet.
+
+The reference's sink is a fire-and-forget text dump
+(``SVDMovieLensSparkJava.java:469`` ``saveAsTextFile``) — fine for one
+job, useless for a living corpus. A 100 TB training-data pipeline sits
+on a TABLE, not a directory: concurrent writers must not corrupt each
+other, a reader mid-scan must see one consistent version, yesterday's
+run must be reproducible (time travel), and the schema must be allowed
+to grow. This module adds that capability layer over plain parquet
+files using only filesystem atomics — the same design space as the
+public Delta/Iceberg protocols, re-derived minimally:
+
+Layout::
+
+    <table>/
+      data/part-<uuid>.parquet      immutable, uuid-named (never reused)
+      _snapshots/00000001.json      the LOG: one numbered file per commit
+      _snapshots/00000002.json
+      _tmp/<job>/                   in-flight private staging
+
+Each snapshot file is self-contained: the COMPLETE list of live shards
+at that version plus the table schema (a full manifest per commit, not
+an add/remove delta — O(files) per commit is the right trade below
+~10^5 files; the delta-log encoding is an optimisation on top, not a
+different protocol). Version N is live iff ``_snapshots/%08d.json % N``
+exists.
+
+Commit protocol (optimistic concurrency, Delta-on-POSIX shaped):
+
+1. stage data files under a private ``_tmp/<job>/`` dir;
+2. publish them into ``data/`` under fresh uuid names (``os.replace`` —
+   uuid names never collide, so publishing is invisible until step 3);
+3. read the current latest version V, build snapshot V+1, write it to a
+   temp file, and claim it with ``os.link(tmp, _snapshots/V+1)`` —
+   hard-link creation FAILS with EEXIST if someone else committed V+1
+   first. The loser re-reads the new latest snapshot, REBASES (append:
+   its shards still apply on top; overwrite: retries claiming V+2 with
+   its own file list) and claims the next number. A crash at any point
+   leaves the last committed snapshot fully intact: uncommitted data
+   files are unreferenced orphans, never dangling references.
+
+Reads pin ONE snapshot file and scan exactly the shards it names with
+the schema it recorded — so a reader never sees a torn version, and
+``version=`` gives time travel for free.
+
+Schema evolution: append unions by name — a new nullable column widens
+the table schema; a missing column is filled with NULLs. Type changes
+are rejected loudly (no silent coercion).
+
+Object-store note (same as ``python_datasink.py``): on S3-like stores
+there is no rename/link; step 3 becomes a put-if-absent of the snapshot
+key (every store has one now) and step 2 disappears (tasks write final
+uuid keys directly). Steps' ORDER and the snapshot-as-commit-record
+discipline transfer unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_SNAP_DIR = "_snapshots"
+_DATA_DIR = "data"
+_FMT = "%08d.json"
+
+
+def _snap_path(table: str, version: int) -> str:
+    return os.path.join(table, _SNAP_DIR, _FMT % version)
+
+
+def latest_version(table: str) -> int | None:
+    """Highest committed version, or None for an empty/absent table."""
+    snaps = glob.glob(os.path.join(table, _SNAP_DIR, "*.json"))
+    if not snaps:
+        return None
+    return max(int(os.path.basename(p).split(".")[0]) for p in snaps)
+
+
+def _load_snapshot(table: str, version: int) -> dict:
+    with open(_snap_path(table, version)) as f:
+        return json.load(f)
+
+
+def snapshot_history(table: str) -> list[dict]:
+    """All committed snapshots, oldest first (the table's audit log)."""
+    last = latest_version(table)
+    if last is None:
+        return []
+    out = []
+    for v in range(1, last + 1):
+        try:
+            out.append(_load_snapshot(table, v))
+        except FileNotFoundError:  # expired by expire_snapshots
+            continue
+    return out
+
+
+def _merge_schema(old: StructType, new: StructType) -> StructType:
+    """Union-by-name evolution: new nullable columns widen the schema;
+    same-name columns must keep their type (reject, don't coerce)."""
+    by_name = {f.name: f for f in old.fields}
+    merged = list(old.fields)
+    for f in new.fields:
+        prior = by_name.get(f.name)
+        if prior is None:
+            merged.append(f)
+        elif prior.dataType != f.dataType:
+            raise ValueError(
+                f"snapshot_table: column {f.name!r} type change "
+                f"{prior.dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()} is not supported"
+            )
+    return StructType(merged)
+
+
+def write_snapshot(
+    df: DataFrame, table: str, mode: str = "append"
+) -> int:
+    """Commit ``df`` to ``table`` as a new snapshot; returns the version.
+
+    ``append`` keeps every live shard and adds this job's; ``overwrite``
+    makes this job's shards the only live ones (old files stay on disk
+    for time travel until :func:`expire_snapshots`).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"snapshot_table: unknown mode {mode!r}")
+    job = uuid.uuid4().hex
+    tmp_dir = os.path.join(table, "_tmp", job)
+    os.makedirs(os.path.join(table, _SNAP_DIR), exist_ok=True)
+    os.makedirs(os.path.join(table, _DATA_DIR), exist_ok=True)
+    try:
+        # 1. stage: a normal distributed parquet write into private tmp
+        df.write.mode("overwrite").parquet(tmp_dir)
+        staged = sorted(glob.glob(os.path.join(tmp_dir, "part-*.parquet")))
+        # 2. publish under fresh uuid names (invisible: nothing refs them)
+        mine = []
+        for p in staged:
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            os.replace(p, os.path.join(table, _DATA_DIR, name))
+            mine.append(name)
+        # per-shard row counts (drives reader stats and the n_rows
+        # invariant tests): ONE metadata-weight job over all shards via
+        # input_file_name, not a per-file driver loop
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        counts = {n: 0 for n in mine}
+        if mine:
+            rows = (
+                spark.read.parquet(
+                    *[os.path.join(table, _DATA_DIR, n) for n in mine]
+                )
+                .groupBy(F.input_file_name().alias("f"))
+                .count()
+                .collect()
+            )
+            for r in rows:
+                counts[os.path.basename(r["f"])] = r["count"]
+        # 3. claim the next version; on EEXIST rebase and retry
+        while True:
+            current = latest_version(table)
+            if current is None:
+                base_shards: list[dict] = []
+                base_schema = df.schema
+            else:
+                snap = _load_snapshot(table, current)
+                base_shards = snap["shards"]
+                base_schema = _merge_schema(
+                    StructType.fromJson(snap["schema"]), df.schema
+                )
+            if mode == "overwrite":
+                shards = [
+                    {"file": n, "n_rows": counts[n]} for n in mine
+                ]
+                schema = df.schema
+            else:
+                shards = list(base_shards) + [
+                    {"file": n, "n_rows": counts[n]} for n in mine
+                ]
+                schema = base_schema
+            version = (current or 0) + 1
+            snapshot = {
+                "version": version,
+                "parent": current,
+                "operation": mode,
+                "schema": schema.jsonValue(),
+                "n_shards": len(shards),
+                "n_rows": sum(s["n_rows"] for s in shards),
+                "shards": sorted(shards, key=lambda s: s["file"]),
+            }
+            tmp_snap = os.path.join(tmp_dir, "snapshot.json")
+            os.makedirs(tmp_dir, exist_ok=True)
+            with open(tmp_snap, "w") as f:
+                json.dump(snapshot, f, indent=1, sort_keys=True)
+            try:
+                # hard-link create = put-if-absent: EEXIST means a
+                # concurrent writer won this version number — rebase
+                # on their snapshot and claim the next one
+                os.link(tmp_snap, _snap_path(table, version))
+                return version
+            except FileExistsError:
+                os.remove(tmp_snap)
+                continue
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def read_snapshot(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Scan one pinned snapshot (latest by default) — time travel via
+    ``version=``. The schema comes from the snapshot, so shards written
+    before a column existed read it as NULL (evolution contract)."""
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
+    snap = _load_snapshot(table, v)
+    schema = StructType.fromJson(snap["schema"])
+    files = [
+        os.path.join(table, _DATA_DIR, s["file"]) for s in snap["shards"]
+    ]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def expire_snapshots(table: str, keep_last: int = 1) -> dict:
+    """Retention maintenance (Iceberg ``expire_snapshots`` shaped):
+    drop all but the newest ``keep_last`` snapshot files, then delete
+    data shards no surviving snapshot references. Returns counts.
+
+    Deletion order is the reverse of commit: retire the snapshot files
+    FIRST (after which the shards are unreferenced orphans), then the
+    shards — a crash mid-way never leaves a live snapshot naming a
+    deleted file.
+    """
+    last = latest_version(table)
+    if last is None:
+        return {"snapshots_removed": 0, "shards_removed": 0}
+    cutoff = last - max(1, keep_last)
+    removed_snaps = 0
+    for v in range(1, cutoff + 1):
+        try:
+            os.remove(_snap_path(table, v))
+            removed_snaps += 1
+        except FileNotFoundError:
+            pass
+    live = set()
+    for snap in snapshot_history(table):
+        live.update(s["file"] for s in snap["shards"])
+    removed_shards = 0
+    for p in glob.glob(os.path.join(table, _DATA_DIR, "part-*.parquet")):
+        if os.path.basename(p) not in live:
+            os.remove(p)
+            removed_shards += 1
+    return {
+        "snapshots_removed": removed_snaps,
+        "shards_removed": removed_shards,
+    }

@@ -6,6 +6,8 @@ Hive/Trino stacks). Each round-trip must preserve schema and values
 exactly, and the ORC scan must push filters like the parquet path does.
 """
 
+import re
+
 from pyspark.sql import functions as F
 
 from svdmovie_lens_parallel_apache_spark_spark.sources.readers import (
@@ -61,7 +63,10 @@ def test_orc_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     assert len(langs) >= 2
     back = read_orc(spark, out).where(F.col("lang") == "en")
     plan = back._jdf.queryExecution().executedPlan().toString()
-    # partition predicate must prune directories, not filter rows post-scan
-    assert "PartitionFilters" in plan or "lang" in plan
+    # partition predicate must prune directories, not filter rows post-scan:
+    # a NON-EMPTY PartitionFilters entry naming lang — a post-scan row
+    # Filter would still mention lang, so no fallback on that
+    m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert m is not None and "lang" in m.group(1), plan
     n_en = docs.where(F.col("lang") == "en").count()
     assert back.count() == n_en

@@ -1,0 +1,163 @@
+"""Snapshot-log table format (sources/snapshot_table.py): commit
+atomicity, time travel, append/overwrite semantics, concurrent-commit
+loser rebase, schema evolution, and retention — the invariants a
+corpus pipeline's table layer lives or dies by."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from svdmovie_lens_parallel_apache_spark_spark.sources import snapshot_table as st
+from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+    expire_snapshots,
+    latest_version,
+    read_snapshot,
+    snapshot_history,
+    write_snapshot,
+)
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def test_append_and_time_travel(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    v1 = write_snapshot(en, table, mode="append")
+    v2 = write_snapshot(de, table, mode="append")
+    assert (v1, v2) == (1, 2)
+    assert latest_version(table) == 2
+    # v1 pinned read is byte-identical after the append (isolation)
+    assert _canon(read_snapshot(spark, table, 1)) == _canon(en)
+    # latest is exactly old-plus-new (append atomicity)
+    assert _canon(read_snapshot(spark, table)) == _canon(en.unionByName(de))
+    # every shard named by every live snapshot exists on disk
+    for snap in snapshot_history(table):
+        for s in snap["shards"]:
+            assert os.path.exists(os.path.join(table, "data", s["file"]))
+        assert snap["n_rows"] == sum(s["n_rows"] for s in snap["shards"])
+
+
+def test_overwrite_keeps_history(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    fr = docs.where(F.col("lang") == "fr")
+    write_snapshot(en, table, mode="append")
+    v2 = write_snapshot(fr, table, mode="overwrite")
+    assert v2 == 2
+    assert _canon(read_snapshot(spark, table)) == _canon(fr)
+    # overwrite retires nothing physically: v1 still time-travels
+    assert _canon(read_snapshot(spark, table, 1)) == _canon(en)
+    ops = [s["operation"] for s in snapshot_history(table)]
+    assert ops == ["append", "overwrite"]
+
+
+def test_concurrent_commit_loser_rebases(spark, docs, tmp_path, monkeypatch):
+    """Simulate a rival committer winning version 2 between our snapshot
+    build and our link: the loser must rebase onto the rival's snapshot
+    and commit version 3 with BOTH writers' shards live."""
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    fr = docs.where(F.col("lang") == "fr")
+    write_snapshot(en, table, mode="append")
+
+    real_link = os.link
+    state = {"raced": False}
+
+    def racing_link(src, dst):
+        if not state["raced"]:
+            state["raced"] = True
+            # rival commits v2 first (a real independent writer)
+            write_snapshot(de, table, mode="append")
+        return real_link(src, dst)
+
+    monkeypatch.setattr(st.os, "link", racing_link)
+    v = write_snapshot(fr, table, mode="append")
+    assert state["raced"]
+    assert v == 3  # lost v2, rebased, claimed v3
+    assert _canon(read_snapshot(spark, table)) == _canon(
+        en.unionByName(de).unionByName(fr)
+    )
+    # the rival's v2 is intact and fr-free
+    assert _canon(read_snapshot(spark, table, 2)) == _canon(en.unionByName(de))
+
+
+def test_schema_evolution_union_by_name(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    base = docs.where(F.col("lang") == "en")
+    write_snapshot(base, table, mode="append")
+    widened = docs.where(F.col("lang") == "de").withColumn(
+        "quality", (F.col("n_chars") > 500).cast("double")
+    )
+    write_snapshot(widened, table, mode="append")
+    out = read_snapshot(spark, table)
+    assert out.columns == ["doc_id", "lang", "n_chars", "quality"]
+    # pre-evolution rows read the new column as NULL
+    assert out.where(F.col("lang") == "en").where(
+        F.col("quality").isNotNull()
+    ).count() == 0
+    assert out.where(F.col("lang") == "de").where(
+        F.col("quality").isNull()
+    ).count() == 0
+    # v1 pinned read keeps the ORIGINAL schema
+    assert read_snapshot(spark, table, 1).columns == ["doc_id", "lang", "n_chars"]
+    # type changes are rejected loudly, and the failed commit leaves no
+    # new snapshot behind
+    bad = base.withColumn("n_chars", F.col("n_chars").cast("string"))
+    with pytest.raises(ValueError, match="type change"):
+        write_snapshot(bad, table, mode="append")
+    assert latest_version(table) == 2
+
+
+def test_expire_snapshots_removes_orphans(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    fr = docs.where(F.col("lang") == "fr")
+    write_snapshot(en, table, mode="append")
+    write_snapshot(fr, table, mode="overwrite")
+    before = set(os.listdir(os.path.join(table, "data")))
+    stats = expire_snapshots(table, keep_last=1)
+    assert stats["snapshots_removed"] == 1
+    assert stats["shards_removed"] >= 1
+    after = set(os.listdir(os.path.join(table, "data")))
+    assert after < before
+    # the survivor still reads exactly, and names only existing files
+    assert _canon(read_snapshot(spark, table)) == _canon(fr)
+    with pytest.raises(FileNotFoundError):
+        st._load_snapshot(table, 1)
+
+
+def test_snapshot_is_the_commit_record(spark, docs, tmp_path):
+    """A staged-but-uncommitted write (crash before the link) must be
+    invisible: readers see only what a committed snapshot names."""
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table, mode="append")
+    # simulate the crash: publish orphan data files with no snapshot
+    orphan = os.path.join(table, "data", "part-orphan.parquet")
+    docs.where(F.col("lang") == "zh").limit(5).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "stage"))
+    import glob as g
+    import shutil
+
+    shutil.copy(
+        sorted(g.glob(str(tmp_path / "stage" / "part-*.parquet")))[0], orphan
+    )
+    assert _canon(read_snapshot(spark, table)) == _canon(en)
+    snap = json.load(open(os.path.join(table, "_snapshots", "00000001.json")))
+    assert all(s["file"] != "part-orphan.parquet" for s in snap["shards"])
