@@ -150,11 +150,14 @@ def _build():
         re-generates identical rows (determinism IS the replay contract).
 
         Restart safety: ``_latest`` is driver-memory pacing state, lost on
-        restart — so it re-syncs to MAX of every offset Spark hands back
-        (``partitions`` replays the pending batch from the checkpoint log
-        before any new ``latestOffset`` call; ``commit`` covers the
-        committed ones). Without the re-sync a restarted query would
-        re-emit already-committed id ranges."""
+        restart — so it re-syncs to MAX of every offset Spark hands back:
+        ``partitions`` clamps by both its start (the offset log's
+        committed position) and end, and ``commit`` covers committed
+        batches. Without the re-sync a restarted query would re-emit
+        already-committed id ranges. Gated by a real stop/restart test —
+        mid-stream AND on a fully-drained checkpoint —
+        tests/test_streaming_live.py::
+        test_python_datasource_stream_restart_no_reemission."""
 
         def __init__(self, options):
             self.n_docs = int(options.get("n_docs", 1000))
@@ -171,7 +174,11 @@ def _build():
 
         def partitions(self, start, end):
             lo, hi = start["id"], end["id"]
-            self._latest = max(self._latest, hi)  # checkpoint re-sync
+            # checkpoint re-sync — clamp by BOTH ends: lo is the offset
+            # log's committed position, so even a call order where a
+            # fresh reader's latestOffset fired first can never regress
+            # the pacing below an offset Spark already recorded
+            self._latest = max(self._latest, hi, lo)
             n = max(1, self.n_partitions)
             chunk = max(1, -(-(hi - lo) // n))
             return [
