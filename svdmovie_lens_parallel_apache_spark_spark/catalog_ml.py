@@ -110,24 +110,50 @@ def q_recsys_eval_metrics(spark, sf_dir):
     return m.select("n", _r(F.col("mae"), 6).alias("mae"), _r(F.col("rmse"), 6).alias("rmse"))
 
 
+# Pinned VALUES oracle for als_top_recs, legitimate for the same reason
+# as als_replay_hash's pinned md5: the input block is fixture-free
+# (md5-derived), and ALS factors are bit-stable across session shapes
+# (chaos-tested under local[2]/7, local[4]/8, local[32]/32), so the
+# recommended ITEM IDS AND RANKS are a cross-round engine invariant. Any
+# training/ranking regression reorders or swaps ids and fails the gate.
+_ALS_TOP_RECS_ROWS = (
+    "(0,1,153),(0,2,197),(0,3,20),(0,4,142),(0,5,116),(1,1,178),(1,2,6),"
+    "(1,3,62),(1,4,24),(1,5,126),(2,1,132),(2,2,4),(2,3,88),(2,4,139),"
+    "(2,5,194),(3,1,197),(3,2,153),(3,3,38),(3,4,20),(3,5,142),(4,1,191),"
+    "(4,2,117),(4,3,22),(4,4,75),(4,5,102),(5,1,99),(5,2,40),(5,3,0),"
+    "(5,4,3),(5,5,188),(6,1,17),(6,2,141),(6,3,77),(6,4,120),(6,5,80),"
+    "(7,1,4),(7,2,20),(7,3,132),(7,4,153),(7,5,39),(8,1,123),(8,2,61),"
+    "(8,3,193),(8,4,79),(8,5,134),(9,1,20),(9,2,153),(9,3,4),(9,4,39),"
+    "(9,5,157),(10,1,164),(10,2,131),(10,3,39),(10,4,129),(10,5,85),"
+    "(11,1,129),(11,2,34),(11,3,125),(11,4,188),(11,5,56),(12,1,99),"
+    "(12,2,0),(12,3,123),(12,4,146),(12,5,19),(13,1,99),(13,2,123),"
+    "(13,3,146),(13,4,19),(13,5,76),(14,1,153),(14,2,39),(14,3,20),"
+    "(14,4,56),(14,5,142),(15,1,129),(15,2,188),(15,3,126),(15,4,177),"
+    "(15,5,0),(16,1,99),(16,2,3),(16,3,134),(16,4,138),(16,5,110),"
+    "(17,1,83),(17,2,193),(17,3,160),(17,4,138),(17,5,100),(18,1,123),"
+    "(18,2,132),(18,3,33),(18,4,4),(18,5,48),(19,1,105),(19,2,117),"
+    "(19,3,121),(19,4,26),(19,5,102)"
+)
+
+
 @register(
     "als_top_recs",
-    None,  # iterative MLlib training — rows-only check (SURVEY.md §5 tier 2)
+    "SELECT * FROM (VALUES "
+    + _ALS_TOP_RECS_ROWS
+    + ") AS t(user_id, rank, item_id)",
     tags=("M1", "ALS", "ml"),
-    description="MLlib ALS end-to-end on the synthetic ratings (rank=8): train, then "
-    "top-5 recommendations for users < 20. The Spark-native replacement for the "
-    "reference's driver-side Funk-SVD (SURVEY.md §2 M1); parity is metric-level, "
-    "asserted in tests/test_recsys.py.",
+    description="MLlib ALS end-to-end on the FIXTURE-FREE dense low-rank block "
+    "(rank=8): train, then top-5 recommendations for users < 20. The Spark-native "
+    "replacement for the reference's driver-side Funk-SVD (SURVEY.md §2 M1). "
+    "Oracle = the pinned 100-row (user, rank, item) table — ids and ranks are "
+    "bit-stable engine invariants because the input is md5-derived and ALS's "
+    "block partitioner is independent of session shape (see als_replay_hash); "
+    "metric-level parity with the reference asserted in tests/test_recsys.py.",
 )
 def q_als_top_recs(spark, sf_dir):
-    ratings = (
-        synthetic_ratings(spark, sf_dir, n_items=200)
-        .select(
-            F.col("user_id").cast("int").alias("user_id"),
-            F.col("item_id").cast("int").alias("item_id"),
-            F.col("rating").cast("float").alias("rating"),
-        )
-    )
+    from .recsys import dense_low_rank_block
+
+    ratings = dense_low_rank_block(spark)
     model = train_als(ratings, ALSConfig(rank=8, reg=0.05, max_iter=5, seed=42))
     users = ratings.select("user_id").where(F.col("user_id") < 20).distinct()
     recs = model.recommendForUserSubset(users, 5)

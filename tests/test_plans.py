@@ -323,3 +323,63 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         if n_cart:
             offenders.append(name)
     assert not offenders, f"accidental CartesianProduct in: {offenders}"
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The engine-native answer to join skew (before reaching for the
+    manual salted join in operators/relational.py): AQE must detect the
+    hot key's oversized shuffle partition at runtime and split it across
+    tasks. A power-law fact (80% of rows on one key) joined to a uniform
+    dim under sort-merge; post-execution plan must show the skew split
+    AND the result must equal the closed-form expectation — proving the
+    split changes the schedule, never the answer."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    n_fact, n_dim, mod = 500_000, 10_000, 9_999
+    try:
+        # thresholds scaled down so toy-SF shuffle bytes trip the same
+        # decision a 100 TB hot key trips at the defaults (256MB/64MB)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        fact = spark.range(n_fact).select(
+            F.when(F.col("id") % 10 < 8, F.lit(0))
+            .otherwise(F.col("id") % mod + 1)
+            .alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        dim = spark.range(n_dim).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        out = fact.join(dim, "k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v") + F.col("w")).alias("s"),
+        )
+        row = out.collect()[0]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+    # runtime skew handling actually engaged: the join is marked and the
+    # hot partition was read as multiple skew splits
+    assert "SortMergeJoin(skew=true)" in plan, plan
+    assert "skewed" in plan.split("skew=true", 1)[1], plan
+
+    # and the answer is exactly the closed form (every fact row matches
+    # one dim row; k=0 rows contribute w=0)
+    exp_n = n_fact
+    exp_s = sum(
+        (i % 97) + (0 if i % 10 < 8 else 2 * (i % mod + 1)) for i in range(n_fact)
+    )
+    assert (row.n, row.s) == (exp_n, exp_s)

@@ -46,6 +46,13 @@ def audit(spark, sf_dir: str, names=None) -> dict[str, dict]:
         m = probe.delta(before)
         m["rows"] = n
         m["amplification"] = round(m["shuffle_write_bytes"] / max(m["input_bytes"], 1), 3)
+        # generator sources (Python DataSource, rate, range) report ZERO
+        # input_bytes to the stage metrics, so their "ratio" degenerates
+        # to absolute shuffle bytes — flag them so a large-looking number
+        # is read as bytes, not as a pair explosion (caps for these are
+        # set in BYTES in tests/test_shuffle_guard.py)
+        if m["input_bytes"] == 0:
+            m["generator_source"] = True
         out[name] = m
         print(f"# {name}: in={m['input_bytes']} sw={m['shuffle_write_bytes']} "
               f"amp={m['amplification']}", file=sys.stderr)
