@@ -2555,3 +2555,61 @@ def q_length_percentile_filter_scalable(spark, sf_dir):
         ).alias("hi_rank_ok"),
         (kept >= (0.90 - 2 * eps) * n - 2).alias("kept_ge_ok"),
     )
+
+
+@register(
+    "snapshot_merge_upsert",
+    f"""
+    WITH cur AS (
+      SELECT doc_id, lang, text, n_chars FROM documents WHERE lang = 'en'
+    ),
+    upd AS (
+      SELECT doc_id, lang, text, n_chars * 2 AS n_chars
+      FROM documents WHERE lang = 'en' AND doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, lang, text, n_chars
+      FROM documents WHERE lang = 'de'
+    ),
+    merged AS (
+      SELECT * FROM cur WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+      UNION ALL SELECT * FROM upd
+    )
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp
+    FROM merged GROUP BY lang
+    """,
+    tags=("sources", "table-format", "merge"),
+    description="Copy-on-write MERGE on the snapshot table under the oracle "
+    "gate: commit the en documents, then merge_upsert a batch that UPDATES "
+    "every third en doc (doubled n_chars) and INSERTS the de docs — one "
+    "atomic snapshot, key = doc_id. The oracle recomputes the anti-join + "
+    "union semantics straight from the source table and fingerprints the "
+    "merged text bytes, so a row updated twice, dropped, or duplicated "
+    "fails the hash gate. The WHEN MATCHED UPDATE / WHEN NOT MATCHED "
+    "INSERT surface a corpus pipeline needs for re-crawls and metadata "
+    "backfills; protocol in sources/snapshot_table.py.",
+)
+def q_snapshot_merge_upsert(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import merge_upsert, read_snapshot, write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    en = docs.where(F.col("lang") == "en")
+    table = tempfile.mkdtemp(prefix="svdml-snapmerge-")
+    write_snapshot(en, table, mode="append")
+    upd = en.where(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") * 2
+    ).unionByName(docs.where(F.col("lang") == "de"))
+    merge_upsert(upd, table, key_cols=["doc_id"])
+    return (
+        read_snapshot(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
+        )
+    )

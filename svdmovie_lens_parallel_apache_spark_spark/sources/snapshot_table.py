@@ -120,13 +120,23 @@ def _merge_schema(old: StructType, new: StructType) -> StructType:
 
 
 def write_snapshot(
-    df: DataFrame, table: str, mode: str = "append"
+    df: DataFrame, table: str, mode: str = "append",
+    properties: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to ``table`` as a new snapshot; returns the version.
 
     ``append`` keeps every live shard and adds this job's; ``overwrite``
     makes this job's shards the only live ones (old files stay on disk
-    for time travel until :func:`expire_snapshots`).
+    for time travel until :func:`expire_snapshots`). ``properties`` is
+    recorded verbatim in the snapshot (commit metadata — e.g. the
+    streaming batch id :func:`streaming_snapshot_sink` uses for
+    idempotent replay). ``stats_cols`` records per-shard min/max for
+    those columns in the snapshot (int/float/string only), enabling
+    shard skipping in :func:`read_snapshot` — the Iceberg/Delta
+    file-pruning mechanism, which at 100 TB turns a key-range query
+    from a full scan into a few-file read when the layout clusters the
+    key (pair with ``writers.write_clustered``).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_table: unknown mode {mode!r}")
@@ -144,24 +154,42 @@ def write_snapshot(
             name = f"part-{uuid.uuid4().hex}.parquet"
             os.replace(p, os.path.join(table, _DATA_DIR, name))
             mine.append(name)
-        # per-shard row counts (drives reader stats and the n_rows
-        # invariant tests): ONE metadata-weight job over all shards via
-        # input_file_name, not a per-file driver loop
+        # per-shard row counts + optional min/max column stats: ONE
+        # metadata-weight job over all new shards via input_file_name,
+        # not a per-file driver loop
         from pyspark.sql import functions as F
 
         spark = df.sparkSession
         counts = {n: 0 for n in mine}
+        stats: dict[str, dict] = {n: {} for n in mine}
+        for c in stats_cols or []:
+            t = df.schema[c].dataType.simpleString()
+            if t not in ("int", "bigint", "smallint", "tinyint",
+                         "float", "double", "string"):
+                raise ValueError(
+                    f"snapshot_table: stats_cols supports numeric/string "
+                    f"columns only; {c!r} is {t}"
+                )
         if mine:
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for c in stats_cols or []:
+                aggs.append(F.min(c).alias(f"__min__{c}"))
+                aggs.append(F.max(c).alias(f"__max__{c}"))
             rows = (
                 spark.read.parquet(
                     *[os.path.join(table, _DATA_DIR, n) for n in mine]
                 )
                 .groupBy(F.input_file_name().alias("f"))
-                .count()
+                .agg(*aggs)
                 .collect()
             )
             for r in rows:
-                counts[os.path.basename(r["f"])] = r["count"]
+                name = os.path.basename(r["f"])
+                counts[name] = r["__n"]
+                stats[name] = {
+                    c: [r[f"__min__{c}"], r[f"__max__{c}"]]
+                    for c in stats_cols or []
+                }
         # 3. claim the next version; on EEXIST rebase and retry
         while True:
             current = latest_version(table)
@@ -174,21 +202,24 @@ def write_snapshot(
                 base_schema = _merge_schema(
                     StructType.fromJson(snap["schema"]), df.schema
                 )
+            def _shard(n):
+                s = {"file": n, "n_rows": counts[n]}
+                if stats[n]:
+                    s["stats"] = stats[n]
+                return s
+
             if mode == "overwrite":
-                shards = [
-                    {"file": n, "n_rows": counts[n]} for n in mine
-                ]
+                shards = [_shard(n) for n in mine]
                 schema = df.schema
             else:
-                shards = list(base_shards) + [
-                    {"file": n, "n_rows": counts[n]} for n in mine
-                ]
+                shards = list(base_shards) + [_shard(n) for n in mine]
                 schema = base_schema
             version = (current or 0) + 1
             snapshot = {
                 "version": version,
                 "parent": current,
                 "operation": mode,
+                "properties": dict(properties or {}),
                 "schema": schema.jsonValue(),
                 "n_shards": len(shards),
                 "n_rows": sum(s["n_rows"] for s in shards),
@@ -212,19 +243,35 @@ def write_snapshot(
 
 
 def read_snapshot(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession, table: str, version: int | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Scan one pinned snapshot (latest by default) — time travel via
     ``version=``. The schema comes from the snapshot, so shards written
-    before a column existed read it as NULL (evolution contract)."""
+    before a column existed read it as NULL (evolution contract).
+
+    ``prune=(col, lo, hi)`` skips every shard whose recorded
+    [min, max] for ``col`` (see ``write_snapshot(stats_cols=...)``) does
+    not overlap [lo, hi] — file skipping from snapshot metadata alone,
+    before any footer is opened. Shards without stats for ``col`` are
+    conservatively kept; the caller still applies its own row filter
+    (pruning is a scan reducer, not a filter)."""
     v = latest_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
     snap = _load_snapshot(table, v)
     schema = StructType.fromJson(snap["schema"])
-    files = [
-        os.path.join(table, _DATA_DIR, s["file"]) for s in snap["shards"]
-    ]
+    shards = snap["shards"]
+    if prune is not None:
+        col, lo, hi = prune
+        shards = [
+            s
+            for s in shards
+            if (b := s.get("stats", {}).get(col)) is None
+            or (b[0] is None or b[1] is None)
+            or (b[0] <= hi and lo <= b[1])
+        ]
+    files = [os.path.join(table, _DATA_DIR, s["file"]) for s in shards]
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)
@@ -263,3 +310,71 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
         "snapshots_removed": removed_snaps,
         "shards_removed": removed_shards,
     }
+
+
+def streaming_snapshot_sink(table: str):
+    """Exactly-once streaming writes into a snapshot table: a
+    ``foreachBatch`` function committing each micro-batch as one atomic
+    APPEND snapshot stamped with its batch id.
+
+    foreachBatch is at-least-once — after a crash Spark replays the last
+    un-checkpointed batch — so the sink is made idempotent by the
+    snapshot log itself: a replayed batch id that already appears in a
+    committed snapshot is skipped. The commit is atomic (hard-link
+    create), so a crash mid-commit leaves either no snapshot (replay
+    re-commits; the half-published shards are unreferenced orphans) or a
+    complete one (replay skips) — never a partial batch. This is the
+    file-sink transactionality Structured Streaming's built-in parquet
+    sink gets from its own _spark_metadata log, provided here by the
+    table format so batch writers, streaming writers, and time travel
+    share ONE commit history.
+
+    Replay lookback walks the snapshot history; batch ids are monotonic,
+    so only the most recent snapshots can matter — at 100 TB pair this
+    with :func:`expire_snapshots` retention (bounded history) as any
+    Delta/Iceberg deployment does.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        for snap in reversed(snapshot_history(table)):
+            done = snap.get("properties", {}).get("streaming_batch_id")
+            if done == batch_id:
+                return  # at-least-once replay of a committed batch
+            if done is not None and done < batch_id:
+                break  # monotonic: older snapshots can't hold this id
+        write_snapshot(
+            batch_df, table, mode="append",
+            properties={"streaming_batch_id": batch_id},
+        )
+
+    return sink
+
+
+def merge_upsert(
+    updates: DataFrame, table: str, key_cols: list[str]
+) -> int:
+    """Copy-on-write MERGE (Delta ``MERGE WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT``-shaped): rows in ``updates`` replace current rows
+    with the same key; unmatched keys insert. One atomic snapshot.
+
+    Plan shape: current LEFT ANTI updates on the keys (drop the rows
+    being replaced) union the updates — two scans and one join, no
+    driver-side row handling; at 100 TB the anti-join broadcast-builds
+    when updates are small (the common upsert) and shuffles otherwise.
+    Copy-on-write rewrites the table's data files; for update-heavy
+    workloads the merge-on-read encoding (delete vectors) layers on top
+    of the same snapshot protocol.
+    """
+    spark = updates.sparkSession
+    current = read_snapshot(spark, table)
+    missing = [c for c in key_cols if c not in current.columns]
+    if missing:
+        raise ValueError(f"snapshot_table: merge keys {missing} not in table")
+    kept = current.join(
+        updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+    )
+    merged = kept.unionByName(updates, allowMissingColumns=True)
+    return write_snapshot(
+        merged, table, mode="overwrite",
+        properties={"merge_keys": list(key_cols)},
+    )

@@ -161,3 +161,134 @@ def test_snapshot_is_the_commit_record(spark, docs, tmp_path):
     assert _canon(read_snapshot(spark, table)) == _canon(en)
     snap = json.load(open(os.path.join(table, "_snapshots", "00000001.json")))
     assert all(s["file"] != "part-orphan.parquet" for s in snap["shards"])
+
+
+def test_streaming_snapshot_sink_exactly_once(spark, docs, tmp_path):
+    """Streaming micro-batches land as atomic batch-id-stamped APPEND
+    snapshots; a stop/restart on the same checkpoint and an at-least-once
+    foreachBatch replay must both leave each row exactly once."""
+
+    from pyspark.sql import types as T
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        streaming_snapshot_sink,
+    )
+
+    # three time-split source files -> three deterministic micro-batches
+    stage = str(tmp_path / "stage")
+    docs.orderBy("doc_id").coalesce(1).write.parquet(stage)
+    rows = spark.read.parquet(stage).orderBy("doc_id").collect()
+    thirds = [rows[i::3] for i in range(3)]
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+
+    def add_file(i):
+        spark.createDataFrame(thirds[i], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(streaming_snapshot_sink(table))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: two files, two micro-batch snapshots; then STOP
+    add_file(0)
+    add_file(1)
+    run()
+    assert latest_version(table) == 2
+    # phase 2: restart on the same checkpoint with one more file
+    add_file(2)
+    run()
+    assert latest_version(table) == 3
+    ids = [r.doc_id for r in read_snapshot(spark, table).collect()]
+    assert sorted(ids) == sorted(r.doc_id for r in rows)  # exactly once
+
+    # at-least-once replay: re-invoking the sink with a COMMITTED batch
+    # id must be a no-op (no new snapshot, no duplicate rows)
+    sink = streaming_snapshot_sink(table)
+    sink(spark.createDataFrame(thirds[0], schema), 0)
+    assert latest_version(table) == 3
+    assert read_snapshot(spark, table).count() == len(rows)
+    # each snapshot carries its batch id in commit metadata
+    got = [
+        s["properties"].get("streaming_batch_id") for s in snapshot_history(table)
+    ]
+    assert got == [0, 1, 2]
+
+
+def test_merge_upsert_updates_and_inserts(spark, docs, tmp_path):
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        merge_upsert,
+    )
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table, mode="append")
+    # updates: every third en doc gets doubled n_chars; all de docs insert
+    upd = en.where(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") * 2
+    ).unionByName(docs.where(F.col("lang") == "de"))
+    v = merge_upsert(upd, table, key_cols=["doc_id"])
+    assert v == 2
+    expected = (
+        en.where(F.col("doc_id") % 3 != 0)
+        .unionByName(upd)
+    )
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
+    # pre-merge version still reads the original rows (time travel)
+    assert _canon(read_snapshot(spark, table, 1)) == _canon(en)
+    assert snapshot_history(table)[-1]["properties"]["merge_keys"] == ["doc_id"]
+    with pytest.raises(ValueError, match="merge keys"):
+        merge_upsert(upd.withColumnRenamed("doc_id", "k"), table, ["k"])
+
+
+def test_stats_pruning_skips_shards(spark, docs, tmp_path):
+    """Per-shard min/max recorded at commit time must let a key-range
+    read skip non-overlapping shards entirely — and return exactly the
+    rows a full-scan filter returns."""
+    table = str(tmp_path / "t")
+    ordered = docs.orderBy("doc_id")
+    ids = [r.doc_id for r in ordered.select("doc_id").collect()]
+    third = len(ids) // 3
+    bounds = [ids[0], ids[third], ids[2 * third], ids[-1] + 1]
+    for i in range(3):  # three appends of DISJOINT doc_id ranges
+        chunk = ordered.where(
+            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+        ).coalesce(1)
+        write_snapshot(chunk, table, mode="append", stats_cols=["doc_id"])
+    snap = snapshot_history(table)[-1]
+    assert all("stats" in s and "doc_id" in s["stats"] for s in snap["shards"])
+
+    lo, hi = bounds[1], bounds[2] - 1  # exactly the middle shard's range
+    pruned = read_snapshot(spark, table, prune=("doc_id", lo, hi))
+    full = read_snapshot(spark, table)
+    # fewer files scanned: the pruned plan reads a strict subset
+    n_pruned = len(pruned.inputFiles())
+    n_full = len(full.inputFiles())
+    assert n_pruned < n_full, (n_pruned, n_full)
+    # same answer as filtering the full scan
+    cond = (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+    assert _canon(pruned.where(cond)) == _canon(full.where(cond))
+    # shards with no stats are conservatively kept
+    extra = docs.where(F.col("lang") == "zh").limit(3)
+    write_snapshot(extra, table, mode="append")  # no stats_cols
+    kept = read_snapshot(spark, table, prune=("doc_id", lo, hi))
+    assert len(kept.inputFiles()) == n_pruned + 1
