@@ -378,3 +378,23 @@ def merge_upsert(
         merged, table, mode="overwrite",
         properties={"merge_keys": list(key_cols)},
     )
+
+
+def compact_table(
+    spark: SparkSession, table: str, target_shards: int = 8,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction as a snapshot commit (Iceberg
+    ``rewrite_data_files`` / Delta ``OPTIMIZE`` shaped): rewrite the
+    latest version's rows into ``target_shards`` right-sized shards and
+    commit as one overwrite snapshot — readers never see a torn layout,
+    history still time-travels, and :func:`expire_snapshots` reclaims the
+    small files. The standing maintenance job behind streaming ingestion
+    (:func:`streaming_snapshot_sink` makes one snapshot per micro-batch,
+    so shard counts grow until compaction runs)."""
+    df = read_snapshot(spark, table)
+    return write_snapshot(
+        df.coalesce(max(1, target_shards)), table, mode="overwrite",
+        properties={"compaction": True},
+        stats_cols=stats_cols,
+    )

@@ -292,3 +292,33 @@ def test_stats_pruning_skips_shards(spark, docs, tmp_path):
     write_snapshot(extra, table, mode="append")  # no stats_cols
     kept = read_snapshot(spark, table, prune=("doc_id", lo, hi))
     assert len(kept.inputFiles()) == n_pruned + 1
+
+
+def test_compact_table_rewrites_layout_not_rows(spark, docs, tmp_path):
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table,
+    )
+
+    table = str(tmp_path / "t")
+    for lang in ("en", "de", "fr"):  # 3 appends -> many small shards
+        write_snapshot(
+            docs.where(F.col("lang") == lang).repartition(4), table, "append"
+        )
+    before = read_snapshot(spark, table)
+    n_before = len(before.inputFiles())
+    rows_before = _canon(before)
+    v = compact_table(spark, table, target_shards=2, stats_cols=["doc_id"])
+    after = read_snapshot(spark, table)
+    assert len(after.inputFiles()) <= 2 < n_before
+    assert _canon(after) == rows_before  # layout-only change
+    # compaction is a normal snapshot: history intact, stats recorded
+    hist = snapshot_history(table)
+    assert hist[-1]["version"] == v and hist[-1]["properties"]["compaction"]
+    assert all("stats" in s for s in hist[-1]["shards"])
+    assert _canon(read_snapshot(spark, table, 1)) == _canon(
+        docs.where(F.col("lang") == "en")
+    )
+    # retention after compaction reclaims the small files
+    stats = expire_snapshots(table, keep_last=1)
+    assert stats["shards_removed"] >= n_before
+    assert _canon(read_snapshot(spark, table)) == rows_before
