@@ -322,3 +322,43 @@ def test_compact_table_rewrites_layout_not_rows(spark, docs, tmp_path):
     stats = expire_snapshots(table, keep_last=1)
     assert stats["shards_removed"] >= n_before
     assert _canon(read_snapshot(spark, table)) == rows_before
+
+
+def test_concurrent_appenders_all_land(spark, docs, tmp_path):
+    """REAL concurrency (not the monkeypatched race): four threads each
+    commit two append snapshots to one table through the put-if-absent
+    protocol. Every commit must land under a unique version, no rows
+    lost or duplicated — N appenders serialize on version claims with no
+    external coordination."""
+    import threading
+
+    table = str(tmp_path / "t")
+    langs = ["en", "de", "fr", "zh"]
+    parts = {
+        lang: docs.where(F.col("lang") == lang).collect() for lang in langs
+    }
+    errors = []
+
+    def appender(lang):
+        try:
+            rows = parts[lang]
+            half = len(rows) // 2
+            sub = docs.sparkSession.createDataFrame(rows[:half], docs.schema)
+            write_snapshot(sub, table, mode="append")
+            sub = docs.sparkSession.createDataFrame(rows[half:], docs.schema)
+            write_snapshot(sub, table, mode="append")
+        except Exception as e:  # surface thread failures in the assert
+            errors.append((lang, repr(e)))
+
+    threads = [threading.Thread(target=appender, args=(lang,)) for lang in langs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert latest_version(table) == 8  # 4 writers x 2 commits, none lost
+    expected = docs.where(F.col("lang").isin(langs))
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
+    # monotone history: each snapshot's row count strictly grows
+    counts = [s["n_rows"] for s in snapshot_history(table)]
+    assert counts == sorted(counts) and len(set(counts)) == 8
