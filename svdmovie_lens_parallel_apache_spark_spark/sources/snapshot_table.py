@@ -365,11 +365,27 @@ def merge_upsert(
     workloads the merge-on-read encoding (delete vectors) layers on top
     of the same snapshot protocol.
     """
+    from pyspark.sql import functions as F
+
     spark = updates.sparkSession
     current = read_snapshot(spark, table)
     missing = [c for c in key_cols if c not in current.columns]
     if missing:
         raise ValueError(f"snapshot_table: merge keys {missing} not in table")
+    # ambiguous merges fail loudly (Delta's "multiple source rows matched"
+    # rule): duplicate keys in ONE updates batch would silently land twice
+    dup = (
+        updates.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"snapshot_table: updates contain duplicate merge key "
+            f"{tuple(dup[0][c] for c in key_cols)!r}"
+        )
     kept = current.join(
         updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
     )

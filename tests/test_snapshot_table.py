@@ -362,3 +362,17 @@ def test_concurrent_appenders_all_land(spark, docs, tmp_path):
     # monotone history: each snapshot's row count strictly grows
     counts = [s["n_rows"] for s in snapshot_history(table)]
     assert counts == sorted(counts) and len(set(counts)) == 8
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark, docs, tmp_path):
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        merge_upsert,
+    )
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table, mode="append")
+    dup = en.limit(1).unionByName(en.limit(1))  # same doc_id twice
+    with pytest.raises(ValueError, match="duplicate merge key"):
+        merge_upsert(dup, table, key_cols=["doc_id"])
+    assert latest_version(table) == 1  # failed merge commits nothing
