@@ -2613,3 +2613,75 @@ def q_snapshot_merge_upsert(spark, sf_dir):
             F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
         )
     )
+
+
+@register(
+    "snapshot_stream_ingest",
+    f"""
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           CAST(3 AS BIGINT)            AS n_snapshots
+    FROM documents GROUP BY lang
+    """,
+    tags=("sources", "table-format", "streaming", "exactly-once"),
+    description="Streaming ingestion INTO the snapshot table under the oracle "
+    "gate: the documents fixture split into three files, replayed as three "
+    "micro-batches (maxFilesPerTrigger=1, availableNow) through "
+    "streaming_snapshot_sink — each batch one atomic batch-id-stamped APPEND "
+    "snapshot. The final table must fingerprint byte-identically to the "
+    "source (no loss, duplication, or reorder across the batch boundaries) "
+    "and n_snapshots pins that three separate commits actually happened. "
+    "Replay idempotence and stop/restart for the same sink are gated in "
+    "tests/test_snapshot_table.py.",
+)
+def q_snapshot_stream_ingest(spark, sf_dir):
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from .sources.snapshot_table import (
+        latest_version,
+        read_snapshot,
+        streaming_snapshot_sink,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    src_dir = tempfile.mkdtemp(prefix="svdml-snapingest-src-")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        _time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    table = tempfile.mkdtemp(prefix="svdml-snapingest-table-")
+    ckpt = tempfile.mkdtemp(prefix="svdml-snapingest-ckpt-")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(streaming_snapshot_sink(table))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        read_snapshot(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
+        )
+        .withColumn("n_snapshots", F.lit(latest_version(table)).cast("long"))
+    )
