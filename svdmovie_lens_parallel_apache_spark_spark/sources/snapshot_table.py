@@ -399,6 +399,7 @@ def merge_upsert(
 def compact_table(
     spark: SparkSession, table: str, target_shards: int = 8,
     stats_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction as a snapshot commit (Iceberg
     ``rewrite_data_files`` / Delta ``OPTIMIZE`` shaped): rewrite the
@@ -407,10 +408,29 @@ def compact_table(
     history still time-travels, and :func:`expire_snapshots` reclaims the
     small files. The standing maintenance job behind streaming ingestion
     (:func:`streaming_snapshot_sink` makes one snapshot per micro-batch,
-    so shard counts grow until compaction runs)."""
+    so shard counts grow until compaction runs).
+
+    ``cluster_by`` additionally range-clusters the rewrite
+    (``repartitionByRange`` + ``sortWithinPartitions`` — the single-key
+    ZORDER): each output shard then covers a narrow, near-disjoint key
+    range, which is what makes the snapshot's per-shard min/max stats
+    (``stats_cols``) SELECTIVE for :func:`read_snapshot` pruning.
+    Streaming ingest appends by arrival order, so without the clustered
+    rewrite every shard spans the full key range and pruning keeps
+    everything; after it, a key-range read touches O(range/shard_span)
+    files. The range partitioner samples key quantiles, so skewed keys
+    still split evenly at 100 TB."""
     df = read_snapshot(spark, table)
+    n = max(1, target_shards)
+    if cluster_by:
+        df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+        stats_cols = list(dict.fromkeys((stats_cols or []) + list(cluster_by)))
+    else:
+        df = df.coalesce(n)
     return write_snapshot(
-        df.coalesce(max(1, target_shards)), table, mode="overwrite",
-        properties={"compaction": True},
+        df, table, mode="overwrite",
+        properties={"compaction": True, "cluster_by": list(cluster_by or [])},
         stats_cols=stats_cols,
     )

@@ -376,3 +376,104 @@ def test_merge_upsert_rejects_duplicate_update_keys(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="duplicate merge key"):
         merge_upsert(dup, table, key_cols=["doc_id"])
     assert latest_version(table) == 1  # failed merge commits nothing
+
+
+def test_clustered_compaction_makes_pruning_selective(spark, docs, tmp_path):
+    """Arrival-order ingest leaves every shard spanning the full key
+    range (stats pruning keeps everything); a range-clustered rewrite
+    must turn the same key-range read into a near-single-shard scan."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table,
+    )
+
+    table = str(tmp_path / "t")
+    # 4 appends striped by doc_id % 4 = arrival order, NOT key order:
+    # every shard spans the whole doc_id range
+    for i in range(4):
+        write_snapshot(
+            docs.where(F.col("doc_id") % 4 == i).coalesce(1),
+            table, "append", stats_cols=["doc_id"],
+        )
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    lo, hi = ids[0], ids[len(ids) // 8]  # a narrow bottom-of-range slice
+    before = read_snapshot(spark, table, prune=("doc_id", lo, hi))
+    assert len(before.inputFiles()) == 4  # stats exist but select nothing
+
+    v = compact_table(spark, table, target_shards=4, cluster_by=["doc_id"])
+    after = read_snapshot(spark, table, prune=("doc_id", lo, hi))
+    assert len(after.inputFiles()) == 1, after.inputFiles()
+    # clustered shards are near-disjoint on the key
+    snap = snapshot_history(table)[-1]
+    assert snap["version"] == v and snap["properties"]["cluster_by"] == ["doc_id"]
+    spans = sorted(tuple(s["stats"]["doc_id"]) for s in snap["shards"])
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo  # range partitioner: no overlap
+    # and the rewrite changed layout only
+    cond = (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+    assert _canon(after.where(cond)) == _canon(docs.where(cond))
+
+
+# ---------------------------------------------------------------------------
+# Model-based property test: random op sequences vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as hst  # noqa: E402
+
+_op = hst.sampled_from(["append", "overwrite", "merge", "compact", "expire"])
+_batch = hst.lists(
+    hst.tuples(hst.integers(0, 19), hst.integers(0, 99)), min_size=1, max_size=6,
+    unique_by=lambda kv: kv[0],
+)
+
+
+@given(ops=hst.lists(hst.tuples(_op, _batch), min_size=1, max_size=6))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
+    """Any interleaving of append / overwrite / merge / compact / expire
+    must leave the table equal to a trivially-correct row-list model —
+    the format's semantics hold under composition, not just in the
+    per-op tests. (Appends may repeat a key — a table is a multiset —
+    while merge replaces by key; batches are unique-keyed WITHIN
+    themselves, matching merge_upsert's ambiguity rule.)"""
+    from pyspark.sql import types as T
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table,
+        merge_upsert,
+    )
+
+    table = str(tmp_path_factory.mktemp("snapmodel") / "t")
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.IntegerType())]
+    )
+    model: list[tuple[int, int]] = []
+    committed = False
+    for op, batch in ops:
+        df = spark.createDataFrame(batch, schema).coalesce(1)
+        if op == "append":
+            write_snapshot(df, table, mode="append")
+            model += batch
+            committed = True
+        elif op == "overwrite":
+            write_snapshot(df, table, mode="overwrite")
+            model = list(batch)
+            committed = True
+        elif not committed:
+            continue  # merge/compact/expire need an existing table
+        elif op == "merge":
+            merge_upsert(df, table, key_cols=["k"])
+            keys = {k for k, _ in batch}
+            model = [r for r in model if r[0] not in keys] + list(batch)
+        elif op == "compact":
+            compact_table(spark, table, target_shards=2)
+        elif op == "expire":
+            expire_snapshots(table, keep_last=1)
+    if not committed:
+        return
+    got = sorted((r.k, r.v) for r in read_snapshot(spark, table).collect())
+    assert got == sorted(model)
