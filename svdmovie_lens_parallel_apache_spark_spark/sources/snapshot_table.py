@@ -119,6 +119,69 @@ def _merge_schema(old: StructType, new: StructType) -> StructType:
     return StructType(merged)
 
 
+def _stage_publish(
+    df: DataFrame, table: str, tmp_dir: str,
+    stats_cols: list[str] | None,
+) -> tuple[list[str], dict, dict]:
+    """Steps 1–2 of the commit protocol: stage ``df`` as parquet under
+    the job's private ``tmp_dir``, publish the shards into ``data/``
+    under fresh uuid names (invisible until a snapshot names them), and
+    compute per-shard row counts + optional min/max stats in ONE
+    metadata-weight job via ``input_file_name`` — not a per-file driver
+    loop. Returns ``(names, counts, stats)``."""
+    os.makedirs(os.path.join(table, _SNAP_DIR), exist_ok=True)
+    os.makedirs(os.path.join(table, _DATA_DIR), exist_ok=True)
+    # 1. stage: a normal distributed parquet write into private tmp
+    df.write.mode("overwrite").parquet(tmp_dir)
+    staged = sorted(glob.glob(os.path.join(tmp_dir, "part-*.parquet")))
+    # 2. publish under fresh uuid names (invisible: nothing refs them)
+    mine = []
+    for p in staged:
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        os.replace(p, os.path.join(table, _DATA_DIR, name))
+        mine.append(name)
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    counts = {n: 0 for n in mine}
+    stats: dict[str, dict] = {n: {} for n in mine}
+    for c in stats_cols or []:
+        t = df.schema[c].dataType.simpleString()
+        if t not in ("int", "bigint", "smallint", "tinyint",
+                     "float", "double", "string"):
+            raise ValueError(
+                f"snapshot_table: stats_cols supports numeric/string "
+                f"columns only; {c!r} is {t}"
+            )
+    if mine:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in stats_cols or []:
+            aggs.append(F.min(c).alias(f"__min__{c}"))
+            aggs.append(F.max(c).alias(f"__max__{c}"))
+        rows = (
+            spark.read.parquet(
+                *[os.path.join(table, _DATA_DIR, n) for n in mine]
+            )
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(*aggs)
+            .collect()
+        )
+        for r in rows:
+            name = os.path.basename(r["f"])
+            counts[name] = r["__n"]
+            stats[name] = {
+                c: [r[f"__min__{c}"], r[f"__max__{c}"]]
+                for c in stats_cols or []
+            }
+    # zero-row shards (empty upstream partitions) are noise in the
+    # manifest and defeat stats pruning — delete instead of register
+    for n in [n for n in mine if counts[n] == 0]:
+        os.remove(os.path.join(table, _DATA_DIR, n))
+        mine.remove(n)
+        counts.pop(n), stats.pop(n)
+    return mine, counts, stats
+
+
 def write_snapshot(
     df: DataFrame, table: str, mode: str = "append",
     properties: dict | None = None,
@@ -142,54 +205,8 @@ def write_snapshot(
         raise ValueError(f"snapshot_table: unknown mode {mode!r}")
     job = uuid.uuid4().hex
     tmp_dir = os.path.join(table, "_tmp", job)
-    os.makedirs(os.path.join(table, _SNAP_DIR), exist_ok=True)
-    os.makedirs(os.path.join(table, _DATA_DIR), exist_ok=True)
     try:
-        # 1. stage: a normal distributed parquet write into private tmp
-        df.write.mode("overwrite").parquet(tmp_dir)
-        staged = sorted(glob.glob(os.path.join(tmp_dir, "part-*.parquet")))
-        # 2. publish under fresh uuid names (invisible: nothing refs them)
-        mine = []
-        for p in staged:
-            name = f"part-{uuid.uuid4().hex}.parquet"
-            os.replace(p, os.path.join(table, _DATA_DIR, name))
-            mine.append(name)
-        # per-shard row counts + optional min/max column stats: ONE
-        # metadata-weight job over all new shards via input_file_name,
-        # not a per-file driver loop
-        from pyspark.sql import functions as F
-
-        spark = df.sparkSession
-        counts = {n: 0 for n in mine}
-        stats: dict[str, dict] = {n: {} for n in mine}
-        for c in stats_cols or []:
-            t = df.schema[c].dataType.simpleString()
-            if t not in ("int", "bigint", "smallint", "tinyint",
-                         "float", "double", "string"):
-                raise ValueError(
-                    f"snapshot_table: stats_cols supports numeric/string "
-                    f"columns only; {c!r} is {t}"
-                )
-        if mine:
-            aggs = [F.count(F.lit(1)).alias("__n")]
-            for c in stats_cols or []:
-                aggs.append(F.min(c).alias(f"__min__{c}"))
-                aggs.append(F.max(c).alias(f"__max__{c}"))
-            rows = (
-                spark.read.parquet(
-                    *[os.path.join(table, _DATA_DIR, n) for n in mine]
-                )
-                .groupBy(F.input_file_name().alias("f"))
-                .agg(*aggs)
-                .collect()
-            )
-            for r in rows:
-                name = os.path.basename(r["f"])
-                counts[name] = r["__n"]
-                stats[name] = {
-                    c: [r[f"__min__{c}"], r[f"__max__{c}"]]
-                    for c in stats_cols or []
-                }
+        mine, counts, stats = _stage_publish(df, table, tmp_dir, stats_cols)
         # 3. claim the next version; on EEXIST rebase and retry
         while True:
             current = latest_version(table)
@@ -393,6 +410,206 @@ def merge_upsert(
     return write_snapshot(
         merged, table, mode="overwrite",
         properties={"merge_keys": list(key_cols)},
+    )
+
+
+def delete_where(
+    spark: SparkSession, table: str, condition: str,
+    prune: tuple | None = None,
+) -> int:
+    """Row-level DELETE as one atomic snapshot (Delta ``DELETE FROM`` /
+    Iceberg copy-on-write delete shaped): rows where ``condition`` is
+    TRUE are removed; rows where it is FALSE or NULL are kept (SQL
+    DELETE semantics).
+
+    The scale story is shard skipping, not the rewrite: with
+    ``prune=(col, lo, hi)`` every live shard whose recorded [min, max]
+    for ``col`` (``write_snapshot(stats_cols=...)`` /
+    ``compact_table(cluster_by=...)``) does not overlap [lo, hi] is
+    CARRIED OVER into the new snapshot untouched — zero read, zero
+    write — and only the overlapping shards are rewritten without their
+    matching rows. At 100 TB deleting a key range from a clustered
+    table touches O(range/shard_span) files instead of rewriting the
+    table. CONTRACT: [lo, hi] must be implied by ``condition`` (every
+    row the condition matches has ``col`` in [lo, hi]) — this is the
+    bound a predicate analyzer derives automatically in Delta/Iceberg;
+    here the caller states it. Shards without stats for ``col`` are
+    conservatively rewritten. Without ``prune`` every shard is
+    rewritten.
+
+    Commit is the standard optimistic claim; on losing a race the whole
+    operation retries against the new base (a delete rebased onto a
+    concurrent append must re-scan the appended shards too — the
+    conservative Delta conflict rule). The loser's published shards
+    become unreferenced orphans (reclaimed by :func:`expire_snapshots`).
+    """
+    from pyspark.sql import functions as F
+
+    keep = ~F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+    while True:
+        current = latest_version(table)
+        if current is None:
+            raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
+        snap = _load_snapshot(table, current)
+        schema = StructType.fromJson(snap["schema"])
+        touched, carried = [], []
+        if prune is not None:
+            col, lo, hi = prune
+            for s in snap["shards"]:
+                b = s.get("stats", {}).get(col)
+                if b is None or b[0] is None or b[1] is None:
+                    touched.append(s)
+                elif b[0] <= hi and lo <= b[1]:
+                    touched.append(s)
+                else:
+                    carried.append(s)
+        else:
+            touched = list(snap["shards"])
+        # stats columns to recompute for rewritten shards: whatever the
+        # touched shards already recorded (keeps pruning working after)
+        stats_cols = sorted({c for s in touched for c in s.get("stats", {})})
+        job = uuid.uuid4().hex
+        tmp_dir = os.path.join(table, "_tmp", job)
+        try:
+            mine, counts, stats = [], {}, {}
+            if touched:
+                remain = (
+                    spark.read.schema(schema)
+                    .parquet(
+                        *[
+                            os.path.join(table, _DATA_DIR, s["file"])
+                            for s in touched
+                        ]
+                    )
+                    .where(keep)
+                )
+                mine, counts, stats = _stage_publish(
+                    remain, table, tmp_dir, stats_cols
+                )
+            def _shard(n):
+                s = {"file": n, "n_rows": counts[n]}
+                if stats[n]:
+                    s["stats"] = stats[n]
+                return s
+
+            shards = list(carried) + [_shard(n) for n in mine]
+            version = current + 1
+            snapshot = {
+                "version": version,
+                "parent": current,
+                "operation": "delete",
+                "properties": {
+                    "delete_condition": condition,
+                    "shards_rewritten": len(touched),
+                    "shards_skipped": len(carried),
+                },
+                "schema": snap["schema"],
+                "n_shards": len(shards),
+                "n_rows": sum(s["n_rows"] for s in shards),
+                "shards": sorted(shards, key=lambda s: s["file"]),
+            }
+            tmp_snap = os.path.join(tmp_dir, "snapshot.json")
+            os.makedirs(tmp_dir, exist_ok=True)
+            with open(tmp_snap, "w") as f:
+                json.dump(snapshot, f, indent=1, sort_keys=True)
+            try:
+                os.link(tmp_snap, _snap_path(table, version))
+                return version
+            except FileExistsError:
+                continue  # concurrent commit won: retry on the new base
+        finally:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def rollback(table: str, version: int) -> int:
+    """Restore the table to the state of an older ``version`` by
+    committing a NEW snapshot with that version's shard list and schema
+    (Iceberg ``rollback_to_snapshot`` / Delta ``RESTORE`` shaped).
+    History is preserved — the bad commits stay inspectable and the
+    rollback itself is an audited, time-travelable commit, not an
+    erasure. Requires ``version``'s snapshot file to still exist (see
+    :func:`expire_snapshots` retention). Returns the new version."""
+    target = _load_snapshot(table, version)
+    job = uuid.uuid4().hex
+    tmp_dir = os.path.join(table, "_tmp", job)
+    try:
+        while True:
+            current = latest_version(table)
+            new_version = (current or 0) + 1
+            snapshot = {
+                "version": new_version,
+                "parent": current,
+                "operation": "rollback",
+                "properties": {"rollback_of": version},
+                "schema": target["schema"],
+                "n_shards": target["n_shards"],
+                "n_rows": target["n_rows"],
+                "shards": target["shards"],
+            }
+            tmp_snap = os.path.join(tmp_dir, "snapshot.json")
+            os.makedirs(tmp_dir, exist_ok=True)
+            with open(tmp_snap, "w") as f:
+                json.dump(snapshot, f, indent=1, sort_keys=True)
+            try:
+                os.link(tmp_snap, _snap_path(table, new_version))
+                return new_version
+            except FileExistsError:
+                os.remove(tmp_snap)
+                continue
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def read_changes(
+    spark: SparkSession, table: str, start_version: int,
+    end_version: int | None = None,
+) -> DataFrame:
+    """Incremental read (Iceberg incremental append scan / Delta CDF's
+    append-only fast path): the rows ADDED after ``start_version`` up to
+    ``end_version`` (latest by default), computed purely from snapshot
+    metadata — each append snapshot's added files are its shard set
+    minus its parent's, so the incremental consumer reads only new
+    files and never rescans the table. This is what turns a 100 TB
+    table into a streaming source for downstream jobs (backfill-free
+    pipeline restarts, derived-table refresh).
+
+    Compaction snapshots (``properties.compaction``) rewrite layout,
+    not rows, and are skipped — same as Iceberg's treatment of replace
+    snapshots. Any row-changing non-append commit in the range
+    (overwrite, delete, merge, rollback) raises loudly: its changes are
+    not representable as added files, and silently skipping it would
+    hand the consumer a wrong delta. Requires the range's snapshot
+    files to still exist (retention)."""
+    end = latest_version(table) if end_version is None else end_version
+    if end is None or start_version > end:
+        raise ValueError(
+            f"snapshot_table: bad change range ({start_version}, {end}]"
+        )
+    prev = set(
+        s["file"] for s in _load_snapshot(table, start_version)["shards"]
+    )
+    added: list[str] = []
+    schema = None
+    for v in range(start_version + 1, end + 1):
+        snap = _load_snapshot(table, v)
+        cur = set(s["file"] for s in snap["shards"])
+        if snap.get("properties", {}).get("compaction"):
+            prev = cur  # layout change only: same rows, new files
+            continue
+        if snap["operation"] != "append":
+            raise ValueError(
+                f"snapshot_table: read_changes supports append-only "
+                f"ranges; version {v} is {snap['operation']!r}"
+            )
+        added.extend(sorted(cur - prev))
+        prev = cur
+        schema = StructType.fromJson(snap["schema"])
+    if schema is None:  # no append in range
+        schema = StructType.fromJson(_load_snapshot(table, end)["schema"])
+    if not added:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(table, _DATA_DIR, n) for n in added]
     )
 
 

@@ -477,3 +477,132 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
         return
     got = sorted((r.k, r.v) for r in read_snapshot(spark, table).collect())
     assert got == sorted(model)
+
+
+def test_delete_where_sql_semantics(spark, docs, tmp_path):
+    """DELETE removes rows where the condition is TRUE; FALSE and NULL
+    rows are kept (SQL DELETE semantics)."""
+    table = str(tmp_path / "t")
+    base = docs.where(F.col("lang") == "en").withColumn(
+        "flag", F.when(F.col("doc_id") % 5 != 0, F.col("n_chars"))
+    )  # every 5th row has flag NULL
+    write_snapshot(base, table, mode="append")
+    v = st.delete_where(spark, table, "flag > 300")
+    assert v == 2
+    expect = base.where(~F.coalesce(F.col("flag") > 300, F.lit(False)))
+    assert _canon(read_snapshot(spark, table)) == _canon(expect)
+    # NULL-flag rows survived
+    assert read_snapshot(spark, table).where(F.col("flag").isNull()).count() > 0
+    # v1 still time-travels to the pre-delete state
+    assert _canon(read_snapshot(spark, table, 1)) == _canon(base)
+    snap = st._load_snapshot(table, 2)
+    assert snap["operation"] == "delete"
+    assert snap["properties"]["delete_condition"] == "flag > 300"
+
+
+def test_delete_where_skips_disjoint_shards(spark, docs, tmp_path):
+    """With a clustered layout and a prune bound, shards whose stats are
+    disjoint from the deleted range are carried over VERBATIM (same
+    file names, zero rewrite)."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, mode="append")
+    compact_table(spark, table, target_shards=6, cluster_by=["doc_id"])
+    before = st._load_snapshot(table, latest_version(table))
+    lo, hi = 0, 99
+    v = st.delete_where(
+        spark, table, f"doc_id BETWEEN {lo} AND {hi}", prune=("doc_id", lo, hi)
+    )
+    snap = st._load_snapshot(table, v)
+    assert snap["properties"]["shards_skipped"] > 0
+    assert snap["properties"]["shards_rewritten"] < len(before["shards"])
+    # carried shards kept their exact file identity
+    before_files = {s["file"] for s in before["shards"]}
+    carried = [s for s in snap["shards"] if s["file"] in before_files]
+    assert len(carried) == snap["properties"]["shards_skipped"]
+    # and the rows are exactly the complement
+    expect = docs.where(~F.col("doc_id").between(lo, hi))
+    assert _canon(read_snapshot(spark, table)) == _canon(expect)
+    # rewritten shards re-recorded stats, so pruning still works after
+    rewritten = [s for s in snap["shards"] if s["file"] not in before_files]
+    assert all("doc_id" in s.get("stats", {}) for s in rewritten)
+
+
+def test_delete_where_retries_against_concurrent_append(
+    spark, docs, tmp_path, monkeypatch
+):
+    """A delete that loses the commit race must retry against the NEW
+    base — the concurrently appended rows are re-scanned, so matching
+    rows among them are deleted too (conservative conflict rule)."""
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    write_snapshot(en, table, mode="append")
+
+    real_link = os.link
+    state = {"raced": False}
+
+    def racing_link(src, dst):
+        if not state["raced"] and "00000002" in dst:
+            state["raced"] = True
+            write_snapshot(de, table, mode="append")  # rival wins v2
+        return real_link(src, dst)
+
+    monkeypatch.setattr(st.os, "link", racing_link)
+    v = st.delete_where(spark, table, "n_chars > 400")
+    assert state["raced"] and v == 3
+    expect = en.unionByName(de).where(~(F.col("n_chars") > 400))
+    assert _canon(read_snapshot(spark, table)) == _canon(expect)
+
+
+def test_rollback_restores_and_preserves_history(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    fr = docs.where(F.col("lang") == "fr")
+    write_snapshot(en, table, mode="append")
+    write_snapshot(fr, table, mode="overwrite")
+    v = st.rollback(table, 1)
+    assert v == 3
+    # latest == v1 state, byte-identical (same shard files, no rewrite)
+    assert _canon(read_snapshot(spark, table)) == _canon(en)
+    assert (
+        st._load_snapshot(table, 3)["shards"]
+        == st._load_snapshot(table, 1)["shards"]
+    )
+    # the rolled-over v2 stays inspectable (audited, not erased)
+    assert _canon(read_snapshot(spark, table, 2)) == _canon(fr)
+    ops = [s["operation"] for s in snapshot_history(table)]
+    assert ops == ["append", "overwrite", "rollback"]
+    assert st._load_snapshot(table, 3)["properties"]["rollback_of"] == 1
+
+
+def test_read_changes_incremental_append_scan(spark, docs, tmp_path):
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table,
+    )
+
+    table = str(tmp_path / "t")
+    b1 = docs.where(F.col("doc_id") % 3 == 0)
+    b2 = docs.where(F.col("doc_id") % 3 == 1)
+    b3 = docs.where(F.col("doc_id") % 3 == 2)
+    write_snapshot(b1, table, mode="append")      # v1
+    write_snapshot(b2, table, mode="append")      # v2
+    compact_table(spark, table, target_shards=2)  # v3: layout only
+    write_snapshot(b3, table, mode="append")      # v4
+    # changes since v1 = b2 + b3; the compaction contributes nothing
+    got = st.read_changes(spark, table, 1)
+    assert _canon(got) == _canon(b2.unionByName(b3))
+    # bounded range
+    assert _canon(st.read_changes(spark, table, 1, 2)) == _canon(b2)
+    # empty range (compaction only) -> empty frame, right schema
+    empty = st.read_changes(spark, table, 2, 3)
+    assert empty.count() == 0 and empty.columns == got.columns
+    # a row-changing commit in range raises loudly
+    st.delete_where(spark, table, "n_chars > 400")  # v5
+    with pytest.raises(ValueError, match="append-only"):
+        st.read_changes(spark, table, 1)
+    # ranges before the delete still serve
+    assert _canon(st.read_changes(spark, table, 3, 4)) == _canon(b3)
