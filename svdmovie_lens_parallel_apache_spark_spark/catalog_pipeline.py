@@ -2685,3 +2685,154 @@ def q_snapshot_stream_ingest(spark, sf_dir):
         )
         .withColumn("n_snapshots", F.lit(latest_version(table)).cast("long"))
     )
+
+
+@register(
+    "snapshot_delete_where",
+    f"""
+    WITH thr AS (
+      SELECT CAST(floor(max(doc_id) / 4.0) AS BIGINT) AS t FROM documents
+    ),
+    kept AS (
+      SELECT d.* FROM documents d, thr WHERE d.doc_id > thr.t
+    )
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           TRUE                         AS skipped_ok
+    FROM kept GROUP BY lang
+    """,
+    tags=("sources", "table-format", "delete", "pruning"),
+    description="Row-level DELETE on the snapshot table under the oracle "
+    "gate: commit the documents, cluster-compact by doc_id (so per-shard "
+    "min/max stats cover narrow key ranges), then delete_where the bottom "
+    "quarter of the doc_id range with a prune bound. The survivors must "
+    "fingerprint byte-identically to the SQL complement, and skipped_ok "
+    "pins that at least one disjoint shard was CARRIED OVER untouched — "
+    "the copy-on-write shard-skipping that makes a ranged delete on a "
+    "clustered 100 TB table touch O(range/shard_span) files instead of "
+    "rewriting the table. Protocol in sources/snapshot_table.py.",
+)
+def q_snapshot_delete_where(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        compact_table,
+        delete_where,
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    table = tempfile.mkdtemp(prefix="svdml-snapdelete-")
+    write_snapshot(docs, table, mode="append")
+    compact_table(spark, table, target_shards=8, cluster_by=["doc_id"])
+    thr = int(docs.agg(F.max("doc_id")).collect()[0][0] // 4)
+    delete_where(
+        spark, table, f"doc_id <= {thr}", prune=("doc_id", -(2**62), thr)
+    )
+    props = snapshot_history(table)[-1]["properties"]
+    return (
+        read_snapshot(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
+        )
+        .withColumn("skipped_ok", F.lit(bool(props["shards_skipped"] > 0)))
+    )
+
+
+@register(
+    "snapshot_incremental_read",
+    f"""
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp
+    FROM documents WHERE doc_id % 3 <> 0 GROUP BY lang
+    """,
+    tags=("sources", "table-format", "incremental", "cdc"),
+    description="Incremental append scan (Iceberg incremental read / Delta "
+    "CDF append fast path) under the oracle gate: three appends with a "
+    "small-file compaction between the last two, then read_changes since "
+    "version 1 — purely from snapshot metadata, reading ONLY the files the "
+    "later appends added. The result must fingerprint exactly batch-2-plus-"
+    "batch-3: batch 1 excluded (already present at the start version) and "
+    "the compaction contributing nothing (layout-only rewrite, skipped like "
+    "an Iceberg replace snapshot). The primitive that lets downstream jobs "
+    "refresh derived tables without rescanning a 100 TB base table.",
+)
+def q_snapshot_incremental_read(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        compact_table,
+        read_changes,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    table = tempfile.mkdtemp(prefix="svdml-snapcdc-")
+    write_snapshot(docs.where(F.col("doc_id") % 3 == 0), table, mode="append")
+    write_snapshot(docs.where(F.col("doc_id") % 3 == 1), table, mode="append")
+    compact_table(spark, table, target_shards=2)
+    write_snapshot(docs.where(F.col("doc_id") % 3 == 2), table, mode="append")
+    return (
+        read_changes(spark, table, start_version=1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
+        )
+    )
+
+
+@register(
+    "snapshot_rollback",
+    f"""
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           CAST(3 AS BIGINT)            AS n_versions
+    FROM documents WHERE lang = 'en' GROUP BY lang
+    """,
+    tags=("sources", "table-format", "rollback"),
+    description="RESTORE/rollback on the snapshot table under the oracle "
+    "gate: commit the en documents (v1), overwrite with the fr documents "
+    "(v2 — the 'bad' commit), then rollback to v1 as a NEW audited commit "
+    "(v3). The latest read must fingerprint byte-identically to v1's rows "
+    "(same shard files, zero rewrite) and n_versions pins that the bad "
+    "commit stays in history — rollback is a commit, not an erasure. The "
+    "recover-from-a-bad-load primitive every production table layer needs.",
+)
+def q_snapshot_rollback(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        latest_version,
+        read_snapshot,
+        rollback,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    table = tempfile.mkdtemp(prefix="svdml-snaprollback-")
+    write_snapshot(docs.where(F.col("lang") == "en"), table, mode="append")
+    write_snapshot(docs.where(F.col("lang") == "fr"), table, mode="overwrite")
+    rollback(table, 1)
+    return (
+        read_snapshot(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
+        )
+        .withColumn("n_versions", F.lit(latest_version(table)).cast("long"))
+    )
