@@ -368,7 +368,8 @@ def streaming_snapshot_sink(table: str):
 
 
 def merge_upsert(
-    updates: DataFrame, table: str, key_cols: list[str]
+    updates: DataFrame, table: str, key_cols: list[str],
+    prune_col: str | None = None,
 ) -> int:
     """Copy-on-write MERGE (Delta ``MERGE WHEN MATCHED UPDATE / WHEN NOT
     MATCHED INSERT``-shaped): rows in ``updates`` replace current rows
@@ -378,17 +379,32 @@ def merge_upsert(
     being replaced) union the updates — two scans and one join, no
     driver-side row handling; at 100 TB the anti-join broadcast-builds
     when updates are small (the common upsert) and shuffles otherwise.
-    Copy-on-write rewrites the table's data files; for update-heavy
-    workloads the merge-on-read encoding (delete vectors) layers on top
-    of the same snapshot protocol.
+
+    ``prune_col`` (one of ``key_cols``) makes the rewrite PARTIAL: the
+    updates' [min, max] on that column bounds which keys can match, so
+    every live shard whose recorded stats (``stats_cols`` /
+    ``compact_table(cluster_by=...)``) are disjoint from it is carried
+    over verbatim — zero read, zero write. That turns a small upsert
+    against a clustered 100 TB table from a full-table rewrite into
+    O(matched files + updates), which is what Delta/Iceberg derive from
+    the merge condition automatically. Shards without stats for
+    ``prune_col`` are conservatively rewritten; correctness never
+    depends on the stats (a shard is skipped only when its key range
+    provably cannot intersect the updates). An all-NULL ``prune_col``
+    in ``updates`` falls back to a full rewrite. For update-heavy
+    workloads the merge-on-read encoding (delete vectors) layers on
+    top of the same snapshot protocol.
+
+    A merge that loses the commit race retries against the new base
+    (same conservative conflict rule as :func:`delete_where`).
     """
     from pyspark.sql import functions as F
 
     spark = updates.sparkSession
-    current = read_snapshot(spark, table)
-    missing = [c for c in key_cols if c not in current.columns]
-    if missing:
-        raise ValueError(f"snapshot_table: merge keys {missing} not in table")
+    if prune_col is not None and prune_col not in key_cols:
+        raise ValueError(
+            f"snapshot_table: prune_col {prune_col!r} must be a merge key"
+        )
     # ambiguous merges fail loudly (Delta's "multiple source rows matched"
     # rule): duplicate keys in ONE updates batch would silently land twice
     dup = (
@@ -403,14 +419,95 @@ def merge_upsert(
             f"snapshot_table: updates contain duplicate merge key "
             f"{tuple(dup[0][c] for c in key_cols)!r}"
         )
-    kept = current.join(
-        updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
-    )
-    merged = kept.unionByName(updates, allowMissingColumns=True)
-    return write_snapshot(
-        merged, table, mode="overwrite",
-        properties={"merge_keys": list(key_cols)},
-    )
+    bounds = None
+    if prune_col is not None:
+        row = updates.agg(
+            F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+        ).collect()[0]
+        if row["lo"] is not None and row["hi"] is not None:
+            bounds = (row["lo"], row["hi"])
+    while True:
+        current = latest_version(table)
+        if current is None:
+            raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
+        snap = _load_snapshot(table, current)
+        table_schema = StructType.fromJson(snap["schema"])
+        missing = [c for c in key_cols if c not in table_schema.fieldNames()]
+        if missing:
+            raise ValueError(
+                f"snapshot_table: merge keys {missing} not in table"
+            )
+        touched, carried = [], []
+        if bounds is not None:
+            lo, hi = bounds
+            for s in snap["shards"]:
+                b = s.get("stats", {}).get(prune_col)
+                if b is None or b[0] is None or b[1] is None:
+                    touched.append(s)
+                elif b[0] <= hi and lo <= b[1]:
+                    touched.append(s)
+                else:
+                    carried.append(s)
+        else:
+            touched = list(snap["shards"])
+        schema = _merge_schema(table_schema, updates.schema)
+        if touched:
+            cur = spark.read.schema(table_schema).parquet(
+                *[os.path.join(table, _DATA_DIR, s["file"]) for s in touched]
+            )
+            kept = cur.join(
+                updates.select(*key_cols).distinct(),
+                on=key_cols, how="left_anti",
+            )
+            merged = kept.unionByName(updates, allowMissingColumns=True)
+        else:
+            # normalize updates to the evolved table schema (fills any
+            # table columns the updates batch omits with NULL)
+            merged = spark.createDataFrame([], schema).unionByName(
+                updates, allowMissingColumns=True
+            )
+        stats_cols = sorted(
+            {c for s in snap["shards"] for c in s.get("stats", {})}
+        )
+        job = uuid.uuid4().hex
+        tmp_dir = os.path.join(table, "_tmp", job)
+        try:
+            mine, counts, stats = _stage_publish(
+                merged, table, tmp_dir, stats_cols
+            )
+            def _shard(n):
+                s = {"file": n, "n_rows": counts[n]}
+                if stats[n]:
+                    s["stats"] = stats[n]
+                return s
+
+            shards = list(carried) + [_shard(n) for n in mine]
+            version = current + 1
+            snapshot = {
+                "version": version,
+                "parent": current,
+                "operation": "merge",
+                "properties": {
+                    "merge_keys": list(key_cols),
+                    "shards_rewritten": len(touched),
+                    "shards_skipped": len(carried),
+                },
+                "schema": schema.jsonValue(),
+                "n_shards": len(shards),
+                "n_rows": sum(s["n_rows"] for s in shards),
+                "shards": sorted(shards, key=lambda s: s["file"]),
+            }
+            tmp_snap = os.path.join(tmp_dir, "snapshot.json")
+            os.makedirs(tmp_dir, exist_ok=True)
+            with open(tmp_snap, "w") as f:
+                json.dump(snapshot, f, indent=1, sort_keys=True)
+            try:
+                os.link(tmp_snap, _snap_path(table, version))
+                return version
+            except FileExistsError:
+                continue  # concurrent commit won: retry on the new base
+        finally:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
 def delete_where(

@@ -606,3 +606,49 @@ def test_read_changes_incremental_append_scan(spark, docs, tmp_path):
         st.read_changes(spark, table, 1)
     # ranges before the delete still serve
     assert _canon(st.read_changes(spark, table, 3, 4)) == _canon(b3)
+
+
+def test_merge_upsert_skips_disjoint_shards(spark, docs, tmp_path):
+    """With a clustered layout and prune_col, a small upsert rewrites
+    only the shards whose key range can intersect the updates; all
+    other shards carry over verbatim — O(matched files), not O(table)."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table,
+        merge_upsert,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, mode="append")
+    compact_table(spark, table, target_shards=6, cluster_by=["doc_id"])
+    before = st._load_snapshot(table, latest_version(table))
+    # updates confined to a narrow doc_id range + one brand-new key
+    # INSIDE that range (a far-away new key would widen the updates'
+    # [min, max] to the whole table and correctly disable skipping)
+    new_key = -1
+    upd = (
+        docs.where(F.col("doc_id") < 50)
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .unionByName(
+            docs.limit(1).select(
+                F.lit(new_key).cast("long").alias("doc_id"), "lang", "n_chars"
+            )
+        )
+    )
+    v = merge_upsert(upd, table, key_cols=["doc_id"], prune_col="doc_id")
+    snap = st._load_snapshot(table, v)
+    assert snap["operation"] == "merge"
+    assert snap["properties"]["shards_skipped"] > 0
+    before_files = {s["file"] for s in before["shards"]}
+    carried = [s for s in snap["shards"] if s["file"] in before_files]
+    assert len(carried) == snap["properties"]["shards_skipped"]
+    expect = docs.where(F.col("doc_id") >= 50).unionByName(upd)
+    assert _canon(read_snapshot(spark, table)) == _canon(expect)
+    # the new-key insert went into a rewritten shard, not lost
+    assert (
+        read_snapshot(spark, table).where(F.col("doc_id") == new_key).count()
+        == 1
+    )
+    # full-rewrite path (no prune_col) still works and skips nothing
+    v2 = merge_upsert(upd, table, key_cols=["doc_id"])
+    assert st._load_snapshot(table, v2)["properties"]["shards_skipped"] == 0
+    assert _canon(read_snapshot(spark, table)) == _canon(expect)
