@@ -2836,3 +2836,63 @@ def q_snapshot_rollback(spark, sf_dir):
         )
         .withColumn("n_versions", F.lit(latest_version(table)).cast("long"))
     )
+
+
+@register(
+    "snapshot_changes_stream",
+    f"""
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp
+    FROM documents WHERE doc_id % 3 <> 0 GROUP BY lang
+    """,
+    tags=("sources", "table-format", "streaming", "cdc"),
+    description="The snapshot table as a live Structured Streaming SOURCE "
+    "(Delta readStream shaped) under the oracle gate: three appends with a "
+    "compaction between the last two, then a real streaming query over the "
+    "snapshot_changes Python DataSource (offsets = snapshot versions, "
+    "availableNow drain into a memory sink) starting from version 1. The "
+    "drained rows must fingerprint exactly batch-2-plus-batch-3 — batch 1 "
+    "behind the start offset, the compaction contributing nothing. Offsets "
+    "being versions and file resolution being a pure function of the "
+    "version range makes restart exactly-once BY CONSTRUCTION (gated live "
+    "in tests/test_streaming_live.py). Batch twin: "
+    "snapshot_incremental_read (same oracle, metadata-only read).",
+)
+def q_snapshot_changes_stream(spark, sf_dir):
+    import tempfile
+    import uuid as _uuid
+
+    from .sources.snapshot_stream import register_snapshot_changes
+    from .sources.snapshot_table import compact_table, write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    table = tempfile.mkdtemp(prefix="svdml-snapchgq-")
+    write_snapshot(docs.where(F.col("doc_id") % 3 == 0), table, mode="append")
+    write_snapshot(docs.where(F.col("doc_id") % 3 == 1), table, mode="append")
+    compact_table(spark, table, target_shards=2)
+    write_snapshot(docs.where(F.col("doc_id") % 3 == 2), table, mode="append")
+    register_snapshot_changes(spark)
+    sink = f"snapchg_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("path", table)
+        .option("start_version", 1)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
+        )
+    )

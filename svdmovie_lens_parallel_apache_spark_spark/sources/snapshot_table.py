@@ -682,12 +682,39 @@ def read_changes(
         raise ValueError(
             f"snapshot_table: bad change range ({start_version}, {end}]"
         )
-    prev = set(
-        s["file"] for s in _load_snapshot(table, start_version)["shards"]
+    added, schema_json = _added_files(table, start_version, end)
+    schema = StructType.fromJson(
+        schema_json
+        if schema_json is not None
+        else _load_snapshot(table, end)["schema"]
+    )
+    if not added:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(table, _DATA_DIR, n) for n in added]
+    )
+
+
+def _added_files(
+    table: str, start_version: int, end_version: int
+) -> tuple[list[str], dict | None]:
+    """The metadata walk behind :func:`read_changes` and the
+    ``snapshot_changes`` stream source: file names appended in
+    ``(start_version, end_version]`` (``start_version=0`` = since table
+    creation) plus the last append's schema JSON (None if the range
+    holds no append). Layout-only compactions are skipped; any other
+    non-append commit raises."""
+    prev: set[str] = (
+        set()
+        if start_version == 0
+        else {
+            s["file"]
+            for s in _load_snapshot(table, start_version)["shards"]
+        }
     )
     added: list[str] = []
-    schema = None
-    for v in range(start_version + 1, end + 1):
+    schema_json = None
+    for v in range(start_version + 1, end_version + 1):
         snap = _load_snapshot(table, v)
         cur = set(s["file"] for s in snap["shards"])
         if snap.get("properties", {}).get("compaction"):
@@ -700,14 +727,8 @@ def read_changes(
             )
         added.extend(sorted(cur - prev))
         prev = cur
-        schema = StructType.fromJson(snap["schema"])
-    if schema is None:  # no append in range
-        schema = StructType.fromJson(_load_snapshot(table, end)["schema"])
-    if not added:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[os.path.join(table, _DATA_DIR, n) for n in added]
-    )
+        schema_json = snap["schema"]
+    return added, schema_json
 
 
 def compact_table(

@@ -652,3 +652,88 @@ def test_merge_upsert_skips_disjoint_shards(spark, docs, tmp_path):
     v2 = merge_upsert(upd, table, key_cols=["doc_id"])
     assert st._load_snapshot(table, v2)["properties"]["shards_skipped"] == 0
     assert _canon(read_snapshot(spark, table)) == _canon(expect)
+
+
+def test_snapshot_changes_stream_drains_appends(spark, docs, tmp_path):
+    """The snapshot_changes streaming source drains exactly the rows
+    appended after start_version; a compaction in the range contributes
+    nothing; a schema-evolved range NULL-fills pre-evolution shards."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_stream import (
+        register_snapshot_changes,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table,
+    )
+
+    table = str(tmp_path / "t")
+    b1 = docs.where(F.col("doc_id") % 3 == 0)
+    b2 = docs.where(F.col("doc_id") % 3 == 1)
+    b3 = docs.where(F.col("doc_id") % 3 == 2).withColumn(
+        "quality", (F.col("n_chars") > 500).cast("double")
+    )
+    write_snapshot(b1, table, mode="append")      # v1
+    write_snapshot(b2, table, mode="append")      # v2
+    compact_table(spark, table, target_shards=2)  # v3: layout only
+    write_snapshot(b3, table, mode="append")      # v4: widens schema
+
+    register_snapshot_changes(spark)
+
+    def drain(start_version, name):
+        src = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", table)
+            .option("start_version", start_version)
+            .load()
+        )
+        q = (
+            src.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+
+    # from creation: everything, pre-evolution rows NULL-quality
+    all_rows = drain(0, "snapchg_all")
+    assert all_rows.columns == ["doc_id", "lang", "n_chars", "quality"]
+    expect_all = b1.unionByName(b2, allowMissingColumns=True).unionByName(
+        b3, allowMissingColumns=True
+    ).select("doc_id", "lang", "n_chars", "quality")
+    assert _canon(all_rows) == _canon(expect_all)
+    # from v2: only the post-v2 append (compaction contributes nothing)
+    after = drain(2, "snapchg_after2")
+    assert _canon(after) == _canon(
+        b3.select("doc_id", "lang", "n_chars", "quality")
+    )
+
+
+def test_snapshot_changes_stream_fails_on_row_changing_commit(
+    spark, docs, tmp_path
+):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_stream import (
+        register_snapshot_changes,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs.where(F.col("lang") == "en"), table, mode="append")
+    st.delete_where(spark, table, "n_chars > 400")  # v2: row-changing
+    register_snapshot_changes(spark)
+    src = (
+        spark.readStream.format("snapshot_changes")
+        .option("path", table)
+        .option("start_version", 0)
+        .load()
+    )
+    q = (
+        src.writeStream.format("memory")
+        .queryName("snapchg_fail")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="append-only"):
+        q.awaitTermination()

@@ -485,3 +485,71 @@ def test_python_datasource_stream_restart_no_reemission(spark):
         q3.stop()
         q3.awaitTermination()
     assert drained_ids("phase3") == [], "restart re-emitted committed ids"
+
+
+def test_snapshot_changes_stream_restart_exactly_once(spark, sf_dir):
+    """The snapshot_changes source across a REAL stop/restart: offsets
+    are snapshot versions and file resolution is a pure function of the
+    version range, so a query restarted on its checkpoint after new
+    commits landed must emit ONLY the new versions' rows — zero
+    re-emission of committed versions, no pacing state to re-sync."""
+    import os
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_stream import (
+        register_snapshot_changes,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        write_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = tempfile.mkdtemp(prefix="svdml-snapchg-table-")
+    ckpt = tempfile.mkdtemp(prefix="svdml-snapchg-ckpt-")
+    out_root = tempfile.mkdtemp(prefix="svdml-snapchg-out-")
+    b1 = docs.where(F.col("doc_id") % 3 == 0)
+    b2 = docs.where(F.col("doc_id") % 3 == 1)
+    b3 = docs.where(F.col("doc_id") % 3 == 2)
+    write_snapshot(b1, table, mode="append")  # v1
+    write_snapshot(b2, table, mode="append")  # v2
+    register_snapshot_changes(spark)
+
+    def drain(phase):
+        out = os.path.join(out_root, phase)
+
+        def sink(batch_df, batch_id):
+            batch_df.select("doc_id").write.mode("append").parquet(out)
+
+        src = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", table)
+            .option("start_version", 0)
+            .load()
+        )
+        q = (
+            src.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not os.path.isdir(out):
+            return []
+        return [
+            r.doc_id
+            for r in spark.read.schema("doc_id bigint").parquet(out).collect()
+        ]
+
+    phase1 = drain("phase1")
+    assert sorted(phase1) == sorted(
+        r.doc_id for r in b1.unionByName(b2).collect()
+    )
+    # new commit lands while the query is down
+    write_snapshot(b3, table, mode="append")  # v3
+    phase2 = drain("phase2")
+    # exactly-once across the restart: phase 2 = v3's rows, each once
+    assert sorted(phase2) == sorted(r.doc_id for r in b3.collect())
+    # a third restart with nothing new emits nothing
+    assert drain("phase3") == []
