@@ -735,6 +735,7 @@ def compact_table(
     spark: SparkSession, table: str, target_shards: int = 8,
     stats_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None, zbits: int = 16,
 ) -> int:
     """Small-file compaction as a snapshot commit (Iceberg
     ``rewrite_data_files`` / Delta ``OPTIMIZE`` shaped): rewrite the
@@ -754,7 +755,25 @@ def compact_table(
     rewrite every shard spans the full key range and pruning keeps
     everything; after it, a key-range read touches O(range/shard_span)
     files. The range partitioner samples key quantiles, so skewed keys
-    still split evenly at 100 TB."""
+    still split evenly at 100 TB.
+
+    ``zorder_by=(x_col, y_col)`` is the TWO-dimensional clustered
+    rewrite (Delta/Iceberg ``OPTIMIZE ZORDER BY``): Morton-interleave
+    the low ``zbits`` of both columns into one sort key, then
+    range-partition on it — each shard becomes a small rectangle in
+    (x, y) space, so the recorded min/max stats stay selective for a
+    predicate on EITHER column (single-key clustering gives that on one
+    column only). Both columns must be non-negative integers below
+    ``2**zbits`` for placement to be meaningful (hash/bucketize first
+    otherwise; stats record REAL column values, so correctness never
+    depends on this, only pruning selectivity). Mutually exclusive with
+    ``cluster_by``."""
+    if cluster_by and zorder_by:
+        raise ValueError(
+            "snapshot_table: cluster_by and zorder_by are mutually exclusive"
+        )
+    from pyspark.sql import functions as F
+
     df = read_snapshot(spark, table)
     n = max(1, target_shards)
     if cluster_by:
@@ -762,10 +781,33 @@ def compact_table(
             *cluster_by
         )
         stats_cols = list(dict.fromkeys((stats_cols or []) + list(cluster_by)))
+    elif zorder_by:
+        from ..catalog_pipeline import morton_col
+
+        x_col, y_col = zorder_by
+        mask = (1 << zbits) - 1
+        z = morton_col(
+            F.col(x_col).cast("bigint").bitwiseAND(F.lit(mask)),
+            F.col(y_col).cast("bigint").bitwiseAND(F.lit(mask)),
+            zbits,
+        )
+        df = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        stats_cols = list(
+            dict.fromkeys((stats_cols or []) + [x_col, y_col])
+        )
     else:
         df = df.coalesce(n)
     return write_snapshot(
         df, table, mode="overwrite",
-        properties={"compaction": True, "cluster_by": list(cluster_by or [])},
+        properties={
+            "compaction": True,
+            "cluster_by": list(cluster_by or []),
+            "zorder_by": list(zorder_by or []),
+        },
         stats_cols=stats_cols,
     )

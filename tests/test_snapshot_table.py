@@ -737,3 +737,61 @@ def test_snapshot_changes_stream_fails_on_row_changing_commit(
     )
     with pytest.raises(StreamingQueryException, match="append-only"):
         q.awaitTermination()
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, docs, tmp_path):
+    """OPTIMIZE ZORDER for the snapshot table: after a Morton-interleaved
+    compaction, per-shard min/max stats are selective for a narrow
+    predicate on EITHER column — single-key clustering gives that on one
+    column only."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table,
+    )
+
+    def kept(table, col, hi):
+        snap = st._load_snapshot(table, latest_version(table))
+        n = len(snap["shards"])
+        k = sum(
+            1
+            for s in snap["shards"]
+            if not (s["stats"][col][0] > hi or s["stats"][col][1] < 0)
+        )
+        return k, n
+
+    hi_id = int(docs.agg(F.max("doc_id")).collect()[0][0]) // 8
+    hi_ch = int(docs.agg(F.max("n_chars")).collect()[0][0]) // 8
+
+    zt = str(tmp_path / "z")
+    write_snapshot(docs, zt, mode="append")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compact_table(
+            spark, zt, cluster_by=["doc_id"], zorder_by=("doc_id", "n_chars")
+        )
+    compact_table(spark, zt, target_shards=8, zorder_by=("doc_id", "n_chars"))
+    # both dimensions prune (each rectangle covers a narrow x AND y span)
+    for col, hi in [("doc_id", hi_id), ("n_chars", hi_ch)]:
+        k, n = kept(zt, col, hi)
+        assert k < n, f"zorder stats not selective on {col}: {k}/{n}"
+        got = _canon(
+            read_snapshot(spark, zt, prune=(col, 0, hi)).where(
+                F.col(col).between(0, hi)
+            )
+        )
+        assert got == _canon(docs.where(F.col(col).between(0, hi)))
+    # single-key clustering: selective on its key, NOT on the other
+    ct = str(tmp_path / "c")
+    write_snapshot(docs, ct, mode="append")
+    compact_table(
+        spark, ct, target_shards=8, cluster_by=["doc_id"],
+        stats_cols=["n_chars"],
+    )
+    k_id, n = kept(ct, "doc_id", hi_id)
+    assert k_id < n
+    k_ch, n = kept(ct, "n_chars", hi_ch)
+    k_ch_z, _ = kept(zt, "n_chars", hi_ch)
+    # the comparative claim: zorder is strictly more selective on the
+    # second dimension than single-key range clustering (which only
+    # prunes it incidentally, if at all)
+    assert k_ch_z < k_ch, f"zorder {k_ch_z}/{n} vs cluster {k_ch}/{n}"
+    props = st._load_snapshot(zt, latest_version(zt))["properties"]
+    assert props["zorder_by"] == ["doc_id", "n_chars"]
