@@ -2896,3 +2896,91 @@ def q_snapshot_changes_stream(spark, sf_dir):
             F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
         )
     )
+
+
+@register(
+    "snapshot_table_chain",
+    f"""
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp
+    FROM documents WHERE n_chars >= 100 GROUP BY lang
+    """,
+    tags=("sources", "table-format", "streaming", "pipeline"),
+    description="Chained incremental tables end-to-end under the oracle "
+    "gate — the shape a 100 TB corpus pipeline actually runs as: raw "
+    "documents stream-ingested into table A (three batch-id-stamped "
+    "append snapshots via streaming_snapshot_sink), then a SECOND "
+    "streaming query reads A as a snapshot_changes source, applies a "
+    "quality filter (n_chars >= 100), and commits the survivors into "
+    "table B through the same exactly-once sink. Table B must "
+    "fingerprint byte-identically to the SQL filter over the source — "
+    "no loss, duplication, or reorder across TWO table boundaries and "
+    "two streaming checkpoints. Each stage is restartable at its own "
+    "checkpoint (gated individually in tests); the chain is why tables "
+    "double as sources: downstream refresh is O(new data), never "
+    "O(table).",
+)
+def q_snapshot_table_chain(spark, sf_dir):
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from .sources.snapshot_stream import register_snapshot_changes
+    from .sources.snapshot_table import read_snapshot, streaming_snapshot_sink
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    src_dir = tempfile.mkdtemp(prefix="svdml-chain-src-")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        _time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    table_a = tempfile.mkdtemp(prefix="svdml-chain-a-")
+    table_b = tempfile.mkdtemp(prefix="svdml-chain-b-")
+    # stage 1: raw files -> table A (exactly-once snapshot ingest)
+    q1 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(streaming_snapshot_sink(table_a))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="svdml-chain-ck1-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    # stage 2: table A as a stream -> filter -> table B
+    register_snapshot_changes(spark)
+    sink_b = streaming_snapshot_sink(table_b)
+    q2 = (
+        spark.readStream.format("snapshot_changes")
+        .option("path", table_a)
+        .option("start_version", 0)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, bid: sink_b(df.where(F.col("n_chars") >= 100), bid)
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="svdml-chain-ck2-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    return (
+        read_snapshot(spark, table_b)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
+        )
+    )
