@@ -2984,3 +2984,85 @@ def q_snapshot_table_chain(spark, sf_dir):
             F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
         )
     )
+
+
+@register(
+    "snapshot_lazy_delete",
+    f"""
+    WITH thr AS (
+      SELECT CAST(floor(max(n_chars) / 2.0) AS BIGINT) AS t
+      FROM documents WHERE lang = 'en'
+    ),
+    v AS (
+      SELECT d.* FROM documents d, thr
+      WHERE d.lang = 'en' AND NOT (d.n_chars > thr.t)
+      UNION ALL
+      SELECT d.* FROM documents d WHERE d.lang = 'de'
+    ),
+    agg AS (
+      SELECT lang,
+             count(*)                     AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp
+      FROM v GROUP BY lang
+    )
+    SELECT 3 AS version, TRUE AS metadata_only_ok, agg.* FROM agg
+    UNION ALL
+    SELECT 4 AS version, TRUE AS metadata_only_ok, agg.* FROM agg
+    """,
+    tags=("sources", "table-format", "delete", "merge-on-read"),
+    description="MERGE-ON-READ delete under the oracle gate (Iceberg "
+    "equality-delete / Hudi MOR shaped): commit the en documents, lazy-"
+    "delete the upper half of the n_chars range as a METADATA-ONLY "
+    "tombstone (metadata_only_ok pins that not one data file changed), "
+    "then append the de documents — whose matching rows must SURVIVE, "
+    "because the tombstone names only the shards live when it committed "
+    "(the sequence-number rule, encoded explicitly). Version 3 reads "
+    "merge-on-read (NOT-filter applied at scan time); version 4 is the "
+    "same table after compact_table materialised the tombstone — both "
+    "must fingerprint identically to the SQL twin, proving read-time "
+    "apply and rewrite-time materialise agree byte-for-byte. The "
+    "update-heavy-workload answer where copy-on-write would rewrite hot "
+    "files over and over.",
+)
+def q_snapshot_lazy_delete(spark, sf_dir):
+    import os as _os
+    import tempfile
+
+    from .sources.snapshot_table import (
+        compact_table,
+        delete_where,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    en = docs.where(F.col("lang") == "en")
+    table = tempfile.mkdtemp(prefix="svdml-snaplazy-")
+    write_snapshot(en, table, mode="append")
+    thr = int(en.agg(F.max("n_chars")).collect()[0][0] // 2)
+    data_dir = _os.path.join(table, "data")
+    before = sorted(_os.listdir(data_dir))
+    delete_where(spark, table, f"n_chars > {thr}", lazy=True)
+    metadata_only = sorted(_os.listdir(data_dir)) == before
+    write_snapshot(docs.where(F.col("lang") == "de"), table, mode="append")
+
+    def stats(version, label):
+        return (
+            read_snapshot(spark, table, version)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
+            )
+            .select(
+                F.lit(label).alias("version"),
+                F.lit(bool(metadata_only)).alias("metadata_only_ok"),
+                "lang", "n_docs", "sum_chars", "text_fp",
+            )
+        )
+
+    mor = stats(3, 3)  # merge-on-read: tombstone applied at scan time
+    compact_table(spark, table, target_shards=2)  # materialises -> v4
+    return mor.unionByName(stats(4, 4))

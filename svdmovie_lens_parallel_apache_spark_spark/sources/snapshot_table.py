@@ -213,12 +213,14 @@ def write_snapshot(
             if current is None:
                 base_shards: list[dict] = []
                 base_schema = df.schema
+                base_deletes: list[dict] = []
             else:
                 snap = _load_snapshot(table, current)
                 base_shards = snap["shards"]
                 base_schema = _merge_schema(
                     StructType.fromJson(snap["schema"]), df.schema
                 )
+                base_deletes = snap.get("deletes", [])
             def _shard(n):
                 s = {"file": n, "n_rows": counts[n]}
                 if stats[n]:
@@ -228,9 +230,14 @@ def write_snapshot(
             if mode == "overwrite":
                 shards = [_shard(n) for n in mine]
                 schema = df.schema
+                deletes: list[dict] = []  # replaced table: nothing pending
             else:
                 shards = list(base_shards) + [_shard(n) for n in mine]
                 schema = base_schema
+                # pending lazy deletes carry forward untouched: each one
+                # names the shards it covers, and these new shards are
+                # not among them (append-after-delete rows must survive)
+                deletes = base_deletes
             version = (current or 0) + 1
             snapshot = {
                 "version": version,
@@ -242,6 +249,8 @@ def write_snapshot(
                 "n_rows": sum(s["n_rows"] for s in shards),
                 "shards": sorted(shards, key=lambda s: s["file"]),
             }
+            if deletes:
+                snapshot["deletes"] = deletes
             tmp_snap = os.path.join(tmp_dir, "snapshot.json")
             os.makedirs(tmp_dir, exist_ok=True)
             with open(tmp_snap, "w") as f:
@@ -272,7 +281,14 @@ def read_snapshot(
     not overlap [lo, hi] — file skipping from snapshot metadata alone,
     before any footer is opened. Shards without stats for ``col`` are
     conservatively kept; the caller still applies its own row filter
-    (pruning is a scan reducer, not a filter)."""
+    (pruning is a scan reducer, not a filter).
+
+    Pending lazy deletes (``delete_where(lazy=True)``) are applied at
+    read time — merge-on-read: shards are grouped by which delete
+    conditions cover them (each delete records the shards live when it
+    committed, so later appends are never affected), each group scans
+    with its combined NOT-filter, and the groups union. With no pending
+    deletes this is exactly one explicit-file-list scan."""
     v = latest_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
@@ -288,10 +304,34 @@ def read_snapshot(
             or (b[0] is None or b[1] is None)
             or (b[0] <= hi and lo <= b[1])
         ]
-    files = [os.path.join(table, _DATA_DIR, s["file"]) for s in shards]
-    if not files:
+    if not shards:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    deletes = snap.get("deletes", [])
+    if not deletes:
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(table, _DATA_DIR, s["file"]) for s in shards]
+        )
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    covers = [set(d["shards"]) for d in deletes]
+    groups: dict[tuple, list[str]] = {}
+    for s in shards:
+        key = tuple(
+            i for i, cover in enumerate(covers) if s["file"] in cover
+        )
+        groups.setdefault(key, []).append(s["file"])
+    parts = []
+    for key, names in sorted(groups.items()):
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(table, _DATA_DIR, n) for n in names]
+        )
+        for i in key:
+            cond = F.expr(deletes[i]["condition"]).cast("boolean")
+            df = df.where(~F.coalesce(cond, F.lit(False)))
+        parts.append(df)
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def expire_snapshots(table: str, keep_last: int = 1) -> dict:
@@ -431,6 +471,11 @@ def merge_upsert(
         if current is None:
             raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
         snap = _load_snapshot(table, current)
+        if snap.get("deletes"):
+            raise ValueError(
+                "snapshot_table: merge with pending lazy deletes would "
+                "detach them; run compact_table first"
+            )
         table_schema = StructType.fromJson(snap["schema"])
         missing = [c for c in key_cols if c not in table_schema.fieldNames()]
         if missing:
@@ -512,7 +557,7 @@ def merge_upsert(
 
 def delete_where(
     spark: SparkSession, table: str, condition: str,
-    prune: tuple | None = None,
+    prune: tuple | None = None, lazy: bool = False,
 ) -> int:
     """Row-level DELETE as one atomic snapshot (Delta ``DELETE FROM`` /
     Iceberg copy-on-write delete shaped): rows where ``condition`` is
@@ -539,15 +584,36 @@ def delete_where(
     concurrent append must re-scan the appended shards too — the
     conservative Delta conflict rule). The loser's published shards
     become unreferenced orphans (reclaimed by :func:`expire_snapshots`).
+
+    ``lazy=True`` is the MERGE-ON-READ delete (Iceberg equality-delete /
+    Hudi MOR shaped): commit only a metadata tombstone — the condition
+    plus the list of shards live right now — and let
+    :func:`read_snapshot` apply the NOT-filter at scan time. O(metadata)
+    regardless of table size: the update-heavy workload's answer, where
+    copy-on-write would rewrite hot files over and over. Rows appended
+    AFTER the delete are never affected (they are not in the recorded
+    shard list — Iceberg's sequence-number rule, encoded explicitly).
+    ``compact_table`` materialises pending lazy deletes (its rewrite
+    reads through :func:`read_snapshot`) and clears them. Copy-on-write
+    ``delete_where`` / ``merge_upsert`` on a table with pending lazy
+    deletes raise loudly (their rewrites would silently detach covered
+    shards from the tombstones): compact first.
     """
     from pyspark.sql import functions as F
 
+    if lazy:
+        return _lazy_delete(table, condition)
     keep = ~F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
     while True:
         current = latest_version(table)
         if current is None:
             raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
         snap = _load_snapshot(table, current)
+        if snap.get("deletes"):
+            raise ValueError(
+                "snapshot_table: copy-on-write delete with pending lazy "
+                "deletes would detach them; run compact_table first"
+            )
         schema = StructType.fromJson(snap["schema"])
         touched, carried = [], []
         if prune is not None:
@@ -618,6 +684,54 @@ def delete_where(
             shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
+def _lazy_delete(table: str, condition: str) -> int:
+    """The metadata-only commit behind ``delete_where(lazy=True)``."""
+    job = uuid.uuid4().hex
+    tmp_dir = os.path.join(table, "_tmp", job)
+    try:
+        while True:
+            current = latest_version(table)
+            if current is None:
+                raise FileNotFoundError(
+                    f"snapshot_table: {table} has no snapshots"
+                )
+            snap = _load_snapshot(table, current)
+            tombstone = {
+                "condition": condition,
+                "shards": sorted(s["file"] for s in snap["shards"]),
+            }
+            version = current + 1
+            snapshot = {
+                "version": version,
+                "parent": current,
+                "operation": "delete",
+                "properties": {
+                    "delete_condition": condition,
+                    "lazy": True,
+                    "shards_rewritten": 0,
+                    "shards_skipped": len(snap["shards"]),
+                },
+                "schema": snap["schema"],
+                "n_shards": len(snap["shards"]),
+                # physical rows: lazy deletes subtract at read time
+                "n_rows": snap["n_rows"],
+                "shards": snap["shards"],
+                "deletes": snap.get("deletes", []) + [tombstone],
+            }
+            tmp_snap = os.path.join(tmp_dir, "snapshot.json")
+            os.makedirs(tmp_dir, exist_ok=True)
+            with open(tmp_snap, "w") as f:
+                json.dump(snapshot, f, indent=1, sort_keys=True)
+            try:
+                os.link(tmp_snap, _snap_path(table, version))
+                return version
+            except FileExistsError:
+                os.remove(tmp_snap)
+                continue
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
 def rollback(table: str, version: int) -> int:
     """Restore the table to the state of an older ``version`` by
     committing a NEW snapshot with that version's shard list and schema
@@ -643,6 +757,8 @@ def rollback(table: str, version: int) -> int:
                 "n_rows": target["n_rows"],
                 "shards": target["shards"],
             }
+            if target.get("deletes"):
+                snapshot["deletes"] = target["deletes"]
             tmp_snap = os.path.join(tmp_dir, "snapshot.json")
             os.makedirs(tmp_dir, exist_ok=True)
             with open(tmp_snap, "w") as f:

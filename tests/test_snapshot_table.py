@@ -795,3 +795,60 @@ def test_zorder_compaction_prunes_both_dimensions(spark, docs, tmp_path):
     assert k_ch_z < k_ch, f"zorder {k_ch_z}/{n} vs cluster {k_ch}/{n}"
     props = st._load_snapshot(zt, latest_version(zt))["properties"]
     assert props["zorder_by"] == ["doc_id", "n_chars"]
+
+
+def test_lazy_delete_merge_on_read(spark, docs, tmp_path):
+    """delete_where(lazy=True) is a metadata-only tombstone applied at
+    read time, scoped to the shards live at delete time: later appends
+    survive even when they match the condition; compaction materialises
+    and clears the tombstones; copy-on-write ops on a table with pending
+    tombstones refuse to run."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table,
+        merge_upsert,
+    )
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    write_snapshot(en, table, mode="append")  # v1
+    data_before = sorted(os.listdir(os.path.join(table, "data")))
+    v2 = st.delete_where(spark, table, "n_chars > 400", lazy=True)
+    assert v2 == 2
+    # metadata only: not a single data file touched
+    assert sorted(os.listdir(os.path.join(table, "data"))) == data_before
+    en_kept = en.where(~F.coalesce(F.col("n_chars") > 400, F.lit(False)))
+    assert _canon(read_snapshot(spark, table)) == _canon(en_kept)
+    # time travel to before the tombstone still reads everything
+    assert _canon(read_snapshot(spark, table, 1)) == _canon(en)
+    # append AFTER the delete: matching rows must SURVIVE (the tombstone
+    # covers only the shards that were live when it committed)
+    write_snapshot(de, table, mode="append")  # v3
+    assert de.where(F.col("n_chars") > 400).count() > 0
+    assert _canon(read_snapshot(spark, table)) == _canon(
+        en_kept.unionByName(de)
+    )
+    # stacking: a second tombstone covers BOTH generations of shards
+    st.delete_where(spark, table, "n_chars < 100", lazy=True)  # v4
+    expect = en_kept.where(~(F.col("n_chars") < 100)).unionByName(
+        de.where(~(F.col("n_chars") < 100))
+    )
+    assert _canon(read_snapshot(spark, table)) == _canon(expect)
+    # copy-on-write ops refuse while tombstones are pending
+    with pytest.raises(ValueError, match="lazy"):
+        st.delete_where(spark, table, "n_chars > 0")
+    with pytest.raises(ValueError, match="lazy"):
+        merge_upsert(de.limit(1), table, key_cols=["doc_id"])
+    # rollback preserves the tombstones it rolls back to
+    st.rollback(table, 2)  # v5: en shards + first tombstone
+    assert _canon(read_snapshot(spark, table)) == _canon(en_kept)
+    st.rollback(table, 4)  # v6: back to the stacked state
+    # compaction materialises: same rows, tombstones cleared, CoW works
+    v7 = compact_table(spark, table, target_shards=2)
+    snap = st._load_snapshot(table, v7)
+    assert "deletes" not in snap
+    assert _canon(read_snapshot(spark, table)) == _canon(expect)
+    st.delete_where(spark, table, "n_chars > 500")  # CoW allowed again
+    assert _canon(read_snapshot(spark, table)) == _canon(
+        expect.where(~(F.col("n_chars") > 500))
+    )
