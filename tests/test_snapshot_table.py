@@ -420,7 +420,10 @@ def test_clustered_compaction_makes_pruning_selective(spark, docs, tmp_path):
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as hst  # noqa: E402
 
-_op = hst.sampled_from(["append", "overwrite", "merge", "compact", "expire"])
+_op = hst.sampled_from(
+    ["append", "overwrite", "merge", "compact", "expire",
+     "delete_cow", "delete_lazy", "rollback"]
+)
 _batch = hst.lists(
     hst.tuples(hst.integers(0, 19), hst.integers(0, 99)), min_size=1, max_size=6,
     unique_by=lambda kv: kv[0],
@@ -435,11 +438,14 @@ _batch = hst.lists(
 )
 def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
     """Any interleaving of append / overwrite / merge / compact / expire
-    must leave the table equal to a trivially-correct row-list model —
-    the format's semantics hold under composition, not just in the
-    per-op tests. (Appends may repeat a key — a table is a multiset —
-    while merge replaces by key; batches are unique-keyed WITHIN
-    themselves, matching merge_upsert's ambiguity rule.)"""
+    / copy-on-write delete / lazy delete / rollback must leave the table
+    equal to a trivially-correct row-list model — the format's semantics
+    hold under composition, not just in the per-op tests. (Appends may
+    repeat a key — a table is a multiset — while merge replaces by key;
+    batches are unique-keyed WITHIN themselves, matching merge_upsert's
+    ambiguity rule. CoW delete/merge over pending tombstones must raise
+    and change NOTHING; lazy deletes filter only rows present at delete
+    time; rollback restores an old version's rows AND tombstones.)"""
     from pyspark.sql import types as T
 
     from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
@@ -452,27 +458,73 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
         [T.StructField("k", T.IntegerType()), T.StructField("v", T.IntegerType())]
     )
     model: list[tuple[int, int]] = []
+    pending = 0  # tombstones in the live snapshot
+    version = 0
+    hist: dict[int, tuple[list, int]] = {}  # version -> (rows, pending)
     committed = False
+
+    def snap():
+        hist[version] = (list(model), pending)
+
     for op, batch in ops:
         df = spark.createDataFrame(batch, schema).coalesce(1)
+        thr = batch[0][1]
         if op == "append":
             write_snapshot(df, table, mode="append")
             model += batch
+            version += 1
             committed = True
+            snap()
         elif op == "overwrite":
             write_snapshot(df, table, mode="overwrite")
             model = list(batch)
+            pending = 0
+            version += 1
             committed = True
+            snap()
         elif not committed:
-            continue  # merge/compact/expire need an existing table
+            continue  # other ops need an existing table
         elif op == "merge":
+            if pending:
+                with pytest.raises(ValueError, match="lazy"):
+                    merge_upsert(df, table, key_cols=["k"])
+                continue  # refused: nothing changed, no version
             merge_upsert(df, table, key_cols=["k"])
             keys = {k for k, _ in batch}
             model = [r for r in model if r[0] not in keys] + list(batch)
+            version += 1
+            snap()
+        elif op == "delete_cow":
+            if pending:
+                with pytest.raises(ValueError, match="lazy"):
+                    st.delete_where(spark, table, f"v > {thr}")
+                continue
+            st.delete_where(spark, table, f"v > {thr}")
+            model = [r for r in model if not (r[1] > thr)]
+            version += 1
+            snap()
+        elif op == "delete_lazy":
+            st.delete_where(spark, table, f"v > {thr}", lazy=True)
+            # covers only rows present NOW; later appends are unaffected
+            model = [r for r in model if not (r[1] > thr)]
+            pending += 1
+            version += 1
+            snap()
+        elif op == "rollback":
+            target = min(hist)  # oldest still-known version
+            st.rollback(table, target)
+            model, pending = list(hist[target][0]), hist[target][1]
+            version += 1
+            snap()
         elif op == "compact":
             compact_table(spark, table, target_shards=2)
+            pending = 0
+            version += 1
+            snap()
         elif op == "expire":
             expire_snapshots(table, keep_last=1)
+            for vv in [vv for vv in hist if vv < version]:
+                del hist[vv]
     if not committed:
         return
     got = sorted((r.k, r.v) for r in read_snapshot(spark, table).collect())
