@@ -369,6 +369,29 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
     }
 
 
+def vacuum(table: str) -> dict:
+    """Orphan-file GC (Delta ``VACUUM`` / Iceberg
+    ``remove_orphan_files`` shaped): delete data files referenced by NO
+    committed snapshot — the residue of crashed jobs and lost commit
+    races, which the protocol guarantees are never referenced — WITHOUT
+    touching any snapshot (history and time travel keep working,
+    unlike :func:`expire_snapshots`). Safe concurrently with readers:
+    an unreferenced file is unreachable from every snapshot by
+    construction. Concurrent WRITERS are the one hazard (a file
+    published in step 2 but not yet claimed in step 3 looks orphaned) —
+    production engines use an age threshold for exactly this reason;
+    here the caller must not vacuum while a write is in flight."""
+    live: set[str] = set()
+    for snap in snapshot_history(table):
+        live.update(s["file"] for s in snap["shards"])
+    removed = 0
+    for p in glob.glob(os.path.join(table, _DATA_DIR, "part-*.parquet")):
+        if os.path.basename(p) not in live:
+            os.remove(p)
+            removed += 1
+    return {"orphans_removed": removed}
+
+
 def streaming_snapshot_sink(table: str):
     """Exactly-once streaming writes into a snapshot table: a
     ``foreachBatch`` function committing each micro-batch as one atomic

@@ -904,3 +904,28 @@ def test_lazy_delete_merge_on_read(spark, docs, tmp_path):
     assert _canon(read_snapshot(spark, table)) == _canon(
         expect.where(~(F.col("n_chars") > 500))
     )
+
+
+def test_vacuum_removes_only_orphans(spark, docs, tmp_path):
+    """vacuum deletes crash/lost-race residue (files no snapshot names)
+    and nothing else — history and time travel survive intact."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        vacuum,
+    )
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    fr = docs.where(F.col("lang") == "fr")
+    write_snapshot(en, table, mode="append")
+    write_snapshot(fr, table, mode="overwrite")
+    # plant a fake lost-race orphan: published but never claimed
+    orphan = os.path.join(table, "data", "part-deadbeef.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not a real shard")
+    stats = vacuum(table)
+    assert stats["orphans_removed"] == 1
+    assert not os.path.exists(orphan)
+    # every snapshot still reads exactly (v1's shards were NOT orphans)
+    assert _canon(read_snapshot(spark, table, 1)) == _canon(en)
+    assert _canon(read_snapshot(spark, table)) == _canon(fr)
+    assert vacuum(table) == {"orphans_removed": 0}
