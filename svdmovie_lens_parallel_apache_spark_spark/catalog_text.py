@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .catalog import _R, _t, register
+from .functions.hashing import oracle_hash_sql
 from .functions.scalar import portable_round as _r
 from .operators.dedup import (
     exact_dedup_groups,
@@ -1229,3 +1230,54 @@ def q_dedup_keep_best(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.sum(F.when(F.col("rn") > 1, F.col("wc")).otherwise(0)).cast("long").alias("dropped_wc"),
     )
+
+
+@register(
+    "substring_dedup_windows",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS.format(src='lower(text)')} AS toks FROM documents),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 20
+                  THEN list_transform(
+                         generate_series(0, len(toks) - 20, 20),
+                         s -> {oracle_hash_sql("array_to_string(toks[s+1:s+20], ' ')")})
+                  ELSE [] END AS hs
+      FROM t),
+    e AS (SELECT doc_id, unnest(hs) AS h FROM w),
+    c AS (SELECT h, count(*) AS df FROM e GROUP BY h),
+    p AS (
+      SELECT e.doc_id,
+             CAST(count(*) AS BIGINT)                              AS n_windows,
+             CAST(sum(CASE WHEN c.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                   AS n_dup_windows
+      FROM e JOIN c USING (h) GROUP BY e.doc_id),
+    m AS (
+      SELECT t.doc_id,
+             COALESCE(p.n_windows, 0)     AS n_windows,
+             COALESCE(p.n_dup_windows, 0) AS n_dup_windows
+      FROM t LEFT JOIN p USING (doc_id))
+    SELECT doc_id, n_windows, n_dup_windows,
+           {_R('CASE WHEN n_windows = 0 THEN 0.0 ELSE n_dup_windows * 1.0 / n_windows END', 6)}
+             AS dup_win_frac,
+           {_R('CASE WHEN n_windows = 0 THEN 0.0 ELSE n_dup_windows * 1.0 / n_windows END', 6)} >= 0.5
+             AS flagged
+    FROM m
+    """,
+    tags=("dedup", "substring", "pipeline"),
+    description="Cross-document exact-substring duplication at 20-token "
+    "window grain (the distributed approximation of Lee et al.'s suffix-"
+    "array ExactSubstr dedup): disjoint windows hashed corpus-wide, a "
+    "window duplicated iff its hash occurs more than once ANYWHERE "
+    "(another doc or a repeat in the same doc), per-doc dup fraction with "
+    "a >=0.5 flag. Complements the whole-doc (dedup_exact), near-dup "
+    "(minhash/simhash/jaccard), and intra-doc (dup_ngram_fraction) "
+    "families with the span-level axis. Shuffle carries 8-byte hashes "
+    "only; no pair enumeration (see operators/dedup.py::"
+    "substring_dup_stats).",
+)
+def q_substring_dedup_windows(spark, sf_dir):
+    from .operators.dedup import substring_dup_stats
+
+    return substring_dup_stats(_t(spark, sf_dir, "documents"), window=20)

@@ -518,3 +518,77 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) -> Data
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def substring_dup_stats(docs: DataFrame, window: int = 20) -> DataFrame:
+    """Cross-document exact-substring duplication at fixed token-window
+    grain — the distributed approximation of suffix-array ExactSubstr
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): a span repeated ANYWHERE in the corpus marks every
+    document containing it.
+
+    Each document's lowercased token stream is cut into DISJOINT
+    ``window``-token windows (stride = window, so token counts attribute
+    cleanly); a window is duplicated iff its hash occurs more than once
+    corpus-wide (other docs or a repeat within the same doc). Returns
+    per-doc ``(doc_id, n_windows, n_dup_windows, dup_win_frac,
+    flagged)``.
+
+    Scale shape: one explode to (doc, window-hash) — the window TEXT
+    dies inside the hash expression, so the shuffle carries 8-byte
+    hashes, not spans — one count aggregation keyed by uniform hash
+    (map-side partials), one hash equi-join back, one per-doc agg.
+    No pair enumeration anywhere: cost is O(total windows), corpus-size
+    independent per row — the same inverted-index discipline as the
+    Jaccard family. Disjoint windows trade boundary-straddling repeats
+    (a true dup span can hide across a window edge) for a window-count
+    that sums to n_tokens/window; the stride-1 form catches those at
+    window× the explode cost — the suffix array is what removes that
+    trade entirely, and it does not shard; this is the form a Spark
+    pipeline actually runs.
+    """
+    w = max(1, window)
+    t = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    starts = F.when(
+        F.size("toks") >= w,
+        F.sequence(F.lit(0), F.size("toks") - w, F.lit(w)),
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(
+        starts,
+        lambda s: portable_hash64(
+            F.array_join(F.slice(F.col("toks"), s + 1, w), " ")
+        ),
+    )
+    e = t.select("doc_id", F.explode_outer(hashes).alias("h"))
+    counts = (
+        e.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    per_doc = (
+        e.join(counts, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("h").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_windows"),
+            F.sum(
+                F.when(F.col("df") > 1, 1).otherwise(0)
+            ).cast("long").alias("n_dup_windows"),
+        )
+    )
+    frac = _r(
+        F.when(F.col("n_windows") == 0, F.lit(0.0)).otherwise(
+            F.col("n_dup_windows").cast("double")
+            / F.col("n_windows").cast("double")
+        ),
+        6,
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        frac.alias("dup_win_frac"),
+    ).withColumn("flagged", F.col("dup_win_frac") >= 0.5)
