@@ -366,3 +366,43 @@ def test_pagerank_is_a_distribution_and_ranks_heavy_types_first(spark, sf_dir):
     user_ranks = [r.rank for r in rows if r.node.startswith("u:")]
     assert type_ranks and user_ranks
     assert min(type_ranks) > max(user_ranks)
+
+
+def test_substring_dedup_planted_span(spark):
+    """A 20-token span planted verbatim in two otherwise-different docs
+    must flag exactly that window in BOTH docs; unique docs stay clean;
+    a doc repeating its own span counts the within-doc repeat; short
+    docs (< window tokens) report zero windows un-flagged."""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.dedup import (
+        substring_dup_stats,
+    )
+
+    span = " ".join(f"tok{i}" for i in range(20))
+    uniq_a = " ".join(f"aaa{i}" for i in range(40))
+    uniq_b = " ".join(f"bbb{i}" for i in range(40))
+    uniq_c = " ".join(f"ccc{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} {uniq_a}"),          # planted span + 40 unique
+            (2, f"{uniq_b} {span}"),          # span at a window boundary
+            (3, uniq_c),                      # fully unique, 1 window
+            (4, f"{uniq_c} {uniq_c}"),        # repeats ITSELF
+            (5, "too short"),                 # < window tokens
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: r for r in substring_dup_stats(docs, window=20).collect()
+    }
+    assert (rows[1].n_windows, rows[1].n_dup_windows) == (3, 1)
+    assert (rows[2].n_windows, rows[2].n_dup_windows) == (3, 1)
+    # doc 3's window text equals doc 4's repeated window -> corpus-wide
+    # count is 3, so doc 3 IS flagged too (span-level semantics: the
+    # span exists elsewhere) and doc 4 counts both of its copies
+    assert (rows[3].n_windows, rows[3].n_dup_windows) == (1, 1)
+    assert (rows[4].n_windows, rows[4].n_dup_windows) == (2, 2)
+    assert rows[4].flagged and rows[3].flagged
+    assert (rows[5].n_windows, rows[5].n_dup_windows) == (0, 0)
+    assert not rows[5].flagged and rows[5].dup_win_frac == 0.0
+    # docs 1/2: dup fraction 1/3 -> below the 0.5 flag
+    assert not rows[1].flagged and not rows[2].flagged
