@@ -522,14 +522,9 @@ def _morton_sql(x_expr: str, y_expr: str) -> str:
     return " | ".join(terms)
 
 
-def morton_col(x, y, bits: int = _Z_BITS):
-    """Interleave the low ``bits`` of x and y into a Morton (Z-order) code —
-    pure bitwise Catalyst expressions, bigint in, bigint out."""
-    z = F.lit(0).cast("bigint")
-    for b in range(bits):
-        z = z.bitwiseOR(F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b + 1))
-        z = z.bitwiseOR(F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b))
-    return z
+# morton_col lives with the layout operators (operators/bucketing.py);
+# re-exported here next to its DuckDB twin _morton_sql
+from .operators.bucketing import morton_col  # noqa: E402
 
 
 @register(

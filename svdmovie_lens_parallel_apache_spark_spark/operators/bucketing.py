@@ -10,7 +10,25 @@ the Exchange (asserted in tests/test_bucketing.py via plan_summary).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def morton_col(x: Column, y: Column, bits: int = 10) -> Column:
+    """Interleave the low ``bits`` of x and y into a Morton (Z-order)
+    code — pure bitwise Catalyst expressions, bigint in, bigint out.
+    The multi-dimensional layout key behind ``writers.write_zordered``
+    and ``snapshot_table.compact_table(zorder_by=...)``; DuckDB twin:
+    ``catalog_pipeline._morton_sql``."""
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b)
+        )
+    return z
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],

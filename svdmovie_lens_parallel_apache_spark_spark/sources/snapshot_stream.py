@@ -81,11 +81,9 @@ def _build():
                 raise FileNotFoundError(
                     f"snapshot_changes: {self.table} has no snapshots"
                 )
+            self.schema_json = _load_snapshot(self.table, v)["schema"]
             self.field_names = [
-                f.name
-                for f in StructType.fromJson(
-                    _load_snapshot(self.table, v)["schema"]
-                ).fields
+                f.name for f in StructType.fromJson(self.schema_json).fields
             ]
 
         def initialOffset(self):
@@ -109,20 +107,30 @@ def _build():
         def read(self, partition):
             if partition.path is None:
                 return
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
             t = pq.read_table(partition.path)
-            if list(t.schema.names) == self.field_names:
-                yield from t.to_batches()  # Arrow fast path
-            else:
-                # pre-evolution shard: conform by name, NULL-fill
+            if list(t.schema.names) != self.field_names:
+                # pre-evolution shard: conform by name IN ARROW —
+                # NULL-typed columns appended for missing fields, same
+                # zero-copy batch path as the unevolved case (no
+                # per-row Python materialisation)
+                from pyspark.sql.pandas.types import to_arrow_type
+
                 present = set(t.schema.names)
-                cols = {
-                    n: (t[n].to_pylist() if n in present else [None] * len(t))
-                    for n in self.field_names
-                }
-                for i in range(len(t)):
-                    yield tuple(cols[n][i] for n in self.field_names)
+                fields = StructType.fromJson(self.schema_json).fields
+                t = pa.table(
+                    {
+                        f.name: (
+                            t[f.name]
+                            if f.name in present
+                            else pa.nulls(len(t), type=to_arrow_type(f.dataType))
+                        )
+                        for f in fields
+                    }
+                )
+            yield from t.to_batches()
 
         def commit(self, end):
             pass  # the snapshot log + Spark's offset log are the state

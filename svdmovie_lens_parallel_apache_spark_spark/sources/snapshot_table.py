@@ -119,6 +119,50 @@ def _merge_schema(old: StructType, new: StructType) -> StructType:
     return StructType(merged)
 
 
+def _claim_snapshot(table: str, tmp_dir: str, snapshot: dict) -> bool:
+    """Step 3 of the commit protocol, shared by every committer: write
+    the snapshot to a private temp file and claim its version number
+    with a hard-link create (put-if-absent). True = committed; False =
+    a concurrent writer won this version — re-derive from the new base
+    and try the next number. (Object-store variant: put-if-absent on
+    the snapshot key replaces the link; see module docstring.)"""
+    tmp_snap = os.path.join(tmp_dir, "snapshot.json")
+    os.makedirs(tmp_dir, exist_ok=True)
+    with open(tmp_snap, "w") as f:
+        json.dump(snapshot, f, indent=1, sort_keys=True)
+    try:
+        os.link(tmp_snap, _snap_path(table, snapshot["version"]))
+        return True
+    except FileExistsError:
+        os.remove(tmp_snap)
+        return False
+
+
+def _stats_overlap(shard: dict, col: str, lo, hi) -> bool:
+    """Can this shard contain a row with ``col`` in [lo, hi]? The one
+    triage rule every pruning path shares: missing or NULL-bounded
+    stats are conservatively True (correctness never depends on stats,
+    only skipping does)."""
+    b = shard.get("stats", {}).get(col)
+    if b is None or b[0] is None or b[1] is None:
+        return True
+    return b[0] <= hi and lo <= b[1]
+
+
+def _remove_unreferenced(table: str) -> int:
+    """Delete data files no surviving snapshot references (the orphan
+    sweep shared by :func:`vacuum` and :func:`expire_snapshots`)."""
+    live: set[str] = set()
+    for snap in snapshot_history(table):
+        live.update(s["file"] for s in snap["shards"])
+    removed = 0
+    for p in glob.glob(os.path.join(table, _DATA_DIR, "part-*.parquet")):
+        if os.path.basename(p) not in live:
+            os.remove(p)
+            removed += 1
+    return removed
+
+
 def _stage_publish(
     df: DataFrame, table: str, tmp_dir: str,
     stats_cols: list[str] | None,
@@ -129,6 +173,16 @@ def _stage_publish(
     compute per-shard row counts + optional min/max stats in ONE
     metadata-weight job via ``input_file_name`` — not a per-file driver
     loop. Returns ``(names, counts, stats)``."""
+    # schema-only validation FIRST: failing after the distributed write
+    # would waste the whole job and strand orphans in data/
+    for c in stats_cols or []:
+        t = df.schema[c].dataType.simpleString()
+        if t not in ("int", "bigint", "smallint", "tinyint",
+                     "float", "double", "string"):
+            raise ValueError(
+                f"snapshot_table: stats_cols supports numeric/string "
+                f"columns only; {c!r} is {t}"
+            )
     os.makedirs(os.path.join(table, _SNAP_DIR), exist_ok=True)
     os.makedirs(os.path.join(table, _DATA_DIR), exist_ok=True)
     # 1. stage: a normal distributed parquet write into private tmp
@@ -145,14 +199,6 @@ def _stage_publish(
     spark = df.sparkSession
     counts = {n: 0 for n in mine}
     stats: dict[str, dict] = {n: {} for n in mine}
-    for c in stats_cols or []:
-        t = df.schema[c].dataType.simpleString()
-        if t not in ("int", "bigint", "smallint", "tinyint",
-                     "float", "double", "string"):
-            raise ValueError(
-                f"snapshot_table: stats_cols supports numeric/string "
-                f"columns only; {c!r} is {t}"
-            )
     if mine:
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in stats_cols or []:
@@ -251,19 +297,9 @@ def write_snapshot(
             }
             if deletes:
                 snapshot["deletes"] = deletes
-            tmp_snap = os.path.join(tmp_dir, "snapshot.json")
-            os.makedirs(tmp_dir, exist_ok=True)
-            with open(tmp_snap, "w") as f:
-                json.dump(snapshot, f, indent=1, sort_keys=True)
-            try:
-                # hard-link create = put-if-absent: EEXIST means a
-                # concurrent writer won this version number — rebase
-                # on their snapshot and claim the next one
-                os.link(tmp_snap, _snap_path(table, version))
+            if _claim_snapshot(table, tmp_dir, snapshot):
                 return version
-            except FileExistsError:
-                os.remove(tmp_snap)
-                continue
+            # lost the race: rebase on the winner's snapshot, retry
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
@@ -297,13 +333,7 @@ def read_snapshot(
     shards = snap["shards"]
     if prune is not None:
         col, lo, hi = prune
-        shards = [
-            s
-            for s in shards
-            if (b := s.get("stats", {}).get(col)) is None
-            or (b[0] is None or b[1] is None)
-            or (b[0] <= hi and lo <= b[1])
-        ]
+        shards = [s for s in shards if _stats_overlap(s, col, lo, hi)]
     if not shards:
         return spark.createDataFrame([], schema)
     deletes = snap.get("deletes", [])
@@ -355,17 +385,9 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
             removed_snaps += 1
         except FileNotFoundError:
             pass
-    live = set()
-    for snap in snapshot_history(table):
-        live.update(s["file"] for s in snap["shards"])
-    removed_shards = 0
-    for p in glob.glob(os.path.join(table, _DATA_DIR, "part-*.parquet")):
-        if os.path.basename(p) not in live:
-            os.remove(p)
-            removed_shards += 1
     return {
         "snapshots_removed": removed_snaps,
-        "shards_removed": removed_shards,
+        "shards_removed": _remove_unreferenced(table),
     }
 
 
@@ -381,15 +403,7 @@ def vacuum(table: str) -> dict:
     published in step 2 but not yet claimed in step 3 looks orphaned) —
     production engines use an age threshold for exactly this reason;
     here the caller must not vacuum while a write is in flight."""
-    live: set[str] = set()
-    for snap in snapshot_history(table):
-        live.update(s["file"] for s in snap["shards"])
-    removed = 0
-    for p in glob.glob(os.path.join(table, _DATA_DIR, "part-*.parquet")):
-        if os.path.basename(p) not in live:
-            os.remove(p)
-            removed += 1
-    return {"orphans_removed": removed}
+    return {"orphans_removed": _remove_unreferenced(table)}
 
 
 def streaming_snapshot_sink(table: str):
@@ -509,13 +523,8 @@ def merge_upsert(
         if bounds is not None:
             lo, hi = bounds
             for s in snap["shards"]:
-                b = s.get("stats", {}).get(prune_col)
-                if b is None or b[0] is None or b[1] is None:
-                    touched.append(s)
-                elif b[0] <= hi and lo <= b[1]:
-                    touched.append(s)
-                else:
-                    carried.append(s)
+                (touched if _stats_overlap(s, prune_col, lo, hi)
+                 else carried).append(s)
         else:
             touched = list(snap["shards"])
         schema = _merge_schema(table_schema, updates.schema)
@@ -565,15 +574,9 @@ def merge_upsert(
                 "n_rows": sum(s["n_rows"] for s in shards),
                 "shards": sorted(shards, key=lambda s: s["file"]),
             }
-            tmp_snap = os.path.join(tmp_dir, "snapshot.json")
-            os.makedirs(tmp_dir, exist_ok=True)
-            with open(tmp_snap, "w") as f:
-                json.dump(snapshot, f, indent=1, sort_keys=True)
-            try:
-                os.link(tmp_snap, _snap_path(table, version))
+            if _claim_snapshot(table, tmp_dir, snapshot):
                 return version
-            except FileExistsError:
-                continue  # concurrent commit won: retry on the new base
+            continue  # concurrent commit won: retry on the new base
         finally:
             shutil.rmtree(tmp_dir, ignore_errors=True)
 
@@ -625,6 +628,18 @@ def delete_where(
     from pyspark.sql import functions as F
 
     if lazy:
+        current = latest_version(table)
+        if current is None:
+            raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
+        schema = StructType.fromJson(_load_snapshot(table, current)["schema"])
+        # analyse the condition against the table schema BEFORE the
+        # tombstone commits: the CoW path validates implicitly by
+        # evaluating the filter, but a committed unparseable/misspelled
+        # lazy condition would fail every subsequent read AND the
+        # compact_table remedy (it reads through read_snapshot)
+        _ = spark.createDataFrame([], schema).where(
+            F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+        ).schema
         return _lazy_delete(table, condition)
     keep = ~F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
     while True:
@@ -642,13 +657,8 @@ def delete_where(
         if prune is not None:
             col, lo, hi = prune
             for s in snap["shards"]:
-                b = s.get("stats", {}).get(col)
-                if b is None or b[0] is None or b[1] is None:
-                    touched.append(s)
-                elif b[0] <= hi and lo <= b[1]:
-                    touched.append(s)
-                else:
-                    carried.append(s)
+                (touched if _stats_overlap(s, col, lo, hi)
+                 else carried).append(s)
         else:
             touched = list(snap["shards"])
         # stats columns to recompute for rewritten shards: whatever the
@@ -694,15 +704,9 @@ def delete_where(
                 "n_rows": sum(s["n_rows"] for s in shards),
                 "shards": sorted(shards, key=lambda s: s["file"]),
             }
-            tmp_snap = os.path.join(tmp_dir, "snapshot.json")
-            os.makedirs(tmp_dir, exist_ok=True)
-            with open(tmp_snap, "w") as f:
-                json.dump(snapshot, f, indent=1, sort_keys=True)
-            try:
-                os.link(tmp_snap, _snap_path(table, version))
+            if _claim_snapshot(table, tmp_dir, snapshot):
                 return version
-            except FileExistsError:
-                continue  # concurrent commit won: retry on the new base
+            continue  # concurrent commit won: retry on the new base
         finally:
             shutil.rmtree(tmp_dir, ignore_errors=True)
 
@@ -741,16 +745,8 @@ def _lazy_delete(table: str, condition: str) -> int:
                 "shards": snap["shards"],
                 "deletes": snap.get("deletes", []) + [tombstone],
             }
-            tmp_snap = os.path.join(tmp_dir, "snapshot.json")
-            os.makedirs(tmp_dir, exist_ok=True)
-            with open(tmp_snap, "w") as f:
-                json.dump(snapshot, f, indent=1, sort_keys=True)
-            try:
-                os.link(tmp_snap, _snap_path(table, version))
+            if _claim_snapshot(table, tmp_dir, snapshot):
                 return version
-            except FileExistsError:
-                os.remove(tmp_snap)
-                continue
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
@@ -782,16 +778,8 @@ def rollback(table: str, version: int) -> int:
             }
             if target.get("deletes"):
                 snapshot["deletes"] = target["deletes"]
-            tmp_snap = os.path.join(tmp_dir, "snapshot.json")
-            os.makedirs(tmp_dir, exist_ok=True)
-            with open(tmp_snap, "w") as f:
-                json.dump(snapshot, f, indent=1, sort_keys=True)
-            try:
-                os.link(tmp_snap, _snap_path(table, new_version))
+            if _claim_snapshot(table, tmp_dir, snapshot):
                 return new_version
-            except FileExistsError:
-                os.remove(tmp_snap)
-                continue
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
@@ -921,7 +909,7 @@ def compact_table(
         )
         stats_cols = list(dict.fromkeys((stats_cols or []) + list(cluster_by)))
     elif zorder_by:
-        from ..catalog_pipeline import morton_col
+        from ..operators.bucketing import morton_col
 
         x_col, y_col = zorder_by
         mask = (1 << zbits) - 1

@@ -97,7 +97,7 @@ def write_zordered(df: DataFrame, path: str, x_col: str, y_col: str,
     """
     from pyspark.sql import functions as F
 
-    from ..catalog_pipeline import morton_col
+    from ..operators.bucketing import morton_col
 
     mask = (1 << bits) - 1
     z = morton_col(

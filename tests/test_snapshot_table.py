@@ -929,3 +929,20 @@ def test_vacuum_removes_only_orphans(spark, docs, tmp_path):
     assert _canon(read_snapshot(spark, table, 1)) == _canon(en)
     assert _canon(read_snapshot(spark, table)) == _canon(fr)
     assert vacuum(table) == {"orphans_removed": 0}
+
+
+def test_lazy_delete_rejects_bad_condition_before_commit(spark, docs, tmp_path):
+    """An unparseable or misspelled-column lazy condition must fail
+    BEFORE the tombstone commits — a committed bad tombstone would brick
+    every read and the compact_table remedy with it."""
+    from pyspark.errors import AnalysisException
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs.where(F.col("lang") == "en"), table, mode="append")
+    with pytest.raises(AnalysisException):
+        st.delete_where(spark, table, "n_charss > 400", lazy=True)  # typo
+    with pytest.raises(Exception):
+        st.delete_where(spark, table, "n_chars >>> ???", lazy=True)
+    # no tombstone committed; the table still reads
+    assert latest_version(table) == 1
+    assert read_snapshot(spark, table).count() > 0
