@@ -3061,3 +3061,58 @@ def q_snapshot_lazy_delete(spark, sf_dir):
     mor = stats(3, 3)  # merge-on-read: tombstone applied at scan time
     compact_table(spark, table, target_shards=2)  # materialises -> v4
     return mor.unionByName(stats(4, 4))
+
+
+@register(
+    "udtf_sentence_explode",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, '. '), x -> x <> '') AS parts
+      FROM documents),
+    w AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(parts)),
+                    i -> struct_pack(i := i - 1, sent := parts[i]))) AS u
+      FROM t)
+    SELECT lang,
+           COUNT(*) AS n_sentences,
+           CAST(SUM(length(u.sent)) AS BIGINT) AS sum_chars,
+           CAST(SUM({oracle_hash_sql(
+               "concat(CAST(doc_id AS VARCHAR), '|', CAST(u.i AS VARCHAR), '|', u.sent)"
+           )}) AS BIGINT) AS sent_fp
+    FROM w GROUP BY lang
+    """,
+    tags=("functions", "udtf", "extension-point"),
+    description="Python UDTF — the third Spark-4 Python extension point, "
+    "completing the surface next to the custom DataSource and two-phase "
+    "DataSink: a SQL-callable table function (LATERAL sentence_explode) "
+    "splitting each document into indexed sentences with a deliberately "
+    "trivial portable rule (literal '. ' split, empties dropped, index "
+    "after filtering). The oracle replays the split in DuckDB and "
+    "fingerprints every (doc, idx, sentence) triple, so ordering, "
+    "filtering, or boundary drift in the UDTF row stream fails the hash "
+    "gate. UDTFs are per-row Python — the SLOW path, kept out of "
+    "relational hot paths by the JVM-only plan gate, exactly like the "
+    "codec boundary (functions/udtfs.py).",
+)
+def q_udtf_sentence_explode(spark, sf_dir):
+    import uuid as _uuid
+
+    from .functions.hashing import HASH_SPACE  # noqa: F401 (parity family)
+    from .functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    view = f"docs_udtf_{_uuid.uuid4().hex[:8]}"
+    _t(spark, sf_dir, "documents").select("doc_id", "lang", "text").createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT d.lang,
+               COUNT(*) AS n_sentences,
+               CAST(SUM(length(s.sentence)) AS BIGINT) AS sum_chars,
+               CAST(SUM(CAST(conv(substr(md5(concat(
+                   CAST(s.doc_id AS STRING), '|',
+                   CAST(s.sent_idx AS STRING), '|', s.sentence)), 1, 8),
+                   16, 10) AS BIGINT)) AS BIGINT) AS sent_fp
+        FROM {view} d, LATERAL sentence_explode(d.doc_id, d.text) s
+        GROUP BY d.lang
+    """)

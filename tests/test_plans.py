@@ -62,6 +62,7 @@ def test_relational_suite_is_jvm_only(spark, sf_dir):
                 "ann_pq",
                 "ann_ivf",
                 "ann_lsh_knn",  # Arrow matmul bucket keys; ann_lsh_buckets stays JVM
+                "udtf_",  # Python UDTF extension-point demo — per-row by nature
             )
         ):
             continue
