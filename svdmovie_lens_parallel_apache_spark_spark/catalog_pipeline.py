@@ -2487,6 +2487,66 @@ def q_snapshot_time_travel(spark, sf_dir):
 
 
 @register(
+    "snapshot_time_travel_ts",
+    f"""
+    SELECT 1 AS version, lang,
+           count(*)                       AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)   AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp
+    FROM documents WHERE lang = 'en' GROUP BY lang
+    UNION ALL
+    SELECT 2 AS version, lang,
+           count(*)                       AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)   AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp
+    FROM documents WHERE lang IN ('en', 'de') GROUP BY lang
+    """,
+    tags=("sources", "table-format", "time-travel"),
+    description="AS OF <timestamp> time travel (Delta timestampAsOf / "
+    "Iceberg as-of-timestamp semantics): commit en as v1 and de as v2, "
+    "then read back by each version's own commit stamp — as_of=t(v1) "
+    "must resolve to v1 (NOT v2, proving 'last commit at or before ts' "
+    "with strictly-monotonic stamps even when the two commits land in "
+    "the same clock tick), and as_of=t(v2) to v2. The version column "
+    "carries what version_as_of actually resolved, so a resolution "
+    "regression flips the labels and fails the hash gate; the stats "
+    "prove the resolved snapshot scans the right shard set. Version-"
+    "pinned companion: snapshot_time_travel; stamping discipline in "
+    "sources/snapshot_table.py::_claim_snapshot.",
+)
+def q_snapshot_time_travel_ts(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        read_snapshot,
+        snapshot_history,
+        version_as_of,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    table = tempfile.mkdtemp(prefix="svdml-snaptable-ts-")
+    write_snapshot(docs.where(F.col("lang") == "en"), table, mode="append")
+    write_snapshot(docs.where(F.col("lang") == "de"), table, mode="append")
+    stamps = {s["version"]: s["committed_at"] for s in snapshot_history(table)}
+
+    def stats(ts):
+        v = version_as_of(table, ts)
+        return (
+            read_snapshot(spark, table, as_of=ts)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
+            )
+            .select(F.lit(v).alias("version"), "lang", "n_docs", "sum_chars", "text_fp")
+        )
+
+    return stats(stamps[1]).unionByName(stats(stamps[2]))
+
+
+@register(
     "length_percentile_filter_scalable",
     """
     SELECT lang,

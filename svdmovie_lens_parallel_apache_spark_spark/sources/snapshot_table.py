@@ -60,6 +60,7 @@ import glob
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -101,6 +102,28 @@ def snapshot_history(table: str) -> list[dict]:
     return out
 
 
+def version_as_of(table: str, ts: float) -> int:
+    """Resolve ``AS OF timestamp`` to a version: the LAST snapshot
+    committed at or before ``ts`` (Delta ``timestampAsOf`` / Iceberg
+    ``as-of-timestamp`` semantics). Commit stamps are strictly
+    monotonic per table (see :func:`_claim_snapshot`), so the newest
+    qualifying version is unambiguous. Raises if ``ts`` predates the
+    table, or if every qualifying snapshot has been expired (history
+    retention bounds how far back AS OF can reach — same contract as
+    the public formats)."""
+    best = None
+    for snap in snapshot_history(table):
+        at = snap.get("committed_at")
+        if at is not None and at <= ts:
+            best = snap["version"]
+    if best is None:
+        raise FileNotFoundError(
+            f"snapshot_table: {table} has no snapshot committed at or "
+            f"before ts={ts!r} (predates the table, or expired)"
+        )
+    return best
+
+
 def _merge_schema(old: StructType, new: StructType) -> StructType:
     """Union-by-name evolution: new nullable columns widen the schema;
     same-name columns must keep their type (reject, don't coerce)."""
@@ -125,7 +148,25 @@ def _claim_snapshot(table: str, tmp_dir: str, snapshot: dict) -> bool:
     with a hard-link create (put-if-absent). True = committed; False =
     a concurrent writer won this version — re-derive from the new base
     and try the next number. (Object-store variant: put-if-absent on
-    the snapshot key replaces the link; see module docstring.)"""
+    the snapshot key replaces the link; see module docstring.)
+
+    Every commit is stamped here (single choke point) with a
+    ``committed_at`` epoch-seconds float made STRICTLY MONOTONIC within
+    the table: wall clocks step backwards (NTP) and tick coarsely, and
+    ``AS OF timestamp`` resolution (:func:`version_as_of`) is only
+    well-defined if version order and time order agree — so the stamp
+    is max(now, parent's stamp + 1µs), the same discipline the public
+    table formats apply to their commit timestamps."""
+    now = time.time()
+    parent = snapshot.get("parent")
+    if parent is not None:
+        try:
+            prev = _load_snapshot(table, parent).get("committed_at")
+            if prev is not None and now <= prev:
+                now = prev + 1e-6
+        except FileNotFoundError:  # parent expired — clock wins
+            pass
+    snapshot["committed_at"] = now
     tmp_snap = os.path.join(tmp_dir, "snapshot.json")
     os.makedirs(tmp_dir, exist_ok=True)
     with open(tmp_snap, "w") as f:
@@ -306,11 +347,14 @@ def write_snapshot(
 
 def read_snapshot(
     spark: SparkSession, table: str, version: int | None = None,
-    prune: tuple | None = None,
+    prune: tuple | None = None, as_of: float | None = None,
 ) -> DataFrame:
     """Scan one pinned snapshot (latest by default) — time travel via
-    ``version=``. The schema comes from the snapshot, so shards written
-    before a column existed read it as NULL (evolution contract).
+    ``version=`` or ``as_of=`` (epoch seconds; resolved to the last
+    commit at or before that instant by :func:`version_as_of` —
+    mutually exclusive with ``version``). The schema comes from the
+    snapshot, so shards written before a column existed read it as
+    NULL (evolution contract).
 
     ``prune=(col, lo, hi)`` skips every shard whose recorded
     [min, max] for ``col`` (see ``write_snapshot(stats_cols=...)``) does
@@ -325,6 +369,12 @@ def read_snapshot(
     committed, so later appends are never affected), each group scans
     with its combined NOT-filter, and the groups union. With no pending
     deletes this is exactly one explicit-file-list scan."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError(
+                "snapshot_table: version= and as_of= are mutually exclusive"
+            )
+        version = version_as_of(table, as_of)
     v = latest_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")

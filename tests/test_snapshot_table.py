@@ -51,6 +51,54 @@ def test_append_and_time_travel(spark, docs, tmp_path):
         assert snap["n_rows"] == sum(s["n_rows"] for s in snap["shards"])
 
 
+def test_as_of_timestamp_time_travel(spark, docs, tmp_path):
+    """AS OF <timestamp>: commit stamps are strictly monotonic even for
+    back-to-back commits in one clock tick, resolution picks the LAST
+    snapshot at-or-before ts, and as_of= reads equal their version-
+    pinned twins."""
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    fr = docs.where(F.col("lang") == "fr")
+    for part in (en, de, fr):
+        write_snapshot(part, table, mode="append")
+    stamps = [s["committed_at"] for s in snapshot_history(table)]
+    assert all(a < b for a, b in zip(stamps, stamps[1:])), stamps
+    # each version's own stamp resolves to that version, not a later one
+    for v, ts in enumerate(stamps, start=1):
+        assert st.version_as_of(table, ts) == v
+        assert _canon(read_snapshot(spark, table, as_of=ts)) == _canon(
+            read_snapshot(spark, table, v)
+        )
+    # between-commit instants round DOWN; far future resolves to latest
+    assert st.version_as_of(table, (stamps[0] + stamps[1]) / 2) == 1
+    assert st.version_as_of(table, stamps[-1] + 3600) == 3
+    # before the table existed: loud error, not version 0 or latest
+    with pytest.raises(FileNotFoundError):
+        st.version_as_of(table, stamps[0] - 1.0)
+    with pytest.raises(ValueError):
+        read_snapshot(spark, table, version=1, as_of=stamps[0])
+
+
+def test_as_of_monotonic_against_clock_skew(spark, docs, tmp_path, monkeypatch):
+    """A wall clock stepping BACKWARDS between commits (NTP) must not
+    produce out-of-order stamps — the parent+1µs clamp keeps AS OF
+    well-defined."""
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table, mode="append")
+    t1 = snapshot_history(table)[0]["committed_at"]
+    real_time = st.time.time
+    monkeypatch.setattr(st.time, "time", lambda: t1 - 60.0)
+    try:
+        write_snapshot(en, table, mode="append")
+    finally:
+        monkeypatch.setattr(st.time, "time", real_time)
+    stamps = [s["committed_at"] for s in snapshot_history(table)]
+    assert stamps[1] > stamps[0]
+    assert st.version_as_of(table, stamps[1]) == 2
+
+
 def test_overwrite_keeps_history(spark, docs, tmp_path):
     table = str(tmp_path / "t")
     en = docs.where(F.col("lang") == "en")
