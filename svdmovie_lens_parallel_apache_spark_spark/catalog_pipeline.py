@@ -2547,6 +2547,90 @@ def q_snapshot_time_travel_ts(spark, sf_dir):
 
 
 @register(
+    "snapshot_cdc_read",
+    f"""
+    WITH en AS (
+      SELECT doc_id, lang, text, n_chars FROM documents WHERE lang = 'en'
+    ),
+    de AS (
+      SELECT doc_id, lang, text, n_chars FROM documents WHERE lang = 'de'
+    ),
+    v3del AS (
+      SELECT * FROM (SELECT * FROM en UNION ALL SELECT * FROM de)
+      WHERE n_chars < 500
+    ),
+    upd AS (
+      SELECT * FROM en WHERE n_chars >= 500 AND doc_id % 10 = 0
+    )
+    SELECT CAST(2 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+           lang, count(*) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp
+    FROM de GROUP BY lang
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'delete', lang, count(*),
+           CAST(sum(n_chars) AS BIGINT),
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT)
+    FROM v3del GROUP BY lang
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'delete', lang, count(*),
+           CAST(sum(n_chars) AS BIGINT),
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT)
+    FROM upd GROUP BY lang
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'insert', lang, count(*),
+           CAST(sum(n_chars + 1000) AS BIGINT),
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT)
+    FROM upd GROUP BY lang
+    """,
+    tags=("sources", "table-format", "cdc"),
+    description="Change-data-feed read (read_cdc) end-to-end under the "
+    "oracle gate: append en (v1), append de (v2), copy-on-write DELETE "
+    "n_chars<500 (v3), MERGE-update a doc_id slice with n_chars+1000 "
+    "(v4), then read the feed over (1,4] and fingerprint per (commit, "
+    "change_type, lang). The oracle recomputes each commit's exact "
+    "row-level delta from the source table: v2 = de inserts, v3 = the "
+    "deleted rows of BOTH langs, v4 = the updated rows as delete(pre-"
+    "image)+insert(post-image) pairs — proving the visible-row diff "
+    "emits net changes only (rows rewritten unchanged by the CoW "
+    "commits cancel and appear nowhere). Append-only companion: "
+    "snapshot_incremental_read; derivation and O(changed files) scale "
+    "argument in sources/snapshot_table.py::read_cdc.",
+)
+def q_snapshot_cdc_read(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        delete_where,
+        merge_upsert,
+        read_cdc,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    table = tempfile.mkdtemp(prefix="svdml-snapcdc-")
+    write_snapshot(docs.where(F.col("lang") == "en"), table, mode="append")
+    write_snapshot(docs.where(F.col("lang") == "de"), table, mode="append")
+    delete_where(spark, table, "n_chars < 500")
+    upd = (
+        read_snapshot(spark, table)
+        .where((F.col("lang") == "en") & (F.col("doc_id") % 10 == 0))
+        .withColumn("n_chars", F.col("n_chars") + F.lit(1000))
+    )
+    merge_upsert(upd, table, key_cols=["doc_id"])
+    return (
+        read_cdc(spark, table, 1)
+        .groupBy("_commit_version", "_change_type", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
+        )
+    )
+
+
+@register(
     "length_percentile_filter_scalable",
     """
     SELECT lang,

@@ -384,12 +384,28 @@ def read_snapshot(
     if prune is not None:
         col, lo, hi = prune
         shards = [s for s in shards if _stats_overlap(s, col, lo, hi)]
-    if not shards:
+    return _scan_with_deletes(
+        spark, table, schema,
+        [s["file"] for s in shards], snap.get("deletes", []),
+    )
+
+
+def _scan_with_deletes(
+    spark: SparkSession, table: str, schema: StructType,
+    shard_names: list[str], deletes: list[dict],
+) -> DataFrame:
+    """Scan the named shards under a snapshot's pending lazy-delete
+    tombstones — the merge-on-read kernel shared by :func:`read_snapshot`
+    (whole snapshot) and :func:`read_cdc` (just the shards whose
+    visibility changed at one commit). Shards are grouped by which
+    tombstones cover them; each group scans once with its combined
+    NOT-filter; with no tombstones this is one explicit-file-list
+    scan."""
+    if not shard_names:
         return spark.createDataFrame([], schema)
-    deletes = snap.get("deletes", [])
     if not deletes:
         return spark.read.schema(schema).parquet(
-            *[os.path.join(table, _DATA_DIR, s["file"]) for s in shards]
+            *[os.path.join(table, _DATA_DIR, n) for n in shard_names]
         )
     from functools import reduce
 
@@ -397,11 +413,9 @@ def read_snapshot(
 
     covers = [set(d["shards"]) for d in deletes]
     groups: dict[tuple, list[str]] = {}
-    for s in shards:
-        key = tuple(
-            i for i, cover in enumerate(covers) if s["file"] in cover
-        )
-        groups.setdefault(key, []).append(s["file"])
+    for n in shard_names:
+        key = tuple(i for i, cover in enumerate(covers) if n in cover)
+        groups.setdefault(key, []).append(n)
     parts = []
     for key, names in sorted(groups.items()):
         df = spark.read.schema(schema).parquet(
@@ -870,6 +884,132 @@ def read_changes(
     return spark.read.schema(schema).parquet(
         *[os.path.join(table, _DATA_DIR, n) for n in added]
     )
+
+
+def read_cdc(
+    spark: SparkSession, table: str, start_version: int,
+    end_version: int | None = None,
+) -> DataFrame:
+    """Change-data-feed read (Delta CDF / Iceberg changelog scan
+    shaped): every row-level change in ``(start_version, end_version]``
+    as table rows plus ``_change_type`` ('insert' | 'delete') and
+    ``_commit_version`` — the general form of :func:`read_changes`,
+    which covers append-only ranges. An update surfaces as its
+    delete(pre-image) + insert(post-image) pair, the row-grain encoding
+    CDC consumers (derived tables, replication, audit) merge by key.
+
+    Derivation: per commit, the visible-row multiset diff old→new,
+    restricted to the shards whose VISIBILITY changed at that commit —
+    a shard's visible rows change iff the file was added/removed or its
+    covering tombstone set changed, so untouched shards are never read
+    and a partial rewrite (``delete_where(prune=...)`` /
+    ``merge_upsert(prune_col=...)``) diffs only the matched files:
+    O(changed files) per commit, not O(table). Rewritten-but-identical
+    rows cancel in the multiset diff (``exceptAll``), so a copy-on-write
+    commit emits exactly its net row changes. This one rule handles
+    every operation — appends (pure insert fast path, no diff), CoW
+    deletes/merges, lazy tombstones (condition applied to covered
+    shards only), tombstone-materialising compactions, rollbacks, and
+    overwrites; row-preserving compactions are skipped from metadata
+    alone. Requires every snapshot in [start_version, end_version] to
+    still exist (retention). At 100 TB the diff's exceptAll shuffles
+    only the changed files' rows; the write-side optimisation the
+    public formats add — persisting change files at commit time so the
+    read is a plain scan — layers on this same protocol without
+    changing its semantics.
+
+    Emitted rows use the END version's schema (evolution: columns a
+    commit predates read as NULL, same contract as time travel)."""
+    from pyspark.sql import functions as F
+
+    end = latest_version(table) if end_version is None else end_version
+    if end is None or start_version > end or start_version < 0:
+        raise ValueError(
+            f"snapshot_table: bad change range ({start_version}, {end}]"
+        )
+    out_schema = StructType.fromJson(_load_snapshot(table, end)["schema"])
+    out_cols = out_schema.fieldNames()
+
+    def _empty():
+        df = spark.createDataFrame([], out_schema)
+        return df.select(
+            *out_cols,
+            F.lit("").alias("_change_type"),
+            F.lit(0).cast("long").alias("_commit_version"),
+        ).limit(0)
+
+    def _visibility(snap: dict) -> dict[str, tuple]:
+        """file -> sorted tuple of tombstone conditions covering it —
+        equal signatures mean identical visible rows for that file."""
+        dels = snap.get("deletes", [])
+        covers = [(d["condition"], set(d["shards"])) for d in dels]
+        return {
+            s["file"]: tuple(
+                sorted(c for c, cover in covers if s["file"] in cover)
+            )
+            for s in snap["shards"]
+        }
+
+    parts = []
+    for v in range(start_version + 1, end + 1):
+        snap = _load_snapshot(table, v)
+        prev = _load_snapshot(table, v - 1) if v > 1 else {
+            "shards": [], "schema": snap["schema"],
+        }
+        if (
+            snap.get("properties", {}).get("compaction")
+            and not prev.get("deletes")
+        ):
+            continue  # row-preserving rewrite by construction: no changes
+        sig_old, sig_new = _visibility(prev), _visibility(snap)
+        changed_old = [
+            f for f in sig_old if sig_new.get(f) != sig_old[f]
+        ]
+        changed_new = [
+            f for f in sig_new if sig_old.get(f) != sig_new[f]
+        ]
+        if not changed_old and not changed_new:
+            continue
+        # both sides read with THIS commit's schema: evolution only adds
+        # nullable columns, so older files fill them with NULL and the
+        # multiset diff stays well-typed
+        schema_v = StructType.fromJson(snap["schema"])
+        old_df = _scan_with_deletes(
+            spark, table, schema_v, sorted(changed_old),
+            prev.get("deletes", []),
+        )
+        new_df = _scan_with_deletes(
+            spark, table, schema_v, sorted(changed_new),
+            snap.get("deletes", []),
+        )
+        if not changed_old:      # pure append: no diff needed
+            ins, dels = new_df, None
+        elif not changed_new:    # pure removal (e.g. delete-all)
+            ins, dels = None, old_df
+        else:
+            ins, dels = new_df.exceptAll(old_df), old_df.exceptAll(new_df)
+
+        def _tag(df, kind):
+            cols = [
+                F.col(c) if c in df.columns
+                else F.lit(None).cast(out_schema[c].dataType).alias(c)
+                for c in out_cols
+            ]
+            return df.select(
+                *cols,
+                F.lit(kind).alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version"),
+            )
+
+        if ins is not None:
+            parts.append(_tag(ins, "insert"))
+        if dels is not None:
+            parts.append(_tag(dels, "delete"))
+    if not parts:
+        return _empty()
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def _added_files(

@@ -99,6 +99,122 @@ def test_as_of_monotonic_against_clock_skew(spark, docs, tmp_path, monkeypatch):
     assert st.version_as_of(table, stamps[1]) == 2
 
 
+def test_read_cdc_matches_full_snapshot_diff(spark, docs, tmp_path):
+    """The CDC contract, checked against its definition: for EVERY
+    commit — append, CoW delete, merge, lazy tombstone, tombstone-
+    materialising compaction, rollback — the emitted (insert, delete)
+    multisets equal the visible-row diff of the adjacent snapshots.
+    read_cdc computes the same thing from changed shards only; this
+    test recomputes it the expensive way (full snapshots) and demands
+    equality."""
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    write_snapshot(en, table, mode="append")                      # v1
+    write_snapshot(de, table, mode="append")                      # v2
+    st.delete_where(spark, table, "n_chars < 300")                # v3
+    upd = (
+        read_snapshot(spark, table)
+        .where((F.col("doc_id") % 7 == 0) & (F.col("lang") == "en"))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+    )
+    assert upd.count() > 0
+    st.merge_upsert(upd, table, key_cols=["doc_id"])              # v4
+    st.delete_where(spark, table, "n_chars > 2000", lazy=True)    # v5
+    st.compact_table(spark, table, target_shards=2)               # v6 (materialises)
+    st.rollback(table, 3)                                         # v7
+    end = latest_version(table)
+    assert end == 7
+
+    cdc = st.read_cdc(spark, table, 0, end).collect()
+    data_cols = [c for c in read_snapshot(spark, table).columns]
+
+    def vis(v):
+        if v == 0:
+            return []
+        return sorted(
+            tuple(r[c] for c in data_cols)
+            for r in read_snapshot(spark, table, v).collect()
+        )
+
+    def multiset_diff(a, b):
+        from collections import Counter
+
+        d = Counter(a) - Counter(b)
+        return sorted(d.elements())
+
+    for v in range(1, end + 1):
+        got_ins = sorted(
+            tuple(r[c] for c in data_cols)
+            for r in cdc
+            if r["_commit_version"] == v and r["_change_type"] == "insert"
+        )
+        got_del = sorted(
+            tuple(r[c] for c in data_cols)
+            for r in cdc
+            if r["_commit_version"] == v and r["_change_type"] == "delete"
+        )
+        assert got_ins == multiset_diff(vis(v), vis(v - 1)), f"v{v} inserts"
+        assert got_del == multiset_diff(vis(v - 1), vis(v)), f"v{v} deletes"
+    # replaying the feed over the start snapshot reconstructs the end
+    assert multiset_diff(vis(0) + [
+        tuple(r[c] for c in data_cols)
+        for r in cdc if r["_change_type"] == "insert"
+    ], [
+        tuple(r[c] for c in data_cols)
+        for r in cdc if r["_change_type"] == "delete"
+    ]) == vis(end)
+
+
+def test_read_cdc_partial_rewrite_reads_only_matched_files(spark, docs, tmp_path):
+    """A pruned CoW delete rewrites only overlapping shards; the CDC
+    diff for that commit must scan only those files — carried-over
+    shards have unchanged visibility and stay out of the plan."""
+    table = str(tmp_path / "t")
+    write_snapshot(
+        docs.orderBy("n_chars").repartitionByRange(4, "n_chars"),
+        table, mode="append", stats_cols=["n_chars"],
+    )
+    v1 = snapshot_history(table)[-1]
+    st.delete_where(
+        spark, table, "n_chars < 100", prune=("n_chars", 0, 99)
+    )
+    v2 = snapshot_history(table)[-1]
+    assert v2["properties"]["shards_skipped"] > 0
+    carried = {s["file"] for s in v1["shards"]} & {
+        s["file"] for s in v2["shards"]
+    }
+    assert carried  # some shards really were carried over
+    cdc = st.read_cdc(spark, table, 1, 2)
+    plan = cdc._jdf.queryExecution().executedPlan().toString()
+    for name in carried:
+        assert name not in plan, f"carried shard {name} scanned by CDC"
+    got = sorted(r["doc_id"] for r in cdc.collect())
+    want = sorted(
+        r["doc_id"]
+        for r in read_snapshot(spark, table, 1)
+        .where(F.col("n_chars") < 100)
+        .collect()
+    )
+    assert got == want
+    assert {r["_change_type"] for r in cdc.collect()} == {"delete"}
+
+
+def test_read_cdc_append_only_matches_read_changes(spark, docs, tmp_path):
+    """On an append-only range CDC degenerates to read_changes plus the
+    'insert' tag — and its plan contains no exceptAll join."""
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    write_snapshot(en, table, mode="append")
+    write_snapshot(de, table, mode="append")
+    cdc = st.read_cdc(spark, table, 1, 2)
+    assert _canon(cdc.drop("_change_type", "_commit_version")) == _canon(
+        st.read_changes(spark, table, 1, 2)
+    )
+    assert "Except" not in cdc._jdf.queryExecution().executedPlan().toString()
+
+
 def test_overwrite_keeps_history(spark, docs, tmp_path):
     table = str(tmp_path / "t")
     en = docs.where(F.col("lang") == "en")
