@@ -215,6 +215,26 @@ def test_read_cdc_append_only_matches_read_changes(spark, docs, tmp_path):
     assert "Except" not in cdc._jdf.queryExecution().executedPlan().toString()
 
 
+def test_read_cdc_across_schema_evolution(spark, docs, tmp_path):
+    """A column added mid-range: changes from commits that predate it
+    carry NULL for it (the end-schema contract, same as time travel),
+    and the evolved commit's inserts carry real values."""
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de").withColumn(
+        "score", F.col("n_chars").cast("double") / 10
+    )
+    write_snapshot(en, table, mode="append")
+    write_snapshot(de, table, mode="append")
+    cdc = st.read_cdc(spark, table, 0, 2)
+    assert "score" in cdc.columns
+    v1 = cdc.where(F.col("_commit_version") == 1)
+    v2 = cdc.where(F.col("_commit_version") == 2)
+    assert v1.where(F.col("score").isNotNull()).count() == 0
+    assert v2.where(F.col("score").isNull()).count() == 0
+    assert v1.count() == en.count() and v2.count() == de.count()
+
+
 def test_overwrite_keeps_history(spark, docs, tmp_path):
     table = str(tmp_path / "t")
     en = docs.where(F.col("lang") == "en")
