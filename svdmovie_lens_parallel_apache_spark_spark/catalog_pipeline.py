@@ -2631,6 +2631,121 @@ def q_snapshot_cdc_read(spark, sf_dir):
 
 
 @register(
+    "snapshot_cdc_aggregate",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE lang IN ('en', 'de', 'fr')
+    ),
+    survivors AS (
+      SELECT * FROM base WHERE NOT (n_chars < 500 OR lang = 'fr')
+    ),
+    final AS (
+      SELECT lang,
+             CASE WHEN lang = 'en' AND doc_id % 10 = 0
+                  THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      FROM survivors
+    )
+    SELECT lang, count(*) AS cnt,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS incremental_ok
+    FROM final GROUP BY lang
+    """,
+    tags=("sources", "table-format", "cdc", "incremental"),
+    description="Incremental VIEW MAINTENANCE from the CDC feed — the "
+    "canonical read_cdc consumer: a per-lang aggregate table is built "
+    "once, the source then takes a CoW DELETE (which empties one whole "
+    "group) and a MERGE update, and the aggregate is refreshed by "
+    "APPLYING THE DELTA ONLY — signed counts/sums from read_cdc, "
+    "merge_upsert of the changed groups, delete of groups that hit "
+    "zero — never by rescanning the source. incremental_ok compares "
+    "the incrementally-maintained table against a full recompute "
+    "(null-safe, full-outer so a spurious or missing group also "
+    "fails); the oracle pins it TRUE plus the exact final aggregates. "
+    "At 100 TB this is the pattern that keeps derived tables O(delta) "
+    "per refresh; append-only companion: snapshot_table_chain.",
+)
+def q_snapshot_cdc_aggregate(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        delete_where,
+        merge_upsert,
+        read_cdc,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .where(F.col("lang").isin("en", "de", "fr"))
+    )
+    src = tempfile.mkdtemp(prefix="svdml-cdcagg-src-")
+    dst = tempfile.mkdtemp(prefix="svdml-cdcagg-dst-")
+
+    def agg(df):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+
+    write_snapshot(docs, src, mode="append")                       # src v1
+    write_snapshot(agg(read_snapshot(spark, src)), dst, mode="append")
+    delete_where(spark, src, "n_chars < 500 OR lang = 'fr'")       # src v2
+    upd = (
+        read_snapshot(spark, src)
+        .where((F.col("lang") == "en") & (F.col("doc_id") % 10 == 0))
+        .withColumn("n_chars", F.col("n_chars") + F.lit(1000))
+    )
+    merge_upsert(upd, src, key_cols=["doc_id"])                    # src v3
+
+    # refresh dst from the feed: signed deltas, changed groups only
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    delta = (
+        read_cdc(spark, src, 1)
+        .groupBy("lang")
+        .agg(
+            F.sum(sign).cast("long").alias("cnt_d"),
+            F.sum(sign * F.col("n_chars")).cast("long").alias("chars_d"),
+        )
+    )
+    changed = (
+        read_snapshot(spark, dst)
+        .join(delta, "lang", "full_outer")
+        .select(
+            "lang",
+            (F.coalesce("cnt", F.lit(0)) + F.coalesce("cnt_d", F.lit(0)))
+            .cast("long").alias("cnt"),
+            (
+                F.coalesce("sum_chars", F.lit(0))
+                + F.coalesce("chars_d", F.lit(0))
+            ).cast("long").alias("sum_chars"),
+        )
+        .join(delta.select("lang"), "lang", "left_semi")
+    )
+    merge_upsert(changed, dst, key_cols=["lang"])                  # dst v2
+    delete_where(spark, dst, "cnt = 0")                            # dst v3
+
+    full = agg(read_snapshot(spark, src)).withColumnsRenamed(
+        {"cnt": "cnt_f", "sum_chars": "chars_f"}
+    )
+    return (
+        read_snapshot(spark, dst)
+        .join(full, "lang", "full_outer")
+        .select(
+            "lang",
+            "cnt",
+            "sum_chars",
+            (
+                F.col("cnt").eqNullSafe(F.col("cnt_f"))
+                & F.col("sum_chars").eqNullSafe(F.col("chars_f"))
+            ).alias("incremental_ok"),
+        )
+    )
+
+
+@register(
     "length_percentile_filter_scalable",
     """
     SELECT lang,
