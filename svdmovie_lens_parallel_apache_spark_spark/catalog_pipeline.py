@@ -2531,6 +2531,12 @@ def q_snapshot_time_travel_ts(spark, sf_dir):
     stamps = {s["version"]: s["committed_at"] for s in snapshot_history(table)}
 
     def stats(ts):
+        # deliberately resolves twice: version_as_of labels the output
+        # (a resolution regression flips the version column) AND the
+        # as_of= kwarg path does its own resolution inside
+        # read_snapshot — both surfaces stay under the oracle. Two
+        # snapshot-JSON walks on a private two-commit table; a real
+        # consumer resolves once and reads by the pinned version
         v = version_as_of(table, ts)
         return (
             read_snapshot(spark, table, as_of=ts)

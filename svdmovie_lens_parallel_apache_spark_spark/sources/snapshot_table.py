@@ -112,11 +112,23 @@ def version_as_of(table: str, ts: float) -> int:
     retention bounds how far back AS OF can reach — same contract as
     the public formats)."""
     best = None
+    unstamped = []
     for snap in snapshot_history(table):
         at = snap.get("committed_at")
-        if at is not None and at <= ts:
+        if at is None:
+            unstamped.append(snap["version"])
+        elif at <= ts:
             best = snap["version"]
     if best is None:
+        if unstamped:
+            # a table whose early commits predate commit stamping can
+            # never be timestamp-resolved to those versions — name the
+            # real cause instead of misdiagnosing it as retention
+            raise ValueError(
+                f"snapshot_table: versions {unstamped} of {table} carry "
+                f"no committed_at stamp (written before timestamp "
+                f"support); use version= to time-travel to them"
+            )
         raise FileNotFoundError(
             f"snapshot_table: {table} has no snapshot committed at or "
             f"before ts={ts!r} (predates the table, or expired)"
@@ -951,17 +963,21 @@ def read_cdc(
         }
 
     parts = []
+    prev = (
+        _load_snapshot(table, start_version) if start_version > 0
+        else {"shards": []}
+    )
+    sig_prev = _visibility(prev)
     for v in range(start_version + 1, end + 1):
         snap = _load_snapshot(table, v)
-        prev = _load_snapshot(table, v - 1) if v > 1 else {
-            "shards": [], "schema": snap["schema"],
-        }
+        old_snap, sig_old = prev, sig_prev
+        sig_new = _visibility(snap)
+        prev, sig_prev = snap, sig_new  # carry forward: one load per version
         if (
             snap.get("properties", {}).get("compaction")
-            and not prev.get("deletes")
+            and not old_snap.get("deletes")
         ):
             continue  # row-preserving rewrite by construction: no changes
-        sig_old, sig_new = _visibility(prev), _visibility(snap)
         changed_old = [
             f for f in sig_old if sig_new.get(f) != sig_old[f]
         ]
@@ -976,7 +992,7 @@ def read_cdc(
         schema_v = StructType.fromJson(snap["schema"])
         old_df = _scan_with_deletes(
             spark, table, schema_v, sorted(changed_old),
-            prev.get("deletes", []),
+            old_snap.get("deletes", []),
         )
         new_df = _scan_with_deletes(
             spark, table, schema_v, sorted(changed_new),

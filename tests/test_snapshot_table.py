@@ -80,6 +80,23 @@ def test_as_of_timestamp_time_travel(spark, docs, tmp_path):
         read_snapshot(spark, table, version=1, as_of=stamps[0])
 
 
+def test_as_of_unstamped_legacy_snapshot_names_cause(spark, docs, tmp_path):
+    """A snapshot written before timestamp support (no committed_at)
+    cannot be timestamp-resolved — the error must name the missing
+    stamp, not misdiagnose it as retention/predating."""
+    table = str(tmp_path / "t")
+    write_snapshot(docs.where(F.col("lang") == "en"), table, mode="append")
+    p = st._snap_path(table, 1)
+    snap = json.load(open(p))
+    del snap["committed_at"]
+    with open(p, "w") as f:
+        json.dump(snap, f)
+    with pytest.raises(ValueError, match="no committed_at stamp"):
+        st.version_as_of(table, 1e18)
+    # version-pinned travel still works
+    assert read_snapshot(spark, table, 1).count() > 0
+
+
 def test_as_of_monotonic_against_clock_skew(spark, docs, tmp_path, monkeypatch):
     """A wall clock stepping BACKWARDS between commits (NTP) must not
     produce out-of-order stamps — the parent+1µs clamp keeps AS OF
