@@ -2662,9 +2662,10 @@ def q_snapshot_cdc_read(spark, sf_dir):
     "canonical read_cdc consumer: a per-lang aggregate table is built "
     "once, the source then takes a CoW DELETE (which empties one whole "
     "group) and a MERGE update, and the aggregate is refreshed by "
-    "APPLYING THE DELTA ONLY — signed counts/sums from read_cdc, "
-    "merge_upsert of the changed groups, delete of groups that hit "
-    "zero — never by rescanning the source. incremental_ok compares "
+    "APPLYING THE DELTA ONLY — signed counts/sums from read_cdc, then "
+    "ONE merge_upsert commit whose delete_condition drops groups that "
+    "hit zero (MERGE WHEN MATCHED THEN DELETE) — never by rescanning "
+    "the source. incremental_ok compares "
     "the incrementally-maintained table against a full recompute "
     "(null-safe, full-outer so a spurious or missing group also "
     "fails); the oracle pins it TRUE plus the exact final aggregates. "
@@ -2730,8 +2731,11 @@ def q_snapshot_cdc_aggregate(spark, sf_dir):
         )
         .join(delta.select("lang"), "lang", "left_semi")
     )
-    merge_upsert(changed, dst, key_cols=["lang"])                  # dst v2
-    delete_where(spark, dst, "cnt = 0")                            # dst v3
+    # ONE commit: changed groups upsert, groups that hit zero delete
+    # (MERGE WHEN MATCHED AND cnt=0 THEN DELETE)
+    merge_upsert(
+        changed, dst, key_cols=["lang"], delete_condition="cnt = 0"
+    )                                                              # dst v2
 
     full = agg(read_snapshot(spark, src)).withColumnsRenamed(
         {"cnt": "cnt_f", "sum_chars": "chars_f"}

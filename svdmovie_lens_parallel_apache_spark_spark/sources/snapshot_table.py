@@ -522,7 +522,7 @@ def streaming_snapshot_sink(table: str):
 
 def merge_upsert(
     updates: DataFrame, table: str, key_cols: list[str],
-    prune_col: str | None = None,
+    prune_col: str | None = None, delete_condition: str | None = None,
 ) -> int:
     """Copy-on-write MERGE (Delta ``MERGE WHEN MATCHED UPDATE / WHEN NOT
     MATCHED INSERT``-shaped): rows in ``updates`` replace current rows
@@ -548,6 +548,16 @@ def merge_upsert(
     workloads the merge-on-read encoding (delete vectors) layers on
     top of the same snapshot protocol.
 
+    ``delete_condition`` is the MERGE delete clause (Delta ``WHEN
+    MATCHED [AND cond] THEN DELETE`` shaped), evaluated on each
+    UPDATES row: a matching row REMOVES its key from the table instead
+    of updating it, and an unmatched one inserts nothing (``WHEN NOT
+    MATCHED AND cond`` — skip). One atomic commit for the
+    upsert-and-prune shape incremental maintenance produces (e.g.
+    ``delete_condition="cnt = 0"`` when applying signed CDC deltas —
+    see the snapshot_cdc_aggregate catalog query), instead of a merge
+    followed by a table-wide ``delete_where``.
+
     A merge that loses the commit race retries against the new base
     (same conservative conflict rule as :func:`delete_where`).
     """
@@ -571,6 +581,16 @@ def merge_upsert(
         raise ValueError(
             f"snapshot_table: updates contain duplicate merge key "
             f"{tuple(dup[0][c] for c in key_cols)!r}"
+        )
+    surviving = updates
+    if delete_condition is not None:
+        # rows matching the delete clause take their key OUT of the
+        # table: they still anti-join away the current row (matched →
+        # delete) but contribute nothing back (unmatched → skip)
+        surviving = updates.where(
+            ~F.coalesce(
+                F.expr(delete_condition).cast("boolean"), F.lit(False)
+            )
         )
     bounds = None
     if prune_col is not None:
@@ -612,12 +632,12 @@ def merge_upsert(
                 updates.select(*key_cols).distinct(),
                 on=key_cols, how="left_anti",
             )
-            merged = kept.unionByName(updates, allowMissingColumns=True)
+            merged = kept.unionByName(surviving, allowMissingColumns=True)
         else:
             # normalize updates to the evolved table schema (fills any
             # table columns the updates batch omits with NULL)
             merged = spark.createDataFrame([], schema).unionByName(
-                updates, allowMissingColumns=True
+                surviving, allowMissingColumns=True
             )
         stats_cols = sorted(
             {c for s in snap["shards"] for c in s.get("stats", {})}
@@ -644,6 +664,10 @@ def merge_upsert(
                     "merge_keys": list(key_cols),
                     "shards_rewritten": len(touched),
                     "shards_skipped": len(carried),
+                    **(
+                        {"delete_condition": delete_condition}
+                        if delete_condition is not None else {}
+                    ),
                 },
                 "schema": schema.jsonValue(),
                 "n_shards": len(shards),

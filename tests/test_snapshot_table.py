@@ -116,6 +116,35 @@ def test_as_of_monotonic_against_clock_skew(spark, docs, tmp_path, monkeypatch):
     assert st.version_as_of(table, stamps[1]) == 2
 
 
+def test_merge_upsert_delete_condition(spark, docs, tmp_path):
+    """MERGE WHEN MATCHED [AND cond] THEN DELETE: an updates row
+    matching delete_condition removes its key; a non-matching row
+    updates; an unmatched-key row matching the condition inserts
+    nothing. One commit, recorded in the snapshot properties."""
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table, mode="append")
+    ids = sorted(r["doc_id"] for r in en.select("doc_id").collect())
+    kill, bump, ghost = ids[0], ids[1], max(ids) + 10_000
+    upd = spark.createDataFrame(
+        [(kill, "en", -1), (bump, "en", 7777), (ghost, "en", -1)],
+        "doc_id long, lang string, n_chars long",
+    )
+    v = st.merge_upsert(
+        upd, table, key_cols=["doc_id"], delete_condition="n_chars < 0"
+    )
+    got = {
+        r["doc_id"]: r["n_chars"]
+        for r in read_snapshot(spark, table, v).collect()
+    }
+    assert kill not in got          # matched + condition -> deleted
+    assert ghost not in got         # unmatched + condition -> no insert
+    assert got[bump] == 7777        # matched, no condition -> updated
+    assert len(got) == len(ids) - 1
+    props = snapshot_history(table)[-1]["properties"]
+    assert props["delete_condition"] == "n_chars < 0"
+
+
 def test_read_cdc_matches_full_snapshot_diff(spark, docs, tmp_path):
     """The CDC contract, checked against its definition: for EVERY
     commit — append, CoW delete, merge, lazy tombstone, tombstone-
