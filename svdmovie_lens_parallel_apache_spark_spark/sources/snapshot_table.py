@@ -440,10 +440,22 @@ def _scan_with_deletes(
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
-def expire_snapshots(table: str, keep_last: int = 1) -> dict:
+def expire_snapshots(
+    table: str, keep_last: int = 1, older_than: float | None = None,
+) -> dict:
     """Retention maintenance (Iceberg ``expire_snapshots`` shaped):
-    drop all but the newest ``keep_last`` snapshot files, then delete
-    data shards no surviving snapshot references. Returns counts.
+    drop expired snapshot files, then delete data shards no surviving
+    snapshot references. Returns counts.
+
+    ``keep_last`` keeps the newest N versions unconditionally.
+    ``older_than`` (epoch seconds) is the time-based policy the
+    public engines default to: additionally KEEP every snapshot
+    committed at or after that instant, however many that is — so
+    retention is "the last N versions, or everything younger than the
+    cutoff, whichever keeps more". Expiring a snapshot removes it from
+    :func:`version_as_of`'s reach (AS OF older than retention fails
+    loudly, by design). Commit stamps are strictly monotonic, so the
+    two policies agree on a single cutoff version.
 
     Deletion order is the reverse of commit: retire the snapshot files
     FIRST (after which the shards are unreferenced orphans), then the
@@ -454,6 +466,15 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
     if last is None:
         return {"snapshots_removed": 0, "shards_removed": 0}
     cutoff = last - max(1, keep_last)
+    if older_than is not None:
+        while cutoff >= 1:
+            try:
+                at = _load_snapshot(table, cutoff).get("committed_at")
+            except FileNotFoundError:  # already expired earlier
+                break
+            if at is None or at < older_than:
+                break  # this one really is old enough to expire
+            cutoff -= 1  # younger than the cutoff: keep it too
     removed_snaps = 0
     for v in range(1, cutoff + 1):
         try:

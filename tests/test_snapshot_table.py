@@ -116,6 +116,69 @@ def test_as_of_monotonic_against_clock_skew(spark, docs, tmp_path, monkeypatch):
     assert st.version_as_of(table, stamps[1]) == 2
 
 
+def test_expire_snapshots_older_than_keeps_young_history(spark, docs, tmp_path):
+    """Time-based retention: older_than expires only snapshots
+    committed before the cutoff; everything younger survives even
+    beyond keep_last, and AS OF still resolves within retention."""
+    table = str(tmp_path / "t")
+    for lang in ("en", "de", "fr", "es"):
+        write_snapshot(docs.where(F.col("lang") == lang), table, mode="append")
+    stamps = [s["committed_at"] for s in snapshot_history(table)]
+    # cutoff between v2 and v3: v1..v2 expire, v3..v4 stay (keep_last=1
+    # alone would have expired v3 as well)
+    out = expire_snapshots(
+        table, keep_last=1, older_than=(stamps[1] + stamps[2]) / 2
+    )
+    assert out["snapshots_removed"] == 2
+    assert [s["version"] for s in snapshot_history(table)] == [3, 4]
+    assert st.version_as_of(table, stamps[2]) == 3
+    with pytest.raises(FileNotFoundError):
+        st.version_as_of(table, stamps[0])  # beyond retention: loud
+    # a cutoff younger than every snapshot expires per keep_last only
+    table2 = str(tmp_path / "t2")
+    for lang in ("en", "de", "fr"):
+        write_snapshot(docs.where(F.col("lang") == lang), table2, mode="append")
+    out2 = expire_snapshots(table2, keep_last=1, older_than=0.0)
+    assert out2["snapshots_removed"] == 0
+    assert len(snapshot_history(table2)) == 3
+
+
+def test_merge_upsert_loser_rebases_onto_concurrent_append(
+    spark, docs, tmp_path, monkeypatch
+):
+    """A rival append lands between the merge's base read and its
+    version claim: the merge must lose the claim, retry against the
+    NEW base, and its anti-join must cover the appended rows too (the
+    conservative conflict rule) — matched keys from the rival's shards
+    are replaced, not duplicated."""
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    write_snapshot(en, table, mode="append")
+
+    real_link = os.link
+    state = {"raced": False}
+
+    def racing_link(src, dst):
+        if not state["raced"] and "_snapshots" in dst:
+            state["raced"] = True
+            write_snapshot(de, table, mode="append")  # rival wins v2
+        return real_link(src, dst)
+
+    monkeypatch.setattr(st.os, "link", racing_link)
+    de_key = de.select("doc_id").limit(1).collect()[0]["doc_id"]
+    upd = spark.createDataFrame(
+        [(de_key, "de", 4242)], "doc_id long, lang string, n_chars long"
+    )
+    st.merge_upsert(upd, table, key_cols=["doc_id"])
+    assert state["raced"]
+    assert latest_version(table) == 3
+    final = read_snapshot(spark, table)
+    assert final.count() == en.count() + de.count()  # no duplicate key
+    got = final.where(F.col("doc_id") == de_key).collect()
+    assert len(got) == 1 and got[0]["n_chars"] == 4242
+
+
 def test_merge_upsert_delete_condition(spark, docs, tmp_path):
     """MERGE WHEN MATCHED [AND cond] THEN DELETE: an updates row
     matching delete_condition removes its key; a non-matching row
