@@ -1443,7 +1443,9 @@ def range_band_join(spark, sf_dir):
     "range_band_join (static bands), asof_last_purchase (as-of).",
 )
 def interval_overlap_join(spark, sf_dir):
-    W = 7  # bucket width (days) > max interval length 6: <=2 buckets/row
+    from .operators.relational import interval_overlap_pairs
+
+    # bucket width 7 (days) > max interval length 6: <=2 buckets/row
     items = (
         _t(spark, sf_dir, "lineitem")
         .select(
@@ -1460,40 +1462,12 @@ def interval_overlap_join(spark, sf_dir):
         .withColumn("e", (F.col("s") + F.col("ln") % 5 + 1).cast("long"))
         .drop("ln")
     )
-    exploded = items.withColumn(
-        "bucket",
-        F.explode(
-            F.sequence(F.floor(F.col("s") / W), F.floor(F.col("e") / W))
-        ),
-    )
-    a = exploded.select(
-        "k", "bucket",
-        F.col("iid").alias("iid_a"),
-        F.col("s").alias("s_a"), F.col("e").alias("e_a"),
-    )
-    b = exploded.select(
-        "k", "bucket",
-        F.col("iid").alias("iid_b"),
-        F.col("s").alias("s_b"), F.col("e").alias("e_b"),
-    )
-    pairs = a.join(b, ["k", "bucket"]).where(
-        (F.col("iid_a") < F.col("iid_b"))
-        & (F.col("s_a") <= F.col("e_b"))
-        & (F.col("s_b") <= F.col("e_a"))
-        # canonical bucket: the one holding the overlap start — each
-        # qualifying pair survives exactly once
-        & (
-            F.col("bucket")
-            == F.floor(F.greatest(F.col("s_a"), F.col("s_b")) / W)
-        )
+    pairs = interval_overlap_pairs(
+        items, key="k", id_col="iid", start="s", end="e", bucket_width=7
     )
     return pairs.groupBy(F.col("k").alias("l_suppkey")).agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(
-            F.least(F.col("e_a"), F.col("e_b"))
-            - F.greatest(F.col("s_a"), F.col("s_b"))
-            + 1
-        ).cast("long").alias("overlap_days"),
+        F.sum("overlap_len").cast("long").alias("overlap_days"),
     )
 
 

@@ -125,3 +125,66 @@ def topk_per_group(df: DataFrame, partition_by: list[str], order_by: list[Column
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def interval_overlap_pairs(items: DataFrame, key: str = "k",
+                           id_col: str = "iid", start: str = "s",
+                           end: str = "e", bucket_width: int = 7) -> DataFrame:
+    """All pairs of same-key intervals that OVERLAP (inclusive [s, e]
+    endpoints), without a cartesian or BroadcastNestedLoop.
+
+    Each interval is exploded to the ``bucket_width``-sized buckets it
+    covers (``ceil(len/W)+1`` copies at most), the self-join runs as an
+    EQUI-join on ``(key, bucket)``, and a qualifying pair survives only
+    in its *canonical* bucket — the one containing the overlap start,
+    ``floor(greatest(s_a, s_b) / W)`` — so pairs whose intervals straddle
+    a bucket boundary are never double-counted. This is the standard
+    distributed interval-join decomposition: at scale the shuffle
+    carries O(rows x copies) bucket rows and every join partition is a
+    single (key, bucket) cell; ``bucket_width`` trades copy factor
+    against cell size (set it near the max interval length).
+
+    Returns one row per unordered pair (``id_a < id_b``) with both
+    interval bounds and ``overlap_len`` (inclusive day/unit count).
+    Not in the reference (its join surface is equi-only —
+    ``SVDMovieLensSparkJava.java:191-513``).
+    """
+    W = bucket_width
+    exploded = items.select(
+        F.col(key).alias("__k"), F.col(id_col).alias("__id"),
+        F.col(start).alias("__s"), F.col(end).alias("__e"),
+    ).withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(F.floor(F.col("__s") / W), F.floor(F.col("__e") / W))
+        ),
+    )
+    a = exploded.select(
+        "__k", "__bucket",
+        F.col("__id").alias("id_a"),
+        F.col("__s").alias("s_a"), F.col("__e").alias("e_a"),
+    )
+    b = exploded.select(
+        "__k", "__bucket",
+        F.col("__id").alias("id_b"),
+        F.col("__s").alias("s_b"), F.col("__e").alias("e_b"),
+    )
+    return (
+        a.join(b, ["__k", "__bucket"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+            & (
+                F.col("__bucket")
+                == F.floor(F.greatest(F.col("s_a"), F.col("s_b")) / W)
+            )
+        )
+        .withColumn(
+            "overlap_len",
+            (F.least(F.col("e_a"), F.col("e_b"))
+             - F.greatest(F.col("s_a"), F.col("s_b")) + 1).cast("long"),
+        )
+        .select(F.col("__k").alias(key), "id_a", "id_b",
+                "s_a", "e_a", "s_b", "e_b", "overlap_len")
+    )

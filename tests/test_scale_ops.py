@@ -353,3 +353,47 @@ def test_bpe_per_round_cost_is_flat_in_depth(spark, sf_dir):
     early = statistics.median(times[2:7])
     late = statistics.median(times[-5:])
     assert late <= 2.5 * early, f"per-round cost grew with depth: {times}"
+
+
+def test_interval_overlap_pairs_planted(spark):
+    """Planted same-key intervals: overlap, touch-at-endpoint (inclusive
+    semantics -> counts, overlap_len 1), disjoint, straddling a bucket
+    boundary (must survive exactly once via the canonical bucket), and a
+    same-span pair in a different key (must not pair across keys)."""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.relational import (
+        interval_overlap_pairs,
+    )
+
+    items = spark.createDataFrame(
+        [
+            # key 1: [0,5] vs [3,9] overlap 3..5 (len 3); both in bucket 0
+            (1, 10, 0, 5),
+            (1, 11, 3, 9),
+            # key 1: [9,9] touches 11's end exactly -> len 1
+            (1, 12, 9, 9),
+            # key 1: [20,24] disjoint from all
+            (1, 13, 20, 24),
+            # key 1: straddle test vs 14: [5,8] x [6,13] overlap 6..8;
+            # 14 spans buckets 0-1, 15 spans 0-1 -> canonical bucket 0 only
+            (1, 14, 5, 8),
+            (1, 15, 6, 13),
+            # key 2: same span as 10/11 but different key -> no cross pair
+            (2, 16, 0, 5),
+        ],
+        "k int, iid int, s long, e long",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.overlap_len
+        for r in interval_overlap_pairs(
+            items, key="k", id_col="iid", bucket_width=7
+        ).collect()
+    }
+    assert pairs == {
+        (10, 11): 3,   # plain overlap
+        (11, 12): 1,   # inclusive endpoint touch
+        (10, 14): 1,   # [0,5] x [5,8] touch at 5
+        (11, 14): 4,   # [3,9] x [5,8] -> 5..8
+        (11, 15): 4,   # [3,9] x [6,13] -> 6..9
+        (14, 15): 3,   # straddling pair counted exactly once
+        (12, 15): 1,   # [9,9] x [6,13]
+    }
