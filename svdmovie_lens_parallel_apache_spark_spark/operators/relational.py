@@ -150,14 +150,20 @@ def interval_overlap_pairs(items: DataFrame, key: str = "k",
     ``SVDMovieLensSparkJava.java:191-513``).
     """
     W = bucket_width
+
+    def _floor_div(e: str) -> Column:
+        # exact integer floor division: (x - pmod(x, W)) is the floor
+        # multiple (pmod >= 0) and divides exactly, so integral `div`
+        # never truncates. F.floor(col / W) routes through double and
+        # can misplace a bucket for |x| >= 2^53 (drops/dupes pairs).
+        return F.expr(f"(({e}) - pmod(({e}), {W})) div {W}")
+
     exploded = items.select(
         F.col(key).alias("__k"), F.col(id_col).alias("__id"),
         F.col(start).alias("__s"), F.col(end).alias("__e"),
     ).withColumn(
         "__bucket",
-        F.explode(
-            F.sequence(F.floor(F.col("__s") / W), F.floor(F.col("__e") / W))
-        ),
+        F.explode(F.sequence(_floor_div("__s"), _floor_div("__e"))),
     )
     a = exploded.select(
         "__k", "__bucket",
@@ -175,10 +181,7 @@ def interval_overlap_pairs(items: DataFrame, key: str = "k",
             (F.col("id_a") < F.col("id_b"))
             & (F.col("s_a") <= F.col("e_b"))
             & (F.col("s_b") <= F.col("e_a"))
-            & (
-                F.col("__bucket")
-                == F.floor(F.greatest(F.col("s_a"), F.col("s_b")) / W)
-            )
+            & (F.col("__bucket") == _floor_div("greatest(s_a, s_b)"))
         )
         .withColumn(
             "overlap_len",

@@ -316,8 +316,15 @@ def write_snapshot(
             else:
                 snap = _load_snapshot(table, current)
                 base_shards = snap["shards"]
-                base_schema = _merge_schema(
-                    StructType.fromJson(snap["schema"]), df.schema
+                # evolution compatibility is an APPEND concern only: an
+                # overwrite replaces the table schema outright (Delta
+                # overwriteSchema-style), so a type change there is a
+                # legal redefinition, not an error
+                base_schema = (
+                    df.schema if mode == "overwrite"
+                    else _merge_schema(
+                        StructType.fromJson(snap["schema"]), df.schema
+                    )
                 )
                 base_deletes = snap.get("deletes", [])
             def _shard(n):
@@ -503,7 +510,7 @@ def vacuum(table: str) -> dict:
     return {"orphans_removed": _remove_unreferenced(table)}
 
 
-def streaming_snapshot_sink(table: str):
+def streaming_snapshot_sink(table: str, app_id: str | None = None):
     """Exactly-once streaming writes into a snapshot table: a
     ``foreachBatch`` function committing each micro-batch as one atomic
     APPEND snapshot stamped with its batch id.
@@ -520,23 +527,35 @@ def streaming_snapshot_sink(table: str):
     table format so batch writers, streaming writers, and time travel
     share ONE commit history.
 
-    Replay lookback walks the snapshot history; batch ids are monotonic,
-    so only the most recent snapshots can matter — at 100 TB pair this
-    with :func:`expire_snapshots` retention (bounded history) as any
-    Delta/Iceberg deployment does.
+    ``app_id`` namespaces the idempotence key (the Delta
+    ``txnAppId``+``txnVersion`` pattern): batch ids restart at 0 for a
+    query on a fresh checkpoint and for every distinct query, so two
+    writer lineages into ONE table must carry distinct ``app_id``s or
+    the second's early batches would be skipped as replays of the
+    first's. With ``app_id=None`` (legacy) the table accepts exactly
+    ONE streaming checkpoint lineage — the single-writer contract —
+    and ignores any namespaced commits when checking replays.
+
+    Replay lookback walks the snapshot history; batch ids are monotonic
+    within a lineage, so only that lineage's most recent snapshot can
+    matter — at 100 TB pair this with :func:`expire_snapshots`
+    retention (bounded history) as any Delta/Iceberg deployment does.
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         for snap in reversed(snapshot_history(table)):
-            done = snap.get("properties", {}).get("streaming_batch_id")
+            props = snap.get("properties", {})
+            done = props.get("streaming_batch_id")
+            if done is None or props.get("streaming_app_id") != app_id:
+                continue  # not a commit from THIS writer lineage
             if done == batch_id:
                 return  # at-least-once replay of a committed batch
-            if done is not None and done < batch_id:
-                break  # monotonic: older snapshots can't hold this id
-        write_snapshot(
-            batch_df, table, mode="append",
-            properties={"streaming_batch_id": batch_id},
-        )
+            if done < batch_id:
+                break  # monotonic per lineage: older can't hold this id
+        props = {"streaming_batch_id": batch_id}
+        if app_id is not None:
+            props["streaming_app_id"] = app_id
+        write_snapshot(batch_df, table, mode="append", properties=props)
 
     return sink
 
@@ -1081,22 +1100,29 @@ def _added_files(
     ``(start_version, end_version]`` (``start_version=0`` = since table
     creation) plus the last append's schema JSON (None if the range
     holds no append). Layout-only compactions are skipped; any other
-    non-append commit raises."""
-    prev: set[str] = (
-        set()
+    non-append commit raises — including a compaction whose PARENT had
+    pending lazy-delete tombstones: that rewrite materialises the
+    deletes, so it changes rows, not just layout (same guard
+    :func:`read_cdc` applies via ``old_snap.get("deletes")``)."""
+    prev_snap: dict = (
+        {"shards": [], "deletes": []}
         if start_version == 0
-        else {
-            s["file"]
-            for s in _load_snapshot(table, start_version)["shards"]
-        }
+        else _load_snapshot(table, start_version)
     )
+    prev: set[str] = {s["file"] for s in prev_snap["shards"]}
     added: list[str] = []
     schema_json = None
     for v in range(start_version + 1, end_version + 1):
         snap = _load_snapshot(table, v)
         cur = set(s["file"] for s in snap["shards"])
         if snap.get("properties", {}).get("compaction"):
-            prev = cur  # layout change only: same rows, new files
+            if prev_snap.get("deletes"):
+                raise ValueError(
+                    f"snapshot_table: read_changes supports append-only "
+                    f"ranges; version {v} is a compaction that "
+                    f"materialised pending lazy deletes (row-changing)"
+                )
+            prev, prev_snap = cur, snap  # layout only: same rows, new files
             continue
         if snap["operation"] != "append":
             raise ValueError(
@@ -1104,7 +1130,7 @@ def _added_files(
                 f"ranges; version {v} is {snap['operation']!r}"
             )
         added.extend(sorted(cur - prev))
-        prev = cur
+        prev, prev_snap = cur, snap
         schema_json = snap["schema"]
     return added, schema_json
 

@@ -397,3 +397,47 @@ def test_interval_overlap_pairs_planted(spark):
         (14, 15): 3,   # straddling pair counted exactly once
         (12, 15): 1,   # [9,9] x [6,13]
     }
+
+
+def test_interval_overlap_pairs_extreme_and_negative_bounds(spark):
+    """Bucket ids must come from EXACT integer floor division: near 2^62
+    a double-routed floor(col / W) collapses ~512 consecutive longs onto
+    one value (the old F.floor(col/W) form put 2^62 in bucket
+    ...769664 instead of the true ...769700 — a 36-bucket misplacement),
+    and negative bounds need floor (not trunc) semantics. Planted pairs
+    at both extremes must come back exactly once with exact lengths."""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.relational import (
+        interval_overlap_pairs,
+    )
+
+    B = 2**62  # double spacing here is 512 — way past exact-float range
+    items = spark.createDataFrame(
+        [
+            # key 1 at 2^62: [B, B+10] x [B+5, B+20] -> overlap 6
+            (1, 10, B, B + 10),
+            (1, 11, B + 5, B + 20),
+            # [B+100, B+105] is disjoint from both (gap 80..95)
+            (1, 12, B + 100, B + 105),
+            # straddles the TRUE bucket boundary at 7*ceil(B/7):
+            # overlaps 11 on [B+14, B+20] -> len 7
+            (1, 13, B + 14, B + 30),
+            # key 2, negative coordinates: [-10, -4] x [-6, -1] -> len 3
+            (2, 20, -10, -4),
+            (2, 21, -6, -1),
+            # [-3, -1] x [-6, -1] -> len 3; disjoint from 20
+            (2, 22, -3, -1),
+        ],
+        "k int, iid int, s long, e long",
+    )
+    got = {
+        (r.id_a, r.id_b): r.overlap_len
+        for r in interval_overlap_pairs(
+            items, key="k", id_col="iid", bucket_width=7
+        ).collect()
+    }
+    assert got == {
+        (10, 11): 6,
+        (11, 13): 7,
+        (20, 21): 3,
+        (21, 22): 3,
+    }

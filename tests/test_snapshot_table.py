@@ -1239,3 +1239,99 @@ def test_lazy_delete_rejects_bad_condition_before_commit(spark, docs, tmp_path):
     # no tombstone committed; the table still reads
     assert latest_version(table) == 1
     assert read_snapshot(spark, table).count() > 0
+
+
+def test_read_changes_rejects_tombstone_materialising_compaction(
+    spark, docs, tmp_path
+):
+    """A compaction whose parent had pending lazy-delete tombstones
+    MATERIALISES them — that commit changes rows, not just layout, so an
+    incremental range crossing it must fail loudly (the silent-skip
+    would hand the consumer a delta missing the deletes)."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table,
+        delete_where,
+        read_changes,
+    )
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    write_snapshot(en, table, mode="append")                       # v1
+    delete_where(spark, table, "n_chars > 500", lazy=True)         # v2
+    write_snapshot(de, table, mode="append")                       # v3
+    compact_table(spark, table, target_shards=2)                   # v4: materialises
+    write_snapshot(docs.where(F.col("lang") == "fr"), table)       # v5
+    # a consumer positioned at/after the tombstone but before the
+    # compaction must NOT be handed "nothing changed at v4"
+    for start in (2, 3):
+        with pytest.raises(ValueError, match="materialised pending lazy"):
+            read_changes(spark, table, start_version=start)
+    # ranges that stop before, or start after, the compaction still work
+    assert read_changes(spark, table, 2, end_version=3).count() == de.count()
+    got = read_changes(spark, table, start_version=4)
+    assert _canon(got) == _canon(docs.where(F.col("lang") == "fr"))
+    # a PURE layout compaction (no pending tombstones) stays skippable
+    compact_table(spark, table, target_shards=1)                   # v6
+    assert read_changes(spark, table, start_version=5).count() == 0
+
+
+def test_overwrite_allows_type_redefinition(spark, docs, tmp_path):
+    """mode='overwrite' replaces the table schema outright, so a column
+    type change is a legal redefinition there — while append keeps
+    rejecting it (evolution never coerces)."""
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table, mode="append")
+    retyped = en.withColumn("n_chars", F.col("n_chars").cast("string"))
+    with pytest.raises(ValueError, match="type change"):
+        write_snapshot(retyped, table, mode="append")
+    v = write_snapshot(retyped, table, mode="overwrite")
+    got = read_snapshot(spark, table, v)
+    assert dict(got.dtypes)["n_chars"] == "string"
+    assert _canon(got) == _canon(retyped)
+    # history is intact: v1 still reads with the ORIGINAL type
+    assert dict(read_snapshot(spark, table, 1).dtypes)["n_chars"] != "string"
+
+
+def test_streaming_sink_app_id_namespaces_batch_ids(spark, docs, tmp_path):
+    """Two writer lineages into one table (the Delta txnAppId pattern):
+    each dedupes replays within ITS OWN app_id, so lineage B's batch 0
+    is not skipped as a replay of lineage A's batch 0 — and a legacy
+    (app_id=None) sink ignores namespaced commits entirely."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        streaming_snapshot_sink,
+    )
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en").limit(5)
+    de = docs.where(F.col("lang") == "de").limit(7)
+    sink_a = streaming_snapshot_sink(table, app_id="query-a")
+    sink_b = streaming_snapshot_sink(table, app_id="query-b")
+    sink_a(en, 0)
+    sink_a(en, 1)
+    assert latest_version(table) == 2
+    # lineage B starts its OWN batch ids at 0: must land, not be skipped
+    sink_b(de, 0)
+    assert latest_version(table) == 3
+    # replays within each lineage are still exactly-once
+    sink_a(en, 1)
+    sink_b(de, 0)
+    assert latest_version(table) == 3
+    # a legacy un-namespaced sink is a third lineage of its own
+    sink_legacy = streaming_snapshot_sink(table)
+    sink_legacy(en, 0)
+    assert latest_version(table) == 4
+    sink_legacy(en, 0)
+    assert latest_version(table) == 4
+    keys = [
+        (
+            s["properties"].get("streaming_app_id"),
+            s["properties"].get("streaming_batch_id"),
+        )
+        for s in snapshot_history(table)
+    ]
+    assert keys == [
+        ("query-a", 0), ("query-a", 1), ("query-b", 0), (None, 0)
+    ]
+    assert read_snapshot(spark, table).count() == 2 * 5 + 7 + 5
