@@ -741,17 +741,33 @@ def q_ann_brp_mllib(spark, sf_dir):
     )
 
 
-def _cosine_pairs_ctes(n_planes: int = 8, threshold: float = 0.4) -> str:
-    """Shared CTE chain: vectors → LSH bucket bits → bucket-blocked pairs
-    with exact cosine ≥ threshold (cpairs). Used by the pairs query and,
-    under WITH RECURSIVE, by the embedding clusters capstone."""
+_LSH_BASE, _LSH_TARGET, _LSH_CAP = 4, 32, 24
+
+
+def _cosine_pairs_ctes(threshold: float = 0.4) -> str:
+    """Shared CTE chain: vectors → SCALE-ADAPTIVE sign-LSH buckets →
+    bucket-blocked pairs with exact cosine ≥ threshold (cpairs). Used by
+    the pairs query and, under WITH RECURSIVE, by the embedding clusters
+    capstone. The plane count replays
+    :func:`~.operators.similarity.adaptive_n_planes` with integer-only
+    threshold sums (``4 + Σ [count > 32·2^k]``), so the oracle picks the
+    SAME np the Spark side does at any corpus size; plane ``j``
+    participates in the bucket only when ``j < np``."""
+    np_terms = " + ".join(
+        f"(CASE WHEN cnt > {_LSH_TARGET << k} THEN 1 ELSE 0 END)"
+        for k in range(_LSH_BASE, _LSH_CAP)
+    )
     bits = " + ".join(
-        f"CASE WHEN list_reduce(list_transform(generate_series(1, len(vec)), "
+        f"CASE WHEN {j} < (SELECT np FROM params) AND "
+        f"list_reduce(list_transform(generate_series(1, len(vec)), "
         f"i -> vec[i] * {_hp_sql(j)}), (a, b) -> a + b) > 0 "
         f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-        for j in range(n_planes)
+        for j in range(_LSH_CAP)
     )
-    return f"""v AS (SELECT vec_id, {_VEC} AS vec FROM embeddings),
+    return f"""params AS (
+      SELECT {_LSH_BASE} + {np_terms} AS np
+      FROM (SELECT count(*) AS cnt FROM embeddings)),
+    v AS (SELECT vec_id, {_VEC} AS vec FROM embeddings),
     n AS (SELECT vec_id, vec, {_FOLD_NORM.format(v='vec')} AS nrm,
                  {bits} AS bucket
           FROM v),
@@ -763,28 +779,37 @@ def _cosine_pairs_ctes(n_planes: int = 8, threshold: float = 0.4) -> str:
       WHERE cosine >= {threshold})"""
 
 
-def _cosine_dedup_oracle(n_planes: int = 8, threshold: float = 0.4) -> str:
+def _cosine_dedup_oracle(threshold: float = 0.4) -> str:
     return f"""
-    WITH {_cosine_pairs_ctes(n_planes, threshold)}
+    WITH {_cosine_pairs_ctes(threshold)}
     SELECT vec_a, vec_b, cosine FROM cpairs
     """
 
 
 @register(
     "dedup_embedding_cosine",
-    _cosine_dedup_oracle(4, 0.4),
+    _cosine_dedup_oracle(0.4),
     tags=("dedup", "similarity", "embedding", "lsh"),
-    description="Embedding-cosine near-dup pairs, LSH-bucket-blocked (4 md5-derived "
-    "hyperplanes → equi-join on bucket → exact cosine verify, cos ≥ 0.4). The scale "
-    "shape: no all-pairs crossJoin — candidate generation is an equi-join; the oracle "
-    "replays the identical bucketing + fold.",
+    description="Embedding-cosine near-dup pairs, LSH-bucket-blocked with a "
+    "SCALE-ADAPTIVE plane count (np = adaptive_n_planes(N): smallest np >= 4 with "
+    "N <= 32·2^np, so buckets ∝ N and candidates stay ~linear; fixed np measured "
+    "exp 1.33 across sf1->sf10) → equi-join on bucket → exact cosine verify, "
+    "cos ≥ 0.4. The count that sizes np is parquet-metadata-weight; the oracle "
+    "replays the identical np choice, bucketing, and fold.",
 )
 def q_dedup_embedding_cosine(spark, sf_dir):
     from .functions.vectors import cosine_similarity, to_double
-    from .operators.similarity import lsh_bucket, lsh_hyperplanes
+    from .operators.similarity import (
+        adaptive_n_planes,
+        lsh_bucket,
+        lsh_hyperplanes,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    planes = lsh_hyperplanes(64, 4, tag="hp")
+    np_ = adaptive_n_planes(
+        emb.count(), base=_LSH_BASE, target=_LSH_TARGET, cap=_LSH_CAP
+    )
+    planes = lsh_hyperplanes(64, np_, tag="hp")
     base = emb.select(
         "vec_id",
         to_double(F.col("embedding")).alias("vec"),
@@ -806,7 +831,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 @register(
     "embedding_dedup_clusters",
     f"""
-    WITH RECURSIVE {_cosine_pairs_ctes(4, 0.4)},
+    WITH RECURSIVE {_cosine_pairs_ctes(0.4)},
     e(src, dst) AS (
       SELECT vec_a, vec_b FROM cpairs
       UNION ALL

@@ -61,6 +61,24 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def adaptive_n_planes(
+    n_rows: int, base: int = 4, target: int = 32, cap: int = 24
+) -> int:
+    """Plane count for sign-LSH blocking that keeps MEAN BUCKET SIZE near
+    ``target`` as the corpus grows: the smallest ``np >= base`` with
+    ``n_rows <= target * 2**np`` (capped). Fixed ``np`` makes
+    bucket-blocked candidate pairs grow ~N^2/2^np — quadratic with a
+    small constant, measured super-linear (exp 1.33) across sf1->sf10 —
+    while ``2^np ∝ N`` holds expected candidates at ~target·N/2, linear.
+    Integer-only thresholds (``n > target·2^k``) so the DuckDB oracle
+    replays the choice bit-exactly (no float log2 at a power-of-two
+    boundary)."""
+    np_ = base
+    while np_ < cap and n_rows > (target << np_):
+        np_ += 1
+    return np_
+
+
 def lsh_buckets(emb: DataFrame, dim: int = 64, n_planes: int = 16) -> DataFrame:
     planes = lsh_hyperplanes(dim, n_planes)
     vec = to_double(F.col("embedding"))

@@ -441,3 +441,62 @@ def test_interval_overlap_pairs_extreme_and_negative_bounds(spark):
         (20, 21): 3,
         (21, 22): 3,
     }
+
+
+def test_adaptive_n_planes_thresholds():
+    """The integer-only sizing rule both engines replay: smallest
+    np >= base with n <= target * 2^np, capped."""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.similarity import (
+        adaptive_n_planes,
+    )
+
+    assert adaptive_n_planes(0) == 4
+    assert adaptive_n_planes(500) == 4
+    assert adaptive_n_planes(512) == 4      # boundary: N == 32·2^4 stays
+    assert adaptive_n_planes(513) == 5      # first count past it grows
+    assert adaptive_n_planes(2000) == 6
+    assert adaptive_n_planes(20_000) == 10
+    assert adaptive_n_planes(200_000) == 13
+    assert adaptive_n_planes(10**12) == 24  # cap
+
+
+def test_embedding_dedup_adaptive_np_cross_engine(spark, sf_dir, tmp_path):
+    """Above the 512-vector threshold the Spark side picks np=5 and the
+    oracle must pick the SAME np from its integer threshold sum — gate
+    the crossing with a 600-vector fixture (sf0.001 embeddings + 100
+    jittered extras), comparing pairs bit-exactly across engines."""
+    import duckdb
+
+    from svdmovie_lens_parallel_apache_spark_spark.catalog_text import (
+        q_dedup_embedding_cosine,
+    )
+    from tests.oracle_utils import assert_frames_match
+
+    d = tmp_path / "fx"
+    d.mkdir()
+    con = duckdb.connect()
+    # 500 originals + 100 one-component-jittered near-dups = 600 > 512;
+    # built in SQL so the array<float> column type survives the copy
+    con.sql(f"""
+        COPY (
+          SELECT * FROM '{sf_dir}/embeddings.parquet'
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id,
+                 CAST(list_prepend(CAST(embedding[1] + 0.001 AS FLOAT),
+                                   embedding[2:]) AS FLOAT[]) AS embedding,
+                 label
+          FROM '{sf_dir}/embeddings.parquet' WHERE vec_id < 100
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"):
+        con.sql(f"COPY (SELECT * FROM '{sf_dir}/{t}.parquet' LIMIT 1) "
+                f"TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    from tests.oracle_utils import run_oracle
+
+    import __spark_entry__ as entry_mod
+
+    sdf = q_dedup_embedding_cosine(spark, str(d)).toPandas()
+    oracle = run_oracle(entry_mod.oracle_sql()["dedup_embedding_cosine"], str(d))
+    assert len(sdf) > 0  # the jittered extras guarantee found pairs
+    assert_frames_match(sdf, oracle, "dedup_embedding_cosine@600")
