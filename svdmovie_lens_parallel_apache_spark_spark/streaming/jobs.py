@@ -173,6 +173,87 @@ def user_totals_stateful_transform(ev: DataFrame) -> DataFrame:
     )
 
 
+def user_totals_tws_transform(ev: DataFrame) -> DataFrame:
+    """Spark-4-native arbitrary-state operator
+    (``transformWithStateInPandas`` + ``StatefulProcessor``): the same
+    per-user running totals as :func:`user_totals_stateful_transform`,
+    built on the API that SUPERSEDES applyInPandasWithState — named,
+    typed state variables fetched from a handle (ValueState here;
+    ListState/MapState for larger shapes), an init/close lifecycle, and
+    timer support for timeout semantics. State is keyed by the grouping
+    key and lives in the state store; the operator REQUIRES the RocksDB
+    provider (the store every real 100 TB deployment runs anyway —
+    state spills to disk instead of the executor heap), so callers set
+    ``spark.sql.streaming.stateStore.providerClass`` before draining
+    (see :func:`stream_user_totals_tws`).
+
+    Runtime dependency boundary: the transform itself plans without
+    extras, but DRAINING it needs the ``protobuf`` Python package (the
+    state-server protocol between the JVM and the Python
+    StatefulProcessor runner). Where protobuf is absent the query fails
+    loudly at start (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE);
+    :func:`user_totals_stateful_transform` is the
+    applyInPandasWithState equivalent with no extra dependency — the
+    oracle-gated catalog path."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, s double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _RunningTotals(),
+            outputStructType="user_id long, n_events long, sum_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain :func:`user_totals_tws_transform` with availableNow under the
+    RocksDB state store provider (transformWithState requires it),
+    restoring the session's prior provider after — the driver hands this
+    query a vanilla session."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        ev = events_stream(spark, sf_dir).select("user_id", "value")
+        agg = user_totals_tws_transform(ev)
+        run_available_now(agg, "stream_user_totals_tws", mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return latest_user_totals(spark.table("stream_user_totals_tws"))
+
+
 def latest_user_totals(emissions: DataFrame) -> DataFrame:
     """Collapse an update-mode emission log to each user's final state
     (n_events is monotone per user, so max-n wins)."""

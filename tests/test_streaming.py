@@ -188,3 +188,62 @@ def test_stream_incremental_rollup_equals_batch_recompute(spark, sf_dir, tmp_pat
         .collect()
     }
     assert got == exp
+
+
+def test_transform_with_state_plan_and_parity(spark, sf_dir):
+    """Spark-4 transformWithStateInPandas twin of the stateful totals:
+    the transform must PLAN against a streaming source with the
+    TransformWithState operator and the declared output schema in every
+    environment; full drain parity with the batch groupBy twin runs
+    where the protobuf state-server dependency exists (documented
+    boundary in streaming/jobs.py — absent here, the drain fails loudly
+    at query start, which is also asserted)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from svdmovie_lens_parallel_apache_spark_spark.streaming.jobs import (
+        events_stream,
+        latest_user_totals,
+        stream_user_totals_tws,
+        user_totals_tws_transform,
+    )
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+    agg = user_totals_tws_transform(ev)
+    assert agg.isStreaming
+    assert [f.name for f in agg.schema.fields] == [
+        "user_id", "n_events", "sum_value",
+    ]
+    plan = agg._jdf.queryExecution().analyzed().toString()
+    assert "TransformWithState" in plan
+
+    try:
+        import google.protobuf  # noqa: F401
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    if not have_protobuf:
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        with pytest.raises(StreamingQueryException):
+            stream_user_totals_tws(spark, sf_dir)
+        return
+
+    got = {
+        (r.user_id, r.n_events, r.sum_value)
+        for r in stream_user_totals_tws(spark, sf_dir).collect()
+    }
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    exact = {
+        (r.user_id, r.n_events, r.sum_value)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor(F.sum("value") * 1e4 + 0.5) / 1e4).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == exact
