@@ -3011,6 +3011,68 @@ def q_snapshot_delete_where(spark, sf_dir):
 
 
 @register(
+    "snapshot_bloom_skip",
+    """
+    WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+    probes AS (
+      SELECT 0 AS p FROM m
+      UNION ALL SELECT CAST(floor(mx / 2) AS BIGINT) FROM m
+      UNION ALL SELECT mx FROM m
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, TRUE AS bloom_skipped_ok
+    FROM documents d JOIN probes ON d.doc_id = probes.p
+    """,
+    tags=("sources", "table-format", "bloom", "pruning"),
+    description="Bloom-filter FILE SKIPPING from snapshot metadata (Delta "
+    "bloom-index shaped): commit the documents hash-split 8 ways with a "
+    "per-shard doc_id bloom (2048 bits x 3 portable md5 hashes, stored as "
+    "the sorted set-bit list), then point-look-up three deterministic keys "
+    "via read_snapshot(bloom_point=...). Min/max stats cannot skip a point "
+    "probe on a hash layout — every shard's range covers every key; the "
+    "bloom skips all but the owning shard (+rare false positives), the "
+    "100 TB needle-in-haystack read. Rows must equal the plain filter "
+    "(no false negatives, by construction); bloom_skipped_ok pins that "
+    "every probe scanned STRICTLY fewer shards than the table holds.",
+)
+def q_snapshot_bloom_skip(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        _bloom_may_contain,
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="svdml-snapbloom-")
+    write_snapshot(
+        docs.repartition(8, "doc_id"), table,
+        mode="append", bloom_cols=["doc_id"],
+    )
+    mx = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    probes = [0, mx // 2, mx]
+    snap = snapshot_history(table)[-1]
+    n_shards = len(snap["shards"])
+    skipped_ok = all(
+        sum(
+            1 for s in snap["shards"] if _bloom_may_contain(s, "doc_id", p)
+        ) < n_shards
+        for p in probes
+    )
+    parts = [
+        read_snapshot(spark, table, bloom_point=("doc_id", p)).where(
+            F.col("doc_id") == p
+        )
+        for p in probes
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("bloom_skipped_ok", F.lit(bool(skipped_ok)))
+
+
+@register(
     "snapshot_incremental_read",
     f"""
     SELECT lang,

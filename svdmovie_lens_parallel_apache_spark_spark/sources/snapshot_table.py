@@ -202,6 +202,73 @@ def _stats_overlap(shard: dict, col: str, lo, hi) -> bool:
     return b[0] <= hi and lo <= b[1]
 
 
+def _bloom_bits_for(value, m: int, k: int) -> list[int]:
+    """The ``k`` encoded bit positions a value sets — the driver-side
+    twin of ``operators.sketches._salted_bucket`` (md5 of ``"j|value"``
+    is the portable hash both engines share), with the same ``j*m + pos``
+    flat encoding ``bloom_prune`` uses."""
+    import hashlib
+
+    return [
+        j * m
+        + int(hashlib.md5(f"{j}|{value}".encode()).hexdigest()[:8], 16) % m
+        for j in range(k)
+    ]
+
+
+def _bloom_may_contain(shard: dict, col: str, value) -> bool:
+    """Bloom membership triage for one shard: False ONLY when the shard's
+    recorded filter for ``col`` provably excludes ``value`` (no false
+    negatives — every bit of a stored value is in the set). Shards
+    without a bloom for ``col`` are conservatively True, same contract
+    as :func:`_stats_overlap`."""
+    b = shard.get("bloom", {}).get(col)
+    if b is None:
+        return True
+    bits = set(b["bits"])
+    return all(p in bits for p in _bloom_bits_for(value, b["m"], b["k"]))
+
+
+def _compute_blooms(
+    spark: SparkSession, table: str, names: list[str],
+    bloom_cols: list[str], m: int, k: int,
+) -> dict[str, dict]:
+    """Per-shard Bloom filters for ``bloom_cols`` as snapshot metadata:
+    one distributed pass per column over just this job's shards —
+    explode the ``k`` hash rows, distinct the ≤ m·k set bit positions
+    per file, collect the sorted position list (≤ m·k ints, metadata
+    weight). NULLs set no bits (point lookup of NULL is not a bloom
+    question — stats/row filters handle it)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import _salted_bucket
+
+    out: dict[str, dict] = {n: {} for n in names}
+    if not names or not bloom_cols:
+        return out
+    df = spark.read.parquet(*[os.path.join(table, _DATA_DIR, n) for n in names])
+    j = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("j")
+    for c in bloom_cols:
+        rows = (
+            df.select(F.input_file_name().alias("f"), F.col(c))
+            .where(F.col(c).isNotNull())
+            .select("f", j, F.col(c))
+            .select(
+                "f",
+                (F.col("j") * m + _salted_bucket(F.col("j"), F.col(c), m))
+                .alias("bit"),
+            )
+            .groupBy("f")
+            .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+            .collect()
+        )
+        for r in rows:
+            out[os.path.basename(r["f"])][c] = {
+                "m": m, "k": k, "bits": [int(b) for b in r["bits"]],
+            }
+    return out
+
+
 def _remove_unreferenced(table: str) -> int:
     """Delete data files no surviving snapshot references (the orphan
     sweep shared by :func:`vacuum` and :func:`expire_snapshots`)."""
@@ -285,6 +352,8 @@ def write_snapshot(
     df: DataFrame, table: str, mode: str = "append",
     properties: dict | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 2048, bloom_k: int = 3,
 ) -> int:
     """Commit ``df`` to ``table`` as a new snapshot; returns the version.
 
@@ -299,13 +368,36 @@ def write_snapshot(
     file-pruning mechanism, which at 100 TB turns a key-range query
     from a full scan into a few-file read when the layout clusters the
     key (pair with ``writers.write_clustered``).
+
+    ``bloom_cols`` additionally records a small per-shard BLOOM FILTER
+    per column (``bloom_bits`` bits × ``bloom_k`` hashes, stored as the
+    sorted set-bit list — metadata weight) — the Delta bloom-index /
+    Parquet bloom idea lifted into the snapshot log. Min/max stats
+    cannot skip a POINT lookup on an unclustered high-cardinality key
+    (every shard's range covers it); a bloom can: a key lives in one
+    shard, and ``read_snapshot(bloom_point=(col, v))`` skips every
+    shard whose filter provably excludes ``v`` (no false negatives;
+    false-positive shards are scanned harmlessly). Integral/string
+    columns only — the bloom hashes the portable string form, which
+    floats do not round-trip across engines.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_table: unknown mode {mode!r}")
+    for c in bloom_cols or []:
+        t = df.schema[c].dataType.simpleString()
+        if t not in ("int", "bigint", "smallint", "tinyint", "string"):
+            raise ValueError(
+                f"snapshot_table: bloom_cols supports integral/string "
+                f"columns only; {c!r} is {t}"
+            )
     job = uuid.uuid4().hex
     tmp_dir = os.path.join(table, "_tmp", job)
     try:
         mine, counts, stats = _stage_publish(df, table, tmp_dir, stats_cols)
+        blooms = _compute_blooms(
+            df.sparkSession, table, mine, bloom_cols or [],
+            bloom_bits, bloom_k,
+        )
         # 3. claim the next version; on EEXIST rebase and retry
         while True:
             current = latest_version(table)
@@ -331,6 +423,8 @@ def write_snapshot(
                 s = {"file": n, "n_rows": counts[n]}
                 if stats[n]:
                     s["stats"] = stats[n]
+                if blooms[n]:
+                    s["bloom"] = blooms[n]
                 return s
 
             if mode == "overwrite":
@@ -367,6 +461,7 @@ def write_snapshot(
 def read_snapshot(
     spark: SparkSession, table: str, version: int | None = None,
     prune: tuple | None = None, as_of: float | None = None,
+    bloom_point: tuple | None = None,
 ) -> DataFrame:
     """Scan one pinned snapshot (latest by default) — time travel via
     ``version=`` or ``as_of=`` (epoch seconds; resolved to the last
@@ -381,6 +476,13 @@ def read_snapshot(
     before any footer is opened. Shards without stats for ``col`` are
     conservatively kept; the caller still applies its own row filter
     (pruning is a scan reducer, not a filter).
+
+    ``bloom_point=(col, value)`` skips every shard whose recorded Bloom
+    filter for ``col`` (``write_snapshot(bloom_cols=...)``) provably
+    excludes ``value`` — the POINT-lookup skipper min/max stats cannot
+    provide on unclustered keys. No false negatives by construction;
+    false-positive shards are merely scanned. Composes with ``prune``;
+    same reducer-not-filter contract.
 
     Pending lazy deletes (``delete_where(lazy=True)``) are applied at
     read time — merge-on-read: shards are grouped by which delete
@@ -403,6 +505,9 @@ def read_snapshot(
     if prune is not None:
         col, lo, hi = prune
         shards = [s for s in shards if _stats_overlap(s, col, lo, hi)]
+    if bloom_point is not None:
+        col, value = bloom_point
+        shards = [s for s in shards if _bloom_may_contain(s, col, value)]
     return _scan_with_deletes(
         spark, table, schema,
         [s["file"] for s in shards], snap.get("deletes", []),
@@ -1140,6 +1245,7 @@ def compact_table(
     stats_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
     zorder_by: tuple[str, str] | None = None, zbits: int = 16,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Small-file compaction as a snapshot commit (Iceberg
     ``rewrite_data_files`` / Delta ``OPTIMIZE`` shaped): rewrite the
@@ -1214,4 +1320,5 @@ def compact_table(
             "zorder_by": list(zorder_by or []),
         },
         stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
     )

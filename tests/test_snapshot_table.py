@@ -1335,3 +1335,68 @@ def test_streaming_sink_app_id_namespaces_batch_ids(spark, docs, tmp_path):
         ("query-a", 0), ("query-a", 1), ("query-b", 0), (None, 0)
     ]
     assert read_snapshot(spark, table).count() == 2 * 5 + 7 + 5
+
+
+def test_bloom_point_skipping(spark, docs, tmp_path):
+    """Per-shard Bloom metadata must (a) never produce a false negative
+    — every doc_id's point read returns exactly its rows — and (b)
+    actually skip: on an 8-way hash layout a point key lives in one
+    shard, so most lookups scan far fewer shards than the table holds.
+    Shards written WITHOUT blooms are conservatively kept."""
+    table = str(tmp_path / "t")
+    write_snapshot(
+        docs.repartition(8, "doc_id"), table,
+        mode="append", bloom_cols=["doc_id"],
+    )
+    snap = snapshot_history(table)[-1]
+    n_shards = len(snap["shards"])
+    assert n_shards > 1
+    assert all("doc_id" in s.get("bloom", {}) for s in snap["shards"])
+
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    kept_counts = []
+    for doc_id in ids[:40]:
+        kept = [
+            s for s in snap["shards"]
+            if st._bloom_may_contain(s, "doc_id", doc_id)
+        ]
+        kept_counts.append(len(kept))
+        got = read_snapshot(
+            spark, table, bloom_point=("doc_id", doc_id)
+        ).where(F.col("doc_id") == doc_id)
+        assert _canon(got) == _canon(docs.where(F.col("doc_id") == doc_id))
+    # the whole point: most lookups scan ~1 shard, none scan everything
+    assert sorted(kept_counts)[len(kept_counts) // 2] <= 2
+    assert max(kept_counts) < n_shards or n_shards == 1
+
+    # a key absent from the table usually prunes EVERY shard
+    assert read_snapshot(
+        spark, table, bloom_point=("doc_id", 10**15)
+    ).count() == 0
+
+    # append WITHOUT blooms: the new shard has no filter and must be
+    # conservatively kept by every point read (no wrong skips)
+    extra = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 10**6)
+    write_snapshot(extra, table, mode="append")
+    probe = extra.select("doc_id").collect()[0][0]
+    got = read_snapshot(
+        spark, table, bloom_point=("doc_id", probe)
+    ).where(F.col("doc_id") == probe)
+    assert got.count() == 1
+
+
+def test_bloom_string_column_and_type_rejection(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    write_snapshot(
+        docs.repartition(6, "lang"), table, bloom_cols=["lang"]
+    )
+    got = read_snapshot(spark, table, bloom_point=("lang", "de"))
+    assert _canon(got.where(F.col("lang") == "de")) == _canon(
+        docs.where(F.col("lang") == "de")
+    )
+    # floats don't round-trip a portable string form: reject loudly
+    with pytest.raises(ValueError, match="bloom_cols"):
+        write_snapshot(
+            docs.withColumn("x", F.col("n_chars") * 0.5),
+            str(tmp_path / "t2"), bloom_cols=["x"],
+        )
