@@ -202,6 +202,127 @@ def _stats_overlap(shard: dict, col: str, lo, hi) -> bool:
     return b[0] <= hi and lo <= b[1]
 
 
+def _enforce_constraints(df: DataFrame, constraints: dict) -> None:
+    """CHECK-constraint enforcement (Delta invariants shaped): a row
+    VIOLATES a constraint only when its condition evaluates to FALSE —
+    NULL passes, standard SQL CHECK semantics. One limit(1) scan per
+    constraint over the incoming batch; raises naming the constraint
+    and a sample violating row. Runs BEFORE any data is staged, so a
+    rejected commit leaves nothing to clean up."""
+    from pyspark.sql import functions as F
+
+    for name, cond in (constraints or {}).items():
+        bad = df.where(
+            ~F.coalesce(F.expr(cond).cast("boolean"), F.lit(True))
+        ).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"snapshot_table: CHECK constraint {name!r} ({cond}) "
+                f"violated by row {bad[0].asDict()!r}"
+            )
+
+
+def _base_constraints(table: str) -> dict:
+    """The live table's constraints (empty for a new/absent table)."""
+    current = latest_version(table)
+    if current is None:
+        return {}
+    return _load_snapshot(table, current).get("constraints", {})
+
+
+def add_constraint(
+    spark: SparkSession, table: str, name: str, condition: str,
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT (Delta CHECK-constraint shaped):
+    record ``condition`` in the snapshot log so every subsequent
+    append/merge batch is validated against it at commit time (rows
+    where it is FALSE are rejected loudly; NULL passes — SQL CHECK).
+    Existing data must already satisfy it (one scan, same as Delta),
+    so a reader can trust the invariant over the WHOLE table from this
+    version on. NOT NULL is the special case ``col IS NOT NULL``.
+    Commits a metadata-only snapshot (same shards as the parent —
+    row-preserving by construction, so incremental/CDC readers skip
+    it). Constraints persist through overwrite, compaction, and merge;
+    :func:`rollback` restores DATA only and keeps the current
+    constraints (rolled-back rows were validated at their own commit).
+    """
+    from pyspark.sql import functions as F
+
+    current = latest_version(table)
+    if current is None:
+        raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
+    snap = _load_snapshot(table, current)
+    constraints = dict(snap.get("constraints", {}))
+    if name in constraints:
+        raise ValueError(
+            f"snapshot_table: constraint {name!r} already exists "
+            f"({constraints[name]})"
+        )
+    # parse-check against the schema first (a committed unparseable
+    # condition would fail every subsequent write), then validate the
+    # data that is already live
+    schema = StructType.fromJson(snap["schema"])
+    _ = spark.createDataFrame([], schema).where(
+        F.coalesce(F.expr(condition).cast("boolean"), F.lit(True))
+    ).schema
+    _enforce_constraints(
+        read_snapshot(spark, table, current), {name: condition}
+    )
+    constraints[name] = condition
+    return _commit_metadata(
+        table, snap, constraints, {"constraint_added": name}
+    )
+
+
+def drop_constraint(table: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: metadata-only commit removing the
+    named constraint (missing name raises — no silent no-op)."""
+    current = latest_version(table)
+    if current is None:
+        raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
+    snap = _load_snapshot(table, current)
+    constraints = dict(snap.get("constraints", {}))
+    if name not in constraints:
+        raise ValueError(f"snapshot_table: no constraint named {name!r}")
+    del constraints[name]
+    return _commit_metadata(
+        table, snap, constraints, {"constraint_dropped": name}
+    )
+
+
+def _commit_metadata(
+    table: str, base: dict, constraints: dict, props: dict,
+) -> int:
+    """Metadata-only commit: the parent's shards/schema/deletes verbatim
+    under ``operation: 'metadata'`` with updated constraints. Retries
+    the claim on a lost race by re-deriving from the new base (shards
+    may have changed; the metadata delta still applies on top)."""
+    job = uuid.uuid4().hex
+    tmp_dir = os.path.join(table, "_tmp", job)
+    try:
+        while True:
+            current = latest_version(table)
+            snap = _load_snapshot(table, current)
+            snapshot = {
+                "version": current + 1,
+                "parent": current,
+                "operation": "metadata",
+                "properties": dict(props),
+                "schema": snap["schema"],
+                "n_shards": snap["n_shards"],
+                "n_rows": snap["n_rows"],
+                "shards": snap["shards"],
+            }
+            if snap.get("deletes"):
+                snapshot["deletes"] = snap["deletes"]
+            if constraints:
+                snapshot["constraints"] = constraints
+            if _claim_snapshot(table, tmp_dir, snapshot):
+                return snapshot["version"]
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
 def _bloom_bits_for(value, m: int, k: int) -> list[int]:
     """The ``k`` encoded bit positions a value sets — the driver-side
     twin of ``operators.sketches._salted_bucket`` (md5 of ``"j|value"``
@@ -390,6 +511,8 @@ def write_snapshot(
                 f"snapshot_table: bloom_cols supports integral/string "
                 f"columns only; {c!r} is {t}"
             )
+    validated = _base_constraints(table)
+    _enforce_constraints(df, validated)  # fail BEFORE staging any data
     job = uuid.uuid4().hex
     tmp_dir = os.path.join(table, "_tmp", job)
     try:
@@ -405,8 +528,19 @@ def write_snapshot(
                 base_shards: list[dict] = []
                 base_schema = df.schema
                 base_deletes: list[dict] = []
+                constraints: dict = {}
             else:
                 snap = _load_snapshot(table, current)
+                constraints = snap.get("constraints", {})
+                # a constraint added concurrently (between our entry
+                # validation and this claim) still binds this batch
+                fresh = {
+                    k: v for k, v in constraints.items()
+                    if validated.get(k) != v
+                }
+                if fresh:
+                    _enforce_constraints(df, fresh)
+                    validated = {**validated, **fresh}
                 base_shards = snap["shards"]
                 # evolution compatibility is an APPEND concern only: an
                 # overwrite replaces the table schema outright (Delta
@@ -451,6 +585,8 @@ def write_snapshot(
             }
             if deletes:
                 snapshot["deletes"] = deletes
+            if constraints:  # invariants persist through overwrite too
+                snapshot["constraints"] = constraints
             if _claim_snapshot(table, tmp_dir, snapshot):
                 return version
             # lost the race: rebase on the winner's snapshot, retry
@@ -760,6 +896,9 @@ def merge_upsert(
             raise ValueError(
                 f"snapshot_table: merge keys {missing} not in table"
             )
+        # kept rows already satisfied the invariants at their own
+        # commit; only the incoming (surviving) rows need validation
+        _enforce_constraints(surviving, snap.get("constraints", {}))
         touched, carried = [], []
         if bounds is not None:
             lo, hi = bounds
@@ -819,6 +958,8 @@ def merge_upsert(
                 "n_rows": sum(s["n_rows"] for s in shards),
                 "shards": sorted(shards, key=lambda s: s["file"]),
             }
+            if snap.get("constraints"):
+                snapshot["constraints"] = snap["constraints"]
             if _claim_snapshot(table, tmp_dir, snapshot):
                 return version
             continue  # concurrent commit won: retry on the new base
@@ -949,6 +1090,8 @@ def delete_where(
                 "n_rows": sum(s["n_rows"] for s in shards),
                 "shards": sorted(shards, key=lambda s: s["file"]),
             }
+            if snap.get("constraints"):
+                snapshot["constraints"] = snap["constraints"]
             if _claim_snapshot(table, tmp_dir, snapshot):
                 return version
             continue  # concurrent commit won: retry on the new base
@@ -990,6 +1133,8 @@ def _lazy_delete(table: str, condition: str) -> int:
                 "shards": snap["shards"],
                 "deletes": snap.get("deletes", []) + [tombstone],
             }
+            if snap.get("constraints"):
+                snapshot["constraints"] = snap["constraints"]
             if _claim_snapshot(table, tmp_dir, snapshot):
                 return version
     finally:
@@ -1023,6 +1168,11 @@ def rollback(table: str, version: int) -> int:
             }
             if target.get("deletes"):
                 snapshot["deletes"] = target["deletes"]
+            # restore DATA only: the invariants stay whatever they are
+            # NOW (rolled-back rows passed validation at their commit)
+            live = _base_constraints(table)
+            if live:
+                snapshot["constraints"] = live
             if _claim_snapshot(table, tmp_dir, snapshot):
                 return new_version
     finally:
@@ -1220,6 +1370,11 @@ def _added_files(
     for v in range(start_version + 1, end_version + 1):
         snap = _load_snapshot(table, v)
         cur = set(s["file"] for s in snap["shards"])
+        if snap["operation"] == "metadata":
+            # constraint add/drop: parent's shards verbatim — row-
+            # preserving by construction, nothing to emit
+            prev, prev_snap = cur, snap
+            continue
         if snap.get("properties", {}).get("compaction"):
             if prev_snap.get("deletes"):
                 raise ValueError(

@@ -1400,3 +1400,66 @@ def test_bloom_string_column_and_type_rejection(spark, docs, tmp_path):
             docs.withColumn("x", F.col("n_chars") * 0.5),
             str(tmp_path / "t2"), bloom_cols=["x"],
         )
+
+
+def test_check_constraints_enforced_at_commit(spark, docs, tmp_path):
+    """Delta-invariant-shaped CHECK constraints: recorded in the
+    snapshot log by a metadata-only commit, validated against existing
+    data when added, enforced on every subsequent append/merge (FALSE
+    rows reject the whole batch BEFORE staging; NULL passes — SQL CHECK
+    semantics), carried through overwrite/compaction, and removable."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        add_constraint,
+        compact_table,
+        drop_constraint,
+        merge_upsert,
+        read_changes,
+    )
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table, mode="append")                        # v1
+    # adding a constraint the live data violates must NOT commit
+    with pytest.raises(ValueError, match="n_chars_positive"):
+        add_constraint(spark, table, "n_chars_positive", "n_chars < 0")
+    assert latest_version(table) == 1
+    v = add_constraint(spark, table, "n_chars_positive", "n_chars >= 0")
+    assert v == 2
+    with pytest.raises(ValueError, match="already exists"):
+        add_constraint(spark, table, "n_chars_positive", "n_chars >= 0")
+
+    # violating append: rejected loudly, nothing committed, no orphans
+    bad = en.limit(2).withColumn("n_chars", F.lit(-5).cast("long"))
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        write_snapshot(bad, table, mode="append")
+    assert latest_version(table) == 2
+    # NULL passes (SQL CHECK); conforming rows land
+    nulls = en.limit(2).withColumn(
+        "doc_id", F.col("doc_id") + 10**6
+    ).withColumn("n_chars", F.lit(None).cast("long"))
+    write_snapshot(nulls, table, mode="append")                     # v3
+    assert latest_version(table) == 3
+
+    # merge enforcement: a violating update rejects the whole merge
+    upd = en.limit(1).withColumn("n_chars", F.lit(-1).cast("long"))
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        merge_upsert(upd, table, key_cols=["doc_id"])
+    assert latest_version(table) == 3
+
+    # incremental readers skip the metadata commit (row-preserving)
+    assert read_changes(spark, table, 1).count() == 2  # just the nulls
+
+    # constraints persist through compaction (an overwrite underneath)
+    compact_table(spark, table, target_shards=2)                    # v4
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        write_snapshot(bad, table, mode="append")
+
+    # drop, then the same batch lands
+    drop_constraint(table, "n_chars_positive")                      # v5
+    with pytest.raises(ValueError, match="no constraint"):
+        drop_constraint(table, "nope")
+    write_snapshot(bad, table, mode="append")                       # v6
+    assert latest_version(table) == 6
+    props = [s["properties"] for s in snapshot_history(table)]
+    assert {"constraint_added": "n_chars_positive"} in props
+    assert {"constraint_dropped": "n_chars_positive"} in props
