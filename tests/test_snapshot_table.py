@@ -715,7 +715,7 @@ from hypothesis import strategies as hst  # noqa: E402
 
 _op = hst.sampled_from(
     ["append", "overwrite", "merge", "compact", "expire",
-     "delete_cow", "delete_lazy", "rollback"]
+     "delete_cow", "delete_lazy", "rollback", "constrain", "unconstrain"]
 )
 _batch = hst.lists(
     hst.tuples(hst.integers(0, 19), hst.integers(0, 99)), min_size=1, max_size=6,
@@ -731,14 +731,17 @@ _batch = hst.lists(
 )
 def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
     """Any interleaving of append / overwrite / merge / compact / expire
-    / copy-on-write delete / lazy delete / rollback must leave the table
-    equal to a trivially-correct row-list model — the format's semantics
-    hold under composition, not just in the per-op tests. (Appends may
-    repeat a key — a table is a multiset — while merge replaces by key;
-    batches are unique-keyed WITHIN themselves, matching merge_upsert's
-    ambiguity rule. CoW delete/merge over pending tombstones must raise
-    and change NOTHING; lazy deletes filter only rows present at delete
-    time; rollback restores an old version's rows AND tombstones.)"""
+    / copy-on-write delete / lazy delete / rollback / constraint
+    add+drop must leave the table equal to a trivially-correct row-list
+    model — the format's semantics hold under composition, not just in
+    the per-op tests. (Appends may repeat a key — a table is a multiset
+    — while merge replaces by key; batches are unique-keyed WITHIN
+    themselves, matching merge_upsert's ambiguity rule. CoW delete/merge
+    over pending tombstones must raise and change NOTHING; lazy deletes
+    filter only rows present at delete time; rollback restores an old
+    version's rows AND tombstones but keeps the CURRENT constraints;
+    a write violating an active CHECK must raise and change nothing;
+    adding a CHECK the live rows violate must refuse to commit.)"""
     from pyspark.sql import types as T
 
     from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
@@ -755,20 +758,33 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
     version = 0
     hist: dict[int, tuple[list, int]] = {}  # version -> (rows, pending)
     committed = False
+    constraints: dict[str, int] = {}  # name -> max allowed v (v <= thr)
+    c_seq = 0
 
     def snap():
         hist[version] = (list(model), pending)
+
+    def batch_violates(rows):
+        return any(v > t for _, v in rows for t in constraints.values())
 
     for op, batch in ops:
         df = spark.createDataFrame(batch, schema).coalesce(1)
         thr = batch[0][1]
         if op == "append":
+            if committed and batch_violates(batch):
+                with pytest.raises(ValueError, match="CHECK constraint"):
+                    write_snapshot(df, table, mode="append")
+                continue  # rejected before staging: nothing changed
             write_snapshot(df, table, mode="append")
             model += batch
             version += 1
             committed = True
             snap()
         elif op == "overwrite":
+            if committed and batch_violates(batch):
+                with pytest.raises(ValueError, match="CHECK constraint"):
+                    write_snapshot(df, table, mode="overwrite")
+                continue  # invariants persist through overwrite
             write_snapshot(df, table, mode="overwrite")
             model = list(batch)
             pending = 0
@@ -777,11 +793,34 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
             snap()
         elif not committed:
             continue  # other ops need an existing table
+        elif op == "constrain":
+            name = f"c{c_seq}"
+            if any(v > thr for _, v in model):
+                with pytest.raises(ValueError, match="CHECK constraint"):
+                    st.add_constraint(spark, table, name, f"v <= {thr}")
+                continue  # live rows violate: refused, no commit
+            st.add_constraint(spark, table, name, f"v <= {thr}")
+            constraints[name] = thr
+            c_seq += 1
+            version += 1
+            snap()
+        elif op == "unconstrain":
+            if not constraints:
+                continue
+            name = sorted(constraints)[-1]
+            st.drop_constraint(table, name)
+            del constraints[name]
+            version += 1
+            snap()
         elif op == "merge":
             if pending:
                 with pytest.raises(ValueError, match="lazy"):
                     merge_upsert(df, table, key_cols=["k"])
                 continue  # refused: nothing changed, no version
+            if batch_violates(batch):
+                with pytest.raises(ValueError, match="CHECK constraint"):
+                    merge_upsert(df, table, key_cols=["k"])
+                continue
             merge_upsert(df, table, key_cols=["k"])
             keys = {k for k, _ in batch}
             model = [r for r in model if r[0] not in keys] + list(batch)
