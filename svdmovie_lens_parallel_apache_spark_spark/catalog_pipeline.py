@@ -2952,6 +2952,80 @@ def q_snapshot_stream_ingest(spark, sf_dir):
 
 
 @register(
+    "snapshot_sink_ingest",
+    f"""
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           CAST(3 AS BIGINT)            AS n_snapshots
+    FROM documents GROUP BY lang
+    """,
+    tags=("sources", "table-format", "streaming", "extension-point"),
+    description="Streaming ingestion INTO the snapshot table through the "
+    "OFFICIAL Spark 4 sink extension point (DataSourceStreamArrowWriter — "
+    "sources/snapshot_sink.py): writeStream.format('snapshot_sink'), three "
+    "micro-batches, each task streaming its Arrow batches into one staged "
+    "shard (stats computed from the batches in passing) and each batch one "
+    "atomic batch-id-stamped APPEND snapshot committed by the driver. Twin "
+    "of snapshot_stream_ingest (foreachBatch) — same oracle: the table must "
+    "fingerprint byte-identically to the source and n_snapshots pins three "
+    "separate commits. Restart idempotence, constraint rejection, and the "
+    "source+sink round trip are gated in tests/test_snapshot_sink.py.",
+)
+def q_snapshot_sink_ingest(spark, sf_dir):
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from .sources.snapshot_sink import register_snapshot_sink
+    from .sources.snapshot_table import latest_version, read_snapshot
+
+    register_snapshot_sink(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    src_dir = tempfile.mkdtemp(prefix="svdml-sinkingest-src-")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        _time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    table = tempfile.mkdtemp(prefix="svdml-sinkingest-table-") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="svdml-sinkingest-ckpt-")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.format("snapshot_sink")
+        .option("path", table)
+        .option("app_id", "snapshot_sink_ingest")
+        .option("stats_cols", "doc_id")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        read_snapshot(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
+        )
+        .withColumn("n_snapshots", F.lit(latest_version(table)).cast("long"))
+    )
+
+
+@register(
     "snapshot_delete_where",
     f"""
     WITH thr AS (

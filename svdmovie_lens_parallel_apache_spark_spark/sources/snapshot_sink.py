@@ -1,0 +1,237 @@
+"""Snapshot table as a Structured Streaming SINK through the official
+Spark 4 Python ``DataSourceStreamArrowWriter`` extension point.
+
+The table format already ingests streams via ``foreachBatch``
+(:func:`~.snapshot_table.streaming_snapshot_sink`); this module provides
+the same exactly-once commit through the ENGINE's sink protocol instead
+of a user callback, so a pipeline writes::
+
+    register_snapshot_sink(spark)
+    (df.writeStream.format("snapshot_sink")
+       .option("path", table).option("app_id", "job-7")
+       .option("checkpointLocation", ckpt).start())
+
+and the snapshot log is populated exactly as the batch writer populates
+it — one atomic APPEND snapshot per micro-batch, batch-id-stamped for
+replay idempotence, shard stats recorded for pruning. Paired with the
+``snapshot_changes`` stream SOURCE (``snapshot_stream.py``) the table is
+now a full streaming citizen in both directions through official APIs.
+
+Protocol mapping (write/commit/abort -> the snapshot commit protocol of
+``snapshot_table.py``):
+
+- ``write`` (executors): each task streams its Arrow RecordBatches into
+  ONE private parquet shard under ``<table>/_tmp/stream/`` (zero-copy —
+  no Row materialisation) and returns a commit message carrying the
+  shard name, row count, and per-column min/max for the configured
+  ``stats_cols`` — computed FROM THE ARROW BATCHES in passing, so the
+  streamed path records pruning stats without the batch writer's second
+  metadata scan. Empty tasks write nothing.
+- ``commit`` (driver, once per successful micro-batch): enforce the
+  table's CHECK constraints against the staged shards (reject BEFORE
+  publishing — the query fails loudly, nothing becomes visible),
+  publish the staged files into ``data/`` under fresh uuid names, and
+  claim the next snapshot version with the standard rebase loop.
+  Replayed batch ids (at-least-once restart) are detected in the
+  snapshot history — same ``app_id``-namespaced idempotence key as
+  ``streaming_snapshot_sink`` — and their staged files are discarded.
+- ``abort`` (driver, any task failed): delete the staged files; the
+  snapshot log is untouched, so a failed micro-batch is invisible (the
+  same crash story as every other writer of the format).
+
+Append output mode only: ``complete`` would need overwrite-per-batch
+semantics (rejected loudly). Executors must share the table filesystem
+with the driver — true in local mode and on any shared-store cluster,
+the same assumption the rest of the format makes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+_STAGE_DIR = os.path.join("_tmp", "stream")
+
+
+def _build():
+    from dataclasses import dataclass, field
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamArrowWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class _ShardStaged(WriterCommitMessage):
+        name: str | None  # staged file name; None = empty task
+        n_rows: int = 0
+        stats: dict = field(default_factory=dict)
+
+    class SnapshotStreamWriter(DataSourceStreamArrowWriter):
+        def __init__(self, options, schema):
+            self.table = options.get("path")
+            if not self.table:
+                raise ValueError("snapshot_sink: option 'path' required")
+            self.app_id = options.get("app_id")
+            self.stats_cols = [
+                c for c in (options.get("stats_cols") or "").split(",") if c
+            ]
+            self.schema_json = schema.json()
+
+        # -- executor side ------------------------------------------------
+        def write(self, iterator):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            batches = list(iterator)
+            n = sum(len(b) for b in batches)
+            if n == 0:
+                return _ShardStaged(name=None)
+            t = pa.Table.from_batches(batches)
+            stats = {}
+            for c in self.stats_cols:
+                if c in t.schema.names:
+                    mm = pc.min_max(t[c])
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    stats[c] = [lo, hi]
+            stage = os.path.join(self.table, _STAGE_DIR)
+            os.makedirs(stage, exist_ok=True)
+            name = f"stream-{uuid.uuid4().hex}.parquet"
+            pq.write_table(t, os.path.join(stage, name))
+            return _ShardStaged(name=name, n_rows=n, stats=stats)
+
+        # -- driver side --------------------------------------------------
+        def _staged(self, messages):
+            return [m for m in messages if m is not None and m.name]
+
+        def _discard(self, messages):
+            for m in self._staged(messages):
+                try:
+                    os.remove(os.path.join(self.table, _STAGE_DIR, m.name))
+                except FileNotFoundError:
+                    pass
+
+        def commit(self, messages, batchId):
+            import shutil
+
+            from pyspark.sql.types import StructType
+
+            from .snapshot_table import (
+                _DATA_DIR,
+                _SNAP_DIR,
+                _base_constraints,
+                _claim_snapshot,
+                _enforce_constraints,
+                _load_snapshot,
+                _merge_schema,
+                latest_version,
+                snapshot_history,
+            )
+
+            # at-least-once replay of an already-committed micro-batch:
+            # drop the freshly staged duplicates and keep the log as-is
+            for snap in reversed(snapshot_history(self.table)):
+                props = snap.get("properties", {})
+                done = props.get("streaming_batch_id")
+                if done is None or props.get("streaming_app_id") != self.app_id:
+                    continue
+                if done == batchId:
+                    self._discard(messages)
+                    return
+                if done < batchId:
+                    break
+            staged = self._staged(messages)
+            schema = StructType.fromJson(json.loads(self.schema_json))
+            constraints = _base_constraints(self.table)
+            if constraints and staged:
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.getActiveSession()
+                df = spark.read.schema(schema).parquet(
+                    *[
+                        os.path.join(self.table, _STAGE_DIR, m.name)
+                        for m in staged
+                    ]
+                )
+                try:
+                    _enforce_constraints(df, constraints)
+                except ValueError:
+                    self._discard(messages)  # nothing becomes visible
+                    raise
+            os.makedirs(os.path.join(self.table, _SNAP_DIR), exist_ok=True)
+            os.makedirs(os.path.join(self.table, _DATA_DIR), exist_ok=True)
+            mine = []
+            for m in staged:
+                name = f"part-{uuid.uuid4().hex}.parquet"
+                os.replace(
+                    os.path.join(self.table, _STAGE_DIR, m.name),
+                    os.path.join(self.table, _DATA_DIR, name),
+                )
+                shard = {"file": name, "n_rows": m.n_rows}
+                if m.stats:
+                    shard["stats"] = m.stats
+                mine.append(shard)
+            props = {"streaming_batch_id": batchId, "sink": "snapshot_sink"}
+            if self.app_id is not None:
+                props["streaming_app_id"] = self.app_id
+            tmp_dir = os.path.join(self.table, "_tmp", uuid.uuid4().hex)
+            try:
+                while True:
+                    current = latest_version(self.table)
+                    if current is None:
+                        base_shards, base_deletes = [], []
+                        merged = schema
+                        cons = {}
+                    else:
+                        base = _load_snapshot(self.table, current)
+                        base_shards = base["shards"]
+                        base_deletes = base.get("deletes", [])
+                        cons = base.get("constraints", {})
+                        merged = _merge_schema(
+                            StructType.fromJson(base["schema"]), schema
+                        )
+                    shards = list(base_shards) + mine
+                    snapshot = {
+                        "version": (current or 0) + 1,
+                        "parent": current,
+                        "operation": "append",
+                        "properties": props,
+                        "schema": merged.jsonValue(),
+                        "n_shards": len(shards),
+                        "n_rows": sum(s["n_rows"] for s in shards),
+                        "shards": sorted(shards, key=lambda s: s["file"]),
+                    }
+                    if base_deletes:
+                        snapshot["deletes"] = base_deletes
+                    if cons:
+                        snapshot["constraints"] = cons
+                    if _claim_snapshot(self.table, tmp_dir, snapshot):
+                        return
+            finally:
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+
+        def abort(self, messages, batchId):
+            self._discard(messages)
+
+    class SnapshotSinkDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "snapshot_sink"
+
+        def streamWriter(self, schema, overwrite):
+            if overwrite:
+                raise ValueError(
+                    "snapshot_sink: append output mode only (complete-mode "
+                    "overwrite-per-batch is not a snapshot-log shape)"
+                )
+            return SnapshotStreamWriter(self.options, schema)
+
+    return SnapshotSinkDataSource
+
+
+def register_snapshot_sink(spark) -> None:
+    """Idempotent registration of the ``snapshot_sink`` stream format."""
+    spark.dataSource.register(_build())
