@@ -3085,6 +3085,73 @@ def q_snapshot_delete_where(spark, sf_dir):
 
 
 @register(
+    "snapshot_update_where",
+    f"""
+    WITH thr AS (
+      SELECT CAST(floor(max(doc_id) / 4.0) AS BIGINT) AS t FROM documents
+    ),
+    upd AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id <= t THEN 'redacted' ELSE d.lang END AS lang,
+             d.text,
+             CASE WHEN d.doc_id <= t THEN d.n_chars + 1000000
+                  ELSE d.n_chars END AS n_chars
+      FROM documents d, thr
+    )
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           TRUE                         AS skipped_ok
+    FROM upd GROUP BY lang
+    """,
+    tags=("sources", "table-format", "update", "pruning"),
+    description="Row-level UPDATE on the snapshot table under the oracle "
+    "gate: commit the documents, cluster-compact by doc_id, then "
+    "update_where the bottom quarter of the doc_id range (bump n_chars, "
+    "re-tag lang) with a prune bound. The post-update table must "
+    "fingerprint byte-identically to the SQL CASE-WHEN projection, and "
+    "skipped_ok pins that at least one stats-disjoint shard was CARRIED "
+    "OVER untouched — copy-on-write UPDATE with shard skipping, the "
+    "Delta/Iceberg ranged-update shape that touches O(range/shard_span) "
+    "files on a clustered 100 TB table. Protocol in "
+    "sources/snapshot_table.py (update_where).",
+)
+def q_snapshot_update_where(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        compact_table,
+        read_snapshot,
+        snapshot_history,
+        update_where,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    table = tempfile.mkdtemp(prefix="svdml-snapupdate-")
+    write_snapshot(docs, table, mode="append")
+    compact_table(spark, table, target_shards=8, cluster_by=["doc_id"])
+    thr = int(docs.agg(F.max("doc_id")).collect()[0][0] // 4)
+    update_where(
+        spark, table,
+        {"lang": "'redacted'", "n_chars": "n_chars + CAST(1000000 AS BIGINT)"},
+        f"doc_id <= {thr}", prune=("doc_id", -(2**62), thr),
+    )
+    props = snapshot_history(table)[-1]["properties"]
+    return (
+        read_snapshot(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
+        )
+        .withColumn("skipped_ok", F.lit(bool(props["shards_skipped"] > 0)))
+    )
+
+
+@register(
     "snapshot_bloom_skip",
     """
     WITH m AS (SELECT max(doc_id) AS mx FROM documents),

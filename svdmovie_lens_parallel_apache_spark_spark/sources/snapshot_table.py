@@ -645,42 +645,95 @@ def read_snapshot(
         col, value = bloom_point
         shards = [s for s in shards if _bloom_may_contain(s, col, value)]
     return _scan_with_deletes(
-        spark, table, schema,
-        [s["file"] for s in shards], snap.get("deletes", []),
+        spark, table, schema, shards, snap.get("deletes", []),
     )
+
+
+def _read_shards(
+    spark: SparkSession, table: str, shards: list[dict],
+    schema: StructType,
+) -> DataFrame:
+    """Explicit-file-list scan of ``shards`` surfacing the snapshot's
+    LOGICAL ``schema``. A shard carrying a column mapping (``names``:
+    logical -> physical, stamped by :func:`rename_column` /
+    :func:`drop_column`) is read under its PHYSICAL names and aliased
+    back — the Iceberg field-mapping read, which is what lets a rename
+    avoid rewriting data files. A logical column absent from a shard's
+    mapping (added after the shard was written, or re-added after a
+    drop — the classic name-reuse trap) reads as NULL, never as the
+    old physical bytes. Unmapped shards scan directly (the
+    explicit-schema parquet read NULL-fills missing columns). One scan
+    per distinct mapping; with no mappings this is exactly one scan."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField
+
+    if not shards:
+        return spark.createDataFrame([], schema)
+    groups: dict[tuple | None, list[str]] = {}
+    for s in shards:
+        names = s.get("names")
+        key = None if names is None else tuple(sorted(names.items()))
+        groups.setdefault(key, []).append(s["file"])
+    parts = []
+    for key, files in sorted(
+        groups.items(), key=lambda kv: (kv[0] is not None, kv[0] or ())
+    ):
+        paths = [os.path.join(table, _DATA_DIR, n) for n in sorted(files)]
+        if key is None:
+            parts.append(spark.read.schema(schema).parquet(*paths))
+            continue
+        mapping = dict(key)
+        physical = StructType(
+            [
+                StructField(mapping[f.name], f.dataType, True)
+                for f in schema.fields
+                if f.name in mapping
+            ]
+        )
+        df = spark.read.schema(physical).parquet(*paths)
+        parts.append(
+            df.select(
+                *[
+                    F.col(mapping[f.name]).alias(f.name)
+                    if f.name in mapping
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def _scan_with_deletes(
     spark: SparkSession, table: str, schema: StructType,
-    shard_names: list[str], deletes: list[dict],
+    shards: list[dict], deletes: list[dict],
 ) -> DataFrame:
-    """Scan the named shards under a snapshot's pending lazy-delete
-    tombstones — the merge-on-read kernel shared by :func:`read_snapshot`
-    (whole snapshot) and :func:`read_cdc` (just the shards whose
-    visibility changed at one commit). Shards are grouped by which
-    tombstones cover them; each group scans once with its combined
+    """Scan the given shard entries under a snapshot's pending
+    lazy-delete tombstones — the merge-on-read kernel shared by
+    :func:`read_snapshot` (whole snapshot) and :func:`read_cdc` (just
+    the shards whose visibility changed at one commit). Shards are
+    grouped by which tombstones cover them; each group scans once
+    (column-mapping aware, via :func:`_read_shards`) with its combined
     NOT-filter; with no tombstones this is one explicit-file-list
     scan."""
-    if not shard_names:
+    if not shards:
         return spark.createDataFrame([], schema)
     if not deletes:
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(table, _DATA_DIR, n) for n in shard_names]
-        )
+        return _read_shards(spark, table, shards, schema)
     from functools import reduce
 
     from pyspark.sql import functions as F
 
     covers = [set(d["shards"]) for d in deletes]
-    groups: dict[tuple, list[str]] = {}
-    for n in shard_names:
-        key = tuple(i for i, cover in enumerate(covers) if n in cover)
-        groups.setdefault(key, []).append(n)
+    groups: dict[tuple, list[dict]] = {}
+    for s in shards:
+        key = tuple(i for i, cover in enumerate(covers) if s["file"] in cover)
+        groups.setdefault(key, []).append(s)
     parts = []
-    for key, names in sorted(groups.items()):
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(table, _DATA_DIR, n) for n in names]
-        )
+    for key, group in sorted(groups.items()):
+        df = _read_shards(spark, table, group, schema)
         for i in key:
             cond = F.expr(deletes[i]["condition"]).cast("boolean")
             df = df.where(~F.coalesce(cond, F.lit(False)))
@@ -909,9 +962,7 @@ def merge_upsert(
             touched = list(snap["shards"])
         schema = _merge_schema(table_schema, updates.schema)
         if touched:
-            cur = spark.read.schema(table_schema).parquet(
-                *[os.path.join(table, _DATA_DIR, s["file"]) for s in touched]
-            )
+            cur = _read_shards(spark, table, touched, table_schema)
             kept = cur.join(
                 updates.select(*key_cols).distinct(),
                 on=key_cols, how="left_anti",
@@ -1055,15 +1106,8 @@ def delete_where(
         try:
             mine, counts, stats = [], {}, {}
             if touched:
-                remain = (
-                    spark.read.schema(schema)
-                    .parquet(
-                        *[
-                            os.path.join(table, _DATA_DIR, s["file"])
-                            for s in touched
-                        ]
-                    )
-                    .where(keep)
+                remain = _read_shards(spark, table, touched, schema).where(
+                    keep
                 )
                 mine, counts, stats = _stage_publish(
                     remain, table, tmp_dir, stats_cols
@@ -1139,6 +1183,136 @@ def _lazy_delete(table: str, condition: str) -> int:
                 return version
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def update_where(
+    spark: SparkSession, table: str, set_exprs: dict[str, str],
+    condition: str, prune: tuple | None = None,
+) -> int:
+    """Row-level UPDATE as one atomic snapshot (Delta ``UPDATE table
+    SET col = expr WHERE cond`` / Iceberg copy-on-write update shaped)
+    — the third leg of the DML triad next to :func:`delete_where` and
+    :func:`merge_upsert`. Rows where ``condition`` is TRUE get each
+    SET column replaced by its expression; FALSE or NULL rows are kept
+    unchanged (SQL UPDATE semantics). Every SET expression is
+    evaluated against the PRE-update row — ``{"a": "b", "b": "a"}``
+    swaps, it does not chain — standard SQL assignment semantics.
+
+    Scale story is the same shard skipping as :func:`delete_where`:
+    with ``prune=(col, lo, hi)`` implied by ``condition`` (caller
+    contract — every matching row has ``col`` in the range), shards
+    whose recorded [min, max] stats are disjoint are CARRIED OVER
+    untouched (zero read, zero write) and only overlapping shards are
+    rewritten with the CASE-WHEN projection. At 100 TB updating a key
+    range on a clustered table touches O(range/shard_span) files, not
+    the table. Shards without stats are conservatively rewritten.
+
+    Each SET expression must produce exactly the column's declared
+    type — no silent coercion (cast explicitly in the expression);
+    rejected BEFORE any data moves. CHECK constraints are validated on
+    the post-image of the updated rows only (kept rows satisfied them
+    at their own commit). Pending lazy deletes raise (the rewrite
+    would detach their tombstones — compact first, same rule as the
+    other CoW writers). A lost commit race retries against the new
+    base. Returns the committed version."""
+    from pyspark.sql import functions as F
+
+    if not set_exprs:
+        raise ValueError(
+            "snapshot_table: update_where needs at least one SET column"
+        )
+    hit = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+    while True:
+        current = latest_version(table)
+        if current is None:
+            raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
+        snap = _load_snapshot(table, current)
+        if snap.get("deletes"):
+            raise ValueError(
+                "snapshot_table: copy-on-write update with pending lazy "
+                "deletes would detach them; run compact_table first"
+            )
+        schema = StructType.fromJson(snap["schema"])
+        missing = [c for c in set_exprs if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(
+                f"snapshot_table: SET columns {missing} not in table"
+            )
+        # analyze condition + SET expressions against the schema BEFORE
+        # staging (a bad expression must not strand published orphans),
+        # and hold the no-silent-coercion line on types
+        probe = spark.createDataFrame([], schema)
+        _ = probe.where(hit).schema
+        for c, e in set_exprs.items():
+            got = probe.select(F.expr(e).alias(c)).schema[0].dataType
+            want = schema[c].dataType
+            if got != want:
+                raise ValueError(
+                    f"snapshot_table: SET {c} = {e!r} produces "
+                    f"{got.simpleString()}, column is "
+                    f"{want.simpleString()}; cast explicitly"
+                )
+        touched, carried = [], []
+        if prune is not None:
+            col, lo, hi = prune
+            for s in snap["shards"]:
+                (touched if _stats_overlap(s, col, lo, hi)
+                 else carried).append(s)
+        else:
+            touched = list(snap["shards"])
+        stats_cols = sorted({c for s in touched for c in s.get("stats", {})})
+        job = uuid.uuid4().hex
+        tmp_dir = os.path.join(table, "_tmp", job)
+        try:
+            mine, counts, stats = [], {}, {}
+            if touched:
+                cur = _read_shards(spark, table, touched, schema)
+                rewritten = cur.select(
+                    *[
+                        F.when(hit, F.expr(set_exprs[f.name]))
+                        .otherwise(F.col(f.name))
+                        .alias(f.name)
+                        if f.name in set_exprs
+                        else F.col(f.name)
+                        for f in schema.fields
+                    ]
+                )
+                _enforce_constraints(
+                    rewritten.where(hit), snap.get("constraints", {})
+                )
+                mine, counts, stats = _stage_publish(
+                    rewritten, table, tmp_dir, stats_cols
+                )
+            def _shard(n):
+                s = {"file": n, "n_rows": counts[n]}
+                if stats[n]:
+                    s["stats"] = stats[n]
+                return s
+
+            shards = list(carried) + [_shard(n) for n in mine]
+            version = current + 1
+            snapshot = {
+                "version": version,
+                "parent": current,
+                "operation": "update",
+                "properties": {
+                    "update_condition": condition,
+                    "set": dict(set_exprs),
+                    "shards_rewritten": len(touched),
+                    "shards_skipped": len(carried),
+                },
+                "schema": snap["schema"],
+                "n_shards": len(shards),
+                "n_rows": sum(s["n_rows"] for s in shards),
+                "shards": sorted(shards, key=lambda s: s["file"]),
+            }
+            if snap.get("constraints"):
+                snapshot["constraints"] = snap["constraints"]
+            if _claim_snapshot(table, tmp_dir, snapshot):
+                return version
+            continue  # concurrent commit won: retry on the new base
+        finally:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
 def rollback(table: str, version: int) -> int:
@@ -1309,12 +1483,16 @@ def read_cdc(
         # nullable columns, so older files fill them with NULL and the
         # multiset diff stays well-typed
         schema_v = StructType.fromJson(snap["schema"])
+        by_old = {s["file"]: s for s in old_snap["shards"]}
+        by_new = {s["file"]: s for s in snap["shards"]}
         old_df = _scan_with_deletes(
-            spark, table, schema_v, sorted(changed_old),
+            spark, table, schema_v,
+            [by_old[f] for f in sorted(changed_old)],
             old_snap.get("deletes", []),
         )
         new_df = _scan_with_deletes(
-            spark, table, schema_v, sorted(changed_new),
+            spark, table, schema_v,
+            [by_new[f] for f in sorted(changed_new)],
             snap.get("deletes", []),
         )
         if not changed_old:      # pure append: no diff needed

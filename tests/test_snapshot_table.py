@@ -1502,3 +1502,109 @@ def test_check_constraints_enforced_at_commit(spark, docs, tmp_path):
     props = [s["properties"] for s in snapshot_history(table)]
     assert {"constraint_added": "n_chars_positive"} in props
     assert {"constraint_dropped": "n_chars_positive"} in props
+
+
+def test_update_where_sql_semantics(spark, docs, tmp_path):
+    """UPDATE rewrites rows where the condition is TRUE; FALSE and NULL
+    rows are untouched, and every SET expression sees the PRE-update
+    row (simultaneous assignment, not chained)."""
+    table = str(tmp_path / "t")
+    base = docs.where(F.col("lang") == "en").withColumn(
+        "flag", F.when(F.col("doc_id") % 5 != 0, F.col("n_chars"))
+    )  # every 5th row has flag NULL
+    write_snapshot(base, table, mode="append")
+    v = st.update_where(
+        spark, table,
+        {"doc_id": "n_chars", "n_chars": "doc_id"},  # swap: pre-update rhs
+        "flag > 300",
+    )
+    assert v == 2
+    hit = F.coalesce(F.col("flag") > 300, F.lit(False))
+    expect = base.select(
+        F.when(hit, F.col("n_chars")).otherwise(F.col("doc_id")).alias("doc_id"),
+        "lang",
+        F.when(hit, F.col("doc_id")).otherwise(F.col("n_chars")).alias("n_chars"),
+        "flag",
+    )
+    assert _canon(read_snapshot(spark, table)) == _canon(expect)
+    # v1 still time-travels to the pre-update state
+    assert _canon(read_snapshot(spark, table, 1)) == _canon(base)
+    snap = st._load_snapshot(table, 2)
+    assert snap["operation"] == "update"
+    assert snap["properties"]["update_condition"] == "flag > 300"
+    assert snap["properties"]["set"] == {"doc_id": "n_chars", "n_chars": "doc_id"}
+
+
+def test_update_where_skips_disjoint_shards(spark, docs, tmp_path):
+    """With a clustered layout and a prune bound, shards disjoint from
+    the updated key range are carried over VERBATIM."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, mode="append")
+    compact_table(spark, table, target_shards=6, cluster_by=["doc_id"])
+    before = st._load_snapshot(table, latest_version(table))
+    lo, hi = 0, 99
+    v = st.update_where(
+        spark, table, {"n_chars": "n_chars + 1000000"},
+        f"doc_id BETWEEN {lo} AND {hi}", prune=("doc_id", lo, hi),
+    )
+    snap = st._load_snapshot(table, v)
+    assert snap["properties"]["shards_skipped"] > 0
+    before_files = {s["file"] for s in before["shards"]}
+    carried = [s for s in snap["shards"] if s["file"] in before_files]
+    assert len(carried) == snap["properties"]["shards_skipped"]
+    expect = docs.select(
+        "doc_id", "lang",
+        F.when(
+            F.col("doc_id").between(lo, hi), F.col("n_chars") + 1000000
+        ).otherwise(F.col("n_chars")).alias("n_chars"),
+    )
+    assert _canon(read_snapshot(spark, table)) == _canon(expect)
+    # rewritten shards re-recorded stats, so pruning still works after
+    rewritten = [s for s in snap["shards"] if s["file"] not in before_files]
+    assert all("doc_id" in s.get("stats", {}) for s in rewritten)
+
+
+def test_update_where_rejects_type_change_and_bad_columns(spark, docs, tmp_path):
+    """No silent coercion: a SET expression of the wrong type, or a SET
+    on a column the table lacks, is rejected BEFORE any data moves."""
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, mode="append")
+    with pytest.raises(ValueError, match="cast explicitly"):
+        st.update_where(spark, table, {"n_chars": "'oops'"}, "doc_id = 0")
+    with pytest.raises(ValueError, match="not in table"):
+        st.update_where(spark, table, {"nope": "1"}, "doc_id = 0")
+    with pytest.raises(ValueError, match="at least one SET"):
+        st.update_where(spark, table, {}, "doc_id = 0")
+    assert latest_version(table) == 1  # nothing committed
+
+
+def test_update_where_validates_constraints_on_post_image(spark, docs, tmp_path):
+    """An update whose post-image violates a CHECK constraint is
+    rejected and the table stays at its prior version."""
+    table = str(tmp_path / "t")
+    write_snapshot(docs.where(F.col("n_chars") > 0), table, mode="append")
+    st.add_constraint(spark, table, "chars_pos", "n_chars > 0")  # v2
+    with pytest.raises(ValueError, match="CHECK constraint 'chars_pos'"):
+        st.update_where(
+            spark, table, {"n_chars": "CAST(-1 AS BIGINT)"}, "doc_id >= 0"
+        )
+    assert latest_version(table) == 2
+    # a compliant update commits fine
+    v = st.update_where(
+        spark, table, {"n_chars": "n_chars + CAST(1 AS BIGINT)"}, "doc_id % 2 = 0"
+    )
+    assert v == 3
+
+
+def test_update_where_rejects_pending_lazy_deletes(spark, docs, tmp_path):
+    """CoW update on a table with pending merge-on-read tombstones
+    raises (the rewrite would detach them): compact first."""
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, mode="append")
+    st.delete_where(spark, table, "n_chars > 400", lazy=True)
+    with pytest.raises(ValueError, match="pending lazy"):
+        st.update_where(spark, table, {"n_chars": "n_chars"}, "doc_id = 0")
