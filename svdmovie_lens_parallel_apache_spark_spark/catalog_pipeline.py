@@ -3152,6 +3152,74 @@ def q_snapshot_update_where(spark, sf_dir):
 
 
 @register(
+    "snapshot_column_evolution",
+    """
+    SELECT doc_id,
+           n_chars AS chars,
+           CASE WHEN doc_id % 3 = 2 THEN lang END AS lang,
+           TRUE AS history_ok
+    FROM documents
+    """,
+    tags=("sources", "table-format", "schema-evolution"),
+    description="Column evolution WITHOUT rewriting data files (Iceberg "
+    "field-mapping / Delta column-mapping shaped): commit a third of the "
+    "documents, RENAME n_chars->chars (metadata-only — readers alias the "
+    "old physical bytes via per-shard logical->physical maps), append a "
+    "second third under the new name (two physical layouts, one logical "
+    "table), DROP lang, re-ADD a column named lang, then append the last "
+    "third with real lang values. The final read must match the SQL twin "
+    "exactly: chars carries every original n_chars value across both "
+    "layouts, and lang is NULL for the first two thirds — pre-drop bytes "
+    "NEVER resurface under the re-added name (the name-reuse trap the "
+    "mapping closes). history_ok pins that time travel to v1 still shows "
+    "the ORIGINAL schema (n_chars + populated lang) and that no data "
+    "file was rewritten by any of the three ALTERs. Protocol in "
+    "sources/snapshot_table.py (rename_column/drop_column/add_column).",
+)
+def q_snapshot_column_evolution(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        _load_snapshot,
+        add_column,
+        drop_column,
+        read_snapshot,
+        rename_column,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="svdml-snapevolve-")
+    write_snapshot(docs.where(F.col("doc_id") % 3 == 0), table)       # v1
+    rename_column(spark, table, "n_chars", "chars")                   # v2
+    write_snapshot(
+        docs.where(F.col("doc_id") % 3 == 1).withColumnRenamed(
+            "n_chars", "chars"
+        ),
+        table, mode="append",
+    )                                                                 # v3
+    drop_column(spark, table, "lang")                                 # v4
+    add_column(spark, table, "lang", "string")                        # v5
+    write_snapshot(
+        docs.where(F.col("doc_id") % 3 == 2).select(
+            "doc_id", F.col("n_chars").alias("chars"), "lang"
+        ),
+        table, mode="append",
+    )                                                                 # v6
+    v1_files = {s["file"] for s in _load_snapshot(table, 1)["shards"]}
+    v5_files = {s["file"] for s in _load_snapshot(table, 5)["shards"]}
+    old = read_snapshot(spark, table, 1)
+    history_ok = (
+        old.columns == ["doc_id", "lang", "n_chars"]
+        and old.where(F.col("lang").isNull()).count() == 0
+        and v1_files <= v5_files  # three ALTERs rewrote zero files
+    )
+    return read_snapshot(spark, table).select(
+        "doc_id", "chars", "lang"
+    ).withColumn("history_ok", F.lit(bool(history_ok)))
+
+
+@register(
     "snapshot_bloom_skip",
     """
     WITH m AS (SELECT max(doc_id) AS mx FROM documents),

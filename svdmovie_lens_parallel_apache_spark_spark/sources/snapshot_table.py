@@ -323,6 +323,200 @@ def _commit_metadata(
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
+def _alter_columns(
+    spark: SparkSession, table: str, operation: str, props: dict,
+    make_schema, stamp_shard,
+) -> int:
+    """Shared commit loop for the ALTER TABLE column ops
+    (:func:`rename_column` / :func:`drop_column` / :func:`add_column`):
+    a METADATA-ONLY snapshot carrying a new schema and (for rename/
+    drop) per-shard column mappings — zero data files touched, the
+    Iceberg field-mapping move. ``make_schema(old)`` returns the new
+    logical schema (raising on invalid requests); ``stamp_shard(shard,
+    old_schema)`` returns the shard entry to record (None = unchanged).
+    Live CHECK constraints are re-analyzed against the new schema and
+    block the commit if they reference an altered column (drop the
+    constraint first — loud, never a broken table). Pending lazy
+    deletes block rename/drop for the same reason (tombstone
+    conditions are written against current names)."""
+    from pyspark.sql import functions as F
+
+    job = uuid.uuid4().hex
+    tmp_dir = os.path.join(table, "_tmp", job)
+    try:
+        while True:
+            current = latest_version(table)
+            if current is None:
+                raise FileNotFoundError(
+                    f"snapshot_table: {table} has no snapshots"
+                )
+            snap = _load_snapshot(table, current)
+            if snap.get("deletes") and operation != "add_column":
+                raise ValueError(
+                    f"snapshot_table: {operation} with pending lazy "
+                    f"deletes would orphan their conditions; run "
+                    f"compact_table first"
+                )
+            schema = StructType.fromJson(snap["schema"])
+            new_schema = make_schema(schema)
+            for name, cond in (snap.get("constraints") or {}).items():
+                try:
+                    _ = spark.createDataFrame([], new_schema).where(
+                        F.expr(cond).cast("boolean")
+                    ).schema
+                except Exception as exc:
+                    raise ValueError(
+                        f"snapshot_table: CHECK constraint {name!r} "
+                        f"({cond}) references a column this {operation} "
+                        f"alters; drop the constraint first"
+                    ) from exc
+            shards = [
+                stamp_shard(s, schema) or s for s in snap["shards"]
+            ]
+            snapshot = {
+                "version": current + 1,
+                "parent": current,
+                "operation": operation,
+                "properties": dict(props),
+                "schema": new_schema.jsonValue(),
+                "n_shards": len(shards),
+                "n_rows": sum(s["n_rows"] for s in shards),
+                "shards": sorted(shards, key=lambda s: s["file"]),
+            }
+            if snap.get("deletes"):
+                snapshot["deletes"] = snap["deletes"]
+            if snap.get("constraints"):
+                snapshot["constraints"] = snap["constraints"]
+            if _claim_snapshot(table, tmp_dir, snapshot):
+                return snapshot["version"]
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def _stamped(shard: dict, old_schema: StructType) -> dict:
+    """Deep-enough copy of a shard entry with its column mapping made
+    EXPLICIT (identity over the current logical schema if absent) so a
+    rename/drop can mutate it. Claiming a physical name the file lacks
+    is harmless — the explicit-schema read NULL-fills it — but an
+    ABSENT map entry is load-bearing: it is what keeps a re-added
+    column from resurfacing dropped bytes."""
+    s = dict(shard)
+    s["names"] = dict(
+        s.get("names") or {f.name: f.name for f in old_schema.fields}
+    )
+    if "stats" in s:
+        s["stats"] = dict(s["stats"])
+    if "bloom" in s:
+        s["bloom"] = dict(s["bloom"])
+    return s
+
+
+def rename_column(
+    spark: SparkSession, table: str, old: str, new: str,
+) -> int:
+    """ALTER TABLE RENAME COLUMN without rewriting a single data file —
+    the Iceberg field-mapping rename (Delta column-mapping 'name'
+    mode). A metadata-only commit renames the field in the table
+    schema and stamps every live shard's logical->physical column map
+    so readers alias the old physical bytes to the new name
+    (:func:`_read_shards`). Per-shard stats/bloom entries move with the
+    column, so pruning on the NEW name keeps working. Time travel to
+    pre-rename versions still shows the old name (each snapshot is
+    self-contained). Raises on unknown ``old``, existing ``new``,
+    pending lazy deletes, or a live CHECK constraint referencing
+    ``old`` (drop it first). Incremental/CDC reads refuse ranges that
+    cross the rename (frames before and after disagree on names —
+    restart the consumer from the evolution point)."""
+    def make_schema(schema: StructType) -> StructType:
+        if old not in schema.fieldNames():
+            raise ValueError(f"snapshot_table: no column {old!r} to rename")
+        if new in schema.fieldNames():
+            raise ValueError(f"snapshot_table: column {new!r} already exists")
+        from pyspark.sql.types import StructField
+
+        return StructType(
+            [
+                StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old else f
+                for f in schema.fields
+            ]
+        )
+
+    def stamp(shard: dict, schema: StructType) -> dict:
+        s = _stamped(shard, schema)
+        if old in s["names"]:
+            s["names"][new] = s["names"].pop(old)
+        for kind in ("stats", "bloom"):
+            if old in s.get(kind, {}):
+                s[kind][new] = s[kind].pop(old)
+        return s
+
+    return _alter_columns(
+        spark, table, "rename_column", {"renamed": [old, new]},
+        make_schema, stamp,
+    )
+
+
+def drop_column(spark: SparkSession, table: str, col: str) -> int:
+    """ALTER TABLE DROP COLUMN without rewriting data (Iceberg drop):
+    a metadata-only commit removes the field from the schema and from
+    every shard's column map — the physical bytes stay in the files
+    (column pruning means they are never read again; a compaction
+    rewrite sheds them physically) and time travel to pre-drop
+    versions still surfaces them. Re-adding a column with the same
+    name later reads NULL from pre-drop shards, never the old bytes
+    (the name-reuse trap the mapping exists to close). Same guards as
+    :func:`rename_column`."""
+    def make_schema(schema: StructType) -> StructType:
+        if col not in schema.fieldNames():
+            raise ValueError(f"snapshot_table: no column {col!r} to drop")
+        if len(schema.fields) == 1:
+            raise ValueError(
+                "snapshot_table: cannot drop the only column"
+            )
+        return StructType([f for f in schema.fields if f.name != col])
+
+    def stamp(shard: dict, schema: StructType) -> dict:
+        s = _stamped(shard, schema)
+        s["names"].pop(col, None)
+        for kind in ("stats", "bloom"):
+            s.get(kind, {}).pop(col, None)
+        return s
+
+    return _alter_columns(
+        spark, table, "drop_column", {"dropped": col}, make_schema, stamp,
+    )
+
+
+def add_column(
+    spark: SparkSession, table: str, name: str, dtype: str,
+) -> int:
+    """ALTER TABLE ADD COLUMN (nullable): a metadata-only commit
+    widening the schema; every existing shard reads the new column as
+    NULL (the same evolution contract appends already get via
+    union-by-name). ``dtype`` is a DDL type string (``'bigint'``,
+    ``'array<double>'``). Row-preserving by construction, so
+    incremental/CDC readers pass through it like a constraint
+    commit."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    dt = _parse_datatype_string(dtype)
+
+    def make_schema(schema: StructType) -> StructType:
+        if name in schema.fieldNames():
+            raise ValueError(
+                f"snapshot_table: column {name!r} already exists"
+            )
+        from pyspark.sql.types import StructField
+
+        return StructType(list(schema.fields) + [StructField(name, dt, True)])
+
+    return _alter_columns(
+        spark, table, "add_column", {"added": [name, dtype]},
+        make_schema, lambda s, schema: None,
+    )
+
+
 def _bloom_bits_for(value, m: int, k: int) -> list[int]:
     """The ``k`` encoded bit positions a value sets — the driver-side
     twin of ``operators.sketches._salted_bucket`` (md5 of ``"j|value"``
@@ -1466,6 +1660,18 @@ def read_cdc(
         old_snap, sig_old = prev, sig_prev
         sig_new = _visibility(snap)
         prev, sig_prev = snap, sig_new  # carry forward: one load per version
+        if snap["operation"] in ("rename_column", "drop_column"):
+            # a rename/drop commit changes no rows, but frames before
+            # and after it disagree on column names — emitting both
+            # under the end schema would silently NULL the renamed
+            # column's pre-rename changes. Refuse; restart the CDC
+            # consumer from the evolution point (Delta CDF's schema-
+            # incompatible-range behavior).
+            raise ValueError(
+                f"snapshot_table: read_cdc range crosses a "
+                f"{snap['operation']} commit at version {v}; start the "
+                f"feed at or after it"
+            )
         if (
             snap.get("properties", {}).get("compaction")
             and not old_snap.get("deletes")
@@ -1548,9 +1754,13 @@ def _added_files(
     for v in range(start_version + 1, end_version + 1):
         snap = _load_snapshot(table, v)
         cur = set(s["file"] for s in snap["shards"])
-        if snap["operation"] == "metadata":
-            # constraint add/drop: parent's shards verbatim — row-
-            # preserving by construction, nothing to emit
+        if snap["operation"] in ("metadata", "add_column"):
+            # constraint add/drop and ADD COLUMN: parent's shards
+            # verbatim — row-preserving by construction, nothing to
+            # emit (new columns read NULL on older files downstream).
+            # rename/drop_column fall through to the loud raise below:
+            # files appended before the rename carry old physical
+            # names, which the end-schema read would silently NULL.
             prev, prev_snap = cur, snap
             continue
         if snap.get("properties", {}).get("compaction"):

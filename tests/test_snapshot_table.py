@@ -1608,3 +1608,171 @@ def test_update_where_rejects_pending_lazy_deletes(spark, docs, tmp_path):
     st.delete_where(spark, table, "n_chars > 400", lazy=True)
     with pytest.raises(ValueError, match="pending lazy"):
         st.update_where(spark, table, {"n_chars": "n_chars"}, "doc_id = 0")
+
+
+def test_rename_column_no_rewrite(spark, docs, tmp_path):
+    """RENAME COLUMN is metadata-only: same data files, readers alias
+    the old physical bytes to the new name, stats move with the column
+    so pruning on the NEW name still works, and time travel to the
+    pre-rename version shows the old name."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table, rename_column,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, mode="append")
+    compact_table(spark, table, target_shards=4, cluster_by=["doc_id"])  # v2
+    before = st._load_snapshot(table, 2)
+    v = rename_column(spark, table, "n_chars", "chars")
+    snap = st._load_snapshot(table, v)
+    assert snap["operation"] == "rename_column"
+    # zero data movement: identical file list
+    assert [s["file"] for s in snap["shards"]] == [
+        s["file"] for s in before["shards"]
+    ]
+    # every shard mapped: logical chars -> physical n_chars
+    assert all(s["names"]["chars"] == "n_chars" for s in snap["shards"])
+    got = read_snapshot(spark, table)
+    assert got.columns == ["doc_id", "lang", "chars"]
+    assert _canon(got) == _canon(docs)  # values identical, name aside
+    # stats moved: pruning on the new name skips shards
+    assert all("doc_id" in s["stats"] for s in snap["shards"])
+    pruned = read_snapshot(spark, table, prune=("doc_id", 0, 10))
+    # scan reducer, not a filter: fewer shards scanned, all matches kept
+    assert pruned.count() < docs.count()
+    assert (
+        pruned.where(F.col("doc_id") <= 10).count()
+        == docs.where(F.col("doc_id") <= 10).count()
+    )
+    # time travel: the old version still reads under the old name
+    assert read_snapshot(spark, table, 2).columns == ["doc_id", "lang", "n_chars"]
+    # errors are loud
+    with pytest.raises(ValueError, match="no column"):
+        rename_column(spark, table, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(spark, table, "chars", "lang")
+
+
+def test_rename_then_append_mixes_physical_layouts(spark, docs, tmp_path):
+    """Appends after a rename write the NEW physical name; a read spans
+    both layouts and CoW ops rewrite mapped shards correctly."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        rename_column,
+    )
+
+    table = str(tmp_path / "t")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1).withColumnRenamed(
+        "n_chars", "chars"
+    )
+    write_snapshot(a, table, mode="append")
+    rename_column(spark, table, "n_chars", "chars")
+    write_snapshot(b, table, mode="append")
+    expect = docs.withColumnRenamed("n_chars", "chars")
+    assert _canon(read_snapshot(spark, table)) == _canon(expect)
+    # CoW update reads mapped + unmapped shards and rewrites both
+    st.update_where(spark, table, {"chars": "chars + CAST(1 AS BIGINT)"}, "TRUE")
+    bumped = expect.withColumn("chars", F.col("chars") + 1)
+    assert _canon(read_snapshot(spark, table)) == _canon(bumped)
+    # rewritten shards are identity-mapped again (no names entry)
+    last = st._load_snapshot(table, latest_version(table))
+    assert all("names" not in s for s in last["shards"])
+
+
+def test_drop_column_and_name_reuse_reads_null(spark, docs, tmp_path):
+    """DROP COLUMN is metadata-only; re-adding the same name later
+    reads NULL from pre-drop shards — never the dropped bytes."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        add_column, drop_column,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, mode="append")
+    before = st._load_snapshot(table, 1)
+    drop_column(spark, table, "lang")                              # v2
+    snap = st._load_snapshot(table, 2)
+    assert [s["file"] for s in snap["shards"]] == [
+        s["file"] for s in before["shards"]
+    ]
+    assert read_snapshot(spark, table).columns == ["doc_id", "n_chars"]
+    add_column(spark, table, "lang", "string")                     # v3
+    got = read_snapshot(spark, table)
+    assert got.columns == ["doc_id", "n_chars", "lang"]
+    assert got.where(F.col("lang").isNotNull()).count() == 0  # the trap
+    # appends now land real values alongside NULL history
+    extra = docs.limit(5).select(
+        (F.col("doc_id") + 10**9).alias("doc_id"), "n_chars", "lang"
+    )
+    write_snapshot(extra, table, mode="append")                    # v4
+    assert read_snapshot(spark, table).where(
+        F.col("lang").isNotNull()
+    ).count() == 5
+    # time travel: v1 still shows the original lang values
+    assert read_snapshot(spark, table, 1).where(
+        F.col("lang").isNotNull()
+    ).count() == docs.count()
+    with pytest.raises(ValueError, match="no column"):
+        drop_column(spark, table, "nope")
+
+
+def test_alter_column_guards(spark, docs, tmp_path):
+    """Live CHECK constraints referencing the column, and pending lazy
+    deletes, block rename/drop loudly; add_column passes through
+    incremental readers as row-preserving."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        add_column, drop_column, read_changes, rename_column,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, mode="append")                     # v1
+    st.add_constraint(spark, table, "chars_pos", "n_chars > 0")    # v2
+    with pytest.raises(ValueError, match="drop the constraint first"):
+        rename_column(spark, table, "n_chars", "chars")
+    with pytest.raises(ValueError, match="drop the constraint first"):
+        drop_column(spark, table, "n_chars")
+    st.drop_constraint(table, "chars_pos")                         # v3
+    add_column(spark, table, "note", "string")                     # v4
+    write_snapshot(
+        docs.limit(3).select(
+            (F.col("doc_id") + 10**9).alias("doc_id"), "lang", "n_chars",
+            F.lit("x").alias("note"),
+        ),
+        table, mode="append",
+    )                                                              # v5
+    # incremental read over the add_column commit: just the new rows
+    assert read_changes(spark, table, 1).count() == 3
+    # pending lazy deletes block rename/drop (tombstones hold names)
+    st.delete_where(spark, table, "n_chars > 400", lazy=True)      # v6
+    with pytest.raises(ValueError, match="pending lazy"):
+        rename_column(spark, table, "n_chars", "chars")
+    with pytest.raises(ValueError, match="pending lazy"):
+        drop_column(spark, table, "note")
+
+
+def test_cdc_and_incremental_refuse_rename_crossing(spark, docs, tmp_path):
+    """read_cdc / read_changes ranges that CROSS a rename or drop
+    commit raise loudly; starting at/after it works."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        read_cdc, read_changes, rename_column,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs.where(F.col("doc_id") % 2 == 0), table)    # v1
+    v2 = rename_column(spark, table, "n_chars", "chars")
+    write_snapshot(
+        docs.where(F.col("doc_id") % 2 == 1).withColumnRenamed(
+            "n_chars", "chars"
+        ),
+        table, mode="append",
+    )                                                              # v3
+    with pytest.raises(ValueError, match="crosses a rename_column"):
+        read_cdc(spark, table, 1).count()
+    with pytest.raises(ValueError, match="rename_column"):
+        read_changes(spark, table, 1).count()
+    # starting the feed at the evolution point is fine
+    assert read_cdc(spark, table, v2).count() == docs.where(
+        F.col("doc_id") % 2 == 1
+    ).count()
+    assert read_changes(spark, table, v2).count() == read_cdc(
+        spark, table, v2
+    ).count()
