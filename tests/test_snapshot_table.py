@@ -715,7 +715,8 @@ from hypothesis import strategies as hst  # noqa: E402
 
 _op = hst.sampled_from(
     ["append", "overwrite", "merge", "compact", "expire",
-     "delete_cow", "delete_lazy", "rollback", "constrain", "unconstrain"]
+     "delete_cow", "delete_lazy", "rollback", "constrain", "unconstrain",
+     "update", "rename_cycle"]
 )
 _batch = hst.lists(
     hst.tuples(hst.integers(0, 19), hst.integers(0, 99)), min_size=1, max_size=6,
@@ -734,7 +735,12 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
     / copy-on-write delete / lazy delete / rollback / constraint
     add+drop must leave the table equal to a trivially-correct row-list
     model — the format's semantics hold under composition, not just in
-    the per-op tests. (Appends may repeat a key — a table is a multiset
+    the per-op tests. ``update`` is copy-on-write UPDATE (post-image
+    CHECK validation on the updated rows; refuses over tombstones);
+    ``rename_cycle`` renames v->w->v (two metadata-only commits), so
+    every LATER op must read/rewrite through shard column maps — and it
+    must refuse while a CHECK references v or tombstones are pending.
+    (Appends may repeat a key — a table is a multiset
     — while merge replaces by key; batches are unique-keyed WITHIN
     themselves, matching merge_upsert's ambiguity rule. CoW delete/merge
     over pending tombstones must raise and change NOTHING; lazy deletes
@@ -841,6 +847,36 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
             model = [r for r in model if not (r[1] > thr)]
             pending += 1
             version += 1
+            snap()
+        elif op == "update":
+            if pending:
+                with pytest.raises(ValueError, match="lazy"):
+                    st.update_where(spark, table, {"v": "v + 1"}, f"v > {thr}")
+                continue
+            post = [(k, v + 1) for k, v in model if v is not None and v > thr]
+            if any(vv > t for _, vv in post for t in constraints.values()):
+                with pytest.raises(ValueError, match="CHECK constraint"):
+                    st.update_where(spark, table, {"v": "v + 1"}, f"v > {thr}")
+                continue  # post-image violates: refused, nothing changed
+            st.update_where(spark, table, {"v": "v + 1"}, f"v > {thr}")
+            model = [
+                (k, v + 1) if (v is not None and v > thr) else (k, v)
+                for k, v in model
+            ]
+            version += 1
+            snap()
+        elif op == "rename_cycle":
+            if pending:
+                with pytest.raises(ValueError, match="pending lazy"):
+                    st.rename_column(spark, table, "v", "w")
+                continue
+            if constraints:  # every model constraint references v
+                with pytest.raises(ValueError, match="drop the constraint"):
+                    st.rename_column(spark, table, "v", "w")
+                continue
+            st.rename_column(spark, table, "v", "w")
+            st.rename_column(spark, table, "w", "v")
+            version += 2  # rows unchanged; later ops go through the maps
             snap()
         elif op == "rollback":
             target = min(hist)  # oldest still-known version
