@@ -3220,6 +3220,63 @@ def q_snapshot_column_evolution(spark, sf_dir):
 
 
 @register(
+    "snapshot_metadata_agg",
+    """
+    SELECT CAST(count(*) AS BIGINT)  AS n_rows,
+           CAST(min(doc_id) AS BIGINT)  AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT)  AS max_doc_id,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           TRUE AS metadata_only
+    FROM documents
+    """,
+    tags=("sources", "table-format", "metadata", "pruning"),
+    description="Metadata-only aggregates (Delta metadata-query "
+    "optimisation / Iceberg manifest stats): commit the documents with "
+    "per-shard doc_id/n_chars stats, then answer COUNT(*)/MIN/MAX from "
+    "the snapshot log alone via table_stats — zero parquet files opened "
+    "(the result row is BUILT from the metadata dict; there is no scan "
+    "to push anything into). The values must hash-match the full-scan "
+    "SQL twin exactly, proving the per-shard stats the pruning paths "
+    "rely on compose to the true global extrema. At 100 TB this is the "
+    "O(metadata)-vs-O(table) gap on the most common dashboard queries.",
+)
+def q_snapshot_metadata_agg(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .sources.snapshot_table import table_stats, write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    table = tempfile.mkdtemp(prefix="svdml-snapmeta-")
+    write_snapshot(
+        docs.repartition(8, "doc_id"), table,
+        mode="append", stats_cols=["doc_id", "n_chars"],
+    )
+    s = table_stats(table)
+    row = {
+        "n_rows": int(s["n_rows"]),
+        "min_doc_id": int(s["min"]["doc_id"]),
+        "max_doc_id": int(s["max"]["doc_id"]),
+        "min_chars": int(s["min"]["n_chars"]),
+        "max_chars": int(s["max"]["n_chars"]),
+        "metadata_only": True,
+    }
+    schema = T.StructType(
+        [
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("min_doc_id", T.LongType()),
+            T.StructField("max_doc_id", T.LongType()),
+            T.StructField("min_chars", T.LongType()),
+            T.StructField("max_chars", T.LongType()),
+            T.StructField("metadata_only", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame([row], schema)
+
+
+@register(
     "snapshot_bloom_skip",
     """
     WITH m AS (SELECT max(doc_id) AS mx FROM documents),

@@ -70,6 +70,15 @@ _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
 _FMT = "%08d.json"
 
+# Reader protocol version this module understands (Delta
+# minReaderVersion / Iceberg format-version shaped). Version 2 =
+# per-shard column mappings (rename/drop evolution): a v1 reader would
+# silently misread a mapped shard (old physical names surface under
+# the wrong logical schema), so commits carrying mappings stamp 2 and
+# old readers refuse LOUDLY instead. Bump when a future feature makes
+# existing readers produce wrong answers rather than errors.
+_READER_VERSION = 2
+
 
 def _snap_path(table: str, version: int) -> str:
     return os.path.join(table, _SNAP_DIR, _FMT % version)
@@ -85,7 +94,16 @@ def latest_version(table: str) -> int | None:
 
 def _load_snapshot(table: str, version: int) -> dict:
     with open(_snap_path(table, version)) as f:
-        return json.load(f)
+        snap = json.load(f)
+    required = snap.get("reader_version", 1)
+    if required > _READER_VERSION:
+        raise ValueError(
+            f"snapshot_table: version {version} of {table} requires "
+            f"reader protocol {required}; this reader supports up to "
+            f"{_READER_VERSION} — upgrade before reading (refusing "
+            f"loudly beats silently misreading a newer feature)"
+        )
+    return snap
 
 
 def snapshot_history(table: str) -> list[dict]:
@@ -100,6 +118,49 @@ def snapshot_history(table: str) -> list[dict]:
         except FileNotFoundError:  # expired by expire_snapshots
             continue
     return out
+
+
+def table_stats(table: str, version: int | None = None) -> dict:
+    """Metadata-only aggregates from the snapshot log — ZERO data files
+    opened (Delta's metadata-query optimisation / Iceberg manifest
+    stats). Returns ``{"version", "n_rows", "n_shards", "min": {col:
+    v}, "max": {col: v}}``: exact row/shard counts, and a global
+    [min, max] for every column ALL live shards recorded stats for
+    (``write_snapshot(stats_cols=...)`` — a shard without stats could
+    hide the true extremum, so its columns are omitted, never
+    guessed). At 100 TB this answers ``COUNT(*)`` / ``MIN`` / ``MAX``
+    in O(metadata) where a scan pays O(table). Pending lazy-delete
+    tombstones make the metadata counts stale UPPER bounds, so they
+    raise loudly (compact first, or scan via :func:`read_snapshot`)."""
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
+    snap = _load_snapshot(table, v)
+    if snap.get("deletes"):
+        raise ValueError(
+            "snapshot_table: metadata stats with pending lazy deletes "
+            "would overcount; run compact_table first or scan"
+        )
+    shards = snap["shards"]
+    mins: dict = {}
+    maxs: dict = {}
+    if shards:
+        common = set.intersection(
+            *[set(s.get("stats", {})) for s in shards]
+        )
+        for c in sorted(common):
+            bounds = [s["stats"][c] for s in shards]
+            if any(b[0] is None or b[1] is None for b in bounds):
+                continue  # an all-NULL shard: no honest extremum
+            mins[c] = min(b[0] for b in bounds)
+            maxs[c] = max(b[1] for b in bounds)
+    return {
+        "version": v,
+        "n_rows": snap["n_rows"],
+        "n_shards": snap["n_shards"],
+        "min": mins,
+        "max": maxs,
+    }
 
 
 def version_as_of(table: str, ts: float) -> int:
@@ -179,6 +240,11 @@ def _claim_snapshot(table: str, tmp_dir: str, snapshot: dict) -> bool:
         except FileNotFoundError:  # parent expired — clock wins
             pass
     snapshot["committed_at"] = now
+    # stamp the reader protocol this snapshot's features require: 2 as
+    # soon as any shard carries a column mapping, else 1 — computed at
+    # the single commit choke point so no writer can forget it
+    if any(s.get("names") is not None for s in snapshot.get("shards", [])):
+        snapshot["reader_version"] = 2
     tmp_snap = os.path.join(tmp_dir, "snapshot.json")
     os.makedirs(tmp_dir, exist_ok=True)
     with open(tmp_snap, "w") as f:

@@ -1812,3 +1812,60 @@ def test_cdc_and_incremental_refuse_rename_crossing(spark, docs, tmp_path):
     assert read_changes(spark, table, v2).count() == read_cdc(
         spark, table, v2
     ).count()
+
+
+def test_table_stats_metadata_only(spark, docs, tmp_path):
+    """table_stats answers count/min/max from the snapshot log alone;
+    columns any shard lacks stats for are omitted (never guessed), and
+    pending tombstones raise (metadata would overcount)."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        table_stats,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(
+        docs.repartition(4, "doc_id"), table, stats_cols=["doc_id", "n_chars"]
+    )
+    s = table_stats(table)
+    row = docs.agg(
+        F.count(F.lit(1)), F.min("doc_id"), F.max("doc_id"),
+        F.min("n_chars"), F.max("n_chars"),
+    ).collect()[0]
+    assert s["n_rows"] == row[0]
+    assert (s["min"]["doc_id"], s["max"]["doc_id"]) == (row[1], row[2])
+    assert (s["min"]["n_chars"], s["max"]["n_chars"]) == (row[3], row[4])
+    # an append WITHOUT stats poisons the well for min/max, not counts
+    write_snapshot(docs.limit(7), table, mode="append")
+    s2 = table_stats(table)
+    assert s2["n_rows"] == row[0] + 7
+    assert s2["min"] == {} and s2["max"] == {}
+    # historical versions answer from their own snapshot
+    assert table_stats(table, version=1)["n_rows"] == row[0]
+    # tombstones -> loud refusal
+    st.delete_where(spark, table, "n_chars > 400", lazy=True)
+    with pytest.raises(ValueError, match="overcount"):
+        table_stats(table)
+
+
+def test_reader_version_gate(spark, docs, tmp_path):
+    """A snapshot stamped with a future reader protocol refuses to
+    load; column-mapped snapshots stamp protocol 2 automatically."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        rename_column,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)
+    assert st._load_snapshot(table, 1).get("reader_version", 1) == 1
+    v = rename_column(spark, table, "n_chars", "chars")
+    assert st._load_snapshot(table, v)["reader_version"] == 2
+    # doctor a future-protocol snapshot: every read path must refuse
+    p = st._snap_path(table, v)
+    snap = json.loads(open(p).read())
+    snap["reader_version"] = 99
+    os.chmod(p, 0o644)
+    open(p, "w").write(json.dumps(snap))
+    with pytest.raises(ValueError, match="requires reader protocol 99"):
+        read_snapshot(spark, table)
+    with pytest.raises(ValueError, match="upgrade"):
+        write_snapshot(docs, table, mode="append")
