@@ -1869,3 +1869,31 @@ def test_reader_version_gate(spark, docs, tmp_path):
         read_snapshot(spark, table)
     with pytest.raises(ValueError, match="upgrade"):
         write_snapshot(docs, table, mode="append")
+
+
+def test_read_cdc_update_emits_net_changes(spark, docs, tmp_path):
+    """An UPDATE commit surfaces in the CDC feed as delete(pre-image) +
+    insert(post-image) pairs for the MATCHED rows only — rewritten-but-
+    identical rows cancel in the multiset diff."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        read_cdc,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)                                    # v1
+    st.update_where(
+        spark, table, {"n_chars": "n_chars + CAST(1 AS BIGINT)"},
+        "doc_id % 10 = 0",
+    )                                                              # v2
+    feed = read_cdc(spark, table, 1)
+    matched = docs.where(F.col("doc_id") % 10 == 0)
+    n = matched.count()
+    assert n > 0
+    dels = feed.where(F.col("_change_type") == "delete")
+    ins = feed.where(F.col("_change_type") == "insert")
+    assert dels.count() == n and ins.count() == n
+    assert _canon(dels.select("doc_id", "lang", "n_chars")) == _canon(matched)
+    assert _canon(ins.select("doc_id", "lang", "n_chars")) == _canon(
+        matched.withColumn("n_chars", F.col("n_chars") + 1)
+    )
+    assert feed.select("_commit_version").distinct().collect()[0][0] == 2
