@@ -436,8 +436,26 @@ def _alter_columns(
                         f"({cond}) references a column this {operation} "
                         f"alters; drop the constraint first"
                     ) from exc
+            identity = {f.name: f.name for f in new_schema.fields}
+            def _normalized(s: dict) -> dict:
+                # a map equal to the identity over the NEW schema is
+                # equivalent to no map (every field reads its own
+                # physical name) — normalize it away so a rename CYCLE
+                # (v->w->v) leaves a plain protocol-1 table with
+                # single-scan reads instead of a permanently mapped
+                # one. UNLESS the shard hides dropped physical columns
+                # ("hidden", recorded by drop_column): there the
+                # absent-entry behavior is load-bearing — an unmapped
+                # read after a same-name re-add would resurface the
+                # dropped bytes
+                if s.get("names") == identity and not s.get("hidden"):
+                    s = dict(s)
+                    del s["names"]
+                return s
+
             shards = [
-                stamp_shard(s, schema) or s for s in snap["shards"]
+                _normalized(stamp_shard(s, schema) or s)
+                for s in snap["shards"]
             ]
             snapshot = {
                 "version": current + 1,
@@ -544,7 +562,12 @@ def drop_column(spark: SparkSession, table: str, col: str) -> int:
 
     def stamp(shard: dict, schema: StructType) -> dict:
         s = _stamped(shard, schema)
-        s["names"].pop(col, None)
+        physical = s["names"].pop(col, None)
+        if physical is not None:
+            # remember the file still physically holds these bytes:
+            # the shard's map must never be normalized away (see
+            # _alter_columns), or a same-name re-add would read them
+            s["hidden"] = sorted(set(s.get("hidden", [])) | {physical})
         for kind in ("stats", "bloom"):
             s.get(kind, {}).pop(col, None)
         return s
@@ -1537,8 +1560,21 @@ def update_where(
                         for f in schema.fields
                     ]
                 )
+                # validate the post-image of the rows the PRE-image
+                # condition matches: filtering the rewritten frame by
+                # `hit` would re-evaluate the condition on post-image
+                # values, letting an update that moves rows OUT of its
+                # own predicate smuggle constraint-violating rows in
+                updated = cur.where(hit).select(
+                    *[
+                        F.expr(set_exprs[f.name]).alias(f.name)
+                        if f.name in set_exprs
+                        else F.col(f.name)
+                        for f in schema.fields
+                    ]
+                )
                 _enforce_constraints(
-                    rewritten.where(hit), snap.get("constraints", {})
+                    updated, snap.get("constraints", {})
                 )
                 mine, counts, stats = _stage_publish(
                     rewritten, table, tmp_dir, stats_cols
@@ -1737,6 +1773,27 @@ def read_cdc(
                 f"snapshot_table: read_cdc range crosses a "
                 f"{snap['operation']} commit at version {v}; start the "
                 f"feed at or after it"
+            )
+        # the general form of the same guard: ANY commit whose schema
+        # loses or retypes a column its parent had (a rollback across a
+        # rename, an overwrite redefining a type) makes the pre-image
+        # side unrepresentable under this commit's schema — the diff
+        # would silently read the vanished column as NULL
+        regressed = sorted(
+            f.name
+            for f in StructType.fromJson(old_snap["schema"]).fields
+            if not any(
+                g.name == f.name and g.dataType == f.dataType
+                for g in StructType.fromJson(snap["schema"]).fields
+            )
+        ) if old_snap.get("schema") else []
+        if regressed:
+            raise ValueError(
+                f"snapshot_table: read_cdc version {v} "
+                f"({snap['operation']}) removes or retypes columns "
+                f"{regressed} present at version {v - 1}; pre-images "
+                f"are not representable under the commit's schema — "
+                f"start the feed at or after {v}"
             )
         if (
             snap.get("properties", {}).get("compaction")

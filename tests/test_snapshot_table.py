@@ -716,7 +716,7 @@ from hypothesis import strategies as hst  # noqa: E402
 _op = hst.sampled_from(
     ["append", "overwrite", "merge", "compact", "expire",
      "delete_cow", "delete_lazy", "rollback", "constrain", "unconstrain",
-     "update", "rename_cycle"]
+     "update", "rename"]
 )
 _batch = hst.lists(
     hst.tuples(hst.integers(0, 19), hst.integers(0, 99)), min_size=1, max_size=6,
@@ -736,11 +736,13 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
     add+drop must leave the table equal to a trivially-correct row-list
     model — the format's semantics hold under composition, not just in
     the per-op tests. ``update`` is copy-on-write UPDATE (post-image
-    CHECK validation on the updated rows; refuses over tombstones);
-    ``rename_cycle`` renames v->w->v (two metadata-only commits), so
-    every LATER op must read/rewrite through shard column maps — and it
-    must refuse while a CHECK references v or tombstones are pending.
-    (Appends may repeat a key — a table is a multiset
+    CHECK validation on the PRE-image-matched rows; refuses over
+    tombstones); ``rename`` toggles the value column between v and w
+    (metadata-only), so every LATER op — append/merge/delete/update/
+    compact/rollback — must read and rewrite through shard column maps
+    against the renamed table, and it must refuse while a CHECK
+    references the column or tombstones are pending. (Appends may
+    repeat a key — a table is a multiset
     — while merge replaces by key; batches are unique-keyed WITHIN
     themselves, matching merge_upsert's ambiguity rule. CoW delete/merge
     over pending tombstones must raise and change NOTHING; lazy deletes
@@ -756,25 +758,31 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
     )
 
     table = str(tmp_path_factory.mktemp("snapmodel") / "t")
-    schema = T.StructType(
-        [T.StructField("k", T.IntegerType()), T.StructField("v", T.IntegerType())]
-    )
     model: list[tuple[int, int]] = []
     pending = 0  # tombstones in the live snapshot
     version = 0
-    hist: dict[int, tuple[list, int]] = {}  # version -> (rows, pending)
+    cv = "v"  # current name of the value column (rename toggles v<->w)
+    hist: dict[int, tuple[list, int, str]] = {}  # version -> (rows, pending, cv)
     committed = False
-    constraints: dict[str, int] = {}  # name -> max allowed v (v <= thr)
+    constraints: dict[str, int] = {}  # name -> max allowed value (cv <= thr)
     c_seq = 0
 
+    def schema():
+        return T.StructType(
+            [
+                T.StructField("k", T.IntegerType()),
+                T.StructField(cv, T.IntegerType()),
+            ]
+        )
+
     def snap():
-        hist[version] = (list(model), pending)
+        hist[version] = (list(model), pending, cv)
 
     def batch_violates(rows):
         return any(v > t for _, v in rows for t in constraints.values())
 
     for op, batch in ops:
-        df = spark.createDataFrame(batch, schema).coalesce(1)
+        df = spark.createDataFrame(batch, schema()).coalesce(1)
         thr = batch[0][1]
         if op == "append":
             if committed and batch_violates(batch):
@@ -803,9 +811,9 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
             name = f"c{c_seq}"
             if any(v > thr for _, v in model):
                 with pytest.raises(ValueError, match="CHECK constraint"):
-                    st.add_constraint(spark, table, name, f"v <= {thr}")
+                    st.add_constraint(spark, table, name, f"{cv} <= {thr}")
                 continue  # live rows violate: refused, no commit
-            st.add_constraint(spark, table, name, f"v <= {thr}")
+            st.add_constraint(spark, table, name, f"{cv} <= {thr}")
             constraints[name] = thr
             c_seq += 1
             version += 1
@@ -835,53 +843,57 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
         elif op == "delete_cow":
             if pending:
                 with pytest.raises(ValueError, match="lazy"):
-                    st.delete_where(spark, table, f"v > {thr}")
+                    st.delete_where(spark, table, f"{cv} > {thr}")
                 continue
-            st.delete_where(spark, table, f"v > {thr}")
+            st.delete_where(spark, table, f"{cv} > {thr}")
             model = [r for r in model if not (r[1] > thr)]
             version += 1
             snap()
         elif op == "delete_lazy":
-            st.delete_where(spark, table, f"v > {thr}", lazy=True)
+            st.delete_where(spark, table, f"{cv} > {thr}", lazy=True)
             # covers only rows present NOW; later appends are unaffected
             model = [r for r in model if not (r[1] > thr)]
             pending += 1
             version += 1
             snap()
         elif op == "update":
+            sets = {cv: f"{cv} + 1"}
             if pending:
                 with pytest.raises(ValueError, match="lazy"):
-                    st.update_where(spark, table, {"v": "v + 1"}, f"v > {thr}")
+                    st.update_where(spark, table, sets, f"{cv} > {thr}")
                 continue
             post = [(k, v + 1) for k, v in model if v is not None and v > thr]
             if any(vv > t for _, vv in post for t in constraints.values()):
                 with pytest.raises(ValueError, match="CHECK constraint"):
-                    st.update_where(spark, table, {"v": "v + 1"}, f"v > {thr}")
+                    st.update_where(spark, table, sets, f"{cv} > {thr}")
                 continue  # post-image violates: refused, nothing changed
-            st.update_where(spark, table, {"v": "v + 1"}, f"v > {thr}")
+            st.update_where(spark, table, sets, f"{cv} > {thr}")
             model = [
                 (k, v + 1) if (v is not None and v > thr) else (k, v)
                 for k, v in model
             ]
             version += 1
             snap()
-        elif op == "rename_cycle":
+        elif op == "rename":
+            other = "w" if cv == "v" else "v"
             if pending:
                 with pytest.raises(ValueError, match="pending lazy"):
-                    st.rename_column(spark, table, "v", "w")
+                    st.rename_column(spark, table, cv, other)
                 continue
-            if constraints:  # every model constraint references v
+            if constraints:  # every model constraint references cv
                 with pytest.raises(ValueError, match="drop the constraint"):
-                    st.rename_column(spark, table, "v", "w")
+                    st.rename_column(spark, table, cv, other)
                 continue
-            st.rename_column(spark, table, "v", "w")
-            st.rename_column(spark, table, "w", "v")
-            version += 2  # rows unchanged; later ops go through the maps
+            st.rename_column(spark, table, cv, other)
+            cv = other  # rows unchanged; later ops go through the maps
+            version += 1
             snap()
         elif op == "rollback":
             target = min(hist)  # oldest still-known version
             st.rollback(table, target)
-            model, pending = list(hist[target][0]), hist[target][1]
+            model, pending, cv = (
+                list(hist[target][0]), hist[target][1], hist[target][2]
+            )
             version += 1
             snap()
         elif op == "compact":
@@ -895,7 +907,9 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
                 del hist[vv]
     if not committed:
         return
-    got = sorted((r.k, r.v) for r in read_snapshot(spark, table).collect())
+    final = read_snapshot(spark, table)
+    assert final.columns == ["k", cv]  # renames survived composition
+    got = sorted((r[0], r[1]) for r in final.collect())
     assert got == sorted(model)
 
 
@@ -1897,3 +1911,91 @@ def test_read_cdc_update_emits_net_changes(spark, docs, tmp_path):
         matched.withColumn("n_chars", F.col("n_chars") + 1)
     )
     assert feed.select("_commit_version").distinct().collect()[0][0] == 2
+
+
+def test_update_where_validates_on_pre_image_matches(spark, tmp_path):
+    """Regression: an update that moves rows OUT of its own predicate
+    must still validate their post-image (filtering the rewritten frame
+    by the condition would re-evaluate it on post-image values and see
+    nothing)."""
+    from pyspark.sql import types as T
+
+    table = str(tmp_path / "t")
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.IntegerType())]
+    )
+    write_snapshot(spark.createDataFrame([(1, 10)], schema), table)
+    st.add_constraint(spark, table, "cap", "v <= 10")
+    with pytest.raises(ValueError, match="CHECK constraint 'cap'"):
+        st.update_where(spark, table, {"v": "v + 1"}, "v = 10")
+    assert _canon(read_snapshot(spark, table)) == [(1, 10)]  # unchanged
+
+
+def test_read_cdc_refuses_rollback_across_rename(spark, docs, tmp_path):
+    """Regression: a ROLLBACK commit that restores a pre-rename schema
+    removes the renamed column relative to its parent — the pre-image
+    side is unrepresentable, so the CDC read must refuse instead of
+    silently emitting NULL for it."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        read_cdc, rename_column, rollback,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs.where(F.col("doc_id") % 2 == 0), table)    # v1
+    rename_column(spark, table, "n_chars", "chars")                # v2
+    write_snapshot(
+        docs.where(F.col("doc_id") % 2 == 1).withColumnRenamed(
+            "n_chars", "chars"
+        ),
+        table, mode="append",
+    )                                                              # v3
+    rollback(table, 1)                                             # v4
+    with pytest.raises(ValueError, match="removes or retypes"):
+        read_cdc(spark, table, 3, 4).count()
+    # and the table itself still reads fine at both schemas
+    assert read_snapshot(spark, table).columns == ["doc_id", "lang", "n_chars"]
+    assert read_snapshot(spark, table, 3).columns == ["doc_id", "lang", "chars"]
+
+
+def test_rename_cycle_normalizes_maps_and_protocol(spark, docs, tmp_path):
+    """Regression: renaming v->w->v must leave a PLAIN table — identity
+    maps are normalized away, so the snapshot stays reader-protocol 1
+    and reads stay single-scan."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        rename_column,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)
+    rename_column(spark, table, "n_chars", "x")
+    mid = st._load_snapshot(table, 2)
+    assert mid["reader_version"] == 2  # genuinely mapped
+    v = rename_column(spark, table, "x", "n_chars")
+    snap = st._load_snapshot(table, v)
+    assert all("names" not in s for s in snap["shards"])
+    assert snap.get("reader_version", 1) == 1
+    assert _canon(read_snapshot(spark, table)) == _canon(docs)
+
+
+def test_rename_cycle_after_drop_keeps_hidden_columns_hidden(spark, docs, tmp_path):
+    """Regression: a rename cycle must NOT normalize away the map of a
+    shard that hides dropped physical bytes — otherwise a same-name
+    re-add after the cycle would resurface them."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        add_column, drop_column, rename_column,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)
+    drop_column(spark, table, "lang")
+    rename_column(spark, table, "n_chars", "x")
+    rename_column(spark, table, "x", "n_chars")
+    snap = st._load_snapshot(table, latest_version(table))
+    assert all(
+        s.get("names") is not None and s.get("hidden") == ["lang"]
+        for s in snap["shards"]
+    )
+    assert snap["reader_version"] == 2
+    add_column(spark, table, "lang", "string")
+    got = read_snapshot(spark, table)
+    assert got.where(F.col("lang").isNotNull()).count() == 0
