@@ -3277,6 +3277,68 @@ def q_snapshot_metadata_agg(spark, sf_dir):
 
 
 @register(
+    "snapshot_source_pushdown",
+    f"""
+    WITH thr AS (
+      SELECT CAST(floor(max(doc_id) / 4.0) AS BIGINT) AS t FROM documents
+    )
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           TRUE                         AS pruned_ok
+    FROM documents, thr WHERE doc_id <= t GROUP BY lang
+    """,
+    tags=("sources", "table-format", "pushdown", "extension-api"),
+    description="The snapshot table read through the OFFICIAL Spark 4 "
+    "Python DataSource API (spark.read.format('snapshot_table')) with "
+    "Catalyst-pushed filters driving the table's own metadata skipping: "
+    "cluster-compact the documents by doc_id, read via the format with a "
+    "plain .where() range predicate — pushFilters narrows the shard "
+    "interval and partitions() plans ONLY the surviving shards (pruned "
+    "shards never become tasks or open a footer). pruned_ok pins, from "
+    "the planning-time log, that pushdown changed what was PLANNED "
+    "(planned < total), while the rows must fingerprint exactly to the "
+    "SQL filter twin — every filter is also retained by Spark, so "
+    "correctness never depends on the skipping. The no-manual-prune "
+    "Iceberg/Delta integration shape. Engine: "
+    "sources/snapshot_datasource.py.",
+)
+def q_snapshot_source_pushdown(spark, sf_dir):
+    import json
+    import tempfile
+
+    from .sources.snapshot_datasource import register_snapshot_table_source
+    from .sources.snapshot_table import compact_table, write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    table = tempfile.mkdtemp(prefix="svdml-snapsrc-")
+    write_snapshot(docs, table, mode="append")
+    compact_table(spark, table, target_shards=8, cluster_by=["doc_id"])
+    register_snapshot_table_source(spark)
+    thr = int(docs.agg(F.max("doc_id")).collect()[0][0] // 4)
+    log = tempfile.mktemp(prefix="svdml-snapsrc-plan-")
+    out = (
+        spark.read.format("snapshot_table")
+        .option("path", table).option("plan_log", log)
+        .load()
+        .where(F.col("doc_id") <= thr)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
+        )
+    )
+    rows = out.collect()  # materialise so the plan log exists
+    plan = json.load(open(log))
+    pruned_ok = bool(0 < plan["planned"] < plan["total"])
+    return spark.createDataFrame(rows, out.schema).withColumn(
+        "pruned_ok", F.lit(pruned_ok)
+    )
+
+
+@register(
     "snapshot_bloom_skip",
     """
     WITH m AS (SELECT max(doc_id) AS mx FROM documents),

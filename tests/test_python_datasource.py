@@ -221,3 +221,143 @@ def test_sink_append_merges_manifest_overwrite_replaces(spark, tmp_path):
         .csv(out)
     )
     assert back.count() == 50
+
+
+# ---------------------------------------------------------------------------
+# snapshot_table as an official Python DataSource (snapshot_datasource.py)
+# ---------------------------------------------------------------------------
+
+
+def _snap_docs(spark, sf_dir):
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _canon_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_snapshot_source_reads_and_prunes(spark, sf_dir, tmp_path):
+    """format('snapshot_table') equals read_snapshot, and a Catalyst-
+    pushed range filter prunes PLANNED partitions via per-shard stats
+    (filters stay applied by Spark — rows are exact either way)."""
+    import json
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_datasource import (
+        register_snapshot_table_source,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table, write_snapshot,
+    )
+
+    docs = _snap_docs(spark, sf_dir)
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, mode="append")
+    compact_table(spark, table, target_shards=6, cluster_by=["doc_id"])
+    register_snapshot_table_source(spark)
+    base = spark.read.format("snapshot_table").option("path", table).load()
+    assert _canon_rows(base) == _canon_rows(docs)
+    log = str(tmp_path / "plan.json")
+    got = (
+        spark.read.format("snapshot_table")
+        .option("path", table).option("plan_log", log)
+        .load().where("doc_id BETWEEN 0 AND 40")
+    )
+    assert _canon_rows(got) == _canon_rows(
+        docs.where("doc_id BETWEEN 0 AND 40")
+    )
+    plan = json.load(open(log))
+    assert plan["total"] == 6 and 0 < plan["planned"] < 6
+
+
+def test_snapshot_source_bloom_point_prunes(spark, sf_dir, tmp_path):
+    """An equality probe on a HASH layout (stats useless: every shard
+    spans the key range) prunes via the per-shard bloom filters."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_datasource import (
+        register_snapshot_table_source,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        write_snapshot,
+    )
+
+    docs = _snap_docs(spark, sf_dir)
+    table = str(tmp_path / "t")
+    write_snapshot(
+        docs.repartition(8, "doc_id"), table,
+        mode="append", bloom_cols=["doc_id"],
+    )
+    register_snapshot_table_source(spark)
+    key = int(docs.agg(F.max("doc_id")).collect()[0][0] // 2)
+    log = str(tmp_path / "plan.json")
+    got = (
+        spark.read.format("snapshot_table")
+        .option("path", table).option("plan_log", log)
+        .load().where(f"doc_id = {key}")
+    )
+    assert _canon_rows(got) == _canon_rows(docs.where(F.col("doc_id") == key))
+    plan = json.load(open(log))
+    assert plan["planned"] < plan["total"] == 8
+
+
+def test_snapshot_source_column_mapping_and_time_travel(spark, sf_dir, tmp_path):
+    """Reads are column-mapping aware (renamed/dropped/re-added columns
+    behave exactly like read_snapshot) and version= time-travels."""
+    from pyspark.sql import functions as F
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_datasource import (
+        register_snapshot_table_source,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        add_column, drop_column, rename_column, write_snapshot,
+    )
+
+    docs = _snap_docs(spark, sf_dir)
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)                                    # v1
+    rename_column(spark, table, "n_chars", "chars")                # v2
+    drop_column(spark, table, "lang")                              # v3
+    add_column(spark, table, "lang", "string")                     # v4
+    register_snapshot_table_source(spark)
+    got = spark.read.format("snapshot_table").option("path", table).load()
+    assert got.columns == ["doc_id", "chars", "lang"]
+    assert got.where(F.col("lang").isNotNull()).count() == 0  # no resurface
+    assert _canon_rows(got.select("doc_id", "chars")) == _canon_rows(
+        docs.select("doc_id", "n_chars")
+    )
+    v1 = (
+        spark.read.format("snapshot_table")
+        .option("path", table).option("version", "1").load()
+    )
+    assert v1.columns == ["doc_id", "lang", "n_chars"]
+    assert _canon_rows(v1) == _canon_rows(docs)
+
+
+def test_snapshot_source_loud_boundaries(spark, sf_dir, tmp_path):
+    """Pending lazy deletes and empty tables refuse loudly."""
+    import pytest
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_datasource import (
+        register_snapshot_table_source,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        delete_where, write_snapshot,
+    )
+
+    register_snapshot_table_source(spark)
+    with pytest.raises(Exception, match="no snapshots"):
+        spark.read.format("snapshot_table").option(
+            "path", str(tmp_path / "nope")
+        ).load()
+    docs = _snap_docs(spark, sf_dir)
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)
+    delete_where(spark, table, "n_chars > 400", lazy=True)
+    with pytest.raises(Exception, match="pending lazy deletes"):
+        spark.read.format("snapshot_table").option("path", table).load()
