@@ -48,6 +48,7 @@ def _build():
         DataSource,
         DataSourceReader,
         EqualTo,
+        In,
         InputPartition,
     )
     from pyspark.sql.types import StructType
@@ -56,7 +57,6 @@ def _build():
         _DATA_DIR,
         _bloom_may_contain,
         _load_snapshot,
-        _stats_overlap,
         latest_version,
         version_as_of,
     )
@@ -108,6 +108,9 @@ def _build():
             # col -> [lo, hi] with None = unbounded on that side
             self.bounds: dict[str, list] = {}
             self.points: dict[str, object] = {}  # equality probes
+            # IN-list filters: each is (col, values); a shard survives
+            # one iff AT LEAST one value can be present in it
+            self.any_of: list[tuple[str, tuple]] = []
 
         def _narrow(self, col: str, lo=None, hi=None):
             b = self.bounds.setdefault(col, [None, None])
@@ -125,6 +128,15 @@ def _build():
                 value = getattr(f, "value", None)
                 kind = type(f).__name__
                 if (
+                    isinstance(f, In)
+                    and attr is not None
+                    and len(attr) == 1
+                    and value
+                    and all(isinstance(v, (int, float, str)) for v in value)
+                ):
+                    # multi-point lookup: stats + bloom per listed value
+                    self.any_of.append((attr[0], tuple(value)))
+                elif (
                     attr is not None
                     and len(attr) == 1
                     and value is not None
@@ -142,22 +154,43 @@ def _build():
                         self._narrow(col, hi=value)
                 yield f
 
+        @staticmethod
+        def _stats_allow(s: dict, col: str, lo, hi) -> bool:
+            """Type-safe one-sided variant of _stats_overlap: None =
+            unbounded side; incomparable types (a filter whose value
+            type differs from the recorded stats) conservatively keep
+            the shard — skipping must be PROVABLE."""
+            b = s.get("stats", {}).get(col)
+            if b is None or b[0] is None or b[1] is None:
+                return True
+            try:
+                if lo is not None and b[1] < lo:
+                    return False
+                if hi is not None and b[0] > hi:
+                    return False
+            except TypeError:
+                return True
+            return True
+
         def _surviving(self) -> list[dict]:
             shards = self.snap["shards"]
             for col, (lo, hi) in self.bounds.items():
                 shards = [
-                    s
-                    for s in shards
-                    if _stats_overlap(
-                        s,
-                        col,
-                        lo if lo is not None else float("-inf"),
-                        hi if hi is not None else float("inf"),
-                    )
+                    s for s in shards if self._stats_allow(s, col, lo, hi)
                 ]
             for col, value in self.points.items():
                 shards = [
                     s for s in shards if _bloom_may_contain(s, col, value)
+                ]
+            for col, values in self.any_of:
+                shards = [
+                    s
+                    for s in shards
+                    if any(
+                        self._stats_allow(s, col, v, v)
+                        and _bloom_may_contain(s, col, v)
+                        for v in values
+                    )
                 ]
             return shards
 

@@ -361,3 +361,48 @@ def test_snapshot_source_loud_boundaries(spark, sf_dir, tmp_path):
     delete_where(spark, table, "n_chars > 400", lazy=True)
     with pytest.raises(Exception, match="pending lazy deletes"):
         spark.read.format("snapshot_table").option("path", table).load()
+
+
+def test_snapshot_source_in_list_and_string_filters(spark, sf_dir, tmp_path):
+    """IN-list predicates prune to the union of per-value survivors
+    (stats + bloom per value), and string-typed range filters are
+    type-safe (unbounded sides never compare str to inf)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_datasource import (
+        register_snapshot_table_source,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table, write_snapshot,
+    )
+
+    docs = _snap_docs(spark, sf_dir)
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, mode="append", bloom_cols=["doc_id"])
+    compact_table(
+        spark, table, target_shards=6, cluster_by=["doc_id"],
+        bloom_cols=["doc_id"],
+    )
+    register_snapshot_table_source(spark)
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    probe = [int(ids[0]), int(ids[-1])]  # both extremes: 2 shards max
+    log = str(tmp_path / "plan.json")
+    got = (
+        spark.read.format("snapshot_table")
+        .option("path", table).option("plan_log", log)
+        .load().where(F.col("doc_id").isin(probe))
+    )
+    assert _canon_rows(got) == _canon_rows(docs.where(F.col("doc_id").isin(probe)))
+    plan = json.load(open(log))
+    assert plan["planned"] <= 2 < plan["total"] == 6
+    # string range predicate on a column with string stats: no crash,
+    # exact rows (lang stats exist only if recorded; either way safe)
+    got2 = (
+        spark.read.format("snapshot_table").option("path", table)
+        .load().where("lang >= 'e' AND lang < 'g'")
+    )
+    assert _canon_rows(got2) == _canon_rows(
+        docs.where("lang >= 'e' AND lang < 'g'")
+    )
