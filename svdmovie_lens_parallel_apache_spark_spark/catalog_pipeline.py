@@ -3339,6 +3339,70 @@ def q_snapshot_source_pushdown(spark, sf_dir):
 
 
 @register(
+    "snapshot_roundtrip_official",
+    f"""
+    WITH thr AS (
+      SELECT CAST(floor(max(doc_id) / 4.0) AS BIGINT) AS t FROM documents
+    )
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           TRUE                         AS pruned_ok
+    FROM documents, thr WHERE doc_id <= t GROUP BY lang
+    """,
+    tags=("sources", "table-format", "extension-api", "pushdown"),
+    description="Write AND read the snapshot table purely through the "
+    "official Spark APIs: df.write.format('snapshot_table') range-"
+    "clustered with Arrow-computed per-shard stats+blooms (two-phase "
+    "commit — executors stage, the driver claims one atomic snapshot), "
+    "then spark.read.format('snapshot_table') with a plain range "
+    ".where() whose Catalyst-pushed filter prunes planned shards from "
+    "those write-side stats. pruned_ok pins planned < total from the "
+    "planning log; the rows must fingerprint exactly to the SQL filter "
+    "twin. No engine-private calls anywhere in the data path — a user "
+    "of the public format API gets the whole table format. Engine: "
+    "sources/snapshot_datasource.py.",
+)
+def q_snapshot_roundtrip_official(spark, sf_dir):
+    import json
+    import tempfile
+
+    from .sources.snapshot_datasource import register_snapshot_table_source
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    table = tempfile.mkdtemp(prefix="svdml-snapofficial-") + "/t"
+    register_snapshot_table_source(spark)
+    (
+        docs.repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.format("snapshot_table")
+        .option("stats_cols", "doc_id").option("bloom_cols", "doc_id")
+        .mode("append").save(table)
+    )
+    thr = int(docs.agg(F.max("doc_id")).collect()[0][0] // 4)
+    log = tempfile.mktemp(prefix="svdml-snapofficial-plan-")
+    out = (
+        spark.read.format("snapshot_table")
+        .option("path", table).option("plan_log", log)
+        .load()
+        .where(F.col("doc_id") <= thr)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias("text_fp"),
+        )
+    )
+    rows = out.collect()  # materialise so the plan log exists
+    plan = json.load(open(log))
+    pruned_ok = bool(0 < plan["planned"] < plan["total"])
+    return spark.createDataFrame(rows, out.schema).withColumn(
+        "pruned_ok", F.lit(pruned_ok)
+    )
+
+
+@register(
     "snapshot_bloom_skip",
     """
     WITH m AS (SELECT max(doc_id) AS mx FROM documents),

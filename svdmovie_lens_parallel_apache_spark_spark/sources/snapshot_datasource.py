@@ -241,6 +241,227 @@ def _build():
             out = pa.Table.from_arrays(cols, schema=target)
             yield from out.to_batches()
 
+    from pyspark.sql.datasource import (
+        DataSourceArrowWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class _Staged(WriterCommitMessage):
+        name: str | None = None  # staged file name; None = empty task
+        n_rows: int = 0
+        stats: dict | None = None
+        bloom: dict | None = None
+
+    class SnapshotTableBatchWriter(DataSourceArrowWriter):
+        """Batch write path: ``df.write.format("snapshot_table")`` with
+        mode append/overwrite mapped onto the snapshot commit protocol
+        (two-phase: executors stage private shards + per-shard
+        stats/blooms computed FROM the Arrow batches in passing; the
+        driver enforces CHECK constraints against the staged files
+        BEFORE publishing, then claims one atomic snapshot with the
+        standard rebase loop). A failed job aborts to zero visibility."""
+
+        _STAGE = os.path.join("_tmp", "batch")
+
+        def __init__(self, options, schema, overwrite: bool):
+            self.table = options.get("path")
+            if not self.table:
+                raise ValueError(
+                    "snapshot_table writer: option 'path' is required"
+                )
+            self.overwrite = overwrite
+            self.stats_cols = [
+                c for c in (options.get("stats_cols") or "").split(",") if c
+            ]
+            self.bloom_cols = [
+                c for c in (options.get("bloom_cols") or "").split(",") if c
+            ]
+            self.bloom_bits = int(options.get("bloom_bits", 2048))
+            self.bloom_k = int(options.get("bloom_k", 3))
+            self.schema_json = schema.json()
+
+        # -- executor side --------------------------------------------
+        def write(self, iterator):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            from .snapshot_table import _bloom_bits_for
+
+            batches = list(iterator)
+            n = sum(len(b) for b in batches)
+            if n == 0:
+                return _Staged(name=None)
+            t = pa.Table.from_batches(batches)
+            stats, bloom = {}, {}
+            for c in self.stats_cols:
+                if c in t.schema.names:
+                    mm = pc.min_max(t[c])
+                    stats[c] = [mm["min"].as_py(), mm["max"].as_py()]
+            for c in self.bloom_cols:
+                if c in t.schema.names:
+                    bits: set[int] = set()
+                    for v in pc.unique(t[c]).to_pylist():
+                        if v is not None:
+                            bits.update(
+                                _bloom_bits_for(
+                                    v, self.bloom_bits, self.bloom_k
+                                )
+                            )
+                    bloom[c] = {
+                        "m": self.bloom_bits,
+                        "k": self.bloom_k,
+                        "bits": sorted(bits),
+                    }
+            stage = os.path.join(self.table, self._STAGE)
+            os.makedirs(stage, exist_ok=True)
+            import uuid as _uuid
+
+            name = f"batch-{_uuid.uuid4().hex}.parquet"
+            pq.write_table(t, os.path.join(stage, name))
+            return _Staged(name=name, n_rows=n, stats=stats, bloom=bloom)
+
+        # -- driver side ----------------------------------------------
+        def _staged(self, messages):
+            return [m for m in messages if m is not None and m.name]
+
+        def _discard(self, messages):
+            for m in self._staged(messages):
+                try:
+                    os.remove(os.path.join(self.table, self._STAGE, m.name))
+                except FileNotFoundError:
+                    pass
+
+        def commit(self, messages):
+            import shutil
+            import uuid as _uuid
+
+            from pyspark.sql.types import StructType as _ST
+
+            from .snapshot_table import (
+                _SNAP_DIR,
+                _base_constraints,
+                _claim_snapshot,
+                _merge_schema,
+            )
+
+            staged = self._staged(messages)
+            schema = _ST.fromJson(json.loads(self.schema_json))
+            constraints = _base_constraints(self.table)
+            if constraints and staged:
+                try:
+                    self._validate(staged, schema, constraints)
+                except ValueError:
+                    self._discard(messages)  # nothing becomes visible
+                    raise
+            os.makedirs(os.path.join(self.table, _SNAP_DIR), exist_ok=True)
+            os.makedirs(os.path.join(self.table, _DATA_DIR), exist_ok=True)
+            mine = []
+            for m in staged:
+                name = f"part-{_uuid.uuid4().hex}.parquet"
+                os.replace(
+                    os.path.join(self.table, self._STAGE, m.name),
+                    os.path.join(self.table, _DATA_DIR, name),
+                )
+                shard = {"file": name, "n_rows": m.n_rows}
+                if m.stats:
+                    shard["stats"] = m.stats
+                if m.bloom:
+                    shard["bloom"] = m.bloom
+                mine.append(shard)
+            tmp_dir = os.path.join(self.table, "_tmp", _uuid.uuid4().hex)
+            try:
+                while True:
+                    current = latest_version(self.table)
+                    if current is None:
+                        base_shards, base_deletes, cons = [], [], {}
+                        merged = schema
+                    else:
+                        base = _load_snapshot(self.table, current)
+                        cons = base.get("constraints", {})
+                        if self.overwrite:
+                            base_shards, base_deletes = [], []
+                            merged = schema
+                        else:
+                            base_shards = base["shards"]
+                            base_deletes = base.get("deletes", [])
+                            merged = _merge_schema(
+                                _ST.fromJson(base["schema"]), schema
+                            )
+                    shards = list(base_shards) + mine
+                    snapshot = {
+                        "version": (current or 0) + 1,
+                        "parent": current,
+                        "operation": (
+                            "overwrite" if self.overwrite else "append"
+                        ),
+                        "properties": {"sink": "snapshot_table_batch"},
+                        "schema": merged.jsonValue(),
+                        "n_shards": len(shards),
+                        "n_rows": sum(s["n_rows"] for s in shards),
+                        "shards": sorted(shards, key=lambda s: s["file"]),
+                    }
+                    if base_deletes:  # overwrite clears them above
+                        snapshot["deletes"] = base_deletes
+                    if cons:  # invariants persist through overwrite too
+                        snapshot["constraints"] = cons
+                    if _claim_snapshot(self.table, tmp_dir, snapshot):
+                        return
+            finally:
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+
+        def _validate(self, staged, schema, constraints):
+            """CHECK-constraint enforcement for the batch-writer commit.
+            The commit runs in a Python runner WITHOUT a JVM gateway
+            (``getActiveSession()`` is None there), so when no session
+            is reachable the staged shards are validated with DuckDB —
+            the repo-wide semantic twin — under the same NULL-passes
+            CHECK rule. FAIL-CLOSED: a condition DuckDB cannot parse or
+            evaluate rejects the commit with a clear message instead of
+            skipping validation (an invariant is never silently
+            unenforced)."""
+            from pyspark.sql import SparkSession
+
+            paths = [
+                os.path.join(self.table, self._STAGE, m.name)
+                for m in staged
+            ]
+            spark = SparkSession.getActiveSession()
+            if spark is not None:
+                from .snapshot_table import _enforce_constraints as _enf
+
+                _enf(spark.read.schema(schema).parquet(*paths), constraints)
+                return
+            import duckdb
+
+            con = duckdb.connect()
+            files = "[" + ", ".join(f"'{p}'" for p in paths) + "]"
+            for name, cond in constraints.items():
+                try:
+                    bad = con.sql(
+                        f"SELECT * FROM read_parquet({files}) "
+                        f"WHERE NOT coalesce(CAST(({cond}) AS BOOLEAN), "
+                        f"TRUE) LIMIT 1"
+                    ).fetchall()
+                except Exception as exc:
+                    raise ValueError(
+                        f"snapshot_table writer: CHECK constraint "
+                        f"{name!r} ({cond}) cannot be validated in the "
+                        f"batch-writer commit (no Spark session in this "
+                        f"context and the twin evaluator rejected it: "
+                        f"{exc}); commit refused — write via "
+                        f"write_snapshot or drop the constraint"
+                    ) from exc
+                if bad:
+                    raise ValueError(
+                        f"snapshot_table writer: CHECK constraint "
+                        f"{name!r} ({cond}) violated by row {bad[0]!r}"
+                    )
+
+        def abort(self, messages):
+            self._discard(messages)
+
     class SnapshotTableDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -251,6 +472,9 @@ def _build():
 
         def reader(self, schema):
             return SnapshotTableReader(self.options, schema)
+
+        def writer(self, schema, overwrite):
+            return SnapshotTableBatchWriter(self.options, schema, overwrite)
 
     return SnapshotTableDataSource
 

@@ -406,3 +406,87 @@ def test_snapshot_source_in_list_and_string_filters(spark, sf_dir, tmp_path):
     assert _canon_rows(got2) == _canon_rows(
         docs.where("lang >= 'e' AND lang < 'g'")
     )
+
+
+def test_snapshot_batch_writer_append_overwrite(spark, sf_dir, tmp_path):
+    """df.write.format('snapshot_table'): append and overwrite map onto
+    atomic snapshot commits; Arrow-side per-shard stats and blooms are
+    recorded and USABLE by the pruning paths."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_datasource import (
+        register_snapshot_table_source,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        _bloom_may_contain, read_snapshot, snapshot_history,
+    )
+
+    register_snapshot_table_source(spark)
+    docs = _snap_docs(spark, sf_dir)
+    table = str(tmp_path / "t")
+    (
+        docs.repartition(4, "doc_id").write.format("snapshot_table")
+        .option("stats_cols", "doc_id").option("bloom_cols", "doc_id")
+        .mode("append").save(table)
+    )
+    assert _canon_rows(read_snapshot(spark, table)) == _canon_rows(docs)
+    snap = snapshot_history(table)[-1]
+    assert snap["operation"] == "append" and snap["n_shards"] == 4
+    assert all("stats" in s and "bloom" in s for s in snap["shards"])
+    # arrow-computed blooms behave like the distributed ones: the key's
+    # owning shard says maybe, and across 4 hash shards at least one
+    # provably excludes it
+    key = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    hits = [
+        _bloom_may_contain(s, "doc_id", key) for s in snap["shards"]
+    ]
+    assert any(hits) and not all(hits)
+    docs.limit(7).write.format("snapshot_table").mode("overwrite").save(table)
+    assert read_snapshot(spark, table).count() == 7
+    assert [s["operation"] for s in snapshot_history(table)] == [
+        "append", "overwrite",
+    ]
+    # no staged residue
+    assert glob.glob(os.path.join(table, "_tmp", "batch", "*")) == []
+
+
+def test_snapshot_batch_writer_constraints_and_evolution(spark, sf_dir, tmp_path):
+    """A batch violating a live CHECK constraint commits NOTHING (zero
+    visibility, no staged residue); appends widen the schema
+    union-by-name like write_snapshot."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_datasource import (
+        register_snapshot_table_source,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        add_constraint, latest_version, read_snapshot,
+    )
+
+    register_snapshot_table_source(spark)
+    docs = _snap_docs(spark, sf_dir)
+    table = str(tmp_path / "t")
+    docs.write.format("snapshot_table").mode("append").save(table)
+    add_constraint(spark, table, "pos", "n_chars > 0")             # v2
+    bad = docs.limit(3).withColumn("n_chars", F.lit(-5).cast("long"))
+    with pytest.raises(Exception):
+        bad.write.format("snapshot_table").mode("append").save(table)
+    assert latest_version(table) == 2  # nothing committed
+    assert _canon_rows(read_snapshot(spark, table)) == _canon_rows(docs)
+    assert glob.glob(os.path.join(table, "_tmp", "batch", "*")) == []
+    # union-by-name widening: a new nullable column appends cleanly
+    extra = docs.limit(5).select(
+        (F.col("doc_id") + 10**9).alias("doc_id"), "lang", "n_chars",
+        F.lit("x").alias("note"),
+    )
+    extra.write.format("snapshot_table").mode("append").save(table)
+    got = read_snapshot(spark, table)
+    assert got.columns == ["doc_id", "lang", "n_chars", "note"]
+    assert got.where(F.col("note").isNotNull()).count() == 5
