@@ -490,3 +490,54 @@ def test_snapshot_batch_writer_constraints_and_evolution(spark, sf_dir, tmp_path
     got = read_snapshot(spark, table)
     assert got.columns == ["doc_id", "lang", "n_chars", "note"]
     assert got.where(F.col("note").isNotNull()).count() == 5
+
+
+def test_snapshot_batch_writer_concurrent_commits_both_land(spark, sf_dir, tmp_path):
+    """Two batch-writer COMMITS racing for the same version: the rebase
+    loop makes both land — the table ends with the union, two append
+    snapshots. (Raced at the writer-protocol level: Spark's Python-
+    source LOOKUP itself is not concurrency-safe for simultaneous
+    .save() calls — an upstream limitation unrelated to the commit
+    protocol under test — so the writers are driven directly.)"""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources import snapshot_datasource
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        read_snapshot, snapshot_history,
+    )
+
+    docs = _snap_docs(spark, sf_dir)
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    table = str(tmp_path / "t")
+    ds_cls = snapshot_datasource._build()
+
+    def staged_writer(df):
+        wr = ds_cls(options={"path": table}).writer(df.schema, False)
+        msg = wr.write(iter(df.toArrow().to_batches()))
+        return wr, [msg]
+
+    wa, ma = staged_writer(a)
+    wb, mb = staged_writer(b)
+    errs: list[Exception] = []
+
+    def commit(wr, msgs):
+        try:
+            wr.commit(msgs)
+        except Exception as exc:
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=commit, args=(wa, ma)),
+        threading.Thread(target=commit, args=(wb, mb)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert _canon_rows(read_snapshot(spark, table)) == _canon_rows(docs)
+    ops = [s["operation"] for s in snapshot_history(table)]
+    assert ops == ["append", "append"]
