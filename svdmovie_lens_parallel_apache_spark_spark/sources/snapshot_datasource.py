@@ -1,4 +1,5 @@
-"""Snapshot table as an official Spark 4 Python DataSource (read path).
+"""Snapshot table as an official Spark 4 Python DataSource (read +
+batch write).
 
 ``spark.read.format("snapshot_table").option("path", t).load()`` gives
 the snapshot-log table (``snapshot_table.py``) a STANDARD read surface
@@ -32,6 +33,14 @@ time travel; an empty table errors at ``schema()`` time.
 The ``plan_log`` option (a file path) records ``{"planned": n,
 "total": m}`` at planning time — the oracle gate's proof that pushdown
 actually changed what was PLANNED, not just what was returned.
+
+The WRITE half: ``df.write.format("snapshot_table").mode("append" |
+"overwrite").save(t)`` maps the ``DataSourceArrowWriter`` protocol
+onto the snapshot commit (see ``SnapshotTableBatchWriter``) —
+executors stage private shards with Arrow-computed stats/blooms, the
+driver validates CHECK constraints then claims one atomic snapshot.
+With the ``snapshot_changes`` stream source and ``snapshot_sink``
+stream writer, every surface of the table goes through official APIs.
 """
 
 from __future__ import annotations
