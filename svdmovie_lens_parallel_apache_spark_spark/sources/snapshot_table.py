@@ -1072,7 +1072,7 @@ def expire_snapshots(
     }
 
 
-def vacuum(table: str) -> dict:
+def vacuum(table: str, stage_older_than: float | None = None) -> dict:
     """Orphan-file GC (Delta ``VACUUM`` / Iceberg
     ``remove_orphan_files`` shaped): delete data files referenced by NO
     committed snapshot — the residue of crashed jobs and lost commit
@@ -1083,8 +1083,39 @@ def vacuum(table: str) -> dict:
     construction. Concurrent WRITERS are the one hazard (a file
     published in step 2 but not yet claimed in step 3 looks orphaned) —
     production engines use an age threshold for exactly this reason;
-    here the caller must not vacuum while a write is in flight."""
-    return {"orphans_removed": _remove_unreferenced(table)}
+    here the caller must not vacuum while a write is in flight.
+
+    ``stage_older_than`` (seconds) additionally sweeps the residue of
+    CRASHED writers out of ``_tmp/``: the stream/batch Arrow writers
+    stage shards there and a task that died before commit/abort leaves
+    them forever (they are invisible — never referenced — but they are
+    disk). Only files whose mtime is older than the threshold are
+    removed (the age threshold is what makes this safe next to
+    in-flight jobs); emptied staging directories are pruned. Off by
+    default — the return dict gains ``staged_removed`` only when
+    requested."""
+    out = {"orphans_removed": _remove_unreferenced(table)}
+    if stage_older_than is not None:
+        cutoff = time.time() - stage_older_than
+        staged = 0
+        tmp_root = os.path.join(table, "_tmp")
+        for root, _dirs, files in os.walk(tmp_root):
+            for f in files:
+                p = os.path.join(root, f)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        os.remove(p)
+                        staged += 1
+                except FileNotFoundError:
+                    pass  # a concurrent abort got there first
+        for root, dirs, _files in os.walk(tmp_root, topdown=False):
+            if root != tmp_root:
+                try:
+                    os.rmdir(root)  # only succeeds when empty
+                except OSError:
+                    pass
+        out["staged_removed"] = staged
+    return out
 
 
 def streaming_snapshot_sink(table: str, app_id: str | None = None):

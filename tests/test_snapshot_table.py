@@ -1999,3 +1999,64 @@ def test_rename_cycle_after_drop_keeps_hidden_columns_hidden(spark, docs, tmp_pa
     add_column(spark, table, "lang", "string")
     got = read_snapshot(spark, table)
     assert got.where(F.col("lang").isNotNull()).count() == 0
+
+
+def test_vacuum_sweeps_aged_staged_residue(spark, docs, tmp_path):
+    """vacuum(stage_older_than=...) removes CRASHED writers' staged
+    files from _tmp/ by age — fresh (possibly in-flight) staging is
+    never touched, emptied staging dirs are pruned."""
+    import glob
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)
+    old_dir = os.path.join(table, "_tmp", "batch")
+    os.makedirs(old_dir, exist_ok=True)
+    old = os.path.join(old_dir, "batch-dead.parquet")
+    fresh = os.path.join(old_dir, "batch-live.parquet")
+    open(old, "w").write("x")
+    open(fresh, "w").write("x")
+    past = __import__("time").time() - 7200
+    os.utime(old, (past, past))
+    stats = st.vacuum(table, stage_older_than=3600)
+    assert stats == {"orphans_removed": 0, "staged_removed": 1}
+    assert not os.path.exists(old) and os.path.exists(fresh)
+    # default call keeps its historical return shape and ignores _tmp
+    assert st.vacuum(table) == {"orphans_removed": 0}
+    os.remove(fresh)
+    st.vacuum(table, stage_older_than=0)
+    assert glob.glob(os.path.join(table, "_tmp", "*")) == []  # pruned
+    # the table itself is untouched throughout
+    assert read_snapshot(spark, table).count() == docs.count()
+
+
+def test_snapshot_table_sql_ddl_surface(spark, docs, tmp_path):
+    """CREATE TEMPORARY VIEW ... USING snapshot_table: the registered
+    format is reachable from pure SQL, pushdown and all."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_datasource import (
+        register_snapshot_table_source,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)
+    register_snapshot_table_source(spark)
+    view = "snap_sql_v"
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {view} "
+        f"USING snapshot_table OPTIONS (path '{table}')"
+    )
+    try:
+        assert (
+            spark.sql(f"SELECT count(*) AS n FROM {view}").collect()[0]["n"]
+            == docs.count()
+        )
+        got = spark.sql(
+            f"SELECT lang, count(*) AS n FROM {view} "
+            f"WHERE doc_id <= 50 GROUP BY lang"
+        )
+        expect = (
+            docs.where(F.col("doc_id") <= 50).groupBy("lang").count()
+            .withColumnRenamed("count", "n")
+        )
+        assert _canon(got) == _canon(expect)
+    finally:
+        spark.catalog.dropTempView(view)
