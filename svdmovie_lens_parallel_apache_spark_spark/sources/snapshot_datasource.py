@@ -66,6 +66,7 @@ def _build():
         _DATA_DIR,
         _bloom_may_contain,
         _load_snapshot,
+        _stats_overlap,
         latest_version,
         version_as_of,
     )
@@ -108,10 +109,13 @@ def _build():
         return snap
 
     class SnapshotTableReader(DataSourceReader):
-        def __init__(self, options, schema: StructType):
+        def __init__(self, options, schema: StructType, snap: dict):
             self.options = options
             self.table = options["path"]
-            self.snap = _resolve(options)
+            # the SAME resolved snapshot the schema came from — never
+            # re-resolved, so a commit landing between analysis and
+            # execution cannot tear the read (see SnapshotTableDataSource)
+            self.snap = snap
             self.schema = schema
             # narrowed per-column intervals from pushed filters:
             # col -> [lo, hi] with None = unbounded on that side
@@ -163,29 +167,13 @@ def _build():
                         self._narrow(col, hi=value)
                 yield f
 
-        @staticmethod
-        def _stats_allow(s: dict, col: str, lo, hi) -> bool:
-            """Type-safe one-sided variant of _stats_overlap: None =
-            unbounded side; incomparable types (a filter whose value
-            type differs from the recorded stats) conservatively keep
-            the shard — skipping must be PROVABLE."""
-            b = s.get("stats", {}).get(col)
-            if b is None or b[0] is None or b[1] is None:
-                return True
-            try:
-                if lo is not None and b[1] < lo:
-                    return False
-                if hi is not None and b[0] > hi:
-                    return False
-            except TypeError:
-                return True
-            return True
-
         def _surviving(self) -> list[dict]:
+            # _stats_overlap is the shared triage rule (None bounds =
+            # unbounded; incomparable types conservatively kept)
             shards = self.snap["shards"]
             for col, (lo, hi) in self.bounds.items():
                 shards = [
-                    s for s in shards if self._stats_allow(s, col, lo, hi)
+                    s for s in shards if _stats_overlap(s, col, lo, hi)
                 ]
             for col, value in self.points.items():
                 shards = [
@@ -196,7 +184,7 @@ def _build():
                     s
                     for s in shards
                     if any(
-                        self._stats_allow(s, col, v, v)
+                        _stats_overlap(s, col, v, v)
                         and _bloom_may_contain(s, col, v)
                         for v in values
                     )
@@ -233,13 +221,25 @@ def _build():
 
             from pyspark.sql.pandas.types import to_arrow_schema
 
-            tbl = pq.read_table(partition.path)
             target = to_arrow_schema(self.schema)
             names = partition.names
+            # column-pruned read (the _read_shards twin's physical-
+            # schema scan): only the physical columns the LOGICAL
+            # schema maps to are read — hidden dropped columns and any
+            # other dead bytes in the file cost zero I/O
+            physical = pq.read_schema(partition.path).names
+            wanted = {}
+            for f in self.schema.fields:
+                phys = names.get(f.name) if names is not None else f.name
+                if phys is not None and phys in physical:
+                    wanted[f.name] = phys
+            tbl = pq.read_table(
+                partition.path, columns=sorted(set(wanted.values()))
+            )
             cols = []
             for f, afield in zip(self.schema.fields, target):
-                phys = names.get(f.name) if names is not None else f.name
-                if phys is not None and phys in tbl.column_names:
+                phys = wanted.get(f.name)
+                if phys is not None:
                     cols.append(tbl.column(phys).cast(afield.type))
                 else:  # unmapped logical / physically absent: NULL-fill
                     cols.append(
@@ -289,6 +289,28 @@ def _build():
             self.bloom_bits = int(options.get("bloom_bits", 2048))
             self.bloom_k = int(options.get("bloom_k", 3))
             self.schema_json = schema.json()
+            # the same type gates write_snapshot applies, enforced at
+            # construction (driver-side, before any job runs): a
+            # timestamp stats column would crash the commit's JSON
+            # serialization AFTER publish, and a float bloom column
+            # would record hashes whose string form disagrees with
+            # probe-time values — silent wrong pruning
+            for c in self.stats_cols:
+                t = schema[c].dataType.simpleString()
+                if t not in ("int", "bigint", "smallint", "tinyint",
+                             "float", "double", "string"):
+                    raise ValueError(
+                        f"snapshot_table writer: stats_cols supports "
+                        f"numeric/string columns only; {c!r} is {t}"
+                    )
+            for c in self.bloom_cols:
+                t = schema[c].dataType.simpleString()
+                if t not in ("int", "bigint", "smallint", "tinyint",
+                             "string"):
+                    raise ValueError(
+                        f"snapshot_table writer: bloom_cols supports "
+                        f"integral/string columns only; {c!r} is {t}"
+                    )
 
         # -- executor side --------------------------------------------
         def write(self, iterator):
@@ -379,6 +401,11 @@ def _build():
                 if m.bloom:
                     shard["bloom"] = m.bloom
                 mine.append(shard)
+            validated = dict(constraints)
+            published = [
+                os.path.join(self.table, _DATA_DIR, s["file"])
+                for s in mine
+            ]
             tmp_dir = os.path.join(self.table, "_tmp", _uuid.uuid4().hex)
             try:
                 while True:
@@ -389,6 +416,21 @@ def _build():
                     else:
                         base = _load_snapshot(self.table, current)
                         cons = base.get("constraints", {})
+                        # a constraint added concurrently (between the
+                        # entry validation and this claim) still binds
+                        # this batch — same rebase rule write_snapshot
+                        # applies; a failure here leaves the published
+                        # files as unreferenced orphans (vacuum), never
+                        # a committed violation
+                        fresh = {
+                            k: v for k, v in cons.items()
+                            if validated.get(k) != v
+                        }
+                        if fresh and published:
+                            self._validate_paths(
+                                published, schema, fresh
+                            )
+                            validated.update(fresh)
                         if self.overwrite:
                             base_shards, base_deletes = [], []
                             merged = schema
@@ -421,21 +463,28 @@ def _build():
                 shutil.rmtree(tmp_dir, ignore_errors=True)
 
         def _validate(self, staged, schema, constraints):
-            """CHECK-constraint enforcement for the batch-writer commit.
-            The commit runs in a Python runner WITHOUT a JVM gateway
-            (``getActiveSession()`` is None there), so when no session
-            is reachable the staged shards are validated with DuckDB —
+            self._validate_paths(
+                [
+                    os.path.join(self.table, self._STAGE, m.name)
+                    for m in staged
+                ],
+                schema,
+                constraints,
+            )
+
+        def _validate_paths(self, paths, schema, constraints):
+            """CHECK-constraint enforcement for the batch-writer commit
+            (entry validation of staged files, and in-loop revalidation
+            of constraints added concurrently, against the published
+            files). The commit runs in a Python runner WITHOUT a JVM
+            gateway (``getActiveSession()`` is None there), so when no
+            session is reachable the shards are validated with DuckDB —
             the repo-wide semantic twin — under the same NULL-passes
             CHECK rule. FAIL-CLOSED: a condition DuckDB cannot parse or
             evaluate rejects the commit with a clear message instead of
             skipping validation (an invariant is never silently
             unenforced)."""
             from pyspark.sql import SparkSession
-
-            paths = [
-                os.path.join(self.table, self._STAGE, m.name)
-                for m in staged
-            ]
             spark = SparkSession.getActiveSession()
             if spark is not None:
                 from .snapshot_table import _enforce_constraints as _enf
@@ -476,11 +525,20 @@ def _build():
         def name(cls):
             return "snapshot_table"
 
+        def _snap_once(self) -> dict:
+            # resolve the snapshot EXACTLY once per read: schema() and
+            # reader() must see the same pinned version, or a commit
+            # landing between analysis and execution would tear the
+            # read (schema from v, shards from v+1)
+            if not hasattr(self, "_snap"):
+                self._snap = _resolve(self.options)
+            return self._snap
+
         def schema(self):
-            return StructType.fromJson(_resolve(self.options)["schema"])
+            return StructType.fromJson(self._snap_once()["schema"])
 
         def reader(self, schema):
-            return SnapshotTableReader(self.options, schema)
+            return SnapshotTableReader(self.options, schema, self._snap_once())
 
         def writer(self, schema, overwrite):
             return SnapshotTableBatchWriter(self.options, schema, overwrite)

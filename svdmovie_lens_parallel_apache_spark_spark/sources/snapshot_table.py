@@ -261,11 +261,21 @@ def _stats_overlap(shard: dict, col: str, lo, hi) -> bool:
     """Can this shard contain a row with ``col`` in [lo, hi]? The one
     triage rule every pruning path shares: missing or NULL-bounded
     stats are conservatively True (correctness never depends on stats,
-    only skipping does)."""
+    only skipping does). A ``None`` bound means unbounded on that
+    side, and incomparable types (a probe whose type differs from the
+    recorded stats) conservatively keep the shard — skipping must be
+    PROVABLE."""
     b = shard.get("stats", {}).get(col)
     if b is None or b[0] is None or b[1] is None:
         return True
-    return b[0] <= hi and lo <= b[1]
+    try:
+        if lo is not None and b[1] < lo:
+            return False
+        if hi is not None and b[0] > hi:
+            return False
+    except TypeError:
+        return True
+    return True
 
 
 def _enforce_constraints(df: DataFrame, constraints: dict) -> None:
@@ -477,6 +487,22 @@ def _alter_columns(
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
+def _file_has_column(shard: dict, table: str, physical: str) -> bool:
+    """Does the shard's parquet file physically contain ``physical``?
+    One driver-side footer read; an unreadable footer conservatively
+    answers True (assuming presence is the SAFE direction — it only
+    keeps a column mapping alive)."""
+    try:
+        import pyarrow.parquet as pq
+
+        names = pq.read_schema(
+            os.path.join(table, _DATA_DIR, shard["file"])
+        ).names
+        return physical in names
+    except Exception:
+        return True
+
+
 def _stamped(shard: dict, old_schema: StructType) -> dict:
     """Deep-enough copy of a shard entry with its column mapping made
     EXPLICIT (identity over the current logical schema if absent) so a
@@ -563,10 +589,17 @@ def drop_column(spark: SparkSession, table: str, col: str) -> int:
     def stamp(shard: dict, schema: StructType) -> dict:
         s = _stamped(shard, schema)
         physical = s["names"].pop(col, None)
-        if physical is not None:
-            # remember the file still physically holds these bytes:
-            # the shard's map must never be normalized away (see
-            # _alter_columns), or a same-name re-add would read them
+        if physical is not None and _file_has_column(
+            shard, table, physical
+        ):
+            # the file still physically holds these bytes: the shard's
+            # map must never be normalized away (see _alter_columns),
+            # or a same-name re-add would read them. Checked against
+            # the parquet FOOTER (one driver-side metadata read per
+            # shard — still no data rewrite): a shard written before
+            # the column ever existed has nothing to hide, and marking
+            # it anyway would pin reader protocol 2 and multi-scan
+            # reads forever
             s["hidden"] = sorted(set(s.get("hidden", [])) | {physical})
         for kind in ("stats", "bloom"):
             s.get(kind, {}).pop(col, None)
@@ -1649,8 +1682,36 @@ def rollback(table: str, version: int) -> int:
     History is preserved — the bad commits stay inspectable and the
     rollback itself is an audited, time-travelable commit, not an
     erasure. Requires ``version``'s snapshot file to still exist (see
-    :func:`expire_snapshots` retention). Returns the new version."""
+    :func:`expire_snapshots` retention). Returns the new version.
+
+    Constraints restore DATA only and keep the CURRENT invariants —
+    but if any live constraint exists and the rollback would REMOVE or
+    retype a column the current schema has (restoring to before a
+    rename/add), the kept constraints may no longer analyze and every
+    subsequent write would fail with an unresolved-column error; that
+    combination refuses loudly up front (drop the constraints first —
+    same guard shape as the ALTER ops; conservative: refuses even when
+    the constraints don't reference the vanished column, because the
+    commit must not require SQL analysis to validate)."""
     target = _load_snapshot(table, version)
+    if _base_constraints(table):
+        current_schema = StructType.fromJson(
+            _load_snapshot(table, latest_version(table))["schema"]
+        )
+        target_schema = StructType.fromJson(target["schema"])
+        tgt = {(f.name, f.dataType) for f in target_schema.fields}
+        lost = sorted(
+            f.name
+            for f in current_schema.fields
+            if (f.name, f.dataType) not in tgt
+        )
+        if lost:
+            raise ValueError(
+                f"snapshot_table: rollback to version {version} removes "
+                f"or retypes columns {lost} while CHECK constraints are "
+                f"live — the kept constraints may no longer resolve; "
+                f"drop the constraints first"
+            )
     job = uuid.uuid4().hex
     tmp_dir = os.path.join(table, "_tmp", job)
     try:

@@ -541,3 +541,104 @@ def test_snapshot_batch_writer_concurrent_commits_both_land(spark, sf_dir, tmp_p
     assert _canon_rows(read_snapshot(spark, table)) == _canon_rows(docs)
     ops = [s["operation"] for s in snapshot_history(table)]
     assert ops == ["append", "append"]
+
+
+def test_snapshot_batch_writer_rejects_unsupported_metadata_types(
+    spark, sf_dir, tmp_path
+):
+    """Regression: the writer enforces write_snapshot's stats/bloom
+    type gates at CONSTRUCTION (a timestamp stats column would crash
+    JSON serialization after publish; a float bloom column would
+    silently wrong-prune point lookups)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_datasource import (
+        register_snapshot_table_source,
+    )
+
+    register_snapshot_table_source(spark)
+    docs = _snap_docs(spark, sf_dir).withColumn(
+        "ts", F.current_timestamp()
+    ).withColumn("score", (F.col("n_chars") / 7.0))
+    table = str(tmp_path / "t")
+    with pytest.raises(Exception, match="stats_cols supports"):
+        (
+            docs.write.format("snapshot_table")
+            .option("stats_cols", "ts").mode("append").save(table)
+        )
+    with pytest.raises(Exception, match="bloom_cols supports"):
+        (
+            docs.write.format("snapshot_table")
+            .option("bloom_cols", "score").mode("append").save(table)
+        )
+    assert not os.path.exists(os.path.join(table, "_snapshots"))
+
+
+def test_snapshot_batch_writer_revalidates_concurrent_constraint(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Regression: a CHECK constraint added between the writer's ENTRY
+    validation and its commit claim still binds the batch — the rebase
+    loop revalidates fresh constraints against the published files and
+    refuses; the orphans are vacuum-reclaimable, the log untouched.
+    (The entry read is blinded via monkeypatch to open the race window
+    deterministically — otherwise commit()'s own _base_constraints read
+    would catch the constraint before publish.)"""
+    import pytest
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_datasource,
+        snapshot_table as st_mod,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        add_constraint, latest_version, read_snapshot, vacuum, write_snapshot,
+    )
+
+    docs = _snap_docs(spark, sf_dir)
+    table = str(tmp_path / "t")
+    write_snapshot(docs.where("n_chars > 0"), table)               # v1
+    ds_cls = snapshot_datasource._build()
+    bad = spark.createDataFrame([(-1, "xx", -100)], docs.schema)
+    wr = ds_cls(options={"path": table}).writer(bad.schema, False)
+    msgs = [wr.write(iter(bad.toArrow().to_batches()))]
+    add_constraint(spark, table, "pos", "n_chars > 0")             # v2
+    # blind the ENTRY validation: the constraint "lands" after it
+    monkeypatch.setattr(st_mod, "_base_constraints", lambda t: {})
+    with pytest.raises(ValueError, match="CHECK constraint 'pos'"):
+        wr.commit(msgs)
+    monkeypatch.undo()
+    assert latest_version(table) == 2  # nothing committed
+    assert read_snapshot(spark, table).where("n_chars <= 0").count() == 0
+    assert vacuum(table)["orphans_removed"] >= 1  # published loser file
+
+
+def test_snapshot_source_read_pins_analysis_version(spark, sf_dir, tmp_path):
+    """Regression: schema() and the reader share ONE resolved snapshot,
+    so a rename committed between analysis and execution cannot tear
+    the read (the renamed column would silently read NULL)."""
+    from pyspark.sql import functions as F
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_datasource import (
+        register_snapshot_table_source,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        rename_column, write_snapshot,
+    )
+
+    register_snapshot_table_source(spark)
+    docs = _snap_docs(spark, sf_dir)
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)                                    # v1
+    df = spark.read.format("snapshot_table").option("path", table).load()
+    rename_column(spark, table, "n_chars", "chars")                # v2
+    got = df.collect()  # executes AFTER the rename committed
+    assert df.columns == ["doc_id", "lang", "n_chars"]
+    assert sum(1 for r in got if r["n_chars"] is None) == 0
+    assert _canon_rows(df) == _canon_rows(docs)
+    # a fresh load sees the new schema
+    assert spark.read.format("snapshot_table").option(
+        "path", table
+    ).load().columns == ["doc_id", "lang", "chars"]

@@ -890,6 +890,12 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
             snap()
         elif op == "rollback":
             target = min(hist)  # oldest still-known version
+            if constraints and hist[target][2] != cv:
+                # restoring a pre-rename schema would strand the kept
+                # constraints on a vanished column: refused loudly
+                with pytest.raises(ValueError, match="drop the constraints"):
+                    st.rollback(table, target)
+                continue
             st.rollback(table, target)
             model, pending, cv = (
                 list(hist[target][0]), hist[target][1], hist[target][2]
@@ -2060,3 +2066,53 @@ def test_snapshot_table_sql_ddl_surface(spark, docs, tmp_path):
         assert _canon(got) == _canon(expect)
     finally:
         spark.catalog.dropTempView(view)
+
+
+def test_rollback_refuses_schema_regression_under_constraints(spark, docs, tmp_path):
+    """Regression: ROLLBACK keeps the current constraints, so restoring
+    a schema that lost a column while constraints are live would make
+    every later write fail with an unresolved column — refused up
+    front; fine after dropping the constraints."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        rename_column, rollback,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)                                    # v1
+    rename_column(spark, table, "n_chars", "chars")                # v2
+    st.add_constraint(spark, table, "cap", "chars > 0")            # v3
+    with pytest.raises(ValueError, match="drop the constraints first"):
+        rollback(table, 1)
+    st.drop_constraint(table, "cap")                               # v4
+    v = rollback(table, 1)                                         # v5
+    assert read_snapshot(spark, table).columns == ["doc_id", "lang", "n_chars"]
+    assert v == 5
+    # same-schema rollback under constraints is still allowed
+    st.add_constraint(spark, table, "cap2", "n_chars > 0")         # v6
+    rollback(table, 5)                                             # v7
+    assert latest_version(table) == 7
+
+
+def test_drop_column_never_physically_present_stays_normalizable(
+    spark, docs, tmp_path
+):
+    """Regression: dropping a column NO shard ever physically contained
+    (added then dropped with no appends between) must not mark shards
+    hidden — a later rename cycle still normalizes back to a plain
+    protocol-1 table."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        add_column, drop_column, rename_column,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)                                    # v1
+    add_column(spark, table, "x", "string")                        # v2
+    drop_column(spark, table, "x")                                 # v3
+    snap = st._load_snapshot(table, 3)
+    assert all("hidden" not in s for s in snap["shards"])
+    rename_column(spark, table, "n_chars", "y")                    # v4
+    rename_column(spark, table, "y", "n_chars")                    # v5
+    final = st._load_snapshot(table, 5)
+    assert all("names" not in s for s in final["shards"])
+    assert final.get("reader_version", 1) == 1
+    assert _canon(read_snapshot(spark, table)) == _canon(docs)
