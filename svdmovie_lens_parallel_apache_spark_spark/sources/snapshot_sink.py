@@ -68,6 +68,7 @@ def _build():
         name: str | None  # staged file name; None = empty task
         n_rows: int = 0
         stats: dict = field(default_factory=dict)
+        bloom: dict = field(default_factory=dict)
 
     class SnapshotStreamWriter(DataSourceStreamArrowWriter):
         def __init__(self, options, schema):
@@ -78,6 +79,29 @@ def _build():
             self.stats_cols = [
                 c for c in (options.get("stats_cols") or "").split(",") if c
             ]
+            self.bloom_cols = [
+                c for c in (options.get("bloom_cols") or "").split(",") if c
+            ]
+            self.bloom_bits = int(options.get("bloom_bits", 2048))
+            self.bloom_k = int(options.get("bloom_k", 3))
+            # same type gates as write_snapshot, enforced before the
+            # query starts (a float bloom would silently wrong-prune)
+            for c in self.stats_cols:
+                t = schema[c].dataType.simpleString()
+                if t not in ("int", "bigint", "smallint", "tinyint",
+                             "float", "double", "string"):
+                    raise ValueError(
+                        f"snapshot_sink: stats_cols supports numeric/"
+                        f"string columns only; {c!r} is {t}"
+                    )
+            for c in self.bloom_cols:
+                t = schema[c].dataType.simpleString()
+                if t not in ("int", "bigint", "smallint", "tinyint",
+                             "string"):
+                    raise ValueError(
+                        f"snapshot_sink: bloom_cols supports integral/"
+                        f"string columns only; {c!r} is {t}"
+                    )
             self.schema_json = schema.json()
 
         # -- executor side ------------------------------------------------
@@ -97,11 +121,30 @@ def _build():
                     mm = pc.min_max(t[c])
                     lo, hi = mm["min"].as_py(), mm["max"].as_py()
                     stats[c] = [lo, hi]
+            bloom = {}
+            if self.bloom_cols:
+                from .snapshot_table import _bloom_bits_for
+
+                for c in self.bloom_cols:
+                    if c in t.schema.names:
+                        bits: set = set()
+                        for v in pc.unique(t[c]).to_pylist():
+                            if v is not None:
+                                bits.update(
+                                    _bloom_bits_for(
+                                        v, self.bloom_bits, self.bloom_k
+                                    )
+                                )
+                        bloom[c] = {
+                            "m": self.bloom_bits,
+                            "k": self.bloom_k,
+                            "bits": sorted(bits),
+                        }
             stage = os.path.join(self.table, _STAGE_DIR)
             os.makedirs(stage, exist_ok=True)
             name = f"stream-{uuid.uuid4().hex}.parquet"
             pq.write_table(t, os.path.join(stage, name))
-            return _ShardStaged(name=name, n_rows=n, stats=stats)
+            return _ShardStaged(name=name, n_rows=n, stats=stats, bloom=bloom)
 
         # -- driver side --------------------------------------------------
         def _staged(self, messages):
@@ -173,6 +216,8 @@ def _build():
                 shard = {"file": name, "n_rows": m.n_rows}
                 if m.stats:
                     shard["stats"] = m.stats
+                if m.bloom:
+                    shard["bloom"] = m.bloom
                 mine.append(shard)
             props = {"streaming_batch_id": batchId, "sink": "snapshot_sink"}
             if self.app_id is not None:

@@ -206,3 +206,69 @@ def test_sink_refuses_complete_mode(spark, sf_dir, tmp_path):
             .start()
         )
         q.awaitTermination(60)
+
+
+def test_sink_records_bloom_filters_for_point_skipping(spark, sf_dir, tmp_path):
+    """bloom_cols on the stream sink: per-shard bloom filters are
+    computed from the Arrow batches and recorded in each micro-batch's
+    snapshot — point lookups on a streamed table prune WITHOUT waiting
+    for a compaction; type gates reject float columns up front."""
+    import pytest
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        _bloom_may_contain, read_snapshot, snapshot_history,
+    )
+
+    register_snapshot_sink(spark)
+    docs = _docs(spark, sf_dir)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        _add_file(docs, src, i)
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.format("snapshot_sink")
+        .option("path", table)
+        .option("app_id", "bloomtest")
+        .option("bloom_cols", "doc_id")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    snap = snapshot_history(table)[-1]
+    assert all("bloom" in s for s in snap["shards"])
+    # a key from batch 0 (doc_id % 3 == 0): its shard says maybe, at
+    # least one other shard provably excludes it
+    key = int(
+        docs.where(F.col("doc_id") % 3 == 0).agg(F.max("doc_id"))
+        .collect()[0][0]
+    )
+    hits = [_bloom_may_contain(s, "doc_id", key) for s in snap["shards"]]
+    assert any(hits) and not all(hits)
+    got = read_snapshot(spark, table, bloom_point=("doc_id", key)).where(
+        F.col("doc_id") == key
+    )
+    assert got.count() == 1
+    # float bloom column: the query dies with the type-gate error
+    # before anything becomes visible (writer init is deferred to
+    # stream startup, so it surfaces as the terminal exception)
+    bad_table = str(tmp_path / "t2")
+    q2 = (
+        spark.readStream.schema(_SCHEMA)
+        .parquet(src)
+        .selectExpr("doc_id", "lang", "n_chars / 2.0 AS score")
+        .writeStream.format("snapshot_sink")
+        .option("path", bad_table)
+        .option("bloom_cols", "score")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="bloom_cols supports"):
+        q2.awaitTermination()
+    assert not os.path.exists(os.path.join(bad_table, "_snapshots"))
