@@ -3465,6 +3465,91 @@ def q_snapshot_bloom_skip(spark, sf_dir):
 
 
 @register(
+    "snapshot_partition_prune",
+    f"""
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           TRUE                         AS partition_pruned_ok
+    FROM documents WHERE lang IN ('en', 'de') GROUP BY lang
+    """,
+    tags=("sources", "table-format", "partitioning", "pruning"),
+    description="PARTITION COLUMNS for the snapshot table (Delta/Iceberg "
+    "PARTITIONED BY, hidden-partitioning flavor): commit documents with "
+    "partition_by=['lang'] — staging splits shards so each holds exactly "
+    "one lang while the column stays INSIDE the files, and the log records "
+    "each shard's value — then read with partition_filter={lang: [en,de]} "
+    "plus an official-source .where() probe. Partition pruning is the "
+    "coarsest, EXACT skip tier (no false positives, unlike stats/blooms): "
+    "at 100 TB a per-language job reads only its language's files from "
+    "metadata alone. partition_pruned_ok pins BOTH paths scanning strictly "
+    "fewer shards than the table holds AND exact per-shard purity; rows "
+    "must fingerprint to the plain SQL filter twin. Engine: "
+    "sources/snapshot_table.py (_stage_publish hive-shadow split, "
+    "_partition_match), sources/snapshot_datasource.py (pushFilters tier).",
+)
+def q_snapshot_partition_prune(spark, sf_dir):
+    import json
+    import tempfile
+
+    from .sources.snapshot_datasource import register_snapshot_table_source
+    from .sources.snapshot_table import (
+        _partition_match,
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    table = tempfile.mkdtemp(prefix="svdml-snappart-") + "/t"
+    write_snapshot(docs, table, partition_by=["lang"])
+    snap = snapshot_history(table)[-1]
+    total = len(snap["shards"])
+    kept = [
+        s for s in snap["shards"] if _partition_match(s, "lang", ["en", "de"])
+    ]
+    # exact tier: kept shards are PRECISELY the wanted partitions, and
+    # the official source's pushed equality prunes its plan the same way
+    exact_ok = 0 < len(kept) < total and all(
+        s["partition"]["lang"] in ("en", "de") for s in kept
+    )
+    register_snapshot_table_source(spark)
+    log = tempfile.mktemp(prefix="svdml-snappart-plan-")
+    probe = (
+        spark.read.format("snapshot_table")
+        .option("path", table).option("plan_log", log)
+        .load().where(F.col("lang") == "en")
+    )
+    n_en = probe.count()  # materialise so the plan log exists
+    plan = json.load(open(log))
+    pruned_ok = bool(
+        exact_ok
+        and 0 < plan["planned"] < plan["total"]
+        and n_en == sum(
+            s["n_rows"] for s in kept if s["partition"]["lang"] == "en"
+        )
+    )
+    return (
+        read_snapshot(
+            spark, table, partition_filter={"lang": ["en", "de"]}
+        )
+        .where(F.col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias(
+                "text_fp"
+            ),
+        )
+        .withColumn("partition_pruned_ok", F.lit(pruned_ok))
+    )
+
+
+@register(
     "snapshot_incremental_read",
     f"""
     SELECT lang,

@@ -66,6 +66,7 @@ def _build():
         _DATA_DIR,
         _bloom_may_contain,
         _load_snapshot,
+        _partition_match,
         _stats_overlap,
         latest_version,
         version_as_of,
@@ -171,6 +172,22 @@ def _build():
             # _stats_overlap is the shared triage rule (None bounds =
             # unbounded; incomparable types conservatively kept)
             shards = self.snap["shards"]
+            # partition pruning first — the coarsest, EXACT tier: an
+            # equality (or IN) probe on a declared partition column
+            # keeps only the shards recorded under matching values
+            pb = set(self.snap.get("partition_by", []))
+            for col, value in self.points.items():
+                if col in pb:
+                    shards = [
+                        s for s in shards if _partition_match(s, col, value)
+                    ]
+            for col, values in self.any_of:
+                if col in pb:
+                    shards = [
+                        s
+                        for s in shards
+                        if _partition_match(s, col, list(values))
+                    ]
             for col, (lo, hi) in self.bounds.items():
                 shards = [
                     s for s in shards if _stats_overlap(s, col, lo, hi)
@@ -257,10 +274,11 @@ def _build():
 
     @dataclass
     class _Staged(WriterCommitMessage):
-        name: str | None = None  # staged file name; None = empty task
-        n_rows: int = 0
-        stats: dict | None = None
-        bloom: dict | None = None
+        # staged entries for one task, each
+        # {name, n_rows, stats, bloom, partition?}; [] = empty task.
+        # A task holds MULTIPLE entries when the table is partitioned
+        # and its rows span partition tuples (one staged file per tuple)
+        files: list | None = None
 
     class SnapshotTableBatchWriter(DataSourceArrowWriter):
         """Batch write path: ``df.write.format("snapshot_table")`` with
@@ -311,6 +329,41 @@ def _build():
                         f"snapshot_table writer: bloom_cols supports "
                         f"integral/string columns only; {c!r} is {t}"
                     )
+            # partition spec: explicit option wins; otherwise INHERIT
+            # the live table's (same contract as write_snapshot with
+            # partition_by=None). Resolved here on the driver — commit
+            # may run without a JVM gateway, but the spec is plain
+            # snapshot-log JSON
+            from .snapshot_table import (
+                _PARTITION_TYPES,
+                latest_version as _latest,
+                table_partition_by,
+            )
+
+            opt_pb = [
+                c for c in (options.get("partition_by") or "").split(",")
+                if c
+            ]
+            table_pb = table_partition_by(self.table)
+            self.partition_by = opt_pb or table_pb
+            if (
+                opt_pb
+                and not overwrite
+                and _latest(self.table) is not None
+                and opt_pb != table_pb
+            ):
+                raise ValueError(
+                    f"snapshot_table writer: append with partition_by="
+                    f"{opt_pb} conflicts with the table's spec "
+                    f"{table_pb}; appends inherit (omit the option)"
+                )
+            for c in self.partition_by:
+                t = schema[c].dataType.simpleString()
+                if t not in _PARTITION_TYPES:
+                    raise ValueError(
+                        f"snapshot_table writer: partition_by supports "
+                        f"integral/string columns only; {c!r} is {t}"
+                    )
 
         # -- executor side --------------------------------------------
         def write(self, iterator):
@@ -323,44 +376,84 @@ def _build():
             batches = list(iterator)
             n = sum(len(b) for b in batches)
             if n == 0:
-                return _Staged(name=None)
+                return _Staged(files=[])
             t = pa.Table.from_batches(batches)
-            stats, bloom = {}, {}
-            for c in self.stats_cols:
-                if c in t.schema.names:
-                    mm = pc.min_max(t[c])
-                    stats[c] = [mm["min"].as_py(), mm["max"].as_py()]
-            for c in self.bloom_cols:
-                if c in t.schema.names:
-                    bits: set[int] = set()
-                    for v in pc.unique(t[c]).to_pylist():
-                        if v is not None:
-                            bits.update(
-                                _bloom_bits_for(
-                                    v, self.bloom_bits, self.bloom_k
-                                )
-                            )
-                    bloom[c] = {
-                        "m": self.bloom_bits,
-                        "k": self.bloom_k,
-                        "bits": sorted(bits),
-                    }
             stage = os.path.join(self.table, self._STAGE)
             os.makedirs(stage, exist_ok=True)
             import uuid as _uuid
 
-            name = f"batch-{_uuid.uuid4().hex}.parquet"
-            pq.write_table(t, os.path.join(stage, name))
-            return _Staged(name=name, n_rows=n, stats=stats, bloom=bloom)
+            def _stage_one(sub: pa.Table, partition: dict | None) -> dict:
+                stats, bloom = {}, {}
+                for c in self.stats_cols:
+                    if c in sub.schema.names:
+                        mm = pc.min_max(sub[c])
+                        stats[c] = [mm["min"].as_py(), mm["max"].as_py()]
+                for c in self.bloom_cols:
+                    if c in sub.schema.names:
+                        bits: set[int] = set()
+                        for v in pc.unique(sub[c]).to_pylist():
+                            if v is not None:
+                                bits.update(
+                                    _bloom_bits_for(
+                                        v, self.bloom_bits, self.bloom_k
+                                    )
+                                )
+                        bloom[c] = {
+                            "m": self.bloom_bits,
+                            "k": self.bloom_k,
+                            "bits": sorted(bits),
+                        }
+                name = f"batch-{_uuid.uuid4().hex}.parquet"
+                pq.write_table(sub, os.path.join(stage, name))
+                entry = {
+                    "name": name, "n_rows": sub.num_rows,
+                    "stats": stats, "bloom": bloom,
+                }
+                if partition is not None:
+                    entry["partition"] = partition
+                return entry
+
+            if not self.partition_by:
+                return _Staged(files=[_stage_one(t, None)])
+            # partitioned table: one staged file per partition tuple in
+            # this task's rows (the twin of _stage_publish's hive-shadow
+            # split, done in Arrow). Keys are the portable string forms;
+            # dictionary-encode a combined key so the group masks are
+            # vectorized, never per-row Python
+            SEP, NULL = "\x1f", "\x00__NULL__"
+            keys = [
+                pc.fill_null(pc.cast(t[c], pa.string()), NULL)
+                for c in self.partition_by
+            ]
+            combined = keys[0]
+            for k in keys[1:]:
+                combined = pc.binary_join_element_wise(combined, k, SEP)
+            combined = combined.combine_chunks()
+            files = []
+            for key in pc.unique(combined).to_pylist():
+                sub = t.filter(pc.equal(combined, key))
+                vals = {
+                    c: (None if raw == NULL else raw)
+                    for c, raw in zip(self.partition_by, key.split(SEP))
+                }
+                files.append(_stage_one(sub, vals))
+            return _Staged(files=files)
 
         # -- driver side ----------------------------------------------
         def _staged(self, messages):
-            return [m for m in messages if m is not None and m.name]
+            return [
+                e
+                for m in messages
+                if m is not None and m.files
+                for e in m.files
+            ]
 
         def _discard(self, messages):
-            for m in self._staged(messages):
+            for e in self._staged(messages):
                 try:
-                    os.remove(os.path.join(self.table, self._STAGE, m.name))
+                    os.remove(
+                        os.path.join(self.table, self._STAGE, e["name"])
+                    )
                 except FileNotFoundError:
                     pass
 
@@ -389,17 +482,19 @@ def _build():
             os.makedirs(os.path.join(self.table, _SNAP_DIR), exist_ok=True)
             os.makedirs(os.path.join(self.table, _DATA_DIR), exist_ok=True)
             mine = []
-            for m in staged:
+            for e in staged:
                 name = f"part-{_uuid.uuid4().hex}.parquet"
                 os.replace(
-                    os.path.join(self.table, self._STAGE, m.name),
+                    os.path.join(self.table, self._STAGE, e["name"]),
                     os.path.join(self.table, _DATA_DIR, name),
                 )
-                shard = {"file": name, "n_rows": m.n_rows}
-                if m.stats:
-                    shard["stats"] = m.stats
-                if m.bloom:
-                    shard["bloom"] = m.bloom
+                shard = {"file": name, "n_rows": e["n_rows"]}
+                if e.get("stats"):
+                    shard["stats"] = e["stats"]
+                if e.get("bloom"):
+                    shard["bloom"] = e["bloom"]
+                if e.get("partition"):
+                    shard["partition"] = e["partition"]
                 mine.append(shard)
             validated = dict(constraints)
             published = [
@@ -435,6 +530,20 @@ def _build():
                             base_shards, base_deletes = [], []
                             merged = schema
                         else:
+                            # same layout-race rule as write_snapshot: a
+                            # concurrent re-partition invalidates these
+                            # staged shards' split, not just the base
+                            if base.get("partition_by", []) != list(
+                                self.partition_by
+                            ):
+                                raise ValueError(
+                                    f"snapshot_table writer: table was "
+                                    f"re-partitioned to "
+                                    f"{base.get('partition_by', [])} "
+                                    f"while this append (spec "
+                                    f"{list(self.partition_by)}) was "
+                                    f"staging; retry the write"
+                                )
                             base_shards = base["shards"]
                             base_deletes = base.get("deletes", [])
                             merged = _merge_schema(
@@ -457,6 +566,8 @@ def _build():
                         snapshot["deletes"] = base_deletes
                     if cons:  # invariants persist through overwrite too
                         snapshot["constraints"] = cons
+                    if self.partition_by:
+                        snapshot["partition_by"] = list(self.partition_by)
                     if _claim_snapshot(self.table, tmp_dir, snapshot):
                         return
             finally:
@@ -465,8 +576,8 @@ def _build():
         def _validate(self, staged, schema, constraints):
             self._validate_paths(
                 [
-                    os.path.join(self.table, self._STAGE, m.name)
-                    for m in staged
+                    os.path.join(self.table, self._STAGE, e["name"])
+                    for e in staged
                 ],
                 schema,
                 constraints,

@@ -253,6 +253,13 @@ def _build():
                         snapshot["deletes"] = base_deletes
                     if cons:
                         snapshot["constraints"] = cons
+                    # a partitioned table keeps its spec through stream
+                    # appends; the sink's shards carry no partition
+                    # values (arrival-order micro-batches), so they are
+                    # conservatively kept by pruning until compaction
+                    # re-splits them under the spec
+                    if current is not None and base.get("partition_by"):
+                        snapshot["partition_by"] = base["partition_by"]
                     if _claim_snapshot(self.table, tmp_dir, snapshot):
                         return
             finally:

@@ -278,6 +278,43 @@ def _stats_overlap(shard: dict, col: str, lo, hi) -> bool:
     return True
 
 
+# partition values are recorded in the snapshot log in their PORTABLE
+# string form (what Spark's cast-to-string produces for the hive dir
+# name), so type support mirrors bloom_cols: integral/string only —
+# floats don't round-trip through strings and make terrible partition
+# keys anyway
+_PARTITION_TYPES = ("int", "bigint", "smallint", "tinyint", "string")
+
+
+def _pstr(value) -> str | None:
+    """Normalize a Python-side partition probe to the recorded string
+    form (``None`` stays NULL — the hive default-partition case)."""
+    return None if value is None else str(value)
+
+
+def _partition_match(shard: dict, col: str, want) -> bool:
+    """Can this shard contain a row whose partition column ``col``
+    equals (one of) ``want``? Same conservative triage contract as
+    :func:`_stats_overlap`: a shard with NO recorded partition value
+    for ``col`` (written before the table was partitioned, or by a
+    writer that didn't partition) is kept — skipping must be
+    PROVABLE. ``want`` may be a scalar or a list/tuple/set (IN)."""
+    recorded = shard.get("partition", {})
+    if col not in recorded:
+        return True
+    values = want if isinstance(want, (list, tuple, set)) else (want,)
+    return recorded[col] in {_pstr(v) for v in values}
+
+
+def table_partition_by(table: str) -> list[str]:
+    """The live table's partition columns ([] for an unpartitioned,
+    new, or absent table)."""
+    current = latest_version(table)
+    if current is None:
+        return []
+    return list(_load_snapshot(table, current).get("partition_by", []))
+
+
 def _enforce_constraints(df: DataFrame, constraints: dict) -> None:
     """CHECK-constraint enforcement (Delta invariants shaped): a row
     VIOLATES a constraint only when its condition evaluates to FALSE —
@@ -393,6 +430,8 @@ def _commit_metadata(
                 snapshot["deletes"] = snap["deletes"]
             if constraints:
                 snapshot["constraints"] = constraints
+            if snap.get("partition_by"):
+                snapshot["partition_by"] = snap["partition_by"]
             if _claim_snapshot(table, tmp_dir, snapshot):
                 return snapshot["version"]
     finally:
@@ -401,7 +440,7 @@ def _commit_metadata(
 
 def _alter_columns(
     spark: SparkSession, table: str, operation: str, props: dict,
-    make_schema, stamp_shard,
+    make_schema, stamp_shard, alters: tuple = (),
 ) -> int:
     """Shared commit loop for the ALTER TABLE column ops
     (:func:`rename_column` / :func:`drop_column` / :func:`add_column`):
@@ -434,6 +473,15 @@ def _alter_columns(
                     f"compact_table first"
                 )
             schema = StructType.fromJson(snap["schema"])
+            hit = [c for c in alters if c in snap.get("partition_by", [])]
+            if hit:
+                # the spec and every shard's recorded values are keyed
+                # by column NAME; renaming/dropping one would orphan
+                # them (Delta/Iceberg forbid this too)
+                raise ValueError(
+                    f"snapshot_table: {operation} on partition column(s) "
+                    f"{hit} — re-partition via an overwrite instead"
+                )
             new_schema = make_schema(schema)
             for name, cond in (snap.get("constraints") or {}).items():
                 try:
@@ -481,6 +529,8 @@ def _alter_columns(
                 snapshot["deletes"] = snap["deletes"]
             if snap.get("constraints"):
                 snapshot["constraints"] = snap["constraints"]
+            if snap.get("partition_by"):
+                snapshot["partition_by"] = snap["partition_by"]
             if _claim_snapshot(table, tmp_dir, snapshot):
                 return snapshot["version"]
     finally:
@@ -563,7 +613,7 @@ def rename_column(
 
     return _alter_columns(
         spark, table, "rename_column", {"renamed": [old, new]},
-        make_schema, stamp,
+        make_schema, stamp, alters=(old,),
     )
 
 
@@ -607,6 +657,7 @@ def drop_column(spark: SparkSession, table: str, col: str) -> int:
 
     return _alter_columns(
         spark, table, "drop_column", {"dropped": col}, make_schema, stamp,
+        alters=(col,),
     )
 
 
@@ -723,13 +774,24 @@ def _remove_unreferenced(table: str) -> int:
 def _stage_publish(
     df: DataFrame, table: str, tmp_dir: str,
     stats_cols: list[str] | None,
-) -> tuple[list[str], dict, dict]:
+    partition_by: list[str] | None = None,
+) -> tuple[list[str], dict, dict, dict]:
     """Steps 1–2 of the commit protocol: stage ``df`` as parquet under
     the job's private ``tmp_dir``, publish the shards into ``data/``
     under fresh uuid names (invisible until a snapshot names them), and
     compute per-shard row counts + optional min/max stats in ONE
     metadata-weight job via ``input_file_name`` — not a per-file driver
-    loop. Returns ``(names, counts, stats)``."""
+    loop. Returns ``(names, counts, stats, partitions)``.
+
+    With ``partition_by``, staging writes hive-layout via SHADOW
+    columns (``__p_<col>`` string copies consumed by ``partitionBy``),
+    so every staged file holds rows of exactly one partition tuple
+    while the REAL columns stay in the data files — shards remain
+    self-contained and the read path never reconstructs values from
+    directory names (the Iceberg hidden-partitioning property, unlike
+    raw hive layout). The per-file partition values parsed from the
+    staged directories land in the snapshot log (``partitions``:
+    name -> {col: str|None}), which is what metadata pruning reads."""
     # schema-only validation FIRST: failing after the distributed write
     # would waste the whole job and strand orphans in data/
     for c in stats_cols or []:
@@ -742,16 +804,53 @@ def _stage_publish(
             )
     os.makedirs(os.path.join(table, _SNAP_DIR), exist_ok=True)
     os.makedirs(os.path.join(table, _DATA_DIR), exist_ok=True)
-    # 1. stage: a normal distributed parquet write into private tmp
-    df.write.mode("overwrite").parquet(tmp_dir)
-    staged = sorted(glob.glob(os.path.join(tmp_dir, "part-*.parquet")))
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    # 1. stage: a normal distributed parquet write into private tmp;
+    # partitioned tables stage hive-layout on shadow string copies so
+    # the real columns survive inside each file
+    pb = list(partition_by or [])
+    if pb:
+        staged_df = df
+        for c in pb:
+            staged_df = staged_df.withColumn(
+                f"__p_{c}", F.col(c).cast("string")
+            )
+        staged_df.write.mode("overwrite").partitionBy(
+            *[f"__p_{c}" for c in pb]
+        ).parquet(tmp_dir)
+        staged = sorted(
+            glob.glob(
+                os.path.join(
+                    tmp_dir, *[f"__p_{c}=*" for c in pb], "part-*.parquet"
+                )
+            )
+        )
+    else:
+        df.write.mode("overwrite").parquet(tmp_dir)
+        staged = sorted(glob.glob(os.path.join(tmp_dir, "part-*.parquet")))
     # 2. publish under fresh uuid names (invisible: nothing refs them)
     mine = []
+    partitions: dict[str, dict] = {}
     for p in staged:
         name = f"part-{uuid.uuid4().hex}.parquet"
+        if pb:
+            # decode this file's partition tuple from its hive dirs:
+            # tmp/__p_a=x/__p_b=y/part-*.parquet (hive %-escapes
+            # special chars; __HIVE_DEFAULT_PARTITION__ encodes NULL)
+            comps = os.path.relpath(p, tmp_dir).split(os.sep)[:-1]
+            vals: dict[str, str | None] = {}
+            for c, comp in zip(pb, comps):
+                raw = comp.split("=", 1)[1]
+                vals[c] = (
+                    None if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(raw)
+                )
+            partitions[name] = vals
         os.replace(p, os.path.join(table, _DATA_DIR, name))
         mine.append(name)
-    from pyspark.sql import functions as F
 
     spark = df.sparkSession
     counts = {n: 0 for n in mine}
@@ -781,8 +880,8 @@ def _stage_publish(
     for n in [n for n in mine if counts[n] == 0]:
         os.remove(os.path.join(table, _DATA_DIR, n))
         mine.remove(n)
-        counts.pop(n), stats.pop(n)
-    return mine, counts, stats
+        counts.pop(n), stats.pop(n), partitions.pop(n, None)
+    return mine, counts, stats, partitions
 
 
 def write_snapshot(
@@ -791,6 +890,7 @@ def write_snapshot(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 2048, bloom_k: int = 3,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to ``table`` as a new snapshot; returns the version.
 
@@ -817,6 +917,21 @@ def write_snapshot(
     false-positive shards are scanned harmlessly). Integral/string
     columns only — the bloom hashes the portable string form, which
     floats do not round-trip across engines.
+
+    ``partition_by`` declares PARTITION COLUMNS (Delta/Iceberg
+    ``PARTITIONED BY``): staging splits the job's output so every
+    shard holds exactly one partition tuple, and the snapshot log
+    records each shard's values — :func:`read_snapshot`
+    ``partition_filter`` and the official DataSource reader then skip
+    non-matching shards from metadata alone, the coarsest and cheapest
+    pruning tier (above stats, above blooms). The columns stay INSIDE
+    the data files (hidden partitioning — readers never reconstruct
+    values from paths), and the spec is table metadata: appends
+    INHERIT it (passing a conflicting spec raises; pass nothing to
+    follow the table), ``overwrite`` may redefine it (``[]``
+    explicitly un-partitions; ``None`` inherits), and DML rewrites and
+    compaction preserve it. Integral/string columns only — values are
+    logged in portable string form.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_table: unknown mode {mode!r}")
@@ -827,12 +942,40 @@ def write_snapshot(
                 f"snapshot_table: bloom_cols supports integral/string "
                 f"columns only; {c!r} is {t}"
             )
+    # resolve the partition spec BEFORE staging (layout depends on it):
+    # appends inherit the table's spec and reject a conflicting one;
+    # overwrite inherits on None and redefines otherwise
+    table_pb = table_partition_by(table)
+    if partition_by is None:
+        pb = table_pb
+    else:
+        pb = list(partition_by)
+        if mode == "append" and latest_version(table) is not None \
+                and pb != table_pb:
+            raise ValueError(
+                f"snapshot_table: append with partition_by={pb} "
+                f"conflicts with the table's spec {table_pb}; appends "
+                f"inherit (pass nothing) — repartition via overwrite"
+            )
+    for c in pb:
+        if c not in df.columns:
+            raise ValueError(
+                f"snapshot_table: partition column {c!r} not in DataFrame"
+            )
+        t = df.schema[c].dataType.simpleString()
+        if t not in _PARTITION_TYPES:
+            raise ValueError(
+                f"snapshot_table: partition_by supports integral/string "
+                f"columns only; {c!r} is {t}"
+            )
     validated = _base_constraints(table)
     _enforce_constraints(df, validated)  # fail BEFORE staging any data
     job = uuid.uuid4().hex
     tmp_dir = os.path.join(table, "_tmp", job)
     try:
-        mine, counts, stats = _stage_publish(df, table, tmp_dir, stats_cols)
+        mine, counts, stats, parts = _stage_publish(
+            df, table, tmp_dir, stats_cols, pb
+        )
         blooms = _compute_blooms(
             df.sparkSession, table, mine, bloom_cols or [],
             bloom_bits, bloom_k,
@@ -869,12 +1012,24 @@ def write_snapshot(
                     )
                 )
                 base_deletes = snap.get("deletes", [])
+                # a concurrent overwrite that changed the partition
+                # spec invalidates this job's staged LAYOUT, not just
+                # its base — rebasing silently would commit shards
+                # partitioned under the old spec
+                if mode == "append" and snap.get("partition_by", []) != pb:
+                    raise ValueError(
+                        f"snapshot_table: table was re-partitioned to "
+                        f"{snap.get('partition_by', [])} while this "
+                        f"append (spec {pb}) was staging; retry the write"
+                    )
             def _shard(n):
                 s = {"file": n, "n_rows": counts[n]}
                 if stats[n]:
                     s["stats"] = stats[n]
                 if blooms[n]:
                     s["bloom"] = blooms[n]
+                if parts.get(n):
+                    s["partition"] = parts[n]
                 return s
 
             if mode == "overwrite":
@@ -903,6 +1058,8 @@ def write_snapshot(
                 snapshot["deletes"] = deletes
             if constraints:  # invariants persist through overwrite too
                 snapshot["constraints"] = constraints
+            if pb:
+                snapshot["partition_by"] = pb
             if _claim_snapshot(table, tmp_dir, snapshot):
                 return version
             # lost the race: rebase on the winner's snapshot, retry
@@ -914,6 +1071,7 @@ def read_snapshot(
     spark: SparkSession, table: str, version: int | None = None,
     prune: tuple | None = None, as_of: float | None = None,
     bloom_point: tuple | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Scan one pinned snapshot (latest by default) — time travel via
     ``version=`` or ``as_of=`` (epoch seconds; resolved to the last
@@ -935,6 +1093,16 @@ def read_snapshot(
     provide on unclustered keys. No false negatives by construction;
     false-positive shards are merely scanned. Composes with ``prune``;
     same reducer-not-filter contract.
+
+    ``partition_filter={col: value_or_list}`` skips every shard whose
+    RECORDED partition value (``write_snapshot(partition_by=...)``)
+    matches none of the wanted values — partition pruning, the
+    coarsest tier: exact (a partitioned shard holds exactly one
+    value per partition column, so unlike stats there are no false
+    positives), metadata-only, and O(shards) cheap. Shards written
+    before the table was partitioned carry no values and are
+    conservatively kept; same reducer-not-filter contract (the caller
+    still applies the row filter).
 
     Pending lazy deletes (``delete_where(lazy=True)``) are applied at
     read time — merge-on-read: shards are grouped by which delete
@@ -960,6 +1128,8 @@ def read_snapshot(
     if bloom_point is not None:
         col, value = bloom_point
         shards = [s for s in shards if _bloom_may_contain(s, col, value)]
+    for col, want in (partition_filter or {}).items():
+        shards = [s for s in shards if _partition_match(s, col, want)]
     return _scan_with_deletes(
         spark, table, schema, shards, snap.get("deletes", []),
     )
@@ -1324,16 +1494,19 @@ def merge_upsert(
         stats_cols = sorted(
             {c for s in snap["shards"] for c in s.get("stats", {})}
         )
+        pb = snap.get("partition_by", [])
         job = uuid.uuid4().hex
         tmp_dir = os.path.join(table, "_tmp", job)
         try:
-            mine, counts, stats = _stage_publish(
-                merged, table, tmp_dir, stats_cols
+            mine, counts, stats, parts = _stage_publish(
+                merged, table, tmp_dir, stats_cols, pb
             )
             def _shard(n):
                 s = {"file": n, "n_rows": counts[n]}
                 if stats[n]:
                     s["stats"] = stats[n]
+                if parts.get(n):
+                    s["partition"] = parts[n]
                 return s
 
             shards = list(carried) + [_shard(n) for n in mine]
@@ -1358,6 +1531,8 @@ def merge_upsert(
             }
             if snap.get("constraints"):
                 snapshot["constraints"] = snap["constraints"]
+            if pb:
+                snapshot["partition_by"] = pb
             if _claim_snapshot(table, tmp_dir, snapshot):
                 return version
             continue  # concurrent commit won: retry on the new base
@@ -1448,21 +1623,24 @@ def delete_where(
         # stats columns to recompute for rewritten shards: whatever the
         # touched shards already recorded (keeps pruning working after)
         stats_cols = sorted({c for s in touched for c in s.get("stats", {})})
+        pb = snap.get("partition_by", [])
         job = uuid.uuid4().hex
         tmp_dir = os.path.join(table, "_tmp", job)
         try:
-            mine, counts, stats = [], {}, {}
+            mine, counts, stats, parts = [], {}, {}, {}
             if touched:
                 remain = _read_shards(spark, table, touched, schema).where(
                     keep
                 )
-                mine, counts, stats = _stage_publish(
-                    remain, table, tmp_dir, stats_cols
+                mine, counts, stats, parts = _stage_publish(
+                    remain, table, tmp_dir, stats_cols, pb
                 )
             def _shard(n):
                 s = {"file": n, "n_rows": counts[n]}
                 if stats[n]:
                     s["stats"] = stats[n]
+                if parts.get(n):
+                    s["partition"] = parts[n]
                 return s
 
             shards = list(carried) + [_shard(n) for n in mine]
@@ -1483,6 +1661,8 @@ def delete_where(
             }
             if snap.get("constraints"):
                 snapshot["constraints"] = snap["constraints"]
+            if pb:
+                snapshot["partition_by"] = pb
             if _claim_snapshot(table, tmp_dir, snapshot):
                 return version
             continue  # concurrent commit won: retry on the new base
@@ -1526,6 +1706,8 @@ def _lazy_delete(table: str, condition: str) -> int:
             }
             if snap.get("constraints"):
                 snapshot["constraints"] = snap["constraints"]
+            if snap.get("partition_by"):
+                snapshot["partition_by"] = snap["partition_by"]
             if _claim_snapshot(table, tmp_dir, snapshot):
                 return version
     finally:
@@ -1608,10 +1790,11 @@ def update_where(
         else:
             touched = list(snap["shards"])
         stats_cols = sorted({c for s in touched for c in s.get("stats", {})})
+        pb = snap.get("partition_by", [])
         job = uuid.uuid4().hex
         tmp_dir = os.path.join(table, "_tmp", job)
         try:
-            mine, counts, stats = [], {}, {}
+            mine, counts, stats, parts = [], {}, {}, {}
             if touched:
                 cur = _read_shards(spark, table, touched, schema)
                 rewritten = cur.select(
@@ -1640,13 +1823,18 @@ def update_where(
                 _enforce_constraints(
                     updated, snap.get("constraints", {})
                 )
-                mine, counts, stats = _stage_publish(
-                    rewritten, table, tmp_dir, stats_cols
+                # a SET on a partition column is legal: the rewrite
+                # re-partitions through _stage_publish, so moved rows
+                # land in (and are logged under) their NEW partition
+                mine, counts, stats, parts = _stage_publish(
+                    rewritten, table, tmp_dir, stats_cols, pb
                 )
             def _shard(n):
                 s = {"file": n, "n_rows": counts[n]}
                 if stats[n]:
                     s["stats"] = stats[n]
+                if parts.get(n):
+                    s["partition"] = parts[n]
                 return s
 
             shards = list(carried) + [_shard(n) for n in mine]
@@ -1668,6 +1856,8 @@ def update_where(
             }
             if snap.get("constraints"):
                 snapshot["constraints"] = snap["constraints"]
+            if pb:
+                snapshot["partition_by"] = pb
             if _claim_snapshot(table, tmp_dir, snapshot):
                 return version
             continue  # concurrent commit won: retry on the new base
@@ -1730,6 +1920,10 @@ def rollback(table: str, version: int) -> int:
             }
             if target.get("deletes"):
                 snapshot["deletes"] = target["deletes"]
+            # the spec travels WITH the data it describes: restoring
+            # pre-repartition shards restores their (absent) spec too
+            if target.get("partition_by"):
+                snapshot["partition_by"] = target["partition_by"]
             # restore DATA only: the invariants stay whatever they are
             # NOW (rolled-back rows passed validation at their commit)
             live = _base_constraints(table)

@@ -2116,3 +2116,183 @@ def test_drop_column_never_physically_present_stays_normalizable(
     assert all("names" not in s for s in final["shards"])
     assert final.get("reader_version", 1) == 1
     assert _canon(read_snapshot(spark, table)) == _canon(docs)
+
+
+# ---------------------------------------------------------------- partitions
+
+
+def test_partitioned_write_records_values_and_prunes(spark, docs, tmp_path):
+    """partition_by=['lang']: every shard holds exactly one lang, the
+    log records it, and partition_filter skips every non-matching shard
+    (exact pruning — no false positives, unlike stats)."""
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["lang"])
+    snap = snapshot_history(table)[-1]
+    assert snap["partition_by"] == ["lang"]
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert {s["partition"]["lang"] for s in snap["shards"]} == langs
+    # per-shard purity: each file's rows all carry the recorded value
+    for s in snap["shards"]:
+        got = (
+            spark.read.parquet(os.path.join(table, "data", s["file"]))
+            .select("lang").distinct().collect()
+        )
+        assert [r["lang"] for r in got] == [s["partition"]["lang"]]
+    pruned = read_snapshot(spark, table, partition_filter={"lang": "en"})
+    assert _canon(pruned) == _canon(docs.where(F.col("lang") == "en"))
+    # IN-form filter
+    two = read_snapshot(
+        spark, table, partition_filter={"lang": ["en", "de"]}
+    )
+    assert _canon(two) == _canon(docs.where(F.col("lang").isin("en", "de")))
+
+
+def test_partition_spec_inheritance_and_conflict(spark, docs, tmp_path):
+    """Appends inherit the table's spec (pass nothing); a conflicting
+    explicit spec raises; overwrite may redefine; [] un-partitions."""
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["lang"])
+    write_snapshot(docs.limit(7), table)  # inherits
+    snap = snapshot_history(table)[-1]
+    assert snap["partition_by"] == ["lang"]
+    assert all("partition" in s for s in snap["shards"])
+    with pytest.raises(ValueError, match="conflicts with the table's spec"):
+        write_snapshot(docs.limit(3), table, partition_by=["doc_id"])
+    # overwrite redefines; [] explicitly un-partitions
+    write_snapshot(docs, table, mode="overwrite", partition_by=[])
+    assert "partition_by" not in snapshot_history(table)[-1]
+    assert st.table_partition_by(table) == []
+
+
+def test_partition_type_gate_and_missing_column(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="integral/string"):
+        write_snapshot(
+            docs.withColumn("f", F.lit(1.5)), table, partition_by=["f"]
+        )
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        write_snapshot(docs, table, partition_by=["nope"])
+
+
+def test_partition_null_values(spark, docs, tmp_path):
+    """NULL partition values round-trip (hive default-partition dir →
+    None in the log → partition_filter={col: None} matches them)."""
+    table = str(tmp_path / "t")
+    d = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    )
+    write_snapshot(d, table, partition_by=["lang"])
+    snap = snapshot_history(table)[-1]
+    assert any(s["partition"]["lang"] is None for s in snap["shards"])
+    got = read_snapshot(spark, table, partition_filter={"lang": None})
+    assert _canon(got) == _canon(d.where(F.col("lang").isNull()))
+
+
+def test_partition_survives_dml_and_compaction(spark, docs, tmp_path):
+    """DELETE/UPDATE/MERGE rewrites re-split under the spec (an UPDATE
+    that moves a row across partitions logs it under the NEW value);
+    compaction preserves the spec; rollback restores the spec the
+    target version had."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table, delete_where, merge_upsert, rollback, update_where,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["lang"])          # v1
+    delete_where(spark, table, "doc_id % 7 = 0")                # v2
+    update_where(spark, table, {"lang": "'xx'"}, "doc_id % 11 = 0")  # v3
+    ups = docs.limit(5).withColumn("n_chars", F.lit(1).cast("bigint"))
+    merge_upsert(ups, table, ["doc_id"])                        # v4
+    for v in (2, 3, 4):
+        snap = st._load_snapshot(table, v)
+        assert snap["partition_by"] == ["lang"], v
+        assert all("partition" in s for s in snap["shards"]), v
+    # moved rows live under their NEW partition value and prune exactly
+    moved = read_snapshot(spark, table, partition_filter={"lang": "xx"})
+    assert _canon(moved) == _canon(
+        read_snapshot(spark, table).where(F.col("lang") == "xx")
+    )
+    compact_table(spark, table, target_shards=2)                # v5
+    snap = snapshot_history(table)[-1]
+    assert snap["partition_by"] == ["lang"]
+    assert all("partition" in s for s in snap["shards"])
+    rollback(table, 1)                                          # v6
+    assert st.table_partition_by(table) == ["lang"]
+    assert _canon(read_snapshot(spark, table)) == _canon(docs)
+
+
+def test_partition_column_alter_forbidden(spark, docs, tmp_path):
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        drop_column, rename_column,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["lang"])
+    with pytest.raises(ValueError, match="partition column"):
+        rename_column(spark, table, "lang", "language")
+    with pytest.raises(ValueError, match="partition column"):
+        drop_column(spark, table, "lang")
+    # non-partition columns still evolve freely
+    rename_column(spark, table, "n_chars", "chars")
+    assert "chars" in read_snapshot(spark, table).columns
+
+
+def test_partitioned_official_writer_and_reader_pruning(
+    spark, docs, tmp_path
+):
+    """df.write.format('snapshot_table').option('partition_by', ...):
+    executor-side Arrow split stages one file per partition tuple; an
+    equality/IN .where() on the partition column prunes planned shards
+    (plan_log proof); appends through the official writer inherit."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_datasource import (
+        register_snapshot_table_source,
+    )
+
+    register_snapshot_table_source(spark)
+    table = str(tmp_path / "t")
+    (
+        docs.write.format("snapshot_table")
+        .option("partition_by", "lang").mode("append").save(table)
+    )
+    snap = snapshot_history(table)[-1]
+    assert snap["partition_by"] == ["lang"]
+    assert all(s["partition"]["lang"] is not None for s in snap["shards"])
+    docs.limit(9).write.format("snapshot_table").mode("append").save(table)
+    assert st.table_partition_by(table) == ["lang"]
+    with pytest.raises(Exception, match="conflicts with the table's spec"):
+        (
+            docs.limit(3).write.format("snapshot_table")
+            .option("partition_by", "doc_id").mode("append").save(table)
+        )
+    log = str(tmp_path / "plan.json")
+    out = (
+        spark.read.format("snapshot_table")
+        .option("path", table).option("plan_log", log)
+        .load().where(F.col("lang") == "en")
+    )
+    expected = _canon(
+        read_snapshot(spark, table).where(F.col("lang") == "en")
+    )
+    assert _canon(out) == expected
+    plan = json.load(open(log))
+    assert 0 < plan["planned"] < plan["total"]
+
+
+def test_partitioned_streaming_sink_keeps_spec(spark, docs, tmp_path):
+    """A streaming append through the foreachBatch sink helper keeps a
+    partitioned table's spec (write_snapshot inheritance), and the
+    official stream sink's own commit carries it forward too."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        streaming_snapshot_sink,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["lang"])
+    sink = streaming_snapshot_sink(table, app_id="p-test")
+    sink(docs.limit(4), 0)
+    snap = snapshot_history(table)[-1]
+    assert snap["partition_by"] == ["lang"]
+    assert all("partition" in s for s in snap["shards"])
