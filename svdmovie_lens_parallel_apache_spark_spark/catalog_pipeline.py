@@ -3550,6 +3550,78 @@ def q_snapshot_partition_prune(spark, sf_dir):
 
 
 @register(
+    "snapshot_drop_partition",
+    f"""
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           TRUE                         AS drop_ok
+    FROM documents WHERE lang <> 'zh' GROUP BY lang
+    """,
+    tags=("sources", "table-format", "partitioning", "dml"),
+    description="DROP PARTITION as a metadata-only commit (Iceberg DROP "
+    "PARTITION / Delta partition-predicate delete fast path): commit "
+    "documents partitioned by lang, then drop_partition(lang='zh') — one "
+    "JSON commit removes exactly the partition's shards from the live set "
+    "with zero rows read or written (shards are partition-pure, so the "
+    "drop is EXACT). drop_ok pins the three claims: no new data files "
+    "exist after the commit (metadata-only), rows_dropped equals the "
+    "partition's recorded count, and time travel to v1 still reads the "
+    "dropped rows. The 100 TB retention primitive — expiring a day/"
+    "language/tenant costs O(shards) driver work regardless of data size. "
+    "Composes with partition_prune on delete_where/update_where for "
+    "WITHIN-partition DML (tested). Engine: sources/snapshot_table.py::"
+    "drop_partition.",
+)
+def q_snapshot_drop_partition(spark, sf_dir):
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from .sources.snapshot_table import (
+        _load_snapshot,
+        drop_partition,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    table = tempfile.mkdtemp(prefix="svdml-snapdrop-") + "/t"
+    write_snapshot(docs, table, partition_by=["lang"])
+    files_before = set(
+        _glob.glob(_os.path.join(table, "data", "part-*.parquet"))
+    )
+    n_zh = docs.where(F.col("lang") == "zh").count()
+    v = drop_partition(table, {"lang": "zh"})
+    snap = _load_snapshot(table, v)
+    files_after = set(
+        _glob.glob(_os.path.join(table, "data", "part-*.parquet"))
+    )
+    drop_ok = bool(
+        files_after == files_before  # metadata-only: zero files written
+        and snap["properties"]["rows_dropped"] == n_zh
+        and read_snapshot(spark, table, 1)
+        .where(F.col("lang") == "zh")
+        .count() == n_zh
+    )
+    return (
+        read_snapshot(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias(
+                "text_fp"
+            ),
+        )
+        .withColumn("drop_ok", F.lit(drop_ok))
+    )
+
+
+@register(
     "snapshot_incremental_read",
     f"""
     SELECT lang,

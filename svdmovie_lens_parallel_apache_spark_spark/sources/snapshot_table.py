@@ -306,6 +306,31 @@ def _partition_match(shard: dict, col: str, want) -> bool:
     return recorded[col] in {_pstr(v) for v in values}
 
 
+def _triage_shards(
+    shards: list[dict], prune: tuple | None,
+    partition_prune: dict | None,
+) -> tuple[list[dict], list[dict]]:
+    """(touched, carried) for a partial DML rewrite: a shard is CARRIED
+    (zero read, zero write) when its recorded stats or partition values
+    PROVABLY exclude the operation's key range / partitions; kept
+    conservative otherwise (unrecorded values rewrite). Caller contract
+    as documented on ``delete_where``: the bounds must be implied by
+    the row condition."""
+    touched, carried = [], []
+    for s in shards:
+        hit = True
+        if prune is not None:
+            col, lo, hi = prune
+            hit = _stats_overlap(s, col, lo, hi)
+        if hit:
+            for col, want in (partition_prune or {}).items():
+                if not _partition_match(s, col, want):
+                    hit = False
+                    break
+        (touched if hit else carried).append(s)
+    return touched, carried
+
+
 def table_partition_by(table: str) -> list[str]:
     """The live table's partition columns ([] for an unpartitioned,
     new, or absent table)."""
@@ -1540,9 +1565,99 @@ def merge_upsert(
             shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
+def drop_partition(table: str, matching: dict) -> int:
+    """DROP PARTITION as a METADATA-ONLY commit (Iceberg
+    ``DROP PARTITION`` / Delta partition-predicate delete fast path):
+    remove every shard whose recorded partition values match
+    ``matching`` ({col: value_or_list}, all columns must be declared
+    partition columns) from the live set — zero rows read, zero rows
+    written, O(shards) driver work, because a partitioned shard holds
+    EXACTLY one partition tuple so dropping the file drops precisely
+    the partition's rows. The 100 TB retention primitive: expiring a
+    day/language/tenant is one JSON commit regardless of data size.
+
+    Loud-refusal contract: if any live shard lacks a recorded value
+    for a requested column (written before the table was partitioned,
+    or by the arrival-order streaming sink), that shard MAY contain
+    matching rows and the drop would be silently incomplete — raise
+    and point at ``compact_table`` (whose rewrite re-splits every shard
+    under the spec). Time travel to pre-drop versions still reads the
+    dropped rows; :func:`expire_snapshots` reclaims the files. Pending
+    lazy-delete tombstones stay attached to the surviving shards they
+    cover (the read path resolves covers against LIVE shards only).
+    Returns the committed version."""
+    job = uuid.uuid4().hex
+    tmp_dir = os.path.join(table, "_tmp", job)
+    try:
+        while True:
+            current = latest_version(table)
+            if current is None:
+                raise FileNotFoundError(
+                    f"snapshot_table: {table} has no snapshots"
+                )
+            snap = _load_snapshot(table, current)
+            pb = snap.get("partition_by", [])
+            bad = [c for c in matching if c not in pb]
+            if bad:
+                raise ValueError(
+                    f"snapshot_table: drop_partition columns {bad} are "
+                    f"not partition columns (spec: {pb})"
+                )
+            unstamped = [
+                s["file"]
+                for s in snap["shards"]
+                if any(c not in s.get("partition", {}) for c in matching)
+            ]
+            if unstamped:
+                raise ValueError(
+                    f"snapshot_table: {len(unstamped)} shard(s) carry no "
+                    f"recorded partition values for {sorted(matching)} "
+                    f"(pre-partitioning or streaming appends) and may "
+                    f"contain matching rows; run compact_table first"
+                )
+            kept, dropped = [], []
+            for s in snap["shards"]:
+                (dropped if all(
+                    _partition_match(s, c, w) for c, w in matching.items()
+                ) else kept).append(s)
+            version = current + 1
+            snapshot = {
+                "version": version,
+                "parent": current,
+                "operation": "drop_partition",
+                "properties": {
+                    "partition": {
+                        c: (
+                            [_pstr(v) for v in w]
+                            if isinstance(w, (list, tuple, set))
+                            else _pstr(w)
+                        )
+                        for c, w in matching.items()
+                    },
+                    "shards_dropped": len(dropped),
+                    "rows_dropped": sum(s["n_rows"] for s in dropped),
+                },
+                "schema": snap["schema"],
+                "n_shards": len(kept),
+                "n_rows": sum(s["n_rows"] for s in kept),
+                "shards": kept,
+            }
+            if snap.get("deletes"):
+                snapshot["deletes"] = snap["deletes"]
+            if snap.get("constraints"):
+                snapshot["constraints"] = snap["constraints"]
+            if pb:
+                snapshot["partition_by"] = pb
+            if _claim_snapshot(table, tmp_dir, snapshot):
+                return version
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
 def delete_where(
     spark: SparkSession, table: str, condition: str,
     prune: tuple | None = None, lazy: bool = False,
+    partition_prune: dict | None = None,
 ) -> int:
     """Row-level DELETE as one atomic snapshot (Delta ``DELETE FROM`` /
     Iceberg copy-on-write delete shaped): rows where ``condition`` is
@@ -1562,7 +1677,14 @@ def delete_where(
     bound a predicate analyzer derives automatically in Delta/Iceberg;
     here the caller states it. Shards without stats for ``col`` are
     conservatively rewritten. Without ``prune`` every shard is
-    rewritten.
+    rewritten. ``partition_prune={col: value_or_list}`` is the
+    partitioned-table form of the same contract (the condition only
+    matches rows in those partitions): non-matching shards carry over
+    EXACTLY, so deleting within one partition touches only its files;
+    to drop WHOLE partitions use :func:`drop_partition`, which is
+    metadata-only. On the ``lazy=True`` path it narrows the
+    tombstone's covered-shard list the same way (fewer filtered scans
+    at read time). Composes with ``prune``.
 
     Commit is the standard optimistic claim; on losing a race the whole
     operation retries against the new base (a delete rebased onto a
@@ -1599,7 +1721,7 @@ def delete_where(
         _ = spark.createDataFrame([], schema).where(
             F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
         ).schema
-        return _lazy_delete(table, condition)
+        return _lazy_delete(table, condition, partition_prune)
     keep = ~F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
     while True:
         current = latest_version(table)
@@ -1612,14 +1734,9 @@ def delete_where(
                 "deletes would detach them; run compact_table first"
             )
         schema = StructType.fromJson(snap["schema"])
-        touched, carried = [], []
-        if prune is not None:
-            col, lo, hi = prune
-            for s in snap["shards"]:
-                (touched if _stats_overlap(s, col, lo, hi)
-                 else carried).append(s)
-        else:
-            touched = list(snap["shards"])
+        touched, carried = _triage_shards(
+            snap["shards"], prune, partition_prune
+        )
         # stats columns to recompute for rewritten shards: whatever the
         # touched shards already recorded (keeps pruning working after)
         stats_cols = sorted({c for s in touched for c in s.get("stats", {})})
@@ -1653,6 +1770,15 @@ def delete_where(
                     "delete_condition": condition,
                     "shards_rewritten": len(touched),
                     "shards_skipped": len(carried),
+                    **(
+                        {"partition_prune": {
+                            c: _pstr(w) if not isinstance(
+                                w, (list, tuple, set)
+                            ) else [_pstr(v) for v in w]
+                            for c, w in partition_prune.items()
+                        }}
+                        if partition_prune else {}
+                    ),
                 },
                 "schema": snap["schema"],
                 "n_shards": len(shards),
@@ -1670,8 +1796,13 @@ def delete_where(
             shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
-def _lazy_delete(table: str, condition: str) -> int:
-    """The metadata-only commit behind ``delete_where(lazy=True)``."""
+def _lazy_delete(
+    table: str, condition: str, partition_prune: dict | None = None,
+) -> int:
+    """The metadata-only commit behind ``delete_where(lazy=True)``.
+    ``partition_prune`` narrows the tombstone to the shards whose
+    partition values can match (caller contract as on the CoW path);
+    shards it provably excludes never pay the read-time NOT-filter."""
     job = uuid.uuid4().hex
     tmp_dir = os.path.join(table, "_tmp", job)
     try:
@@ -1682,9 +1813,12 @@ def _lazy_delete(table: str, condition: str) -> int:
                     f"snapshot_table: {table} has no snapshots"
                 )
             snap = _load_snapshot(table, current)
+            covered, _ = _triage_shards(
+                snap["shards"], None, partition_prune
+            )
             tombstone = {
                 "condition": condition,
-                "shards": sorted(s["file"] for s in snap["shards"]),
+                "shards": sorted(s["file"] for s in covered),
             }
             version = current + 1
             snapshot = {
@@ -1717,6 +1851,7 @@ def _lazy_delete(table: str, condition: str) -> int:
 def update_where(
     spark: SparkSession, table: str, set_exprs: dict[str, str],
     condition: str, prune: tuple | None = None,
+    partition_prune: dict | None = None,
 ) -> int:
     """Row-level UPDATE as one atomic snapshot (Delta ``UPDATE table
     SET col = expr WHERE cond`` / Iceberg copy-on-write update shaped)
@@ -1735,6 +1870,11 @@ def update_where(
     rewritten with the CASE-WHEN projection. At 100 TB updating a key
     range on a clustered table touches O(range/shard_span) files, not
     the table. Shards without stats are conservatively rewritten.
+    ``partition_prune={col: value_or_list}`` is the partitioned-table
+    twin (same caller contract: the condition only matches rows in
+    those partitions): non-matching shards carry over EXACTLY —
+    partition values have no false positives — so updating one
+    partition touches only its files. Composes with ``prune``.
 
     Each SET expression must produce exactly the column's declared
     type — no silent coercion (cast explicitly in the expression);
@@ -1781,14 +1921,9 @@ def update_where(
                     f"{got.simpleString()}, column is "
                     f"{want.simpleString()}; cast explicitly"
                 )
-        touched, carried = [], []
-        if prune is not None:
-            col, lo, hi = prune
-            for s in snap["shards"]:
-                (touched if _stats_overlap(s, col, lo, hi)
-                 else carried).append(s)
-        else:
-            touched = list(snap["shards"])
+        touched, carried = _triage_shards(
+            snap["shards"], prune, partition_prune
+        )
         stats_cols = sorted({c for s in touched for c in s.get("stats", {})})
         pb = snap.get("partition_by", [])
         job = uuid.uuid4().hex

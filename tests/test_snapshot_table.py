@@ -2296,3 +2296,130 @@ def test_partitioned_streaming_sink_keeps_spec(spark, docs, tmp_path):
     snap = snapshot_history(table)[-1]
     assert snap["partition_by"] == ["lang"]
     assert all("partition" in s for s in snap["shards"])
+
+
+def test_drop_partition_metadata_only(spark, docs, tmp_path):
+    """DROP PARTITION: one JSON commit, zero files read or written —
+    exactly the matching shards leave the live set, time travel still
+    reads them, and read_cdc surfaces the drop as row deletes."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        drop_partition, read_cdc,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["lang"])          # v1
+    before = {
+        os.path.basename(p)
+        for p in __import__("glob").glob(
+            os.path.join(table, "data", "part-*.parquet")
+        )
+    }
+    n_en = docs.where(F.col("lang") == "en").count()
+    v = drop_partition(table, {"lang": "en"})                   # v2
+    snap = st._load_snapshot(table, v)
+    assert snap["operation"] == "drop_partition"
+    assert snap["properties"]["rows_dropped"] == n_en
+    # metadata-only: no new data files exist after the commit
+    after = {
+        os.path.basename(p)
+        for p in __import__("glob").glob(
+            os.path.join(table, "data", "part-*.parquet")
+        )
+    }
+    assert after == before
+    assert _canon(read_snapshot(spark, table)) == _canon(
+        docs.where(F.col("lang") != "en")
+    )
+    assert read_snapshot(spark, table, 1).where(
+        F.col("lang") == "en"
+    ).count() == n_en
+    cdc = read_cdc(spark, table, start_version=1)
+    dels = cdc.where(F.col("_change_type") == "delete")
+    assert dels.count() == n_en
+    assert cdc.count() == n_en  # nothing but the deletes
+    # IN-form: drop two partitions in one commit
+    drop_partition(table, {"lang": ["de", "fr"]})               # v3
+    assert _canon(read_snapshot(spark, table)) == _canon(
+        docs.where(~F.col("lang").isin("en", "de", "fr"))
+    )
+
+
+def test_drop_partition_guards(spark, docs, tmp_path):
+    """Non-partition columns refuse; a live shard without recorded
+    partition values (arrival-order streaming append) refuses loudly
+    instead of dropping an incomplete partition; read_changes raises
+    crossing the row-changing commit."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        drop_partition, read_changes, streaming_snapshot_sink,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["lang"])
+    with pytest.raises(ValueError, match="not partition columns"):
+        drop_partition(table, {"doc_id": 1})
+    drop_partition(table, {"lang": "zh"})
+    with pytest.raises(ValueError, match="append-only"):
+        read_changes(spark, table, start_version=1).collect()
+    # an unstamped shard blocks the drop (simulate the streaming sink's
+    # arrival-order shard by stripping one shard's recorded values)
+    snapfile = os.path.join(
+        table, "_snapshots",
+        sorted(os.listdir(os.path.join(table, "_snapshots")))[-1],
+    )
+    d = json.load(open(snapfile))
+    d["shards"][0].pop("partition")
+    json.dump(d, open(snapfile, "w"))
+    with pytest.raises(ValueError, match="compact_table first"):
+        drop_partition(table, {"lang": "en"})
+
+
+def test_partition_prune_dml(spark, docs, tmp_path):
+    """partition_prune on DELETE/UPDATE carries non-matching partitions
+    verbatim (exact, no false positives); on lazy DELETE it narrows the
+    tombstone's covered-shard list to the matching partition."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        delete_where, update_where,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["lang"])
+    n_langs = len(snapshot_history(table)[-1]["shards"])
+    v = delete_where(
+        spark, table, "lang = 'en' AND doc_id % 2 = 0",
+        partition_prune={"lang": "en"},
+    )
+    props = st._load_snapshot(table, v)["properties"]
+    assert props["shards_rewritten"] == 1
+    assert props["shards_skipped"] == n_langs - 1
+    assert props["partition_prune"] == {"lang": "en"}
+    expected = docs.where(
+        ~((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+    )
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
+    v = update_where(
+        spark, table, {"n_chars": "n_chars + CAST(1 AS BIGINT)"},
+        "lang = 'de'", partition_prune={"lang": "de"},
+    )
+    assert st._load_snapshot(table, v)["properties"]["shards_rewritten"] == 1
+    assert _canon(read_snapshot(spark, table)) == _canon(
+        expected.withColumn(
+            "n_chars",
+            F.when(
+                F.col("lang") == "de", F.col("n_chars") + 1
+            ).otherwise(F.col("n_chars")),
+        )
+    )
+    v = delete_where(
+        spark, table, "lang = 'fr'", lazy=True,
+        partition_prune={"lang": "fr"},
+    )
+    snap = st._load_snapshot(table, v)
+    tomb = snap["deletes"][-1]
+    fr = {
+        s["file"] for s in snap["shards"]
+        if s.get("partition", {}).get("lang") == "fr"
+    }
+    assert set(tomb["shards"]) == fr
+    assert read_snapshot(spark, table).where(
+        F.col("lang") == "fr"
+    ).count() == 0
