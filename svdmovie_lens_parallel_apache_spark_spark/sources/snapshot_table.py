@@ -292,39 +292,176 @@ def _pstr(value) -> str | None:
     return None if value is None else str(value)
 
 
-def _partition_match(shard: dict, col: str, want) -> bool:
-    """Can this shard contain a row whose partition column ``col``
-    equals (one of) ``want``? Same conservative triage contract as
-    :func:`_stats_overlap`: a shard with NO recorded partition value
-    for ``col`` (written before the table was partitioned, or by a
-    writer that didn't partition) is kept — skipping must be
-    PROVABLE. ``want`` may be a scalar or a list/tuple/set (IN)."""
+def _parse_partition_spec(spec: str) -> dict:
+    """Parse one ``partition_by`` field into its transform (Iceberg
+    partition-spec shaped). Supported forms and their portable
+    Python/DuckDB-computable twins (``py`` maps a SOURCE value to the
+    recorded partition string; NULL stays None everywhere):
+
+    - ``"col"``              identity (integral/string)
+    - ``"bucket(N, col)"``   ``portable_hash64(col) % N`` (integral/string)
+    - ``"truncate(W, col)"`` string prefix of width W / integer floored
+                             to a multiple of W
+    - ``"days(col)"``        calendar date of a date/timestamp column
+
+    Returns ``{spec, source, kind, expr, py, types}`` where ``spec`` is
+    the canonical string (the snapshot-log key), ``expr(df)`` builds the
+    Spark STRING column staging partitions on, and ``types`` gates the
+    source column's type. Transforms make the partitioning HIDDEN: a
+    reader filters on the SOURCE column and the engine maps the probe
+    through the transform — the user never addresses buckets or date
+    dirs directly (the Iceberg improvement over raw hive layout)."""
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import portable_hash64
+
+    s = spec.strip()
+    m = re.fullmatch(r"(\w+)", s)
+    if m:
+        col = m.group(1)
+        return {
+            "spec": col, "source": col, "kind": "identity",
+            "types": _PARTITION_TYPES,
+            "expr": lambda df: F.col(col).cast("string"),
+            "py": _pstr,
+        }
+    m = re.fullmatch(r"bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)", s)
+    if m:
+        n, col = int(m.group(1)), m.group(2)
+        if n <= 0:
+            raise ValueError(
+                f"snapshot_table: bucket width must be positive: {spec!r}"
+            )
+
+        def _bucket_py(v, n=n):
+            if v is None:
+                return None
+            return str(
+                int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % n
+            )
+
+        return {
+            "spec": f"bucket({n}, {col})", "source": col, "kind": "bucket",
+            "types": _PARTITION_TYPES,
+            "expr": lambda df, n=n, col=col: (
+                portable_hash64(F.col(col)) % n
+            ).cast("string"),
+            "py": _bucket_py,
+        }
+    m = re.fullmatch(r"truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)", s)
+    if m:
+        w, col = int(m.group(1)), m.group(2)
+        if w <= 0:
+            raise ValueError(
+                f"snapshot_table: truncate width must be positive: {spec!r}"
+            )
+
+        def _trunc_expr(df, w=w, col=col):
+            t = df.schema[col].dataType.simpleString()
+            if t == "string":
+                return F.substring(F.col(col), 1, w)
+            # integer floor to a multiple of w; pmod keeps negatives on
+            # the floor side (-3 -> -10 for w=10), matching Python %
+            return (F.col(col) - F.pmod(F.col(col), F.lit(w))).cast(
+                "string"
+            )
+
+        def _trunc_py(v, w=w):
+            if v is None:
+                return None
+            if isinstance(v, str):
+                return v[:w]
+            return str(int(v) - (int(v) % w))
+
+        return {
+            "spec": f"truncate({w}, {col})", "source": col,
+            "kind": "truncate", "types": _PARTITION_TYPES,
+            "expr": _trunc_expr, "py": _trunc_py,
+        }
+    m = re.fullmatch(r"days\(\s*(\w+)\s*\)", s)
+    if m:
+        col = m.group(1)
+
+        def _days_py(v):
+            if v is None:
+                return None
+            if isinstance(v, str):
+                return v[:10]
+            return v.isoformat()[:10]  # datetime.date / datetime.datetime
+
+        return {
+            "spec": f"days({col})", "source": col, "kind": "days",
+            "types": ("date", "timestamp", "timestamp_ntz"),
+            "expr": lambda df, col=col: F.col(col).cast("date").cast(
+                "string"
+            ),
+            "py": _days_py,
+        }
+    raise ValueError(
+        f"snapshot_table: unsupported partition transform {spec!r} "
+        f"(supported: col, bucket(N, col), truncate(W, col), days(col))"
+    )
+
+
+def _transform_probes(pb: list[str], key: str, want) -> set:
+    """Map SOURCE-value probe(s) for partition field ``key`` (which must
+    be a member of the table's spec ``pb``) to their recorded string
+    forms — the hidden-partitioning hop. Raises on an unknown key: a
+    silently ignored filter would read correctly but scan everything,
+    which is exactly the kind of quiet regression the spec exists to
+    prevent."""
+    if key not in pb:
+        raise ValueError(
+            f"snapshot_table: {key!r} is not a partition field "
+            f"(spec: {pb})"
+        )
+    f = _parse_partition_spec(key)
+    vals = want if isinstance(want, (list, tuple, set)) else (want,)
+    return {f["py"](v) for v in vals}
+
+
+def _partition_match(shard: dict, key: str, transformed) -> bool:
+    """Can this shard contain a row whose partition field ``key``
+    (canonical spec string) has recorded value in ``transformed`` (a
+    set of already-transformed string forms — see
+    :func:`_transform_probes`)? Same conservative triage contract as
+    :func:`_stats_overlap`: a shard with NO recorded value for ``key``
+    (written before the table was partitioned, or by a writer that
+    didn't partition) is kept — skipping must be PROVABLE."""
     recorded = shard.get("partition", {})
-    if col not in recorded:
+    if key not in recorded:
         return True
-    values = want if isinstance(want, (list, tuple, set)) else (want,)
-    return recorded[col] in {_pstr(v) for v in values}
+    return recorded[key] in transformed
 
 
 def _triage_shards(
     shards: list[dict], prune: tuple | None,
-    partition_prune: dict | None,
+    partition_prune: dict | None, pb: list[str] | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """(touched, carried) for a partial DML rewrite: a shard is CARRIED
     (zero read, zero write) when its recorded stats or partition values
     PROVABLY exclude the operation's key range / partitions; kept
     conservative otherwise (unrecorded values rewrite). Caller contract
     as documented on ``delete_where``: the bounds must be implied by
-    the row condition."""
+    the row condition. ``partition_prune`` holds SOURCE-value probes
+    keyed by partition field; they are mapped through the field's
+    transform against the table spec ``pb``."""
     touched, carried = [], []
+    probes = {
+        key: _transform_probes(pb or [], key, want)
+        for key, want in (partition_prune or {}).items()
+    }
     for s in shards:
         hit = True
         if prune is not None:
             col, lo, hi = prune
             hit = _stats_overlap(s, col, lo, hi)
         if hit:
-            for col, want in (partition_prune or {}).items():
-                if not _partition_match(s, col, want):
+            for key, tvals in probes.items():
+                if not _partition_match(s, key, tvals):
                     hit = False
                     break
         (touched if hit else carried).append(s)
@@ -498,7 +635,11 @@ def _alter_columns(
                     f"compact_table first"
                 )
             schema = StructType.fromJson(snap["schema"])
-            hit = [c for c in alters if c in snap.get("partition_by", [])]
+            psrc = {
+                _parse_partition_spec(s)["source"]
+                for s in snap.get("partition_by", [])
+            }
+            hit = [c for c in alters if c in psrc]
             if hit:
                 # the spec and every shard's recorded values are keyed
                 # by column NAME; renaming/dropping one would orphan
@@ -838,18 +979,22 @@ def _stage_publish(
     # the real columns survive inside each file
     pb = list(partition_by or [])
     if pb:
+        # shadow columns are the TRANSFORMED partition values (identity
+        # = string cast); positional names because spec strings like
+        # "bucket(8, doc_id)" are not valid column names
+        fields = [_parse_partition_spec(s) for s in pb]
         staged_df = df
-        for c in pb:
-            staged_df = staged_df.withColumn(
-                f"__p_{c}", F.col(c).cast("string")
-            )
+        for i, f in enumerate(fields):
+            staged_df = staged_df.withColumn(f"__p_{i}", f["expr"](df))
         staged_df.write.mode("overwrite").partitionBy(
-            *[f"__p_{c}" for c in pb]
+            *[f"__p_{i}" for i in range(len(pb))]
         ).parquet(tmp_dir)
         staged = sorted(
             glob.glob(
                 os.path.join(
-                    tmp_dir, *[f"__p_{c}=*" for c in pb], "part-*.parquet"
+                    tmp_dir,
+                    *[f"__p_{i}=*" for i in range(len(pb))],
+                    "part-*.parquet",
                 )
             )
         )
@@ -863,13 +1008,14 @@ def _stage_publish(
         name = f"part-{uuid.uuid4().hex}.parquet"
         if pb:
             # decode this file's partition tuple from its hive dirs:
-            # tmp/__p_a=x/__p_b=y/part-*.parquet (hive %-escapes
-            # special chars; __HIVE_DEFAULT_PARTITION__ encodes NULL)
+            # tmp/__p_0=x/__p_1=y/part-*.parquet (hive %-escapes
+            # special chars; __HIVE_DEFAULT_PARTITION__ encodes NULL);
+            # logged under the canonical spec-string keys
             comps = os.path.relpath(p, tmp_dir).split(os.sep)[:-1]
             vals: dict[str, str | None] = {}
-            for c, comp in zip(pb, comps):
+            for f, comp in zip(fields, comps):
                 raw = comp.split("=", 1)[1]
-                vals[c] = (
+                vals[f["spec"]] = (
                     None if raw == "__HIVE_DEFAULT_PARTITION__"
                     else unquote(raw)
                 )
@@ -974,7 +1120,9 @@ def write_snapshot(
     if partition_by is None:
         pb = table_pb
     else:
-        pb = list(partition_by)
+        # canonicalize ("bucket( 8,doc_id )" == "bucket(8, doc_id)")
+        # before comparing to the stored spec
+        pb = [_parse_partition_spec(s)["spec"] for s in partition_by]
         if mode == "append" and latest_version(table) is not None \
                 and pb != table_pb:
             raise ValueError(
@@ -982,16 +1130,19 @@ def write_snapshot(
                 f"conflicts with the table's spec {table_pb}; appends "
                 f"inherit (pass nothing) — repartition via overwrite"
             )
-    for c in pb:
-        if c not in df.columns:
+    for spec in pb:
+        f = _parse_partition_spec(spec)
+        if f["source"] not in df.columns:
             raise ValueError(
-                f"snapshot_table: partition column {c!r} not in DataFrame"
+                f"snapshot_table: partition column {f['source']!r} "
+                f"not in DataFrame"
             )
-        t = df.schema[c].dataType.simpleString()
-        if t not in _PARTITION_TYPES:
+        t = df.schema[f["source"]].dataType.simpleString()
+        if t not in f["types"]:
             raise ValueError(
-                f"snapshot_table: partition_by supports integral/string "
-                f"columns only; {c!r} is {t}"
+                f"snapshot_table: partition field {spec!r} supports "
+                f"{'/'.join(f['types'])} source columns only; "
+                f"{f['source']!r} is {t}"
             )
     validated = _base_constraints(table)
     _enforce_constraints(df, validated)  # fail BEFORE staging any data
@@ -1153,8 +1304,10 @@ def read_snapshot(
     if bloom_point is not None:
         col, value = bloom_point
         shards = [s for s in shards if _bloom_may_contain(s, col, value)]
-    for col, want in (partition_filter or {}).items():
-        shards = [s for s in shards if _partition_match(s, col, want)]
+    pb = snap.get("partition_by", [])
+    for key, want in (partition_filter or {}).items():
+        tvals = _transform_probes(pb, key, want)
+        shards = [s for s in shards if _partition_match(s, key, tvals)]
     return _scan_with_deletes(
         spark, table, schema, shards, snap.get("deletes", []),
     )
@@ -1615,10 +1768,13 @@ def drop_partition(table: str, matching: dict) -> int:
                     f"(pre-partitioning or streaming appends) and may "
                     f"contain matching rows; run compact_table first"
                 )
+            probes = {
+                c: _transform_probes(pb, c, w) for c, w in matching.items()
+            }
             kept, dropped = [], []
             for s in snap["shards"]:
                 (dropped if all(
-                    _partition_match(s, c, w) for c, w in matching.items()
+                    _partition_match(s, c, t) for c, t in probes.items()
                 ) else kept).append(s)
             version = current + 1
             snapshot = {
@@ -1735,7 +1891,8 @@ def delete_where(
             )
         schema = StructType.fromJson(snap["schema"])
         touched, carried = _triage_shards(
-            snap["shards"], prune, partition_prune
+            snap["shards"], prune, partition_prune,
+            snap.get("partition_by", []),
         )
         # stats columns to recompute for rewritten shards: whatever the
         # touched shards already recorded (keeps pruning working after)
@@ -1814,7 +1971,8 @@ def _lazy_delete(
                 )
             snap = _load_snapshot(table, current)
             covered, _ = _triage_shards(
-                snap["shards"], None, partition_prune
+                snap["shards"], None, partition_prune,
+                snap.get("partition_by", []),
             )
             tombstone = {
                 "condition": condition,
@@ -1922,7 +2080,8 @@ def update_where(
                     f"{want.simpleString()}; cast explicitly"
                 )
         touched, carried = _triage_shards(
-            snap["shards"], prune, partition_prune
+            snap["shards"], prune, partition_prune,
+            snap.get("partition_by", []),
         )
         stats_cols = sorted({c for s in touched for c in s.get("stats", {})})
         pb = snap.get("partition_by", [])

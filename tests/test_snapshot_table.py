@@ -2166,7 +2166,7 @@ def test_partition_spec_inheritance_and_conflict(spark, docs, tmp_path):
 
 def test_partition_type_gate_and_missing_column(spark, docs, tmp_path):
     table = str(tmp_path / "t")
-    with pytest.raises(ValueError, match="integral/string"):
+    with pytest.raises(ValueError, match="source columns only"):
         write_snapshot(
             docs.withColumn("f", F.lit(1.5)), table, partition_by=["f"]
         )
@@ -2423,3 +2423,126 @@ def test_partition_prune_dml(spark, docs, tmp_path):
     assert read_snapshot(spark, table).where(
         F.col("lang") == "fr"
     ).count() == 0
+
+
+def test_partition_transforms_bucket_truncate(spark, docs, tmp_path):
+    """Iceberg-style partition TRANSFORMS: bucket(N, col) records
+    portable_hash64(col) % N per shard (purity checked against the
+    Python twin), truncate(W, col) floors ints to multiples of W, and
+    partition_filter probes take SOURCE values — the engine maps them
+    through the transform (hidden partitioning)."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        _parse_partition_spec,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["bucket(8, doc_id)"])
+    snap = snapshot_history(table)[-1]
+    assert snap["partition_by"] == ["bucket(8, doc_id)"]
+    f = _parse_partition_spec("bucket(8, doc_id)")
+    for s in snap["shards"]:
+        ids = [
+            r.doc_id
+            for r in spark.read.parquet(
+                os.path.join(table, "data", s["file"])
+            ).select("doc_id").collect()
+        ]
+        assert all(
+            f["py"](i) == s["partition"]["bucket(8, doc_id)"] for i in ids
+        )
+    probe = docs.limit(1).collect()[0].doc_id
+    got = read_snapshot(
+        spark, table, partition_filter={"bucket(8, doc_id)": probe}
+    ).where(F.col("doc_id") == probe)
+    assert got.count() == 1
+    # truncate on ints: every recorded value is a multiple of the width
+    t2 = str(tmp_path / "t2")
+    write_snapshot(docs, t2, partition_by=["truncate(100, doc_id)"])
+    s2 = snapshot_history(t2)[-1]
+    assert all(
+        int(s["partition"]["truncate(100, doc_id)"]) % 100 == 0
+        for s in s2["shards"]
+    )
+    got = read_snapshot(
+        spark, t2, partition_filter={"truncate(100, doc_id)": 123}
+    )
+    assert _canon(got.where(F.col("doc_id").between(100, 199))) == _canon(
+        docs.where(F.col("doc_id").between(100, 199))
+    )
+
+
+def test_partition_transform_hidden_pushdown_and_spec_rules(
+    spark, docs, tmp_path
+):
+    """The official reader maps a pushed equality on the SOURCE column
+    through the transform (user filters doc_id, engine prunes buckets);
+    specs canonicalize; unknown partition_filter keys raise; the
+    official batch writer refuses transforms (JVM-path only); the
+    transform's source column cannot be renamed."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_datasource import (
+        register_snapshot_table_source,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        rename_column,
+    )
+
+    register_snapshot_table_source(spark)
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["bucket( 8 ,doc_id)"])
+    assert snapshot_history(table)[-1]["partition_by"] == [
+        "bucket(8, doc_id)"
+    ]
+    probe = docs.limit(1).collect()[0].doc_id
+    log = str(tmp_path / "plan.json")
+    out = (
+        spark.read.format("snapshot_table")
+        .option("path", table).option("plan_log", log)
+        .load().where(F.col("doc_id") == probe)
+    )
+    assert out.count() == 1
+    plan = json.load(open(log))
+    assert 0 < plan["planned"] < plan["total"]
+    with pytest.raises(ValueError, match="not a partition field"):
+        read_snapshot(spark, table, partition_filter={"nope": 1}).count()
+    with pytest.raises(ValueError, match="unsupported partition transform"):
+        write_snapshot(docs, str(tmp_path / "bad"), partition_by=["years(x)"])
+    with pytest.raises(Exception, match="not supported through the batch"):
+        (
+            docs.write.format("snapshot_table")
+            .option("partition_by", "bucket(8, doc_id)")
+            .mode("append").save(str(tmp_path / "w"))
+        )
+    with pytest.raises(ValueError, match="partition column"):
+        rename_column(spark, table, "doc_id", "id")
+
+
+def test_partition_transform_days(spark, sf_dir, tmp_path):
+    """days(ts): shards carry the calendar date; a date (or datetime)
+    probe prunes to that day's files; the type gate rejects non-
+    temporal sources."""
+    import datetime
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    ).limit(500)
+    table = str(tmp_path / "t")
+    write_snapshot(orders, table, partition_by=["days(o_orderdate)"])
+    snap = snapshot_history(table)[-1]
+    day = sorted(
+        s["partition"]["days(o_orderdate)"] for s in snap["shards"]
+    )[0]
+    got = read_snapshot(
+        spark, table,
+        partition_filter={"days(o_orderdate)": datetime.date.fromisoformat(day)},
+    )
+    assert got.count() > 0
+    assert got.where(
+        F.col("o_orderdate").cast("date") != F.lit(day).cast("date")
+    ).count() == 0
+    with pytest.raises(ValueError, match="source columns only"):
+        write_snapshot(
+            orders.withColumn("k", F.lit(1)), str(tmp_path / "bad"),
+            partition_by=["days(k)"],
+        )
