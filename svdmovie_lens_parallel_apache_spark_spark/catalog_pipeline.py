@@ -3550,6 +3550,89 @@ def q_snapshot_partition_prune(spark, sf_dir):
 
 
 @register(
+    "snapshot_partition_compaction",
+    f"""
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           TRUE                         AS scoped_ok
+    FROM documents GROUP BY lang
+    """,
+    tags=("sources", "table-format", "partitioning", "maintenance"),
+    description="Partition-SCOPED compaction (Iceberg rewrite_data_files "
+    "with a filter / Delta OPTIMIZE WHERE): after three small appends "
+    "into one hot partition, compact_partitions({lang: en}) merges ONLY "
+    "that partition's shards — every other partition's files carry into "
+    "the new snapshot verbatim (same physical names, zero read, zero "
+    "write), the op is row-preserving (properties.compaction — CDC/"
+    "incremental readers skip it), and unstamped straggler shards get "
+    "re-split and stamped under the spec. At 100 TB this is THE standing "
+    "maintenance job for streaming ingest into a partitioned table: "
+    "O(hot partition), never O(table). scoped_ok pins the carried files "
+    "byte-identical by name, the hot partition collapsing to the target "
+    "shard count, and total rows unchanged. Engine: snapshot_table.py::"
+    "compact_partitions.",
+)
+def q_snapshot_partition_compaction(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        _load_snapshot,
+        compact_partitions,
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    table = tempfile.mkdtemp(prefix="svdml-snapcompactp-") + "/t"
+    write_snapshot(docs, table, partition_by=["lang"])
+    en = docs.where(F.col("lang") == "en")
+    for i in (0, 1, 2):  # hot-partition small-file appends
+        write_snapshot(en.where(F.col("doc_id") % 3 == i), table)
+    snap = snapshot_history(table)[-1]
+    en_before = [
+        s for s in snap["shards"] if s["partition"]["lang"] == "en"
+    ]
+    others = sorted(
+        s["file"] for s in snap["shards"] if s["partition"]["lang"] != "en"
+    )
+    total = snap["n_rows"]
+    v = compact_partitions(spark, table, {"lang": "en"}, target_shards=1)
+    after = _load_snapshot(table, v)
+    scoped_ok = bool(
+        after["properties"]["shards_rewritten"] == len(en_before)
+        and sorted(
+            s["file"] for s in after["shards"]
+            if s["partition"]["lang"] != "en"
+        ) == others
+        and len(
+            [s for s in after["shards"] if s["partition"]["lang"] == "en"]
+        ) == 1
+        and after["n_rows"] == total
+    )
+    # the result reads the WHOLE table (en duplicated by the appends is
+    # part of the layout story, not the rows: dedupe back to the base
+    # set so the oracle is the plain documents aggregate)
+    return (
+        read_snapshot(spark, table)
+        .dropDuplicates(["doc_id"])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias(
+                "text_fp"
+            ),
+        )
+        .withColumn("scoped_ok", F.lit(scoped_ok))
+    )
+
+
+@register(
     "snapshot_hidden_partition",
     """
     WITH m AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),

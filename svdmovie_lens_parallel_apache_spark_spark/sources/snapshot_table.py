@@ -2486,6 +2486,124 @@ def _added_files(
     return added, schema_json
 
 
+def compact_partitions(
+    spark: SparkSession, table: str, matching: dict,
+    target_shards: int = 8,
+    stats_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """PARTITION-SCOPED compaction (Iceberg ``rewrite_data_files`` with
+    a partition filter / Delta ``OPTIMIZE WHERE``): rewrite only the
+    shards of the partitions ``matching`` selects ({field:
+    source_value_or_list}, transformed like every other probe) into
+    ``target_shards`` right-sized files, carrying every other shard
+    verbatim — the standing maintenance shape for streaming ingest into
+    a partitioned table, where only today's/this hour's partition is
+    hot and a full-table rewrite would be O(table) for an O(partition)
+    problem.
+
+    Shards with NO recorded value for a requested field (the streaming
+    sink's arrival-order appends) are INCLUDED in the rewrite: they may
+    hold matching rows, and the rewrite re-splits all their rows under
+    the table spec — so compacting a partition also stamps the
+    stragglers covering it, which is what re-arms exact pruning and
+    :func:`drop_partition` after streaming appends. Row-preserving by
+    construction (``properties.compaction`` — incremental/CDC readers
+    skip it); pending lazy deletes refuse loudly (their shard-scoped
+    tombstones would need per-shard materialisation bookkeeping — run
+    the full :func:`compact_table` first, which materialises them).
+    ``cluster_by`` range-clusters within the rewrite, same as
+    :func:`compact_table`. Returns the committed version."""
+    n = max(1, target_shards)
+    job = uuid.uuid4().hex
+    tmp_dir = os.path.join(table, "_tmp", job)
+    try:
+        while True:
+            current = latest_version(table)
+            if current is None:
+                raise FileNotFoundError(
+                    f"snapshot_table: {table} has no snapshots"
+                )
+            snap = _load_snapshot(table, current)
+            if snap.get("deletes"):
+                raise ValueError(
+                    "snapshot_table: partition-scoped compaction with "
+                    "pending lazy deletes would detach them; run "
+                    "compact_table first"
+                )
+            pb = snap.get("partition_by", [])
+            probes = {
+                c: _transform_probes(pb, c, w) for c, w in matching.items()
+            }
+            selected, kept = [], []
+            for s in snap["shards"]:
+                rec = s.get("partition", {})
+                unstamped = any(c not in rec for c in matching)
+                hit = all(
+                    _partition_match(s, c, t) for c, t in probes.items()
+                )
+                (selected if unstamped or hit else kept).append(s)
+            if not selected:
+                return current  # nothing to do; no empty commit
+            schema = StructType.fromJson(snap["schema"])
+            scols = stats_cols if stats_cols is not None else sorted(
+                {c for s in selected for c in s.get("stats", {})}
+            )
+            df = _read_shards(spark, table, selected, schema)
+            if cluster_by:
+                df = df.repartitionByRange(
+                    n, *cluster_by
+                ).sortWithinPartitions(*cluster_by)
+                scols = list(dict.fromkeys(scols + list(cluster_by)))
+            else:
+                df = df.coalesce(n)
+            mine, counts, stats, parts = _stage_publish(
+                df, table, tmp_dir, scols, pb
+            )
+            def _shard(m):
+                s = {"file": m, "n_rows": counts[m]}
+                if stats[m]:
+                    s["stats"] = stats[m]
+                if parts.get(m):
+                    s["partition"] = parts[m]
+                return s
+
+            shards = list(kept) + [_shard(m) for m in mine]
+            version = current + 1
+            snapshot = {
+                "version": version,
+                "parent": current,
+                "operation": "compaction",
+                "properties": {
+                    "compaction": True,
+                    "partition": {
+                        c: (
+                            [_pstr(v) for v in w]
+                            if isinstance(w, (list, tuple, set))
+                            else _pstr(w)
+                        )
+                        for c, w in matching.items()
+                    },
+                    "shards_rewritten": len(selected),
+                    "shards_skipped": len(kept),
+                    "cluster_by": list(cluster_by or []),
+                },
+                "schema": snap["schema"],
+                "n_shards": len(shards),
+                "n_rows": sum(s["n_rows"] for s in shards),
+                "shards": sorted(shards, key=lambda s: s["file"]),
+            }
+            if snap.get("constraints"):
+                snapshot["constraints"] = snap["constraints"]
+            if pb:
+                snapshot["partition_by"] = pb
+            if _claim_snapshot(table, tmp_dir, snapshot):
+                return version
+            # lost the race: recompute selection on the new base
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
 def compact_table(
     spark: SparkSession, table: str, target_shards: int = 8,
     stats_cols: list[str] | None = None,

@@ -2546,3 +2546,69 @@ def test_partition_transform_days(spark, sf_dir, tmp_path):
             orders.withColumn("k", F.lit(1)), str(tmp_path / "bad"),
             partition_by=["days(k)"],
         )
+
+
+def test_compact_partitions_scoped_rewrite(spark, docs, tmp_path):
+    """Partition-scoped compaction rewrites ONLY the selected
+    partition's shards (others carry verbatim, same file names),
+    includes-and-stamps unstamped stragglers so drop_partition re-arms,
+    is row-preserving (CDC/incremental readers skip it), and refuses
+    with pending lazy deletes."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_partitions, delete_where, drop_partition, read_cdc,
+        read_changes,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["lang"])             # v1
+    for i in range(3):  # small-file appends touching en only
+        write_snapshot(
+            docs.where(F.col("lang") == "en").limit(10 + i), table
+        )                                                          # v2-4
+    snap = snapshot_history(table)[-1]
+    en_before = [
+        s for s in snap["shards"] if s["partition"]["lang"] == "en"
+    ]
+    others = [
+        s["file"] for s in snap["shards"] if s["partition"]["lang"] != "en"
+    ]
+    total = read_snapshot(spark, table).count()
+    v = compact_partitions(spark, table, {"lang": "en"}, target_shards=1)
+    snap2 = st._load_snapshot(table, v)
+    assert snap2["properties"]["compaction"] is True
+    assert snap2["properties"]["shards_rewritten"] == len(en_before)
+    en_after = [
+        s for s in snap2["shards"] if s["partition"]["lang"] == "en"
+    ]
+    assert len(en_after) == 1
+    # non-selected shards carry verbatim — same physical files
+    assert sorted(
+        s["file"] for s in snap2["shards"]
+        if s["partition"]["lang"] != "en"
+    ) == sorted(others)
+    assert read_snapshot(spark, table).count() == total
+    # layout-only for incremental/CDC readers
+    assert read_changes(spark, table, start_version=4).count() == 0
+    assert read_cdc(spark, table, start_version=4).count() == 0
+    # straggler stamping: strip one shard's stamp, compact, drop works
+    snapfile = os.path.join(
+        table, "_snapshots",
+        sorted(os.listdir(os.path.join(table, "_snapshots")))[-1],
+    )
+    d = json.load(open(snapfile))
+    d["shards"][0].pop("partition")
+    json.dump(d, open(snapfile, "w"))
+    with pytest.raises(ValueError, match="compact_table first"):
+        drop_partition(table, {"lang": "de"})
+    compact_partitions(spark, table, {"lang": "de"})
+    assert all(
+        "partition" in s for s in snapshot_history(table)[-1]["shards"]
+    )
+    drop_partition(table, {"lang": "de"})
+    assert read_snapshot(spark, table).where(
+        F.col("lang") == "de"
+    ).count() == 0
+    # pending lazy deletes refuse
+    delete_where(spark, table, "doc_id % 9 = 0", lazy=True)
+    with pytest.raises(ValueError, match="pending lazy deletes"):
+        compact_partitions(spark, table, {"lang": "fr"})
