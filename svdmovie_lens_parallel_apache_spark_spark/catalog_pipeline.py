@@ -3550,6 +3550,81 @@ def q_snapshot_partition_prune(spark, sf_dir):
 
 
 @register(
+    "snapshot_spec_evolution",
+    f"""
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           TRUE                         AS spec_ok
+    FROM documents GROUP BY lang
+    """,
+    tags=("sources", "table-format", "partitioning", "evolution"),
+    description="Partition SPEC EVOLUTION (Iceberg update_spec): half the "
+    "docs commit under partition_by=['lang'], set_partition_spec switches "
+    "to bucket(4, doc_id) METADATA-ONLY (same physical files, one JSON "
+    "commit), the other half appends under the new spec — the table then "
+    "holds mixed-spec shards, which the conservative triage makes safe: "
+    "a probe on the new field prunes new shards and keeps old ones, "
+    "show_partitions lists old shards under the visible None tuple (never "
+    "conflated with a recorded NULL), and drop_partition refuses until "
+    "compact_partitions migrates. spec_ok pins the no-rewrite claim "
+    "(file-set equality across the spec commit), mixed recordings "
+    "present, and show_partitions totals equal exact rows. At 100 TB "
+    "this is how a table re-keys (new tenant scheme, finer time grain) "
+    "without an O(table) rewrite. Engine: snapshot_table.py::"
+    "set_partition_spec / show_partitions.",
+)
+def q_snapshot_spec_evolution(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        _load_snapshot,
+        read_snapshot,
+        set_partition_spec,
+        show_partitions,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    table = tempfile.mkdtemp(prefix="svdml-snapspec-") + "/t"
+    write_snapshot(docs.where(F.col("doc_id") % 2 == 0), table,
+                   partition_by=["lang"])                       # v1
+    v2 = set_partition_spec(table, ["bucket(4, doc_id)"])       # v2
+    write_snapshot(docs.where(F.col("doc_id") % 2 == 1), table)  # v3
+    s1, s2, s3 = (
+        _load_snapshot(table, v) for v in (1, v2, v2 + 1)
+    )
+    parts = show_partitions(table)
+    spec_ok = bool(
+        {s["file"] for s in s2["shards"]}
+        == {s["file"] for s in s1["shards"]}  # metadata-only switch
+        and s2["partition_by"] == ["bucket(4, doc_id)"]
+        and any("lang" in s.get("partition", {}) for s in s3["shards"])
+        and any(
+            "bucket(4, doc_id)" in s.get("partition", {})
+            for s in s3["shards"]
+        )
+        and sum(p["n_rows"] for p in parts) == s3["n_rows"]
+        and any(p["partition"] is None for p in parts)  # old spec visible
+    )
+    return (
+        read_snapshot(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias(
+                "text_fp"
+            ),
+        )
+        .withColumn("spec_ok", F.lit(spec_ok))
+    )
+
+
+@register(
     "snapshot_partition_compaction",
     f"""
     SELECT lang,

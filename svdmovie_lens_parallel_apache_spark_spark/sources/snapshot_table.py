@@ -163,6 +163,118 @@ def table_stats(table: str, version: int | None = None) -> dict:
     }
 
 
+def show_partitions(table: str, version: int | None = None) -> list[dict]:
+    """Metadata-only partition listing (Hive/Spark ``SHOW PARTITIONS``,
+    Delta partition listing): one entry per distinct recorded partition
+    tuple with exact ``n_rows``/``n_shards`` aggregated from the
+    snapshot log — zero data files opened. Shards without recorded
+    values (pre-partitioning or streaming-sink appends) aggregate under
+    a ``None`` tuple so their presence is visible, not hidden (they are
+    what blocks :func:`drop_partition` until
+    :func:`compact_partitions` stamps them). Pending lazy deletes make
+    the counts stale upper bounds and raise, same contract as
+    :func:`table_stats`. Sorted by tuple for stable output."""
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
+    snap = _load_snapshot(table, v)
+    if snap.get("deletes"):
+        raise ValueError(
+            "snapshot_table: partition listing with pending lazy deletes "
+            "would overcount; run compact_table first or scan"
+        )
+    pb = snap.get("partition_by", [])
+    agg: dict[tuple, dict] = {}
+    for s in snap["shards"]:
+        rec = s.get("partition", {})
+        # a shard missing ANY current-spec field is unstamped for this
+        # spec (pre-partitioning, streaming append, or an older spec) —
+        # listed under None, NOT conflated with a recorded NULL value
+        key = (
+            tuple(rec[f] for f in pb)
+            if pb and all(f in rec for f in pb) else None
+        )
+        e = agg.setdefault(key, {"n_rows": 0, "n_shards": 0})
+        e["n_rows"] += s["n_rows"]
+        e["n_shards"] += 1
+    out = []
+    for key in sorted(
+        agg, key=lambda k: (k is None, tuple(x or "" for x in (k or ())))
+    ):
+        out.append(
+            {
+                "partition": (
+                    None if key is None else dict(zip(pb, key))
+                ),
+                **agg[key],
+            }
+        )
+    return out
+
+
+def set_partition_spec(table: str, partition_by: list[str]) -> int:
+    """Partition SPEC EVOLUTION as a metadata-only commit (Iceberg
+    ``update_spec``): future writes split under the new spec while
+    existing shards keep whatever values they recorded — no data
+    rewrite. Safe by the engine's conservative triage: a filter on a
+    NEW field keeps old shards (no recorded value → scanned), a filter
+    on a dropped field still prunes old shards that recorded it, and
+    :func:`drop_partition` refuses while mixed-spec shards exist
+    (:func:`compact_partitions` re-stamps them under the live spec —
+    the migration path). Sources are validated against the CURRENT
+    schema; ``[]`` un-partitions future writes. Returns the version."""
+    parsed = [_parse_partition_spec(s) for s in partition_by]
+    pb = [f["spec"] for f in parsed]
+    job = uuid.uuid4().hex
+    tmp_dir = os.path.join(table, "_tmp", job)
+    try:
+        while True:
+            current = latest_version(table)
+            if current is None:
+                raise FileNotFoundError(
+                    f"snapshot_table: {table} has no snapshots"
+                )
+            snap = _load_snapshot(table, current)
+            schema = StructType.fromJson(snap["schema"])
+            names = {f.name: f.dataType.simpleString() for f in schema.fields}
+            for f in parsed:
+                if f["source"] not in names:
+                    raise ValueError(
+                        f"snapshot_table: partition source "
+                        f"{f['source']!r} not in table schema"
+                    )
+                if names[f["source"]] not in f["types"]:
+                    raise ValueError(
+                        f"snapshot_table: partition field {f['spec']!r} "
+                        f"supports {'/'.join(f['types'])} source columns "
+                        f"only; {f['source']!r} is {names[f['source']]}"
+                    )
+            version = current + 1
+            snapshot = {
+                "version": version,
+                "parent": current,
+                "operation": "set_partition_spec",
+                "properties": {
+                    "partition_by": pb,
+                    "previous": snap.get("partition_by", []),
+                },
+                "schema": snap["schema"],
+                "n_shards": snap["n_shards"],
+                "n_rows": snap["n_rows"],
+                "shards": snap["shards"],
+            }
+            if snap.get("deletes"):
+                snapshot["deletes"] = snap["deletes"]
+            if snap.get("constraints"):
+                snapshot["constraints"] = snap["constraints"]
+            if pb:
+                snapshot["partition_by"] = pb
+            if _claim_snapshot(table, tmp_dir, snapshot):
+                return version
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
 def version_as_of(table: str, ts: float) -> int:
     """Resolve ``AS OF timestamp`` to a version: the LAST snapshot
     committed at or before ``ts`` (Delta ``timestampAsOf`` / Iceberg
@@ -2457,10 +2569,13 @@ def _added_files(
     for v in range(start_version + 1, end_version + 1):
         snap = _load_snapshot(table, v)
         cur = set(s["file"] for s in snap["shards"])
-        if snap["operation"] in ("metadata", "add_column"):
-            # constraint add/drop and ADD COLUMN: parent's shards
-            # verbatim — row-preserving by construction, nothing to
-            # emit (new columns read NULL on older files downstream).
+        if snap["operation"] in (
+            "metadata", "add_column", "set_partition_spec"
+        ):
+            # constraint add/drop, ADD COLUMN, and partition-spec
+            # evolution: parent's shards verbatim — row-preserving by
+            # construction, nothing to emit (new columns read NULL on
+            # older files downstream).
             # rename/drop_column fall through to the loud raise below:
             # files appended before the rename carry old physical
             # names, which the end-schema read would silently NULL.

@@ -2612,3 +2612,61 @@ def test_compact_partitions_scoped_rewrite(spark, docs, tmp_path):
     delete_where(spark, table, "doc_id % 9 = 0", lazy=True)
     with pytest.raises(ValueError, match="pending lazy deletes"):
         compact_partitions(spark, table, {"lang": "fr"})
+
+
+def test_partition_spec_evolution_and_show_partitions(
+    spark, docs, tmp_path
+):
+    """set_partition_spec is METADATA-ONLY (Iceberg update_spec): new
+    writes split under the new spec, old shards keep their recorded
+    values, filters stay conservative across the mix, drop_partition
+    refuses until compact_partitions migrates, and show_partitions
+    lists exact per-tuple counts with mixed-spec shards under None."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_partitions, drop_partition, read_changes,
+        set_partition_spec, show_partitions,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["lang"])          # v1
+    langs = dict(
+        (p["partition"]["lang"], p["n_rows"])
+        for p in show_partitions(table)
+    )
+    assert sum(langs.values()) == docs.count()
+    files_v1 = {s["file"] for s in snapshot_history(table)[-1]["shards"]}
+    set_partition_spec(table, ["bucket( 4 , doc_id)"])          # v2
+    snap = snapshot_history(table)[-1]
+    assert snap["partition_by"] == ["bucket(4, doc_id)"]
+    assert {s["file"] for s in snap["shards"]} == files_v1  # no rewrite
+    write_snapshot(docs.limit(50), table)                       # v3
+    # old shards keep lang values; new shards carry the bucket field
+    snap = snapshot_history(table)[-1]
+    assert any(
+        "lang" in s.get("partition", {}) for s in snap["shards"]
+    ) and any(
+        "bucket(4, doc_id)" in s.get("partition", {})
+        for s in snap["shards"]
+    )
+    # mixed-spec listing: old shards under None, new under tuples
+    parts = show_partitions(table)
+    unstamped = [p for p in parts if p["partition"] is None]
+    assert unstamped and unstamped[0]["n_rows"] == docs.count()
+    # a filter on the NEW field keeps old shards (conservative)
+    probe = docs.limit(1).collect()[0].doc_id
+    got = read_snapshot(
+        spark, table, partition_filter={"bucket(4, doc_id)": probe}
+    ).where(F.col("doc_id") == probe)
+    assert got.count() == 2  # base row + the limit(50) duplicate
+    with pytest.raises(ValueError, match="compact_table first"):
+        drop_partition(table, {"bucket(4, doc_id)": 0})
+    compact_partitions(
+        spark, table, {"bucket(4, doc_id)": [0, 1, 2, 3]}
+    )
+    assert all(
+        "bucket(4, doc_id)" in s["partition"]
+        for s in snapshot_history(table)[-1]["shards"]
+    )
+    drop_partition(table, {"bucket(4, doc_id)": 0})
+    # incremental read passes over the spec commit (row-preserving)
+    assert read_changes(spark, table, 1, 3).count() == 50
