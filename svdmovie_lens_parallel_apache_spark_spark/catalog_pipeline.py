@@ -3741,6 +3741,7 @@ def q_snapshot_hidden_partition(spark, sf_dir):
     from .sources.snapshot_datasource import register_snapshot_table_source
     from .sources.snapshot_table import (
         _parse_partition_spec,
+        snapshot_history,
         write_snapshot,
     )
 
@@ -3751,6 +3752,7 @@ def q_snapshot_hidden_partition(spark, sf_dir):
     probes = [int(mn), int((mn + mx) // 2), int(mx)]
     register_snapshot_table_source(spark)
     bucket = _parse_partition_spec("bucket(16, doc_id)")["py"]
+    shards = snapshot_history(table)[-1]["shards"]
     parts, ok = [], True
     for p in probes:
         log = tempfile.mktemp(prefix="svdml-snaphidden-plan-")
@@ -3762,9 +3764,16 @@ def q_snapshot_hidden_partition(spark, sf_dir):
         rows = out.collect()
         plan = json.load(open(log))
         ok = ok and 0 < plan["planned"] < plan["total"]
-        # the surviving shards are exactly the probe's bucket: verify
-        # the Python twin against the JVM-recorded values
-        ok = ok and bucket(p) is not None
+        # twin agreement, for real: the reader must have planned
+        # EXACTLY the shards whose JVM-recorded bucket equals the
+        # Python twin's bucket of the probe — if the two md5 paths
+        # ever diverged, planned would disagree with this count (and
+        # the probe's row would vanish from rows)
+        owning = [
+            s for s in shards
+            if s["partition"]["bucket(16, doc_id)"] == bucket(p)
+        ]
+        ok = ok and plan["planned"] == len(owning) > 0 and len(rows) == 1
         parts.append(spark.createDataFrame(rows, out.schema))
     out = parts[0]
     for q in parts[1:]:

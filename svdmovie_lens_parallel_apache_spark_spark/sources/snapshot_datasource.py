@@ -443,24 +443,34 @@ def _build():
                 return _Staged(files=[_stage_one(t, None)])
             # partitioned table: one staged file per partition tuple in
             # this task's rows (the twin of _stage_publish's hive-shadow
-            # split, done in Arrow). Keys are the portable string forms;
-            # dictionary-encode a combined key so the group masks are
-            # vectorized, never per-row Python
-            SEP, NULL = "\x1f", "\x00__NULL__"
+            # split, done in Arrow). Distinct tuples come from a
+            # zero-aggregate group_by over the string-cast key columns —
+            # actual values, NO separator encoding, so a value
+            # containing any byte sequence (or equal to a would-be
+            # sentinel) can never shift or truncate across columns.
+            # Masks are vectorized per column; NULL matches via is_null.
             keys = [
-                pc.fill_null(pc.cast(t[c], pa.string()), NULL)
+                pc.cast(t[c], pa.string()).combine_chunks()
                 for c in self.partition_by
             ]
-            combined = keys[0]
-            for k in keys[1:]:
-                combined = pc.binary_join_element_wise(combined, k, SEP)
-            combined = combined.combine_chunks()
+            key_tbl = pa.table(
+                {f"k{i}": k for i, k in enumerate(keys)}
+            )
+            uniq = key_tbl.group_by(key_tbl.column_names).aggregate([])
             files = []
-            for key in pc.unique(combined).to_pylist():
-                sub = t.filter(pc.equal(combined, key))
+            for u in uniq.to_pylist():
+                mask = None
+                for i in range(len(keys)):
+                    v = u[f"k{i}"]
+                    m = (
+                        pc.is_null(keys[i]) if v is None
+                        else pc.fill_null(pc.equal(keys[i], v), False)
+                    )
+                    mask = m if mask is None else pc.and_(mask, m)
+                sub = t.filter(mask)
                 vals = {
-                    c: (None if raw == NULL else raw)
-                    for c, raw in zip(self.partition_by, key.split(SEP))
+                    c: u[f"k{i}"]
+                    for i, c in enumerate(self.partition_by)
                 }
                 files.append(_stage_one(sub, vals))
             return _Staged(files=files)

@@ -217,8 +217,10 @@ def set_partition_spec(table: str, partition_by: list[str]) -> int:
     ``update_spec``): future writes split under the new spec while
     existing shards keep whatever values they recorded — no data
     rewrite. Safe by the engine's conservative triage: a filter on a
-    NEW field keeps old shards (no recorded value → scanned), a filter
-    on a dropped field still prunes old shards that recorded it, and
+    NEW field keeps old shards (no recorded value → scanned); a filter
+    keyed on a field DROPPED from the spec raises loudly (probe keys
+    must be current-spec members — old shards' recorded values for it
+    are never consulted once the field leaves the spec); and
     :func:`drop_partition` refuses while mixed-spec shards exist
     (:func:`compact_partitions` re-stamps them under the live spec —
     the migration path). Sources are validated against the CURRENT
@@ -1053,6 +1055,7 @@ def _stage_publish(
     df: DataFrame, table: str, tmp_dir: str,
     stats_cols: list[str] | None,
     partition_by: list[str] | None = None,
+    cluster_within: list[str] | None = None,
 ) -> tuple[list[str], dict, dict, dict]:
     """Steps 1–2 of the commit protocol: stage ``df`` as parquet under
     the job's private ``tmp_dir``, publish the shards into ``data/``
@@ -1093,11 +1096,32 @@ def _stage_publish(
     if pb:
         # shadow columns are the TRANSFORMED partition values (identity
         # = string cast); positional names because spec strings like
-        # "bucket(8, doc_id)" are not valid column names
+        # "bucket(8, doc_id)" are not valid column names. Every non-NULL
+        # value is prefixed with "=" before hitting the hive dir name:
+        # Spark writes an EMPTY STRING to __HIVE_DEFAULT_PARTITION__
+        # (conflating '' with NULL — silent wrong pruning and a wrong
+        # drop_partition); the prefix makes '' a real directory and is
+        # stripped on decode. concat propagates NULL, so NULL still
+        # lands in the default partition.
         fields = [_parse_partition_spec(s) for s in pb]
         staged_df = df
         for i, f in enumerate(fields):
-            staged_df = staged_df.withColumn(f"__p_{i}", f["expr"](df))
+            staged_df = staged_df.withColumn(
+                f"__p_{i}", F.concat(F.lit("="), f["expr"](df))
+            )
+        # one hash shuffle on the partition tuple BEFORE partitionBy:
+        # without it every upstream task fans into every partition it
+        # touches (tasks x partitions staged files per commit — the
+        # small-file explosion Delta/Iceberg optimized writes exist to
+        # prevent); with it each tuple lands in one task, bounding the
+        # commit at ~one file per partition value. cluster_within
+        # re-sorts inside each tuple so clustered rewrites keep their
+        # per-file key locality (stats selectivity) under the re-split.
+        staged_df = staged_df.repartition(
+            *[F.col(f"__p_{i}") for i in range(len(pb))]
+        )
+        if cluster_within:
+            staged_df = staged_df.sortWithinPartitions(*cluster_within)
         staged_df.write.mode("overwrite").partitionBy(
             *[f"__p_{i}" for i in range(len(pb))]
         ).parquet(tmp_dir)
@@ -1127,10 +1151,16 @@ def _stage_publish(
             vals: dict[str, str | None] = {}
             for f, comp in zip(fields, comps):
                 raw = comp.split("=", 1)[1]
-                vals[f["spec"]] = (
-                    None if raw == "__HIVE_DEFAULT_PARTITION__"
-                    else unquote(raw)
-                )
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    vals[f["spec"]] = None
+                    continue
+                dec = unquote(raw)
+                if not dec.startswith("="):  # the staged "=" prefix
+                    raise RuntimeError(
+                        f"snapshot_table: staged partition dir {comp!r} "
+                        f"lacks the value prefix — staging layout bug"
+                    )
+                vals[f["spec"]] = dec[1:]
             partitions[name] = vals
         os.replace(p, os.path.join(table, _DATA_DIR, name))
         mine.append(name)
@@ -1174,6 +1204,7 @@ def write_snapshot(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 2048, bloom_k: int = 3,
     partition_by: list[str] | None = None,
+    _cluster_within: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to ``table`` as a new snapshot; returns the version.
 
@@ -1262,7 +1293,8 @@ def write_snapshot(
     tmp_dir = os.path.join(table, "_tmp", job)
     try:
         mine, counts, stats, parts = _stage_publish(
-            df, table, tmp_dir, stats_cols, pb
+            df, table, tmp_dir, stats_cols, pb,
+            cluster_within=_cluster_within,
         )
         blooms = _compute_blooms(
             df.sparkSession, table, mine, bloom_cols or [],
@@ -2666,14 +2698,15 @@ def compact_partitions(
             )
             df = _read_shards(spark, table, selected, schema)
             if cluster_by:
-                df = df.repartitionByRange(
-                    n, *cluster_by
-                ).sortWithinPartitions(*cluster_by)
+                # the per-tuple re-split shuffles anyway; the key
+                # locality that makes stats selective is restored by
+                # cluster_within's in-partition sort
                 scols = list(dict.fromkeys(scols + list(cluster_by)))
             else:
                 df = df.coalesce(n)
             mine, counts, stats, parts = _stage_publish(
-                df, table, tmp_dir, scols, pb
+                df, table, tmp_dir, scols, pb,
+                cluster_within=list(cluster_by or []),
             )
             def _shard(m):
                 s = {"file": m, "n_rows": counts[m]}
@@ -2791,6 +2824,13 @@ def compact_table(
         )
     else:
         df = df.coalesce(n)
+    # on a PARTITIONED table the staging re-split shuffles by tuple;
+    # re-sorting inside each tuple preserves the clustered layout's
+    # stats selectivity (zorder approximated by (x, y) lexicographic
+    # order within a partition — stats stay correct either way)
+    inner = list(cluster_by) if cluster_by else (
+        list(zorder_by) if zorder_by else None
+    )
     return write_snapshot(
         df, table, mode="overwrite",
         properties={
@@ -2800,4 +2840,5 @@ def compact_table(
         },
         stats_cols=stats_cols,
         bloom_cols=bloom_cols,
+        _cluster_within=inner,
     )

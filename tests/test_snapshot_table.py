@@ -2670,3 +2670,52 @@ def test_partition_spec_evolution_and_show_partitions(
     drop_partition(table, {"bucket(4, doc_id)": 0})
     # incremental read passes over the spec commit (row-preserving)
     assert read_changes(spark, table, 1, 3).count() == 50
+
+
+def test_partition_value_edge_cases_and_fanout(spark, docs, tmp_path):
+    """Review regressions: (1) empty-string partition values stay
+    distinct from NULL through the hive dir round-trip (staged with a
+    stripped '=' prefix — Spark writes '' to the default partition
+    otherwise), on BOTH write paths; (2) values containing the old
+    Arrow-split separator byte survive exactly; (3) staging shuffles by
+    tuple first, so a many-task upstream commits ~one file per
+    partition value, not tasks x partitions."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_datasource import (
+        register_snapshot_table_source,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        drop_partition,
+    )
+
+    register_snapshot_table_source(spark)
+    rows = [(1, "", 10), (2, None, 20), (3, "en", 30), (4, "a\x1fb", 40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n bigint")
+    for via_official in (False, True):
+        table = str(tmp_path / f"t{via_official}")
+        if via_official:
+            (
+                df.write.format("snapshot_table")
+                .option("partition_by", "lang").mode("append").save(table)
+            )
+        else:
+            write_snapshot(df, table, partition_by=["lang"])
+        rec = sorted(
+            (s["partition"]["lang"] for s in
+             snapshot_history(table)[-1]["shards"]),
+            key=lambda v: (v is None, v or ""),
+        )
+        assert rec == ["", "a\x1fb", "en", None], (via_official, rec)
+        for probe, want in (("", 1), (None, 1), ("a\x1fb", 1)):
+            assert read_snapshot(
+                spark, table, partition_filter={"lang": probe}
+            ).count() == want, (via_official, probe)
+        drop_partition(table, {"lang": None})
+        left = read_snapshot(spark, table)
+        assert left.count() == 3
+        assert left.where(F.col("lang") == "").count() == 1
+    # fan-out bound: 16 upstream tasks x N langs -> N files, not 16xN
+    table = str(tmp_path / "fan")
+    write_snapshot(docs.repartition(16), table, partition_by=["lang"])
+    snap = snapshot_history(table)[-1]
+    n_langs = docs.select("lang").distinct().count()
+    assert len(snap["shards"]) <= n_langs
