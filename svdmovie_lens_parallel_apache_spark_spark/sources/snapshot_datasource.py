@@ -442,38 +442,20 @@ def _build():
             if not self.partition_by:
                 return _Staged(files=[_stage_one(t, None)])
             # partitioned table: one staged file per partition tuple in
-            # this task's rows (the twin of _stage_publish's hive-shadow
-            # split, done in Arrow). Distinct tuples come from a
-            # zero-aggregate group_by over the string-cast key columns —
-            # actual values, NO separator encoding, so a value
-            # containing any byte sequence (or equal to a would-be
-            # sentinel) can never shift or truncate across columns.
-            # Masks are vectorized per column; NULL matches via is_null.
-            keys = [
-                pc.cast(t[c], pa.string()).combine_chunks()
-                for c in self.partition_by
-            ]
-            key_tbl = pa.table(
-                {f"k{i}": k for i, k in enumerate(keys)}
+            # this task's rows — the shared separator-proof group_by
+            # split (identity fields; transforms are gated at __init__)
+            from .snapshot_table import (
+                _arrow_partition_split,
+                _parse_partition_spec as _pps,
             )
-            uniq = key_tbl.group_by(key_tbl.column_names).aggregate([])
-            files = []
-            for u in uniq.to_pylist():
-                mask = None
-                for i in range(len(keys)):
-                    v = u[f"k{i}"]
-                    m = (
-                        pc.is_null(keys[i]) if v is None
-                        else pc.fill_null(pc.equal(keys[i], v), False)
-                    )
-                    mask = m if mask is None else pc.and_(mask, m)
-                sub = t.filter(mask)
-                vals = {
-                    c: u[f"k{i}"]
-                    for i, c in enumerate(self.partition_by)
-                }
-                files.append(_stage_one(sub, vals))
-            return _Staged(files=files)
+
+            fields = [_pps(s) for s in self.partition_by]
+            return _Staged(
+                files=[
+                    _stage_one(sub, vals)
+                    for sub, vals in _arrow_partition_split(t, fields)
+                ]
+            )
 
         # -- driver side ----------------------------------------------
         def _staged(self, messages):

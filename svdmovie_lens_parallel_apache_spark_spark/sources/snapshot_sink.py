@@ -65,10 +65,11 @@ def _build():
 
     @dataclass
     class _ShardStaged(WriterCommitMessage):
-        name: str | None  # staged file name; None = empty task
-        n_rows: int = 0
-        stats: dict = field(default_factory=dict)
-        bloom: dict = field(default_factory=dict)
+        # staged entries for one task, each
+        # {name, n_rows, stats, bloom, partition?}; [] = empty task.
+        # Multiple entries when the table is partitioned and the task's
+        # rows span partition tuples (one staged file per tuple)
+        files: list = field(default_factory=list)
 
     class SnapshotStreamWriter(DataSourceStreamArrowWriter):
         def __init__(self, options, schema):
@@ -103,6 +104,29 @@ def _build():
                         f"string columns only; {c!r} is {t}"
                     )
             self.schema_json = schema.json()
+            # a partitioned table's spec is INHERITED at query start:
+            # micro-batches split on the IDENTITY fields so their shards
+            # are stamped (pruning + drop_partition stay armed under
+            # streaming ingest); transform fields are skipped — those
+            # shards record only their identity values and stay
+            # conservatively scanned for the transform tier until
+            # compact_partitions re-stamps (transforms run JVM-side in
+            # the foreachBatch path). commit() re-checks the spec every
+            # batch and fails the query loudly if it changed mid-stream.
+            from .snapshot_table import (
+                _parse_partition_spec,
+                table_partition_by,
+            )
+
+            self.partition_by = table_partition_by(self.table)
+            self.split_fields = [
+                f
+                for f in (
+                    _parse_partition_spec(s) for s in self.partition_by
+                )
+                if f["kind"] == "identity"
+                and f["source"] in schema.fieldNames()
+            ]
 
         # -- executor side ------------------------------------------------
         def write(self, iterator):
@@ -113,47 +137,73 @@ def _build():
             batches = list(iterator)
             n = sum(len(b) for b in batches)
             if n == 0:
-                return _ShardStaged(name=None)
+                return _ShardStaged(files=[])
             t = pa.Table.from_batches(batches)
-            stats = {}
-            for c in self.stats_cols:
-                if c in t.schema.names:
-                    mm = pc.min_max(t[c])
-                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
-                    stats[c] = [lo, hi]
-            bloom = {}
-            if self.bloom_cols:
-                from .snapshot_table import _bloom_bits_for
-
-                for c in self.bloom_cols:
-                    if c in t.schema.names:
-                        bits: set = set()
-                        for v in pc.unique(t[c]).to_pylist():
-                            if v is not None:
-                                bits.update(
-                                    _bloom_bits_for(
-                                        v, self.bloom_bits, self.bloom_k
-                                    )
-                                )
-                        bloom[c] = {
-                            "m": self.bloom_bits,
-                            "k": self.bloom_k,
-                            "bits": sorted(bits),
-                        }
             stage = os.path.join(self.table, _STAGE_DIR)
             os.makedirs(stage, exist_ok=True)
-            name = f"stream-{uuid.uuid4().hex}.parquet"
-            pq.write_table(t, os.path.join(stage, name))
-            return _ShardStaged(name=name, n_rows=n, stats=stats, bloom=bloom)
+
+            def _stage_one(sub, partition):
+                stats = {}
+                for c in self.stats_cols:
+                    if c in sub.schema.names:
+                        mm = pc.min_max(sub[c])
+                        stats[c] = [mm["min"].as_py(), mm["max"].as_py()]
+                bloom = {}
+                if self.bloom_cols:
+                    from .snapshot_table import _bloom_bits_for
+
+                    for c in self.bloom_cols:
+                        if c in sub.schema.names:
+                            bits: set = set()
+                            for v in pc.unique(sub[c]).to_pylist():
+                                if v is not None:
+                                    bits.update(
+                                        _bloom_bits_for(
+                                            v, self.bloom_bits,
+                                            self.bloom_k,
+                                        )
+                                    )
+                            bloom[c] = {
+                                "m": self.bloom_bits,
+                                "k": self.bloom_k,
+                                "bits": sorted(bits),
+                            }
+                name = f"stream-{uuid.uuid4().hex}.parquet"
+                pq.write_table(sub, os.path.join(stage, name))
+                entry = {
+                    "name": name, "n_rows": sub.num_rows,
+                    "stats": stats, "bloom": bloom,
+                }
+                if partition:
+                    entry["partition"] = partition
+                return entry
+
+            from .snapshot_table import _arrow_partition_split
+
+            return _ShardStaged(
+                files=[
+                    _stage_one(sub, vals)
+                    for sub, vals in _arrow_partition_split(
+                        t, self.split_fields
+                    )
+                ]
+            )
 
         # -- driver side --------------------------------------------------
         def _staged(self, messages):
-            return [m for m in messages if m is not None and m.name]
+            return [
+                e
+                for m in messages
+                if m is not None and m.files
+                for e in m.files
+            ]
 
         def _discard(self, messages):
-            for m in self._staged(messages):
+            for e in self._staged(messages):
                 try:
-                    os.remove(os.path.join(self.table, _STAGE_DIR, m.name))
+                    os.remove(
+                        os.path.join(self.table, _STAGE_DIR, e["name"])
+                    )
                 except FileNotFoundError:
                     pass
 
@@ -195,8 +245,8 @@ def _build():
                 spark = SparkSession.getActiveSession()
                 df = spark.read.schema(schema).parquet(
                     *[
-                        os.path.join(self.table, _STAGE_DIR, m.name)
-                        for m in staged
+                        os.path.join(self.table, _STAGE_DIR, e["name"])
+                        for e in staged
                     ]
                 )
                 try:
@@ -207,17 +257,19 @@ def _build():
             os.makedirs(os.path.join(self.table, _SNAP_DIR), exist_ok=True)
             os.makedirs(os.path.join(self.table, _DATA_DIR), exist_ok=True)
             mine = []
-            for m in staged:
+            for e in staged:
                 name = f"part-{uuid.uuid4().hex}.parquet"
                 os.replace(
-                    os.path.join(self.table, _STAGE_DIR, m.name),
+                    os.path.join(self.table, _STAGE_DIR, e["name"]),
                     os.path.join(self.table, _DATA_DIR, name),
                 )
-                shard = {"file": name, "n_rows": m.n_rows}
-                if m.stats:
-                    shard["stats"] = m.stats
-                if m.bloom:
-                    shard["bloom"] = m.bloom
+                shard = {"file": name, "n_rows": e["n_rows"]}
+                if e.get("stats"):
+                    shard["stats"] = e["stats"]
+                if e.get("bloom"):
+                    shard["bloom"] = e["bloom"]
+                if e.get("partition"):
+                    shard["partition"] = e["partition"]
                 mine.append(shard)
             props = {"streaming_batch_id": batchId, "sink": "snapshot_sink"}
             if self.app_id is not None:
@@ -254,10 +306,20 @@ def _build():
                     if cons:
                         snapshot["constraints"] = cons
                     # a partitioned table keeps its spec through stream
-                    # appends; the sink's shards carry no partition
-                    # values (arrival-order micro-batches), so they are
-                    # conservatively kept by pruning until compaction
-                    # re-splits them under the spec
+                    # appends; identity fields were split and stamped at
+                    # write time against the spec READ AT QUERY START —
+                    # a mid-stream re-partition would make those stamps
+                    # wrong, so it fails the query loudly (restart
+                    # re-inherits)
+                    if current is not None and base.get(
+                        "partition_by", []
+                    ) != list(self.partition_by):
+                        raise ValueError(
+                            f"snapshot_sink: table was re-partitioned to "
+                            f"{base.get('partition_by', [])} while this "
+                            f"query (spec {list(self.partition_by)}) was "
+                            f"running; restart the stream"
+                        )
                     if current is not None and base.get("partition_by"):
                         snapshot["partition_by"] = base["partition_by"]
                     if _claim_snapshot(self.table, tmp_dir, snapshot):

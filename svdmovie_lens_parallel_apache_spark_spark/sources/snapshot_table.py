@@ -582,6 +582,42 @@ def _triage_shards(
     return touched, carried
 
 
+def _arrow_partition_split(t, fields: list[dict]) -> list[tuple]:
+    """Executor-side twin of the hive-shadow staging split for the
+    official Arrow writers: split table ``t`` into one sub-table per
+    distinct partition tuple over the given IDENTITY fields (parsed
+    specs — transforms are the JVM path's job). Distinct tuples come
+    from a zero-aggregate ``group_by`` over the string-cast key columns
+    — actual values, NO separator encoding, so a value containing any
+    byte sequence can never shift or truncate across columns; NULL
+    matches via ``is_null``. Returns ``[(sub_table, {spec: str|None})]``
+    (``[(t, {})]`` when ``fields`` is empty)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not fields:
+        return [(t, {})]
+    keys = [
+        pc.cast(t[f["source"]], pa.string()).combine_chunks()
+        for f in fields
+    ]
+    key_tbl = pa.table({f"k{i}": k for i, k in enumerate(keys)})
+    uniq = key_tbl.group_by(key_tbl.column_names).aggregate([])
+    out = []
+    for u in uniq.to_pylist():
+        mask = None
+        for i in range(len(keys)):
+            v = u[f"k{i}"]
+            m = (
+                pc.is_null(keys[i]) if v is None
+                else pc.fill_null(pc.equal(keys[i], v), False)
+            )
+            mask = m if mask is None else pc.and_(mask, m)
+        vals = {f["spec"]: u[f"k{i}"] for i, f in enumerate(fields)}
+        out.append((t.filter(mask), vals))
+    return out
+
+
 def table_partition_by(table: str) -> list[str]:
     """The live table's partition columns ([] for an unpartitioned,
     new, or absent table)."""
@@ -1696,6 +1732,7 @@ def streaming_snapshot_sink(table: str, app_id: str | None = None):
 def merge_upsert(
     updates: DataFrame, table: str, key_cols: list[str],
     prune_col: str | None = None, delete_condition: str | None = None,
+    partition_prune: dict | None = None,
 ) -> int:
     """Copy-on-write MERGE (Delta ``MERGE WHEN MATCHED UPDATE / WHEN NOT
     MATCHED INSERT``-shaped): rows in ``updates`` replace current rows
@@ -1720,6 +1757,12 @@ def merge_upsert(
     in ``updates`` falls back to a full rewrite. For update-heavy
     workloads the merge-on-read encoding (delete vectors) layers on
     top of the same snapshot protocol.
+
+    ``partition_prune={field: source_value_or_list}`` is the
+    partitioned-table form (caller contract: every key in ``updates``
+    lies in those partitions): non-matching shards carry over EXACTLY.
+    Composes with ``prune_col`` — a shard is rewritten only if both
+    tiers keep it.
 
     ``delete_condition`` is the MERGE delete clause (Delta ``WHEN
     MATCHED [AND cond] THEN DELETE`` shaped), evaluated on each
@@ -1791,14 +1834,13 @@ def merge_upsert(
         # kept rows already satisfied the invariants at their own
         # commit; only the incoming (surviving) rows need validation
         _enforce_constraints(surviving, snap.get("constraints", {}))
-        touched, carried = [], []
-        if bounds is not None:
-            lo, hi = bounds
-            for s in snap["shards"]:
-                (touched if _stats_overlap(s, prune_col, lo, hi)
-                 else carried).append(s)
-        else:
-            touched = list(snap["shards"])
+        touched, carried = _triage_shards(
+            snap["shards"],
+            (prune_col, bounds[0], bounds[1]) if bounds is not None
+            else None,
+            partition_prune,
+            snap.get("partition_by", []),
+        )
         schema = _merge_schema(table_schema, updates.schema)
         if touched:
             cur = _read_shards(spark, table, touched, table_schema)

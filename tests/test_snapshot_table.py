@@ -2719,3 +2719,52 @@ def test_partition_value_edge_cases_and_fanout(spark, docs, tmp_path):
     snap = snapshot_history(table)[-1]
     n_langs = docs.select("lang").distinct().count()
     assert len(snap["shards"]) <= n_langs
+
+
+def test_streaming_sink_stamps_partitions(spark, docs, tmp_path):
+    """The official stream sink splits each micro-batch on the table's
+    identity partition fields at write time — streamed shards arrive
+    STAMPED, so pruning and drop_partition work on streaming ingest
+    without waiting for compaction; merge_upsert's partition_prune
+    carries non-matching partitions verbatim."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_sink import (
+        register_snapshot_sink,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        drop_partition, merge_upsert,
+    )
+
+    register_snapshot_sink(spark)
+    table = str(tmp_path / "t")
+    write_snapshot(docs.limit(0), table, partition_by=["lang"])
+    src = str(tmp_path / "src")
+    docs.limit(200).coalesce(1).write.mode("overwrite").parquet(src)
+    q = (
+        spark.readStream.schema(docs.schema).parquet(src)
+        .writeStream.format("snapshot_sink")
+        .option("path", table).option("app_id", "stamp-test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    snap = snapshot_history(table)[-1]
+    assert snap["partition_by"] == ["lang"]
+    assert all(
+        s.get("partition", {}).get("lang") is not None
+        for s in snap["shards"]
+    )
+    langs = sorted({s["partition"]["lang"] for s in snap["shards"]})
+    drop_partition(table, {"lang": langs[0]})  # no compaction needed
+    left = read_snapshot(spark, table)
+    assert left.where(F.col("lang") == langs[0]).count() == 0
+    # merge with partition_prune rewrites only the touched partition
+    ups = left.where(F.col("lang") == langs[1]).limit(3).withColumn(
+        "n_chars", F.lit(7).cast("bigint")
+    )
+    v = merge_upsert(
+        ups, table, ["doc_id"], partition_prune={"lang": langs[1]}
+    )
+    props = st._load_snapshot(table, v)["properties"]
+    assert props["shards_skipped"] > 0
+    got = read_snapshot(spark, table)
+    assert got.where(F.col("n_chars") == 7).count() == 3
