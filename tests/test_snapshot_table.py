@@ -2768,3 +2768,32 @@ def test_streaming_sink_stamps_partitions(spark, docs, tmp_path):
     assert props["shards_skipped"] > 0
     got = read_snapshot(spark, table)
     assert got.where(F.col("n_chars") == 7).count() == 3
+
+
+def test_sql_ddl_partition_pushdown(spark, docs, tmp_path):
+    """Pure-SQL reach of partition pruning: a temp view over a
+    bucket-partitioned table prunes a WHERE doc_id = k probe through
+    the hidden transform (plan_log proof), rows equal the plain
+    filter."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_datasource import (
+        register_snapshot_table_source,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["bucket(8, doc_id)"])
+    register_snapshot_table_source(spark)
+    probe = docs.limit(1).collect()[0].doc_id
+    log = str(tmp_path / "plan.json")
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW snap_part_v "
+        f"USING snapshot_table OPTIONS (path '{table}', plan_log '{log}')"
+    )
+    try:
+        rows = spark.sql(
+            f"SELECT doc_id, lang FROM snap_part_v WHERE doc_id = {probe}"
+        ).collect()
+        assert len(rows) == 1 and rows[0]["doc_id"] == probe
+        plan = json.load(open(log))
+        assert 0 < plan["planned"] < plan["total"]
+    finally:
+        spark.catalog.dropTempView("snap_part_v")
