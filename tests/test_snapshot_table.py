@@ -2797,3 +2797,53 @@ def test_sql_ddl_partition_pushdown(spark, docs, tmp_path):
         assert 0 < plan["planned"] < plan["total"]
     finally:
         spark.catalog.dropTempView("snap_part_v")
+
+
+def test_drop_partition_and_spec_race_retries(
+    spark, docs, tmp_path, monkeypatch
+):
+    """Metadata ops lose a commit race cleanly: a rival append landing
+    between drop_partition's triage and its claim makes the drop retry
+    on the new base — the rival's shards survive and exactly the
+    partition's shards (including the rival's freshly appended one)
+    leave; same for set_partition_spec (spec applies on top of the
+    rival's commit, nothing lost)."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        drop_partition, set_partition_spec,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["lang"])         # v1
+    real_link = os.link
+    state = {"raced": False}
+
+    def racing_link(src, dst):
+        if not state["raced"] and "_snapshots" in dst:
+            state["raced"] = True
+            write_snapshot(                                    # rival v2
+                docs.where(F.col("lang") == "en").limit(5), table
+            )
+        return real_link(src, dst)
+
+    monkeypatch.setattr(st.os, "link", racing_link)
+    v = drop_partition(table, {"lang": "en"})                  # lands v3
+    assert state["raced"] and v == 3
+    final = read_snapshot(spark, table)
+    assert final.where(F.col("lang") == "en").count() == 0
+    assert final.count() == docs.where(F.col("lang") != "en").count()
+
+    state["raced"] = False
+
+    def racing_link2(src, dst):
+        if not state["raced"] and "_snapshots" in dst:
+            state["raced"] = True
+            write_snapshot(docs.limit(3), table)               # rival v4
+        return real_link(src, dst)
+
+    monkeypatch.setattr(st.os, "link", racing_link2)
+    v = set_partition_spec(table, ["bucket(4, doc_id)"])       # lands v5
+    assert state["raced"] and v == 5
+    snap = snapshot_history(table)[-1]
+    assert snap["partition_by"] == ["bucket(4, doc_id)"]
+    # the rival's rows are in the spec commit's shard list (rebased)
+    assert snap["n_rows"] == final.count() + 3
