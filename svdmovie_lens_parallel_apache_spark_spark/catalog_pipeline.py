@@ -4228,3 +4228,68 @@ def q_udtf_sentence_explode(spark, sf_dir):
         FROM {view} d, LATERAL sentence_explode(d.doc_id, d.text) s
         GROUP BY d.lang
     """)
+
+
+@register(
+    "variant_json_extract",
+    """
+    WITH j AS (
+      SELECT doc_id, lang,
+             concat('{"id":', CAST(doc_id AS VARCHAR),
+                    ',"meta":{"lang":"', lang,
+                    '","nc":', CAST(n_chars AS VARCHAR),
+                    '},"tags":["t', CAST(doc_id % 3 AS VARCHAR),
+                    '","x"]}') AS js
+      FROM documents)
+    SELECT json_extract_string(js, '$.meta.lang')            AS vlang,
+           count(*)                                          AS n_docs,
+           CAST(sum(CAST(json_extract(js, '$.meta.nc') AS BIGINT))
+                AS BIGINT)                                   AS sum_nc,
+           CAST(sum(CASE WHEN json_extract_string(js, '$.tags[0]') = 't1'
+                         THEN 1 ELSE 0 END) AS BIGINT)       AS n_tag1
+    FROM j
+    WHERE CAST(json_extract(js, '$.id') AS BIGINT) % 2 = 0
+    GROUP BY 1
+    """,
+    tags=("functions", "variant", "semi-structured"),
+    description="Spark-4 VARIANT path for semi-structured metadata "
+    "columns (the shape every training-data pipeline carries alongside "
+    "text/bytes): a deterministic JSON document is built per row with "
+    "the SAME concat in both engines, then parse_json lifts it to "
+    "VARIANT once and try_variant_get extracts typed fields — a nested "
+    "object string, a nested bigint summed, an array element tested, "
+    "and a top-level id filtered on — grouped by the extracted value. "
+    "The DuckDB twin replays extraction with json_extract, so any "
+    "path-semantics, type-coercion, or NULL-on-miss drift between the "
+    "two engines fails the hash gate. VARIANT's binary encoding parses "
+    "the JSON once per row instead of once per ...variant_get (the "
+    "Spark-4 advantage over chained get_json_object at 100 TB); "
+    "extraction is JVM-side, fully inside whole-stage codegen.",
+)
+def q_variant_json_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    js = F.concat(
+        F.lit('{"id":'), F.col("doc_id").cast("string"),
+        F.lit(',"meta":{"lang":"'), F.col("lang"),
+        F.lit('","nc":'), F.col("n_chars").cast("string"),
+        F.lit('},"tags":["t'), (F.col("doc_id") % 3).cast("string"),
+        F.lit('","x"]}'),
+    )
+    v = F.parse_json(js)
+    return (
+        docs.select(
+            F.try_variant_get(v, "$.meta.lang", "string").alias("vlang"),
+            F.try_variant_get(v, "$.meta.nc", "bigint").alias("vnc"),
+            F.try_variant_get(v, "$.tags[0]", "string").alias("tag0"),
+            F.try_variant_get(v, "$.id", "bigint").alias("vid"),
+        )
+        .where(F.col("vid") % 2 == 0)
+        .groupBy("vlang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("vnc").cast("long").alias("sum_nc"),
+            F.sum((F.col("tag0") == "t1").cast("long")).cast("long").alias(
+                "n_tag1"
+            ),
+        )
+    )
