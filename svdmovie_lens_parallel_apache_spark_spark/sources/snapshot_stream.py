@@ -94,15 +94,15 @@ def _build():
             return {"version": self.start_version if v is None else v}
 
         def partitions(self, start, end):
-            files, _ = _added_files(
+            entries, _ = _added_files(
                 self.table, start["version"], end["version"]
             )
             import os
 
             data = os.path.join(self.table, "data")
-            return [_Shard(os.path.join(data, f)) for f in files] or [
-                _Shard(None)
-            ]
+            return [
+                _Shard(os.path.join(data, s["file"])) for s in entries
+            ] or [_Shard(None)]
 
         def read(self, partition):
             if partition.path is None:

@@ -2418,6 +2418,7 @@ def rollback(table: str, version: int) -> int:
 def read_changes(
     spark: SparkSession, table: str, start_version: int,
     end_version: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Incremental read (Iceberg incremental append scan / Delta CDF's
     append-only fast path): the rows ADDED after ``start_version`` up to
@@ -2434,13 +2435,25 @@ def read_changes(
     (overwrite, delete, merge, rollback) raises loudly: its changes are
     not representable as added files, and silently skipping it would
     hand the consumer a wrong delta. Requires the range's snapshot
-    files to still exist (retention)."""
+    files to still exist (retention).
+
+    ``partition_filter={field: source_value_or_list}`` (fields of the
+    END version's spec, probes transformed like every other surface)
+    narrows the incremental read to the matching partitions' added
+    files from metadata alone — the per-language/per-day derived-table
+    refresh, O(that partition's new files). Unstamped added shards are
+    conservatively kept."""
     end = latest_version(table) if end_version is None else end_version
     if end is None or start_version > end:
         raise ValueError(
             f"snapshot_table: bad change range ({start_version}, {end}]"
         )
     added, schema_json = _added_files(table, start_version, end)
+    if partition_filter:
+        pb = _load_snapshot(table, end).get("partition_by", [])
+        for key, want in partition_filter.items():
+            tvals = _transform_probes(pb, key, want)
+            added = [s for s in added if _partition_match(s, key, tvals)]
     schema = StructType.fromJson(
         schema_json
         if schema_json is not None
@@ -2449,7 +2462,7 @@ def read_changes(
     if not added:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(
-        *[os.path.join(table, _DATA_DIR, n) for n in added]
+        *[os.path.join(table, _DATA_DIR, s["file"]) for s in added]
     )
 
 
@@ -2622,12 +2635,13 @@ def read_cdc(
 
 def _added_files(
     table: str, start_version: int, end_version: int
-) -> tuple[list[str], dict | None]:
+) -> tuple[list[dict], dict | None]:
     """The metadata walk behind :func:`read_changes` and the
     ``snapshot_changes`` stream source: file names appended in
     ``(start_version, end_version]`` (``start_version=0`` = since table
-    creation) plus the last append's schema JSON (None if the range
-    holds no append). Layout-only compactions are skipped; any other
+    creation) as full SHARD ENTRIES (so callers can partition-filter
+    from metadata) plus the last append's schema JSON (None if the
+    range holds no append). Layout-only compactions are skipped; any other
     non-append commit raises — including a compaction whose PARENT had
     pending lazy-delete tombstones: that rewrite materialises the
     deletes, so it changes rows, not just layout (same guard
@@ -2638,7 +2652,7 @@ def _added_files(
         else _load_snapshot(table, start_version)
     )
     prev: set[str] = {s["file"] for s in prev_snap["shards"]}
-    added: list[str] = []
+    added: list[dict] = []
     schema_json = None
     for v in range(start_version + 1, end_version + 1):
         snap = _load_snapshot(table, v)
@@ -2669,7 +2683,8 @@ def _added_files(
                 f"snapshot_table: read_changes supports append-only "
                 f"ranges; version {v} is {snap['operation']!r}"
             )
-        added.extend(sorted(cur - prev))
+        by_name = {s["file"]: s for s in snap["shards"]}
+        added.extend(by_name[n] for n in sorted(cur - prev))
         prev, prev_snap = cur, snap
         schema_json = snap["schema"]
     return added, schema_json

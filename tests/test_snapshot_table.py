@@ -2847,3 +2847,29 @@ def test_drop_partition_and_spec_race_retries(
     assert snap["partition_by"] == ["bucket(4, doc_id)"]
     # the rival's rows are in the spec commit's shard list (rebased)
     assert snap["n_rows"] == final.count() + 3
+
+
+def test_read_changes_partition_filter(spark, docs, tmp_path):
+    """Incremental reads narrow to one partition's added files from
+    metadata alone — the per-language derived-table refresh; hidden
+    transforms apply to the probe; unknown keys raise."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        read_changes,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs.where(F.col("doc_id") % 2 == 0), table,
+                   partition_by=["lang"])                    # v1
+    write_snapshot(docs.where(F.col("doc_id") % 2 == 1), table)  # v2
+    write_snapshot(docs.limit(0), table)                     # v3 (empty)
+    inc = read_changes(
+        spark, table, start_version=1, partition_filter={"lang": "en"}
+    )
+    expect = docs.where(
+        (F.col("doc_id") % 2 == 1) & (F.col("lang") == "en")
+    )
+    assert _canon(inc) == _canon(expect)
+    with pytest.raises(ValueError, match="not a partition field"):
+        read_changes(
+            spark, table, start_version=1, partition_filter={"x": 1}
+        )
