@@ -2873,3 +2873,33 @@ def test_read_changes_partition_filter(spark, docs, tmp_path):
         read_changes(
             spark, table, start_version=1, partition_filter={"x": 1}
         )
+
+
+def test_drop_partition_retention_lifecycle(spark, docs, tmp_path):
+    """The retention story end to end: DROP PARTITION leaves the files
+    on disk for time travel; once retention expires the pre-drop
+    snapshots, the dropped partition's files are physically reclaimed
+    and the live table is untouched."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        drop_partition, expire_snapshots,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["lang"])          # v1
+    snap = snapshot_history(table)[-1]
+    en_files = [
+        s["file"] for s in snap["shards"]
+        if s["partition"]["lang"] == "en"
+    ]
+    drop_partition(table, {"lang": "en"})                       # v2
+    for f in en_files:  # still on disk: v1 time-travels
+        assert os.path.exists(os.path.join(table, "data", f))
+    got = expire_snapshots(table, keep_last=1)
+    assert got["shards_removed"] == len(en_files)
+    for f in en_files:
+        assert not os.path.exists(os.path.join(table, "data", f))
+    assert _canon(read_snapshot(spark, table)) == _canon(
+        docs.where(F.col("lang") != "en")
+    )
+    with pytest.raises(FileNotFoundError):
+        st._load_snapshot(table, 1)  # expired, loudly
