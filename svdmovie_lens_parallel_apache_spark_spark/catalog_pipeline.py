@@ -4293,3 +4293,70 @@ def q_variant_json_extract(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "snapshot_files_metadata",
+    """
+    SELECT lang,
+           count(*)                      AS n_docs,
+           CAST(min(doc_id) AS BIGINT)   AS min_doc,
+           CAST(max(doc_id) AS BIGINT)   AS max_doc,
+           TRUE                          AS meta_ok
+    FROM documents GROUP BY lang
+    """,
+    tags=("sources", "table-format", "metadata", "inspection"),
+    description="Iceberg-style INSPECTION TABLES (read_metadata_table: "
+    "history/files/partitions as DataFrames, zero data files opened): "
+    "commit documents lang-partitioned with doc_id stats, then answer a "
+    "real per-language COUNT/MIN/MAX query FROM THE FILES METADATA ALONE "
+    "— partition values give exact group keys (shards are partition-"
+    "pure), per-shard recorded [min,max] fold to exact group extrema, "
+    "n_rows sums to exact counts — and the DuckDB oracle computes the "
+    "same answer by SCANNING the data. O(shards) metadata vs O(table) "
+    "scan, the audit/ops surface a 100 TB table is actually managed "
+    "through. meta_ok pins the partitions inspection table agreeing "
+    "with the files table on totals and the history table recording the "
+    "commit. Engine: snapshot_table.py::read_metadata_table.",
+)
+def q_snapshot_files_metadata(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        read_metadata_table,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="svdml-snapmeta-") + "/t"
+    write_snapshot(
+        docs, table, partition_by=["lang"], stats_cols=["doc_id"]
+    )
+    files = read_metadata_table(spark, table, "files")
+    parts = read_metadata_table(spark, table, "partitions")
+    hist = read_metadata_table(spark, table, "history")
+    n_total = docs.count()
+    meta_ok = bool(
+        parts.agg(F.sum("n_rows")).collect()[0][0] == n_total
+        and files.agg(F.sum("n_rows")).collect()[0][0] == n_total
+        and hist.where(
+            (F.col("version") == 1) & (F.col("operation") == "append")
+        ).count() == 1
+    )
+    return (
+        files.select(
+            F.col("partition")["lang"].alias("lang"),
+            F.col("n_rows"),
+            F.element_at(F.col("stats")["doc_id"], 1)
+            .cast("bigint").alias("lo"),
+            F.element_at(F.col("stats")["doc_id"], 2)
+            .cast("bigint").alias("hi"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_docs"),
+            F.min("lo").cast("long").alias("min_doc"),
+            F.max("hi").cast("long").alias("max_doc"),
+        )
+        .withColumn("meta_ok", F.lit(meta_ok))
+    )

@@ -212,6 +212,88 @@ def show_partitions(table: str, version: int | None = None) -> list[dict]:
     return out
 
 
+def read_metadata_table(
+    spark: SparkSession, table: str, kind: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Iceberg-style INSPECTION TABLES: the snapshot log itself as a
+    DataFrame, zero data files opened. ``kind``:
+
+    - ``"history"`` — one row per surviving snapshot: version, parent,
+      operation, committed_at, n_rows, n_shards.
+    - ``"files"`` — one row per LIVE shard of the pinned version:
+      file, n_rows, partition values (map<string,string>), and per-
+      column recorded [min, max] stats (map<string,array<string>> in
+      portable string form — inspection weight, not typed query
+      weight).
+    - ``"partitions"`` — :func:`show_partitions` as rows: partition
+      map (NULL for unstamped shards), n_rows, n_shards.
+
+    The 100 TB operational surface: auditing layout, stats coverage,
+    partition balance, and commit cadence is a metadata scan, never a
+    data scan. ``version=`` pins files/partitions like
+    :func:`read_snapshot`; history always lists every surviving
+    snapshot."""
+    if kind == "history":
+        rows = [
+            {
+                "version": s["version"],
+                "parent": s.get("parent"),
+                "operation": s["operation"],
+                "committed_at": float(s["committed_at"])
+                if s.get("committed_at") is not None else None,
+                "n_rows": s["n_rows"],
+                "n_shards": s["n_shards"],
+            }
+            for s in snapshot_history(table)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version bigint, parent bigint, operation string, "
+            "committed_at double, n_rows bigint, n_shards bigint",
+        )
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
+    if kind == "files":
+        snap = _load_snapshot(table, v)
+        rows = [
+            {
+                "file": s["file"],
+                "n_rows": s["n_rows"],
+                "partition": s.get("partition"),
+                "stats": {
+                    c: [_pstr(b[0]), _pstr(b[1])]
+                    for c, b in s.get("stats", {}).items()
+                } or None,
+            }
+            for s in snap["shards"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "file string, n_rows bigint, "
+            "partition map<string,string>, "
+            "stats map<string,array<string>>",
+        )
+    if kind == "partitions":
+        rows = [
+            {
+                "partition": p["partition"],
+                "n_rows": p["n_rows"],
+                "n_shards": p["n_shards"],
+            }
+            for p in show_partitions(table, version=v)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition map<string,string>, n_rows bigint, n_shards bigint",
+        )
+    raise ValueError(
+        f"snapshot_table: unknown metadata table {kind!r} "
+        f"(history | files | partitions)"
+    )
+
+
 def set_partition_spec(table: str, partition_by: list[str]) -> int:
     """Partition SPEC EVOLUTION as a metadata-only commit (Iceberg
     ``update_spec``): future writes split under the new spec while

@@ -2903,3 +2903,34 @@ def test_drop_partition_retention_lifecycle(spark, docs, tmp_path):
     )
     with pytest.raises(FileNotFoundError):
         st._load_snapshot(table, 1)  # expired, loudly
+
+
+def test_read_metadata_tables(spark, docs, tmp_path):
+    """history/files/partitions inspection tables: exact counts from
+    the log alone, partition and stats surfaces typed, unknown kinds
+    raise, version pinning works."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        read_metadata_table,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(
+        docs, table, partition_by=["lang"], stats_cols=["doc_id"]
+    )                                                           # v1
+    write_snapshot(docs.limit(10), table)                       # v2
+    hist = read_metadata_table(spark, table, "history")
+    assert [r["operation"] for r in hist.orderBy("version").collect()] == [
+        "append", "append"
+    ]
+    files_v1 = read_metadata_table(spark, table, "files", version=1)
+    assert files_v1.agg(F.sum("n_rows")).collect()[0][0] == docs.count()
+    files = read_metadata_table(spark, table, "files")
+    assert files.agg(F.sum("n_rows")).collect()[0][0] == docs.count() + 10
+    # stats carried in portable string form
+    row = files.where(F.col("stats").isNotNull()).limit(1).collect()[0]
+    lo, hi = row["stats"]["doc_id"]
+    assert int(lo) <= int(hi)
+    parts = read_metadata_table(spark, table, "partitions")
+    assert parts.agg(F.sum("n_rows")).collect()[0][0] == docs.count() + 10
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        read_metadata_table(spark, table, "manifests")
