@@ -4360,3 +4360,58 @@ def q_snapshot_files_metadata(spark, sf_dir):
         )
         .withColumn("meta_ok", F.lit(meta_ok))
     )
+
+
+@register(
+    "recursive_tree_depth",
+    f"""
+    WITH RECURSIVE tree AS (
+      SELECT doc_id, 1 AS depth FROM documents WHERE doc_id = 1
+      UNION ALL
+      SELECT d.doc_id, t.depth + 1
+      FROM documents d
+      JOIN tree t ON CAST(floor(d.doc_id / 2) AS BIGINT) = t.doc_id
+    )
+    SELECT t.depth,
+           count(*)                     AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('d.text')}) AS BIGINT) AS text_fp
+    FROM tree t JOIN documents d ON d.doc_id = t.doc_id
+    GROUP BY t.depth
+    """,
+    tags=("functions", "recursive-cte", "iterative", "sql"),
+    description="Recursive CTE (new in Spark 4): transitive closure over "
+    "the implicit binary tree parent(id) = floor(id/2) rooted at 1 — "
+    "every document joins the frontier of its parent's depth, so the "
+    "recursion runs exactly ceil(log2 N) rounds (the scale-safe "
+    "recursion shape: iteration count grows with log of data, each round "
+    "one hash join; contrast a linked-list chain, which would need N "
+    "rounds). Depth histogram with per-depth char sums and text "
+    "fingerprints; DuckDB executes the IDENTICAL WITH RECURSIVE text, so "
+    "the gate pins frontier semantics (UNION ALL, no cycle dedup), join "
+    "re-entry, and termination across both engines. A closed form "
+    "(depth = floor(log2 id) + 1) makes the result independently "
+    "checkable.",
+)
+def q_recursive_tree_depth(spark, sf_dir):
+    from .sources.readers import load_tables
+
+    load_tables(spark, sf_dir, ["documents"])
+    return spark.sql(
+        f"""
+        WITH RECURSIVE tree AS (
+          SELECT doc_id, 1 AS depth FROM documents WHERE doc_id = 1
+          UNION ALL
+          SELECT d.doc_id, t.depth + 1
+          FROM documents d
+          JOIN tree t ON CAST(floor(d.doc_id / 2) AS BIGINT) = t.doc_id
+        )
+        SELECT t.depth,
+               count(*) AS n_docs,
+               CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum(CAST(conv(substring(md5(CAST(d.text AS STRING)),
+                    1, 8), 16, 10) AS BIGINT)) AS BIGINT) AS text_fp
+        FROM tree t JOIN documents d ON d.doc_id = t.doc_id
+        GROUP BY t.depth
+        """
+    )
