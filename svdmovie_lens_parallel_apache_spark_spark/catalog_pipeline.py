@@ -4415,3 +4415,47 @@ def q_recursive_tree_depth(spark, sf_dir):
         GROUP BY t.depth
         """
     )
+
+
+@register(
+    "lateral_order_extremes",
+    """
+    SELECT o.o_orderpriority,
+           count(*)                 AS n_orders,
+           CAST(sum(t.n) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(t.mx * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                                    AS sum_max_cents
+    FROM orders o,
+    LATERAL (SELECT max(l.l_extendedprice) AS mx, count(*) AS n
+             FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) t
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "lateral", "subquery", "sql"),
+    description="Correlated LATERAL subquery (SQL:1999 lateral derived "
+    "table, Spark 4 surface next to the UDTF lateral): each order row "
+    "feeds a per-order aggregate over its lineitems (max price, item "
+    "count), then the outer query aggregates by priority. Catalyst "
+    "decorrelates the lateral into a join + partial aggregate rather "
+    "than executing per-row — the plan shape that keeps LATERAL usable "
+    "at 100 TB — and DuckDB runs the identical SQL text, pinning "
+    "decorrelation semantics (empty inner group -> one NULL/0 row, "
+    "NULL-skipping sums) across engines. Money folds as exact integer "
+    "cents so float association order can never drift the gate.",
+)
+def q_lateral_order_extremes(spark, sf_dir):
+    from .sources.readers import load_tables
+
+    load_tables(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority,
+               count(*)                 AS n_orders,
+               CAST(sum(t.n) AS BIGINT) AS n_items,
+               CAST(sum(CAST(floor(t.mx * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                                        AS sum_max_cents
+        FROM orders o,
+        LATERAL (SELECT max(l.l_extendedprice) AS mx, count(*) AS n
+                 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) t
+        GROUP BY o.o_orderpriority
+        """
+    )
