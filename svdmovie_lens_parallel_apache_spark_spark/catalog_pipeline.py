@@ -4459,3 +4459,79 @@ def q_lateral_order_extremes(spark, sf_dir):
         GROUP BY o.o_orderpriority
         """
     )
+
+
+@register(
+    "variant_ragged_fields",
+    """
+    WITH j AS (
+      SELECT doc_id, lang,
+             CASE doc_id % 4
+               WHEN 0 THEN concat('{"lang":"', lang, '","score":',
+                                  CAST(n_chars AS VARCHAR), '}')
+               WHEN 1 THEN concat('{"lang":"', lang, '","score":"',
+                                  CAST(n_chars AS VARCHAR), '"}')
+               WHEN 2 THEN concat('{"lang":"', lang, '"}')
+               ELSE        concat('{"lang":"', lang, '","score":null}')
+             END AS js
+      FROM documents)
+    SELECT lang,
+           count(*)                                           AS n_docs,
+           CAST(count(TRY_CAST(json_extract_string(js, '$.score')
+                               AS BIGINT)) AS BIGINT)         AS n_scored,
+           CAST(sum(TRY_CAST(json_extract_string(js, '$.score')
+                             AS BIGINT)) AS BIGINT)           AS sum_score
+    FROM j GROUP BY lang
+    """,
+    tags=("functions", "variant", "semi-structured", "ragged"),
+    description="RAGGED semi-structured metadata — the real-world shape "
+    "where per-document JSON disagrees on fields: a quarter of docs "
+    "carry a numeric score, a quarter the SAME value as a quoted "
+    "string, a quarter omit the key, a quarter carry JSON null. "
+    "try_variant_get('$.score','bigint') must treat all four "
+    "consistently — numeric passes, quoted-numeric coerces, missing "
+    "and JSON-null both yield SQL NULL and drop out of count/sum — and "
+    "the DuckDB twin (TRY_CAST(json_extract_string)) replays exactly "
+    "those semantics, so any drift in NULL-on-miss, JSON-null, or "
+    "string-coercion behavior fails the hash gate. This is the "
+    "contract a 100 TB metadata column actually needs: schema-free "
+    "ingest, typed reads that degrade to NULL instead of failing the "
+    "job.",
+)
+def q_variant_ragged_fields(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    nc = F.col("n_chars").cast("string")
+    js = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit('{"lang":"'), F.col("lang"),
+                     F.lit('","score":'), nc, F.lit("}")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit('{"lang":"'), F.col("lang"),
+                     F.lit('","score":"'), nc, F.lit('"}')),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit('{"lang":"'), F.col("lang"), F.lit('"}')),
+        )
+        .otherwise(
+            F.concat(F.lit('{"lang":"'), F.col("lang"),
+                     F.lit('","score":null}')),
+        )
+    )
+    v = F.parse_json(js)
+    score = F.try_variant_get(v, "$.score", "bigint")
+    return (
+        docs.select(
+            F.try_variant_get(v, "$.lang", "string").alias("lang"),
+            score.alias("score"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("score").cast("long").alias("n_scored"),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+    )
