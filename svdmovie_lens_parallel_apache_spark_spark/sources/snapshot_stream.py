@@ -39,7 +39,13 @@ module provides that over the snapshot-log format
   same contract as Delta's streaming source).
 
 Options: ``path`` (the table directory), ``start_version`` (default 0 =
-from table creation, so version 1's files are the first batch).
+from table creation, so version 1's files are the first batch), and
+``partition_filter`` (JSON object ``{field: source_value_or_list}``,
+fields of the table's partition spec with probes transformed like every
+other surface) — each micro-batch then plans only the matching
+partitions' added files from metadata alone, the streaming form of the
+per-language derived-table refresh. Unstamped added shards are
+conservatively kept.
 
 Usage::
 
@@ -54,7 +60,13 @@ from dataclasses import dataclass
 
 from pyspark.sql.types import StructType
 
-from .snapshot_table import _added_files, _load_snapshot, latest_version
+from .snapshot_table import (
+    _added_files,
+    _load_snapshot,
+    _partition_match,
+    _transform_probes,
+    latest_version,
+)
 
 
 def _build():
@@ -81,7 +93,18 @@ def _build():
                 raise FileNotFoundError(
                     f"snapshot_changes: {self.table} has no snapshots"
                 )
-            self.schema_json = _load_snapshot(self.table, v)["schema"]
+            snap = _load_snapshot(self.table, v)
+            self.schema_json = snap["schema"]
+            self.probes = None
+            raw = options.get("partition_filter")
+            if raw:
+                import json as _json
+
+                pb = snap.get("partition_by", [])
+                self.probes = {
+                    key: _transform_probes(pb, key, want)
+                    for key, want in _json.loads(raw).items()
+                }
             self.field_names = [
                 f.name for f in StructType.fromJson(self.schema_json).fields
             ]
@@ -97,6 +120,15 @@ def _build():
             entries, _ = _added_files(
                 self.table, start["version"], end["version"]
             )
+            if self.probes:
+                entries = [
+                    s
+                    for s in entries
+                    if all(
+                        _partition_match(s, k, t)
+                        for k, t in self.probes.items()
+                    )
+                ]
             import os
 
             data = os.path.join(self.table, "data")

@@ -2934,3 +2934,41 @@ def test_read_metadata_tables(spark, docs, tmp_path):
     assert parts.agg(F.sum("n_rows")).collect()[0][0] == docs.count() + 10
     with pytest.raises(ValueError, match="unknown metadata table"):
         read_metadata_table(spark, table, "manifests")
+
+
+def test_stream_source_partition_filter(spark, docs, tmp_path):
+    """snapshot_changes with option partition_filter: each micro-batch
+    plans only the matching partitions' added files from metadata
+    (streaming per-language refresh); the result equals the batch
+    read_changes twin."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_stream import (
+        register_snapshot_changes,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        read_changes,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs.where(F.col("doc_id") % 2 == 0), table,
+                   partition_by=["lang"])                    # v1
+    write_snapshot(docs.where(F.col("doc_id") % 2 == 1), table)  # v2
+    register_snapshot_changes(spark)
+    out = (
+        spark.readStream.format("snapshot_changes")
+        .option("path", table).option("start_version", 1)
+        .option("partition_filter", '{"lang": ["en", "de"]}')
+        .load()
+    )
+    q = (
+        out.writeStream.format("memory").queryName("pf_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM pf_stream").collect()
+    )
+    twin = read_changes(
+        spark, table, start_version=1,
+        partition_filter={"lang": ["en", "de"]},
+    )
+    assert got == _canon(twin)
