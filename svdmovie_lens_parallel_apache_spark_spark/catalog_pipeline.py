@@ -4535,3 +4535,96 @@ def q_variant_ragged_fields(spark, sf_dir):
             F.sum("score").cast("long").alias("sum_score"),
         )
     )
+
+
+@register(
+    "snapshot_tiered_pruning",
+    f"""
+    WITH m AS (
+      SELECT max(doc_id) AS probe FROM documents WHERE lang = 'en'
+    )
+    SELECT d.lang,
+           count(*)                     AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('d.text')}) AS BIGINT) AS text_fp,
+           TRUE                         AS tiers_ok
+    FROM documents d, m
+    WHERE d.lang = 'en' AND d.doc_id = m.probe
+    GROUP BY d.lang
+    """,
+    tags=("sources", "table-format", "pruning", "capstone"),
+    description="The three skip tiers COMPOSED in one read — partition "
+    "(exact, coarsest), min/max stats (range), bloom (point) — on a "
+    "table laid out the way a 100 TB corpus actually is: lang-"
+    "partitioned, doc_id-clustered within each partition "
+    "(compact_partitions cluster_by re-sorts inside the tuple split), "
+    "blooms recorded at compaction. A single point probe (lang='en', "
+    "doc_id=k) goes partition_filter -> prune -> bloom_point; tiers_ok "
+    "pins a STRICT monotone reduction with each tier enabled in turn "
+    "(partition < all, +stats < partition, +bloom <= +stats with the "
+    "final set non-empty) — proving the tiers stack rather than "
+    "shadow each other. Rows must fingerprint to the plain SQL filter. "
+    "Engine: read_snapshot's reducer pipeline (snapshot_table.py).",
+)
+def q_snapshot_tiered_pruning(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        _bloom_may_contain,
+        _partition_match,
+        _stats_overlap,
+        _transform_probes,
+        compact_partitions,
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    table = tempfile.mkdtemp(prefix="svdml-snaptier-") + "/t"
+    write_snapshot(docs, table, partition_by=["lang"])
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    for lg in sorted(langs):  # cluster + stats + bloom each partition
+        compact_partitions(
+            spark, table, {"lang": lg}, target_shards=4,
+            cluster_by=["doc_id"], stats_cols=["doc_id"],
+            bloom_cols=["doc_id"],
+        )
+    probe = int(
+        docs.where(F.col("lang") == "en").agg(
+            F.max("doc_id")
+        ).collect()[0][0]
+    )
+    snap = snapshot_history(table)[-1]
+    shards = snap["shards"]
+    pb = snap["partition_by"]
+    t_en = _transform_probes(pb, "lang", "en")
+    tier1 = [s for s in shards if _partition_match(s, "lang", t_en)]
+    tier2 = [s for s in tier1 if _stats_overlap(s, "doc_id", probe, probe)]
+    tier3 = [
+        s for s in tier2 if _bloom_may_contain(s, "doc_id", probe)
+    ]
+    tiers_ok = bool(
+        0 < len(tier1) < len(shards)
+        and 0 < len(tier2) < len(tier1)
+        and 0 < len(tier3) <= len(tier2)
+    )
+    out = read_snapshot(
+        spark, table,
+        partition_filter={"lang": "en"},
+        prune=("doc_id", probe, probe),
+        bloom_point=("doc_id", probe),
+    ).where((F.col("lang") == "en") & (F.col("doc_id") == probe))
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias(
+                "text_fp"
+            ),
+        )
+        .withColumn("tiers_ok", F.lit(tiers_ok))
+    )

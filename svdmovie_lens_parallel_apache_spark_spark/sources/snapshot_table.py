@@ -1174,6 +1174,7 @@ def _stage_publish(
     stats_cols: list[str] | None,
     partition_by: list[str] | None = None,
     cluster_within: list[str] | None = None,
+    cluster_parts: int | None = None,
 ) -> tuple[list[str], dict, dict, dict]:
     """Steps 1–2 of the commit protocol: stage ``df`` as parquet under
     the job's private ``tmp_dir``, publish the shards into ``data/``
@@ -1227,19 +1228,30 @@ def _stage_publish(
             staged_df = staged_df.withColumn(
                 f"__p_{i}", F.concat(F.lit("="), f["expr"](df))
             )
-        # one hash shuffle on the partition tuple BEFORE partitionBy:
+        # one shuffle BEFORE partitionBy bounds the commit's file count:
         # without it every upstream task fans into every partition it
-        # touches (tasks x partitions staged files per commit — the
-        # small-file explosion Delta/Iceberg optimized writes exist to
-        # prevent); with it each tuple lands in one task, bounding the
-        # commit at ~one file per partition value. cluster_within
-        # re-sorts inside each tuple so clustered rewrites keep their
-        # per-file key locality (stats selectivity) under the re-split.
-        staged_df = staged_df.repartition(
-            *[F.col(f"__p_{i}") for i in range(len(pb))]
-        )
+        # touches (tasks x partitions staged files — the small-file
+        # explosion Delta/Iceberg optimized writes exist to prevent).
+        # Plain writes hash on the tuple (~one file per partition
+        # value); CLUSTERED rewrites (cluster_within) instead range-
+        # partition on (tuple, cluster keys) into ``cluster_parts``
+        # slices — files stay bounded by the slice budget, sized by
+        # rows (the range sampler gives big partitions more files), and
+        # each file covers a narrow key range WITHIN its tuple, which
+        # is what keeps per-shard stats selective inside a partition.
+        shadow = [F.col(f"__p_{i}") for i in range(len(pb))]
         if cluster_within:
-            staged_df = staged_df.sortWithinPartitions(*cluster_within)
+            n_out = cluster_parts or int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+            staged_df = staged_df.repartitionByRange(
+                max(1, n_out), *shadow,
+                *[F.col(c) for c in cluster_within],
+            ).sortWithinPartitions(
+                *[f"__p_{i}" for i in range(len(pb))], *cluster_within
+            )
+        else:
+            staged_df = staged_df.repartition(*shadow)
         staged_df.write.mode("overwrite").partitionBy(
             *[f"__p_{i}" for i in range(len(pb))]
         ).parquet(tmp_dir)
@@ -1323,6 +1335,7 @@ def write_snapshot(
     bloom_bits: int = 2048, bloom_k: int = 3,
     partition_by: list[str] | None = None,
     _cluster_within: list[str] | None = None,
+    _cluster_parts: int | None = None,
 ) -> int:
     """Commit ``df`` to ``table`` as a new snapshot; returns the version.
 
@@ -1413,6 +1426,7 @@ def write_snapshot(
         mine, counts, stats, parts = _stage_publish(
             df, table, tmp_dir, stats_cols, pb,
             cluster_within=_cluster_within,
+            cluster_parts=_cluster_parts,
         )
         blooms = _compute_blooms(
             df.sparkSession, table, mine, bloom_cols or [],
@@ -2777,6 +2791,8 @@ def compact_partitions(
     target_shards: int = 8,
     stats_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 2048, bloom_k: int = 3,
 ) -> int:
     """PARTITION-SCOPED compaction (Iceberg ``rewrite_data_files`` with
     a partition filter / Delta ``OPTIMIZE WHERE``): rewrite only the
@@ -2798,8 +2814,13 @@ def compact_partitions(
     skip it); pending lazy deletes refuse loudly (their shard-scoped
     tombstones would need per-shard materialisation bookkeeping — run
     the full :func:`compact_table` first, which materialises them).
-    ``cluster_by`` range-clusters within the rewrite, same as
-    :func:`compact_table`. Returns the committed version."""
+    ``cluster_by`` range-clusters within the rewrite — the staged split
+    range-partitions on (partition tuple, cluster keys) into
+    ``target_shards`` slices, so each output file covers a narrow key
+    range INSIDE its partition (multi-file clustered partitions, the
+    layout per-partition stats pruning needs). ``bloom_cols`` records
+    per-shard blooms on the rewrite, same as :func:`write_snapshot`.
+    Returns the committed version."""
     n = max(1, target_shards)
     job = uuid.uuid4().hex
     tmp_dir = os.path.join(table, "_tmp", job)
@@ -2846,11 +2867,17 @@ def compact_partitions(
             mine, counts, stats, parts = _stage_publish(
                 df, table, tmp_dir, scols, pb,
                 cluster_within=list(cluster_by or []),
+                cluster_parts=n,
+            )
+            blooms = _compute_blooms(
+                spark, table, mine, bloom_cols or [], bloom_bits, bloom_k,
             )
             def _shard(m):
                 s = {"file": m, "n_rows": counts[m]}
                 if stats[m]:
                     s["stats"] = stats[m]
+                if blooms.get(m):
+                    s["bloom"] = blooms[m]
                 if parts.get(m):
                     s["partition"] = parts[m]
                 return s
@@ -2980,4 +3007,5 @@ def compact_table(
         stats_cols=stats_cols,
         bloom_cols=bloom_cols,
         _cluster_within=inner,
+        _cluster_parts=n,
     )

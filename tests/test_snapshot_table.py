@@ -2972,3 +2972,44 @@ def test_stream_source_partition_filter(spark, docs, tmp_path):
         partition_filter={"lang": ["en", "de"]},
     )
     assert got == _canon(twin)
+
+
+def test_clustered_scoped_compaction_multifile_partitions(
+    spark, docs, tmp_path
+):
+    """Regression for the staging fan-out fix: a CLUSTERED partition
+    rewrite must still produce MULTIPLE files per partition with
+    near-disjoint key ranges (range split on (tuple, key)), not
+    collapse to one file per tuple — that's what keeps stats selective
+    inside a partition."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_partitions,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["lang"])
+    compact_partitions(
+        spark, table, {"lang": "en"}, target_shards=4,
+        cluster_by=["doc_id"], stats_cols=["doc_id"],
+        bloom_cols=["doc_id"],
+    )
+    snap = snapshot_history(table)[-1]
+    en = [s for s in snap["shards"] if s["partition"]["lang"] == "en"]
+    assert len(en) >= 2  # multi-file partition survived the split
+    assert all("bloom" in s and "stats" in s for s in en)
+    # near-disjoint ranges: a mid-range point probe keeps < all files
+    bounds = sorted(tuple(s["stats"]["doc_id"]) for s in en)
+    probe = bounds[0][1]  # first file's max
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        _stats_overlap,
+    )
+
+    kept = [s for s in en if _stats_overlap(s, "doc_id", probe, probe)]
+    assert 0 < len(kept) < len(en)
+    assert _canon(
+        read_snapshot(
+            spark, table,
+            partition_filter={"lang": "en"},
+            prune=("doc_id", probe, probe),
+        ).where(F.col("doc_id") == probe)
+    ) == _canon(docs.where(F.col("doc_id") == probe))
