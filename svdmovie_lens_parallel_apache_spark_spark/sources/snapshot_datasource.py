@@ -299,6 +299,7 @@ def _build():
         _STAGE = os.path.join("_tmp", "batch")
 
         def __init__(self, options, schema, overwrite: bool):
+            self.options = options
             self.table = options.get("path")
             if not self.table:
                 raise ValueError(
@@ -440,22 +441,45 @@ def _build():
                 return entry
 
             if not self.partition_by:
-                return _Staged(files=[_stage_one(t, None)])
-            # partitioned table: one staged file per partition tuple in
-            # this task's rows — the shared separator-proof group_by
-            # split (identity fields; transforms are gated at __init__)
-            from .snapshot_table import (
-                _arrow_partition_split,
-                _parse_partition_spec as _pps,
-            )
+                staged = _Staged(files=[_stage_one(t, None)])
+            else:
+                # partitioned table: one staged file per partition tuple
+                # in this task's rows — the shared separator-proof
+                # group_by split (identity fields; transforms are gated
+                # at __init__)
+                from .snapshot_table import (
+                    _arrow_partition_split,
+                    _parse_partition_spec as _pps,
+                )
 
-            fields = [_pps(s) for s in self.partition_by]
-            return _Staged(
-                files=[
-                    _stage_one(sub, vals)
-                    for sub, vals in _arrow_partition_split(t, fields)
-                ]
-            )
+                fields = [_pps(s) for s in self.partition_by]
+                staged = _Staged(
+                    files=[
+                        _stage_one(sub, vals)
+                        for sub, vals in _arrow_partition_split(t, fields)
+                    ]
+                )
+            # fault-injection hook (tests only): die AFTER staging on
+            # the first attempt of the task holding the marker value —
+            # the dangerous case, where a retried attempt has already
+            # written staged files. The protocol survives because the
+            # failed attempt's commit message is discarded: its staged
+            # files are never published (invisible residue under
+            # _tmp/batch until vacuum's staged-age sweep).
+            marker = self.options.get("fail_attempt0_on_value")
+            if marker:
+                from pyspark import TaskContext
+
+                ctx = TaskContext.get()
+                col = t.schema.names[0]
+                hit = pc.any(
+                    pc.equal(pc.cast(t[col], pa.string()), marker)
+                ).as_py()
+                if ctx is not None and ctx.attemptNumber() == 0 and hit:
+                    raise RuntimeError(
+                        "injected attempt-0 failure (fault test)"
+                    )
+            return staged
 
         # -- driver side ----------------------------------------------
         def _staged(self, messages):

@@ -101,3 +101,89 @@ def test_task_retry_never_publishes_failed_attempt(tmp_path):
     # bit-exact data: all 100 ids exactly once (no loss, no duplication)
     assert res["manifest_rows"] == 100
     assert res["ids"] == list(range(100))
+
+
+_SNAP_SCRIPT = r"""
+import glob, json, os, sys
+
+sys.path.insert(0, "@@REPO@@")
+from svdmovie_lens_parallel_apache_spark_spark import get_spark
+from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_datasource import (
+    register_snapshot_table_source,
+)
+from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+    snapshot_history, vacuum,
+)
+
+table = sys.argv[1]
+
+spark = get_spark(
+    app_name="svdml-snap-fault", master="local[2,3]", shuffle_partitions=4
+)
+spark.sparkContext.setLogLevel("ERROR")
+register_snapshot_table_source(spark)
+
+df = spark.range(0, 100, 1, 4).selectExpr(
+    "id", "CAST(id % 5 AS STRING) AS bucket5"
+)
+(
+    df.write.format("snapshot_table")
+    .option("partition_by", "bucket5")
+    .option("fail_attempt0_on_value", "37")  # dies AFTER staging, once
+    .mode("append")
+    .save(table)
+)
+snap = snapshot_history(table)[-1]
+got = sorted(
+    tuple(r)
+    for r in spark.read.format("snapshot_table")
+    .option("path", table).load().collect()
+)
+expect = sorted((i, str(i % 5)) for i in range(100))
+residue = glob.glob(os.path.join(table, "_tmp", "batch", "*.parquet"))
+swept = vacuum(table, stage_older_than=0)
+per_tuple = {}
+for s in snap["shards"]:
+    per_tuple.setdefault(s["partition"]["bucket5"], 0)
+    per_tuple[s["partition"]["bucket5"]] += s["n_rows"]
+print(
+    "RESULT "
+    + json.dumps(
+        {
+            "data_ok": got == expect,
+            "n_rows": snap["n_rows"],
+            "tuples": per_tuple,
+            "residue_before_sweep": len(residue),
+            "staged_pruned": swept.get("staged_removed", 0),
+            "stamped": all("partition" in s for s in snap["shards"]),
+        }
+    )
+)
+spark.stop()
+"""
+
+
+def test_snapshot_writer_partitioned_task_retry(tmp_path):
+    """A REAL task retry through the partitioned official writer: the
+    first attempt dies AFTER staging its per-tuple files, the scheduler
+    retries, and the commit publishes exactly the retry's shards — the
+    failed attempt's staged files stay invisible residue until vacuum's
+    staged-age sweep. Data bit-exact, every shard stamped."""
+    table = str(tmp_path / "t")
+    script = _SNAP_SCRIPT.replace("@@REPO@@", REPO)
+    proc = subprocess.run(
+        [sys.executable, "-c", script, table],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")
+    ][-1]
+    got = json.loads(line[len("RESULT "):])
+    assert got["data_ok"], got
+    assert got["n_rows"] == 100
+    assert got["stamped"]
+    assert sum(got["tuples"].values()) == 100
+    # the dead attempt staged real files; they never became visible
+    assert got["residue_before_sweep"] >= 1
+    assert got["staged_pruned"] >= got["residue_before_sweep"]
