@@ -459,7 +459,9 @@ def _build():
                         for sub, vals in _arrow_partition_split(t, fields)
                     ]
                 )
-            # fault-injection hook (tests only): die AFTER staging on
+            # fault-injection hook (tests only; same seam the tsv_shards
+            # sink exposes — kept in-path because task retries cannot be
+            # simulated from outside the scheduler): die AFTER staging on
             # the first attempt of the task holding the marker value —
             # the dangerous case, where a retried attempt has already
             # written staged files. The protocol survives because the

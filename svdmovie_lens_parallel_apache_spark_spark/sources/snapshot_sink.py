@@ -21,12 +21,15 @@ Protocol mapping (write/commit/abort -> the snapshot commit protocol of
 ``snapshot_table.py``):
 
 - ``write`` (executors): each task streams its Arrow RecordBatches into
-  ONE private parquet shard under ``<table>/_tmp/stream/`` (zero-copy —
-  no Row materialisation) and returns a commit message carrying the
-  shard name, row count, and per-column min/max for the configured
-  ``stats_cols`` — computed FROM THE ARROW BATCHES in passing, so the
-  streamed path records pruning stats without the batch writer's second
-  metadata scan. Empty tasks write nothing.
+  private parquet shards under ``<table>/_tmp/stream/`` (zero-copy — no
+  Row materialisation): one shard for an unpartitioned table, one PER
+  PARTITION TUPLE the task's rows span for a partitioned one (the
+  shared separator-proof group_by split, so streamed shards arrive
+  stamped). The commit message carries the staged entries — name, row
+  count, per-column min/max for the configured ``stats_cols``, and
+  partition values — computed FROM THE ARROW BATCHES in passing, so the
+  streamed path records pruning metadata without the batch writer's
+  second scan. Empty tasks write nothing.
 - ``commit`` (driver, once per successful micro-batch): enforce the
   table's CHECK constraints against the staged shards (reject BEFORE
   publishing — the query fails loudly, nothing becomes visible),

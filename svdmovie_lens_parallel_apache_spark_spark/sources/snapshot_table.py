@@ -233,8 +233,18 @@ def read_metadata_table(
     partition balance, and commit cadence is a metadata scan, never a
     data scan. ``version=`` pins files/partitions like
     :func:`read_snapshot`; history always lists every surviving
-    snapshot."""
+    snapshot (``version=`` with it is rejected, not ignored)."""
+    if kind not in ("history", "files", "partitions"):
+        raise ValueError(
+            f"snapshot_table: unknown metadata table {kind!r} "
+            f"(history | files | partitions)"
+        )
     if kind == "history":
+        if version is not None:
+            raise ValueError(
+                "snapshot_table: history lists every surviving snapshot; "
+                "version= is not applicable"
+            )
         rows = [
             {
                 "version": s["version"],
@@ -275,22 +285,17 @@ def read_metadata_table(
             "partition map<string,string>, "
             "stats map<string,array<string>>",
         )
-    if kind == "partitions":
-        rows = [
-            {
-                "partition": p["partition"],
-                "n_rows": p["n_rows"],
-                "n_shards": p["n_shards"],
-            }
-            for p in show_partitions(table, version=v)
-        ]
-        return spark.createDataFrame(
-            rows,
-            "partition map<string,string>, n_rows bigint, n_shards bigint",
-        )
-    raise ValueError(
-        f"snapshot_table: unknown metadata table {kind!r} "
-        f"(history | files | partitions)"
+    rows = [
+        {
+            "partition": p["partition"],
+            "n_rows": p["n_rows"],
+            "n_shards": p["n_shards"],
+        }
+        for p in show_partitions(table, version=v)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "partition map<string,string>, n_rows bigint, n_shards bigint",
     )
 
 
@@ -1155,6 +1160,31 @@ def _compute_blooms(
     return out
 
 
+def _inherited_blooms(
+    spark: SparkSession, table: str, mine: list[str],
+    ref_shards: list[dict],
+) -> dict[str, dict]:
+    """Recompute Bloom filters for freshly staged shards ``mine`` over
+    every column the REWRITTEN shards already carried one for (with
+    their recorded m/k) — the bloom twin of the stats-inheritance rule
+    every partial rewrite applies. Without it a routine compaction or
+    DML rewrite silently sheds blooms and point-lookup pruning degrades
+    to full-partition scans."""
+    specs: dict[str, tuple[int, int]] = {}
+    for s in ref_shards:
+        for c, b in s.get("bloom", {}).items():
+            specs.setdefault(c, (b["m"], b["k"]))
+    out: dict[str, dict] = {n: {} for n in mine}
+    by_mk: dict[tuple[int, int], list[str]] = {}
+    for c, mk in specs.items():
+        by_mk.setdefault(mk, []).append(c)
+    for (m, k), cols in by_mk.items():
+        got = _compute_blooms(spark, table, mine, sorted(cols), m, k)
+        for n in mine:
+            out[n].update(got[n])
+    return out
+
+
 def _remove_unreferenced(table: str) -> int:
     """Delete data files no surviving snapshot references (the orphan
     sweep shared by :func:`vacuum` and :func:`expire_snapshots`)."""
@@ -1240,16 +1270,36 @@ def _stage_publish(
         # each file covers a narrow key range WITHIN its tuple, which
         # is what keeps per-shard stats selective inside a partition.
         shadow = [F.col(f"__p_{i}") for i in range(len(pb))]
-        if cluster_within:
-            n_out = cluster_parts or int(
-                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        if cluster_within or cluster_parts:
+            if cluster_parts:
+                n_out = cluster_parts
+            else:
+                try:
+                    n_out = int(
+                        df.sparkSession.conf.get(
+                            "spark.sql.shuffle.partitions"
+                        )
+                    )
+                except (TypeError, ValueError):  # e.g. AQE "auto"
+                    n_out = df.sparkSession.sparkContext.defaultParallelism
+            # without cluster keys, big tuples still need a within-tuple
+            # split key for the ``cluster_parts`` file budget to mean
+            # anything: spark_partition_id() is plan-agnostic (works on
+            # unions/joins, unlike input_file_name) and splits a big
+            # tuple at upstream-partition granularity — for the
+            # compaction/DML rewrites that set cluster_parts, upstream
+            # partitions are the files being rewritten
+            inner = (
+                [F.col(c) for c in cluster_within]
+                if cluster_within else [F.spark_partition_id()]
             )
             staged_df = staged_df.repartitionByRange(
-                max(1, n_out), *shadow,
-                *[F.col(c) for c in cluster_within],
-            ).sortWithinPartitions(
-                *[f"__p_{i}" for i in range(len(pb))], *cluster_within
+                max(1, n_out), *shadow, *inner
             )
+            if cluster_within:
+                staged_df = staged_df.sortWithinPartitions(
+                    *[f"__p_{i}" for i in range(len(pb))], *cluster_within
+                )
         else:
             staged_df = staged_df.repartition(*shadow)
         staged_df.write.mode("overwrite").partitionBy(
@@ -1959,12 +2009,19 @@ def merge_upsert(
         tmp_dir = os.path.join(table, "_tmp", job)
         try:
             mine, counts, stats, parts = _stage_publish(
-                merged, table, tmp_dir, stats_cols, pb
+                merged, table, tmp_dir, stats_cols, pb,
+                cluster_parts=max(1, len(touched)) if pb else None,
+            )
+            blooms = (
+                _inherited_blooms(spark, table, mine, touched)
+                if mine else {}
             )
             def _shard(n):
                 s = {"file": n, "n_rows": counts[n]}
                 if stats[n]:
                     s["stats"] = stats[n]
+                if blooms.get(n):
+                    s["bloom"] = blooms[n]
                 if parts.get(n):
                     s["partition"] = parts[n]
                 return s
@@ -2189,12 +2246,19 @@ def delete_where(
                     keep
                 )
                 mine, counts, stats, parts = _stage_publish(
-                    remain, table, tmp_dir, stats_cols, pb
+                    remain, table, tmp_dir, stats_cols, pb,
+                    cluster_parts=max(1, len(touched)) if pb else None,
                 )
+            blooms = (
+                _inherited_blooms(spark, table, mine, touched)
+                if mine else {}
+            )
             def _shard(n):
                 s = {"file": n, "n_rows": counts[n]}
                 if stats[n]:
                     s["stats"] = stats[n]
+                if blooms.get(n):
+                    s["bloom"] = blooms[n]
                 if parts.get(n):
                     s["partition"] = parts[n]
                 return s
@@ -2403,12 +2467,19 @@ def update_where(
                 # re-partitions through _stage_publish, so moved rows
                 # land in (and are logged under) their NEW partition
                 mine, counts, stats, parts = _stage_publish(
-                    rewritten, table, tmp_dir, stats_cols, pb
+                    rewritten, table, tmp_dir, stats_cols, pb,
+                    cluster_parts=max(1, len(touched)) if pb else None,
                 )
+            blooms = (
+                _inherited_blooms(spark, table, mine, touched)
+                if mine else {}
+            )
             def _shard(n):
                 s = {"file": n, "n_rows": counts[n]}
                 if stats[n]:
                     s["stats"] = stats[n]
+                if blooms.get(n):
+                    s["bloom"] = blooms[n]
                 if parts.get(n):
                     s["partition"] = parts[n]
                 return s
@@ -2869,9 +2940,15 @@ def compact_partitions(
                 cluster_within=list(cluster_by or []),
                 cluster_parts=n,
             )
-            blooms = _compute_blooms(
-                spark, table, mine, bloom_cols or [], bloom_bits, bloom_k,
-            )
+            # blooms inherit like stats (recomputed for every column
+            # the rewritten shards carried one for) unless the caller
+            # names an explicit set
+            if bloom_cols is None:
+                blooms = _inherited_blooms(spark, table, mine, selected)
+            else:
+                blooms = _compute_blooms(
+                    spark, table, mine, bloom_cols, bloom_bits, bloom_k,
+                )
             def _shard(m):
                 s = {"file": m, "n_rows": counts[m]}
                 if stats[m]:
@@ -2964,31 +3041,39 @@ def compact_table(
 
     df = read_snapshot(spark, table)
     n = max(1, target_shards)
+    # on a PARTITIONED table the staging split performs its own range
+    # shuffle on (tuple, cluster keys) — a driver-side pre-shuffle here
+    # would be a second full-table shuffle whose layout is immediately
+    # discarded, so the clustering work is delegated entirely to
+    # _stage_publish (via _cluster_within/_cluster_parts below)
+    pb_live = bool(table_partition_by(table))
     if cluster_by:
-        df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
-            *cluster_by
-        )
+        if not pb_live:
+            df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
         stats_cols = list(dict.fromkeys((stats_cols or []) + list(cluster_by)))
     elif zorder_by:
-        from ..operators.bucketing import morton_col
-
         x_col, y_col = zorder_by
-        mask = (1 << zbits) - 1
-        z = morton_col(
-            F.col(x_col).cast("bigint").bitwiseAND(F.lit(mask)),
-            F.col(y_col).cast("bigint").bitwiseAND(F.lit(mask)),
-            zbits,
-        )
-        df = (
-            df.withColumn("__z", z)
-            .repartitionByRange(n, "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
-        )
+        if not pb_live:
+            from ..operators.bucketing import morton_col
+
+            mask = (1 << zbits) - 1
+            z = morton_col(
+                F.col(x_col).cast("bigint").bitwiseAND(F.lit(mask)),
+                F.col(y_col).cast("bigint").bitwiseAND(F.lit(mask)),
+                zbits,
+            )
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
         stats_cols = list(
             dict.fromkeys((stats_cols or []) + [x_col, y_col])
         )
-    else:
+    elif not pb_live:
         df = df.coalesce(n)
     # on a PARTITIONED table the staging re-split shuffles by tuple;
     # re-sorting inside each tuple preserves the clustered layout's

@@ -3013,3 +3013,41 @@ def test_clustered_scoped_compaction_multifile_partitions(
             prune=("doc_id", probe, probe),
         ).where(F.col("doc_id") == probe)
     ) == _canon(docs.where(F.col("doc_id") == probe))
+
+
+def test_rewrites_inherit_blooms_and_split_budget(spark, docs, tmp_path):
+    """Review regressions: (1) partial rewrites (scoped compaction,
+    DELETE) re-record Bloom filters for every column the rewritten
+    shards carried one for — no silent point-lookup pruning loss; (2) a
+    NON-clustered scoped compaction honors target_shards (the
+    within-tuple spark_partition_id split), not one-file-per-tuple."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_partitions, delete_where,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["lang"], bloom_cols=["doc_id"])
+    en = docs.where(F.col("lang") == "en")
+    for i in range(4):
+        write_snapshot(en.where(F.col("doc_id") % 5 == i), table)
+    compact_partitions(spark, table, {"lang": "en"}, target_shards=3)
+    snap = snapshot_history(table)[-1]
+    en_shards = [
+        s for s in snap["shards"] if s["partition"]["lang"] == "en"
+    ]
+    assert 2 <= len(en_shards) <= 4  # budget honored, no collapse to 1
+    assert all("doc_id" in s.get("bloom", {}) for s in en_shards)
+    delete_where(
+        spark, table, "lang = 'de' AND doc_id % 2 = 0",
+        partition_prune={"lang": "de"},
+    )
+    de = [
+        s for s in snapshot_history(table)[-1]["shards"]
+        if s["partition"]["lang"] == "de"
+    ]
+    assert de and all("doc_id" in s.get("bloom", {}) for s in de)
+    assert _canon(read_snapshot(spark, table).where(
+        F.col("lang") == "de"
+    )) == _canon(
+        docs.where((F.col("lang") == "de") & (F.col("doc_id") % 2 != 0))
+    )
