@@ -56,6 +56,7 @@ discipline transfer unchanged.
 
 from __future__ import annotations
 
+import datetime
 import glob
 import json
 import os
@@ -591,6 +592,12 @@ def _parse_partition_spec(spec: str) -> dict:
                 return None
             if isinstance(v, str):
                 return v[:10]
+            # the JVM twin records cast(ts AS date) in the session
+            # timezone (UTC everywhere this engine runs); a tz-aware
+            # probe must be normalized to the same wall clock or the
+            # EXACT partition tier silently drops matching shards
+            if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc)
             return v.isoformat()[:10]  # datetime.date / datetime.datetime
 
         return {
@@ -1470,6 +1477,10 @@ def write_snapshot(
             )
     validated = _base_constraints(table)
     _enforce_constraints(df, validated)  # fail BEFORE staging any data
+    # remember the base this job's schema was captured against: a
+    # rebase that crosses a schema-evolution commit must conflict, not
+    # silently merge (see the rename/drop check in the claim loop)
+    entry_version = latest_version(table)
     job = uuid.uuid4().hex
     tmp_dir = os.path.join(table, "_tmp", job)
     try:
@@ -1524,6 +1535,27 @@ def write_snapshot(
                         f"{snap.get('partition_by', [])} while this "
                         f"append (spec {pb}) was staging; retry the write"
                     )
+                # likewise, an append rebased across a concurrent
+                # rename_column/drop_column would _merge_schema its
+                # ENTRY-TIME df.schema into the evolved base and
+                # resurrect the renamed/dropped name as a separate
+                # column, landing the new rows under the stale name.
+                # Delta/Iceberg raise a metadata conflict here; so do
+                # we. Walk the operation chain back to the entry base.
+                if mode == "append" and current != entry_version:
+                    v = current
+                    while v is not None and v != entry_version:
+                        s = snap if v == current else _load_snapshot(table, v)
+                        if s["operation"] in (
+                            "rename_column", "drop_column",
+                        ):
+                            raise ValueError(
+                                f"snapshot_table: table schema evolved "
+                                f"({s['operation']} committed at version "
+                                f"{v}) while this append was staging; "
+                                f"retry the write against the new schema"
+                            )
+                        v = s.get("parent")
             def _shard(n):
                 s = {"file": n, "n_rows": counts[n]}
                 if stats[n]:
@@ -1629,6 +1661,17 @@ def read_snapshot(
         shards = [s for s in shards if _stats_overlap(s, col, lo, hi)]
     if bloom_point is not None:
         col, value = bloom_point
+        if value is None:
+            # blooms set no bits for NULLs (see _compute_blooms), so a
+            # None probe would hash the string 'None' and prune shards
+            # that DO hold NULL rows — a silent false negative. Point
+            # lookup of NULL is not a bloom question; scan with a row
+            # filter instead.
+            raise ValueError(
+                "snapshot_table: bloom_point value may not be None — "
+                "Bloom filters record no bits for NULLs; use a row "
+                "filter (col IS NULL) without bloom pruning"
+            )
         shards = [s for s in shards if _bloom_may_contain(s, col, value)]
     pb = snap.get("partition_by", [])
     for key, want in (partition_filter or {}).items():
@@ -2233,6 +2276,16 @@ def delete_where(
             snap["shards"], prune, partition_prune,
             snap.get("partition_by", []),
         )
+        if not touched:
+            # every shard provably excludes the range/partitions: no
+            # row can match, so committing would churn a version for
+            # nothing — return current without a commit, the same
+            # "nothing to do; no empty commit" stance as
+            # compact_partitions. Still analyze the condition first
+            # (the rewrite path would have): a typo must raise, not
+            # silently "succeed".
+            _ = spark.createDataFrame([], schema).where(keep).schema
+            return current
         # stats columns to recompute for rewritten shards: whatever the
         # touched shards already recorded (keeps pruning working after)
         stats_cols = sorted({c for s in touched for c in s.get("stats", {})})
@@ -2320,6 +2373,10 @@ def _lazy_delete(
                 snap["shards"], None, partition_prune,
                 snap.get("partition_by", []),
             )
+            if not covered:
+                # tombstone would cover zero shards — nothing any
+                # future read could subtract; no empty commit
+                return current
             tombstone = {
                 "condition": condition,
                 "shards": sorted(s["file"] for s in covered),
@@ -2429,6 +2486,11 @@ def update_where(
             snap["shards"], prune, partition_prune,
             snap.get("partition_by", []),
         )
+        if not touched:
+            # pruning proved no shard overlaps: a no-op UPDATE must not
+            # churn a version (condition + SET exprs were already
+            # analyzed above) — compact_partitions' no-empty-commit rule
+            return current
         stats_cols = sorted({c for s in touched for c in s.get("stats", {})})
         pb = snap.get("partition_by", [])
         job = uuid.uuid4().hex

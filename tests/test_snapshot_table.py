@@ -3051,3 +3051,114 @@ def test_rewrites_inherit_blooms_and_split_budget(spark, docs, tmp_path):
     )) == _canon(
         docs.where((F.col("lang") == "de") & (F.col("doc_id") % 2 != 0))
     )
+
+
+def test_append_rebase_across_rename_conflicts(
+    spark, docs, tmp_path, monkeypatch,
+):
+    """An append that loses its commit race to a concurrent
+    rename_column must raise a metadata conflict (Delta/Iceberg rule),
+    not silently _merge_schema its entry-time schema into the evolved
+    base — that would resurrect the old name as a separate column and
+    land the new rows under it."""
+    table = str(tmp_path / "t")
+    write_snapshot(docs.where(F.col("lang") == "en"), table)
+
+    real_link = os.link
+    state = {"raced": False}
+
+    def racing_link(src, dst):
+        if not state["raced"]:
+            state["raced"] = True
+            st.rename_column(spark, table, "n_chars", "char_count")
+        return real_link(src, dst)
+
+    monkeypatch.setattr(st.os, "link", racing_link)
+    with pytest.raises(ValueError, match="schema evolved"):
+        write_snapshot(docs.where(F.col("lang") == "de"), table)
+    assert state["raced"]
+    # the rename's commit is the tip; the stale-schema append never landed
+    assert latest_version(table) == 2
+    out = read_snapshot(spark, table)
+    assert "char_count" in out.columns and "n_chars" not in out.columns
+    # a fresh append against the NEW schema succeeds
+    de = docs.where(F.col("lang") == "de").withColumnRenamed(
+        "n_chars", "char_count"
+    )
+    write_snapshot(de, table)
+    assert read_snapshot(spark, table).columns == out.columns
+
+
+def test_bloom_point_null_probe_rejected(spark, docs, tmp_path):
+    """Blooms record no bits for NULLs, so a None probe (which would
+    hash the string 'None') must raise instead of silently pruning
+    shards that DO contain NULL rows."""
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, bloom_cols=["lang"])
+    with pytest.raises(ValueError, match="may not be None"):
+        read_snapshot(spark, table, bloom_point=("lang", None))
+
+
+def test_days_partition_timestamp_tz_aware_probe(spark, tmp_path):
+    """days() on a TIMESTAMP column: the JVM records the UTC-session
+    calendar date; a tz-aware datetime probe must be normalized to the
+    same wall clock, or the exact partition tier silently prunes the
+    matching shards (partition pruning has no conservative fallback)."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 3, 1, 23, 30)),
+        (2, dt.datetime(2024, 3, 2, 1, 0)),
+    ]
+    df = spark.createDataFrame(rows, "id int, ts timestamp")
+    table = str(tmp_path / "t")
+    write_snapshot(df, table, partition_by=["days(ts)"])
+    snap = snapshot_history(table)[-1]
+    assert sorted(
+        s["partition"]["days(ts)"] for s in snap["shards"]
+    ) == ["2024-03-01", "2024-03-02"]
+    # 2024-03-02T00:30+01:00 == 2024-03-01T23:30 UTC -> day 2024-03-01
+    probe = dt.datetime(
+        2024, 3, 2, 0, 30,
+        tzinfo=dt.timezone(dt.timedelta(hours=1)),
+    )
+    got = read_snapshot(
+        spark, table, partition_filter={"days(ts)": probe}
+    )
+    assert [r["id"] for r in got.collect()] == [1]
+    # naive probes keep the UTC-wall-clock interpretation
+    got = read_snapshot(
+        spark, table,
+        partition_filter={"days(ts)": dt.datetime(2024, 3, 2, 1, 0)},
+    )
+    assert [r["id"] for r in got.collect()] == [2]
+
+
+def test_dml_noop_no_empty_commit(spark, docs, tmp_path):
+    """update_where/delete_where whose pruning carries EVERY shard
+    (provably nothing can match) return the current version without
+    committing — no version churn, matching compact_partitions'
+    'nothing to do; no empty commit' stance. A bad condition still
+    raises on the no-op path."""
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, stats_cols=["doc_id"], partition_by=["lang"])
+    v1 = latest_version(table)
+    assert st.delete_where(
+        spark, table, "doc_id < -5", prune=("doc_id", -100, -1)
+    ) == v1
+    assert st.update_where(
+        spark, table, {"n_chars": "n_chars + 0"}, "doc_id < -5",
+        prune=("doc_id", -100, -1),
+    ) == v1
+    # lazy tombstone covering zero shards also no-ops
+    assert st.delete_where(
+        spark, table, "lang = 'zz'", lazy=True,
+        partition_prune={"lang": "zz"},
+    ) == v1
+    assert latest_version(table) == v1
+    assert not snapshot_history(table)[-1].get("deletes")
+    with pytest.raises(Exception, match="no_such_col"):
+        st.delete_where(
+            spark, table, "no_such_col < 0", prune=("doc_id", -100, -1)
+        )
+    assert latest_version(table) == v1
