@@ -1306,3 +1306,147 @@ def q_substring_dedup_windows(spark, sf_dir):
     from .operators.dedup import substring_dup_stats
 
     return substring_dup_stats(_t(spark, sf_dir, "documents"), window=20)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup: deterministic k-means (Lloyd's) + within-cluster cosine
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_semantic_oracle(
+    k: int = 8, iters: int = 2, threshold: float = 0.4
+) -> str:
+    """Unrolled-CTE replay of :func:`~.operators.similarity.kmeans_lloyd`
+    (init = k smallest vec_ids; assignment = sequential-fold squared-L2
+    argmin with smallest-cid ties; update = DECIMAL(18,9) per-dimension
+    mean rounded to 6) followed by the SemDeDup retention rule: a vector
+    is a duplicate when an earlier (smaller vec_id) member of the SAME
+    cluster and the SAME adaptive sign-LSH bucket has cosine >= threshold."""
+    d2 = (
+        "list_reduce(list_transform(generate_series(1, len(v.vec)), "
+        "i -> (v.vec[i] - c.cvec[i]) * (v.vec[i] - c.cvec[i])), "
+        "(x, y) -> x + y)"
+    )
+    ctes = [
+        f"v AS (SELECT vec_id, {_VEC} AS vec FROM embeddings)",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)"
+        f" AS cid, vec AS cvec"
+        f" FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT {k}))",
+    ]
+    for t in range(iters + 1):
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, vec, cid FROM ("
+            f"SELECT vec_id, vec, cid, "
+            f"row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn "
+            f"FROM (SELECT v.vec_id, v.vec, c.cid, {d2} AS d2 "
+            f"FROM v CROSS JOIN c{t} c)) WHERE rn = 1)"
+        )
+        if t < iters:
+            mean = _R(
+                "CAST(sum(CAST(u.v AS DECIMAL(18,9))) AS DOUBLE) / count(*)", 6
+            )
+            ctes.append(
+                f"c{t + 1} AS (SELECT cid, list(mv ORDER BY pos) AS cvec FROM ("
+                f"SELECT cid, u.pos, {mean} AS mv "
+                f"FROM a{t}, LATERAL (SELECT unnest(vec) AS v, "
+                f"generate_subscripts(vec, 1) AS pos) u "
+                f"GROUP BY cid, u.pos) GROUP BY cid)"
+            )
+    np_terms = " + ".join(
+        f"(CASE WHEN cnt > {_LSH_TARGET << kk} THEN 1 ELSE 0 END)"
+        for kk in range(_LSH_BASE, _LSH_CAP)
+    )
+    bits = " + ".join(
+        f"CASE WHEN {j} < (SELECT np FROM params) AND "
+        f"list_reduce(list_transform(generate_series(1, len(vec)), "
+        f"i -> vec[i] * {_hp_sql(j)}), (a, b) -> a + b) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(_LSH_CAP)
+    )
+    ctes += [
+        f"params AS (SELECT {_LSH_BASE} + {np_terms} AS np "
+        f"FROM (SELECT count(*) AS cnt FROM embeddings))",
+        f"n AS (SELECT vec_id, vec, cid, {_FOLD_NORM.format(v='vec')} AS nrm, "
+        f"{bits} AS bucket FROM a{iters})",
+        f"dups AS (SELECT DISTINCT vec_b AS vec_id FROM ("
+        f"SELECT b.vec_id AS vec_b, "
+        f"{_R(_FOLD_DOT.format(a='a.vec', b='b.vec') + ' / (a.nrm * b.nrm)', 6)}"
+        f" AS cosine "
+        f"FROM n a JOIN n b ON a.cid = b.cid AND a.bucket = b.bucket "
+        f"AND a.vec_id < b.vec_id) WHERE cosine >= {threshold})",
+        f"norms AS (SELECT cid, {_R(_FOLD_NORM.format(v='cvec'), 6)} "
+        f"AS centroid_norm FROM c{iters})",
+    ]
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT a.cid, count(*) AS n_members,
+           count(d.vec_id) AS n_dupes,
+           count(*) - count(d.vec_id) AS n_kept,
+           nm.centroid_norm
+    FROM a{iters} a
+    LEFT JOIN dups d USING (vec_id)
+    JOIN norms nm ON nm.cid = a.cid
+    GROUP BY a.cid, nm.centroid_norm
+    """
+
+
+@register(
+    "semantic_dedup_kmeans",
+    _kmeans_semantic_oracle(8, 2, 0.4),
+    tags=("dedup", "semantic", "kmeans", "embedding", "ml"),
+    description="SemDeDup-style semantic dedup (Abbas et al. 2023, public): "
+    "deterministic distributed Lloyd's k-means (init = k smallest vec_ids, "
+    "literal-broadcast centroids so assignment is a shuffle-free projection, "
+    "DECIMAL-accumulated rounded centroid updates so cross-engine drift cannot "
+    "compound) clusters the corpus; near-duplicates are then detected only "
+    "within (cluster, adaptive sign-LSH bucket) blocks — cosine >= 0.4 against "
+    "an earlier member marks a vector redundant. Output: per-cluster member/"
+    "dupe/kept counts + rounded centroid norm (gates the k-means math "
+    "directly). The oracle replays init, 3 assignment passes, 2 decimal "
+    "centroid updates, adaptive np, bucketing, and the fold bit-for-bit.",
+)
+def q_semantic_dedup_kmeans(spark, sf_dir):
+    from .functions.vectors import cosine_similarity, l2_norm
+    from .operators.similarity import (
+        adaptive_n_planes,
+        kmeans_lloyd,
+        lsh_bucket,
+        lsh_hyperplanes,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_lloyd(emb, k=8, iters=2)
+    np_ = adaptive_n_planes(
+        emb.count(), base=_LSH_BASE, target=_LSH_TARGET, cap=_LSH_CAP
+    )
+    planes = lsh_hyperplanes(64, np_, tag="hp")
+    nb = assigned.withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+    a = nb.select(
+        "cid", "bucket", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va")
+    )
+    b = nb.select(
+        "cid", "bucket", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb")
+    )
+    dups = (
+        a.join(b, ["cid", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(_r(cosine_similarity(F.col("va"), F.col("vb")), 6) >= 0.4)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    norms = spark.createDataFrame(
+        [(cid, cvec) for cid, cvec in cents], "cid int, cvec array<double>"
+    ).select("cid", _r(l2_norm(F.col("cvec")), 6).alias("centroid_norm"))
+    return (
+        assigned.join(dups, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.coalesce(F.sum("is_dup"), F.lit(0)).cast("bigint").alias("n_dupes"),
+        )
+        .withColumn("n_kept", (F.col("n_members") - F.col("n_dupes")).cast("bigint"))
+        .join(F.broadcast(norms), "cid")
+        .select("cid", "n_members", "n_dupes", "n_kept", "centroid_norm")
+    )

@@ -521,3 +521,73 @@ def knn_pq(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", _r(F.col("cos_raw"), 6).alias("cosine"))
     )
+
+
+def kmeans_lloyd(
+    emb: DataFrame, k: int = 8, iters: int = 2, decimals: int = 6,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Deterministic distributed Lloyd's k-means over the embedding
+    column — the clustering stage of SemDeDup-style semantic dedup
+    (cluster first, compare only within clusters) and the trainable twin
+    of the sampled NumPy codebooks :func:`knn_ivf`/:func:`knn_pq` use.
+
+    Fully replayable in the DuckDB oracle, so every choice is pinned:
+
+    - init: the ``k`` vectors with the smallest ``vec_id`` (cid = rank);
+    - assignment: squared-L2 via the sequential ``aggregate`` fold
+      (bit-identical to ``list_reduce``), ties broken by smallest cid —
+      centroids ride along as LITERALS (a k×dim broadcast, never a
+      shuffle), so each pass is a pure projection over the corpus;
+    - update: per-(cid, dimension) mean via DECIMAL(18,9) accumulation
+      (order-independent at any parallelism) rounded to ``decimals`` —
+      rounding is part of the algorithm, so cross-engine float drift
+      cannot compound across iterations.
+
+    Scale shape: ``iters + 1`` corpus scans (persist upstream to pay one),
+    each a shuffle-free map + one partial-aggregated shuffle of
+    k·dim·n_partitions rows for the update. Driver state is k·dim floats
+    per round — scalar-bounded. ``k``/``iters`` are the knobs a 100 TB
+    run raises (k ∝ corpus size keeps clusters bounded for the
+    within-cluster pair stage downstream)."""
+    v = emb.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    init = v.orderBy("vec_id").limit(k).collect()  # k rows — bounded
+    centroids = [(i, list(r["vec"])) for i, r in enumerate(init)]
+
+    def nearest(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+        best_cid, best_d2 = F.lit(-1), F.lit(float("inf"))
+        for cid, cvec in cents:
+            c = F.array(*[F.lit(float(x)) for x in cvec])
+            d2 = F.aggregate(
+                F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            hit = d2 < best_d2  # strict: ties keep the smaller cid
+            best_cid = F.when(hit, F.lit(cid)).otherwise(best_cid)
+            best_d2 = F.when(hit, d2).otherwise(best_d2)
+        return best_cid
+
+    for _ in range(iters):
+        assigned = v.withColumn("cid", nearest(F.col("vec"), centroids))
+        means = (
+            assigned.select("cid", F.posexplode("vec").alias("pos", "mv"))
+            .groupBy("cid", "pos")
+            .agg(
+                _r(
+                    F.sum(F.col("mv").cast("decimal(18,9)")).cast("double")
+                    / F.count(F.lit(1)),
+                    decimals,
+                ).alias("mv")
+            )
+            .collect()  # ≤ k·dim rows — bounded
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["mv"]
+        # an emptied cluster simply drops out (no members -> no mean)
+        centroids = [
+            (cid, [dims[p] for p in sorted(dims)])
+            for cid, dims in sorted(by_cid.items())
+        ]
+    final = v.withColumn("cid", nearest(F.col("vec"), centroids))
+    return final, centroids
