@@ -4628,3 +4628,98 @@ def q_snapshot_tiered_pruning(spark, sf_dir):
         )
         .withColumn("tiers_ok", F.lit(tiers_ok))
     )
+
+
+@register(
+    "snapshot_incremental_dedup",
+    """
+    WITH fp AS (
+      SELECT doc_id, lang, md5(lower(trim(text))) AS fp FROM documents),
+    v1 AS (
+      SELECT fp, min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang
+      FROM fp WHERE doc_id % 2 = 0 GROUP BY fp),
+    bd AS (
+      SELECT fp, min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang
+      FROM fp WHERE doc_id % 2 = 1 GROUP BY fp),
+    ing AS (SELECT b.* FROM bd b ANTI JOIN v1 USING (fp)),
+    skip AS (
+      SELECT b.lang, count(*) AS n_skipped
+      FROM bd b SEMI JOIN v1 USING (fp) GROUP BY b.lang),
+    fin AS (
+      SELECT lang, doc_id FROM v1 UNION ALL SELECT lang, doc_id FROM ing)
+    SELECT f.lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN f.doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_from_base,
+           CAST(sum(CASE WHEN f.doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ingested,
+           CAST(coalesce(any_value(s.n_skipped), 0) AS BIGINT) AS n_skipped
+    FROM fin f LEFT JOIN skip s ON s.lang = f.lang
+    GROUP BY f.lang
+    """,
+    tags=("sources", "table-format", "dedup", "incremental"),
+    description="Dedup-on-ingest — the daily 100 TB pattern: the corpus "
+    "lives as a snapshot table keyed by content fingerprint "
+    "(md5(lower(trim(text))), the exact_dedup_groups key); a new batch is "
+    "deduped WITHIN itself (keep-min doc_id per fingerprint) and then "
+    "anti-joined against the table's fingerprints, so only genuinely new "
+    "content is APPENDED as the next snapshot version — the existing "
+    "corpus is never rewritten. Fingerprints are recorded as per-shard "
+    "stats + Bloom metadata at write time, the layout that lets the "
+    "next day's anti-join skip non-overlapping shards. The oracle "
+    "replays base build, batch self-dedup, anti/semi splits, and the "
+    "final union straight from the source table — so the gate proves the "
+    "append landed exactly the new fingerprints and nothing else.",
+)
+def q_snapshot_incremental_dedup(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import read_snapshot, write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    fp = docs.select(
+        "doc_id", "lang", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    )
+
+    def self_dedup(df):
+        return df.groupBy("fp").agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+        )
+
+    table = tempfile.mkdtemp(prefix="svdml-incdedup-")
+    v1 = self_dedup(fp.where(F.col("doc_id") % 2 == 0))
+    write_snapshot(
+        v1.select("fp", "doc_id", "lang"), table,
+        stats_cols=["fp"], bloom_cols=["fp"],
+    )
+    existing = read_snapshot(spark, table).select("fp")
+    batch = self_dedup(fp.where(F.col("doc_id") % 2 == 1))
+    ingest = batch.join(existing, "fp", "left_anti")
+    skipped = (
+        batch.join(existing, "fp", "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_skipped"))
+    )
+    write_snapshot(
+        ingest.select("fp", "doc_id", "lang"), table,
+        stats_cols=["fp"], bloom_cols=["fp"],
+    )
+    final = read_snapshot(spark, table)
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("doc_id") % 2 == 0).cast("int"))
+            .cast("bigint")
+            .alias("n_from_base"),
+            F.sum((F.col("doc_id") % 2 == 1).cast("int"))
+            .cast("bigint")
+            .alias("n_ingested"),
+        )
+        .join(skipped, "lang", "left")
+        .select(
+            "lang", "n_docs", "n_from_base", "n_ingested",
+            F.coalesce(F.col("n_skipped"), F.lit(0)).cast("bigint").alias("n_skipped"),
+        )
+    )
