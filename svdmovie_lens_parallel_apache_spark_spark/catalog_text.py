@@ -1450,3 +1450,144 @@ def q_semantic_dedup_kmeans(spark, sf_dir):
         .join(F.broadcast(norms), "cid")
         .select("cid", "n_members", "n_dupes", "n_kept", "centroid_norm")
     )
+
+
+@register(
+    "line_dedup_boilerplate",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             concat(text, '. subscribe to ', source, ' newsletter',
+                    CASE WHEN doc_id % 2 = 0
+                         THEN '. follow us for updates' ELSE '' END,
+                    CASE WHEN doc_id % 7 = 0
+                         THEN concat('. copyright ', lang) ELSE '' END,
+                    '. ref id ', CAST(doc_id AS VARCHAR)) AS t2
+      FROM documents),
+    p AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(t2, '. '), x -> x <> '') AS parts
+      FROM d),
+    l AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(parts)),
+                    i -> struct_pack(idx := i - 1, line := parts[i]))) AS u
+      FROM p),
+    ln AS (
+      SELECT doc_id, lang, u.idx AS idx, u.line AS line,
+             lower(trim(u.line)) AS norm
+      FROM l),
+    b AS (
+      SELECT norm FROM ln GROUP BY norm
+      HAVING count(DISTINCT doc_id) >
+             greatest((SELECT count(*) FROM documents) * 0.01, 1.0)),
+    k AS (SELECT ln.* FROM ln ANTI JOIN b USING (norm)),
+    r AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             string_agg(line, '. ' ORDER BY idx) AS rebuilt,
+             count(*) AS n_after
+      FROM k GROUP BY doc_id),
+    pre AS (
+      SELECT lang, CAST(sum(len(parts)) AS BIGINT) AS n_lines_before
+      FROM p GROUP BY lang)
+    SELECT r.lang,
+           count(*) AS n_docs,
+           any_value(pre.n_lines_before) AS n_lines_before,
+           CAST(sum(n_after) AS BIGINT) AS n_lines_kept,
+           CAST(sum(length(rebuilt)) AS BIGINT) AS sum_chars_kept,
+           CAST(sum({oracle_hash_sql(
+               "concat(CAST(doc_id AS VARCHAR), '|', rebuilt)"
+           )}) AS BIGINT) AS corpus_fp
+    FROM r JOIN pre ON pre.lang = r.lang
+    GROUP BY r.lang
+    """,
+    tags=("text", "dedup", "quality", "llm-pipeline"),
+    description="CCNet-style line-level boilerplate removal (Wenzek et "
+    "al. 2020: hash paragraphs, drop the ones shared across documents): "
+    "documents are split into lines, each line is normalized "
+    "(lower+trim) and counted by DISTINCT containing docs, and any line "
+    "present in more than max(1%% of the corpus, 1) docs is boilerplate "
+    "— removed from EVERY document before the docs are reassembled in "
+    "original line order. Because the fixture texts are single-line "
+    "word bags, deterministic footer lines (per-source 'subscribe' "
+    "footer, even-doc 'follow us', doc_id%%7 per-lang copyright, and a "
+    "per-doc unique 'ref id N') are appended with the SAME concat in "
+    "both engines — the dedup must drop exactly the shared footers and "
+    "keep the unique lines. Scale shape: the line-count aggregation "
+    "shuffles once on the uniform normalized-line key; the boilerplate "
+    "set is tiny BY DEFINITION (each member appears in >1%% of docs, so "
+    "there are at most ~100x avg-lines-per-doc of them) and is "
+    "broadcast for the anti-join; reassembly shuffles once on doc_id; "
+    "the relative threshold is computed in-plan from a broadcast 1-row "
+    "total (no driver collect). The oracle replays split, normalize, "
+    "threshold, anti-join, and ordered reassembly, and fingerprints "
+    "every rebuilt document.",
+)
+def q_line_dedup_boilerplate(spark, sf_dir):
+    from .functions.hashing import portable_hash64
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    d2 = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(". subscribe to "), F.col("source"), F.lit(" newsletter"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(". follow us for updates"))
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.lit(". copyright "), F.col("lang"))
+            ).otherwise(F.lit("")),
+            F.lit(". ref id "), F.col("doc_id").cast("string"),
+        ).alias("t2"),
+    )
+    parts = d2.select(
+        "doc_id", "lang",
+        F.filter(F.split(F.col("t2"), "\\. "), lambda x: x != "").alias("parts"),
+    )
+    lines = parts.select(
+        "doc_id", "lang", F.posexplode("parts").alias("idx", "line")
+    ).withColumn("norm", F.lower(F.trim(F.col("line"))))
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    boiler = (
+        lines.groupBy("norm")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("nd") > F.greatest(F.col("n_total") * 0.01, F.lit(1.0)))
+        .select("norm")
+    )
+    kept = lines.join(F.broadcast(boiler), "norm", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.any_value(F.col("lang")).alias("lang"),
+        F.concat_ws(
+            ". ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("rebuilt"),
+        F.count(F.lit(1)).alias("n_after"),
+    )
+    pre = parts.groupBy("lang").agg(
+        F.sum(F.size("parts")).cast("bigint").alias("n_lines_before")
+    )
+    return (
+        rebuilt.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_after").cast("bigint").alias("n_lines_kept"),
+            F.sum(F.length("rebuilt")).cast("bigint").alias("sum_chars_kept"),
+            F.sum(
+                portable_hash64(
+                    F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("rebuilt"))
+                )
+            )
+            .cast("bigint")
+            .alias("corpus_fp"),
+        )
+        .join(F.broadcast(pre), "lang")
+        .select(
+            "lang", "n_docs", "n_lines_before", "n_lines_kept",
+            "sum_chars_kept", "corpus_fp",
+        )
+    )
