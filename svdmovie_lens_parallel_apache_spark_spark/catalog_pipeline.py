@@ -4723,3 +4723,178 @@ def q_snapshot_incremental_dedup(spark, sf_dir):
             F.coalesce(F.col("n_skipped"), F.lit(0)).cast("bigint").alias("n_skipped"),
         )
     )
+
+
+@register(
+    "snapshot_wap_publish",
+    """
+    WITH fin AS (
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id % 2 = 0 OR doc_id % 13 <> 0),
+    q AS (
+      SELECT lang, count(*) AS n_q FROM documents
+      WHERE doc_id % 2 = 1 AND doc_id % 13 = 0 GROUP BY lang)
+    SELECT f.lang,
+           count(*) AS n_docs,
+           CAST(sum(f.n_chars) AS BIGINT) AS sum_chars,
+           CAST(coalesce(any_value(q.n_q), 0) AS BIGINT) AS n_quarantined,
+           TRUE AS isolation_ok,
+           TRUE AS audit_clean_ok,
+           CAST(2 AS BIGINT) AS published_version
+    FROM fin f LEFT JOIN q ON q.lang = f.lang
+    GROUP BY f.lang
+    """,
+    tags=("sources", "table-format", "wap", "branches"),
+    description="Write-audit-publish, the Iceberg WAP flow end-to-end "
+    "on real refs: the corpus lives at main v1 (even doc_ids); a new "
+    "batch (odd doc_ids, with doc_id%13 rows deterministically "
+    "corrupted to negative n_chars — a bad upstream extraction) is "
+    "committed to an AUDIT BRANCH (create_branch + "
+    "write_snapshot(branch=...)), NOT to main. The audit reads the "
+    "branch, counts violations per lang, and probes main mid-audit — "
+    "isolation_ok pins that main still serves exactly v1 while the "
+    "dirty batch sits on the branch. Remediation overwrites the branch "
+    "with the quarantine-filtered state, a re-audit pins zero "
+    "violations, and publish_branch cherry-picks the branch head onto "
+    "main as version 2 (conflicting loudly had main advanced past the "
+    "fork). The oracle replays the final published state, the per-lang "
+    "quarantine counts, and pins the audit booleans and published "
+    "version. At 100 TB this is the daily ingest gate: dirty data "
+    "never becomes readable, audits run against real table state, and "
+    "the publish is one O(metadata) commit.",
+)
+def q_snapshot_wap_publish(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        create_branch, publish_branch, read_snapshot, write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    # deterministic corruption: a bad extractor flipped n_chars negative
+    batch = docs.where(F.col("doc_id") % 2 == 1).withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 13 == 0, -F.col("n_chars")).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    table = tempfile.mkdtemp(prefix="svdml-wap-")
+    write_snapshot(base, table, stats_cols=["n_chars"])  # main v1
+    n_main_before = read_snapshot(spark, table).count()
+    create_branch(table, "audit")
+    write_snapshot(batch, table, branch="audit")  # dirty batch, staged
+    on_branch = read_snapshot(spark, table, branch="audit")
+    quarantined = (
+        on_branch.where(F.col("n_chars") < 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_q"))
+    )
+    # the WAP property: main is untouched while the dirty batch audits
+    isolation_ok = read_snapshot(spark, table).count() == n_main_before
+    # remediation: branch becomes the quarantine-filtered table state
+    write_snapshot(
+        on_branch.where(F.col("n_chars") >= 0), table,
+        mode="overwrite", branch="audit",
+    )
+    audit_clean_ok = (
+        read_snapshot(spark, table, branch="audit")
+        .where(F.col("n_chars") < 0).count() == 0
+    )
+    published_version = publish_branch(table, "audit")
+    final = read_snapshot(spark, table)  # main head == published state
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .join(F.broadcast(quarantined), "lang", "left")
+        .select(
+            "lang", "n_docs", "sum_chars",
+            F.coalesce(F.col("n_q"), F.lit(0)).cast("bigint")
+            .alias("n_quarantined"),
+            F.lit(bool(isolation_ok)).alias("isolation_ok"),
+            F.lit(bool(audit_clean_ok)).alias("audit_clean_ok"),
+            F.lit(int(published_version)).cast("bigint")
+            .alias("published_version"),
+        )
+    )
+
+
+@register(
+    "snapshot_tag_retention",
+    """
+    WITH tagged AS (
+      SELECT lang, count(*) AS n_docs_tagged,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars_tagged
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+    latest AS (
+      SELECT lang, count(*) AS n_docs_latest
+      FROM documents WHERE lang = 'en' GROUP BY lang)
+    SELECT t.lang, t.n_docs_tagged, t.sum_chars_tagged,
+           CAST(coalesce(any_value(l.n_docs_latest), 0) AS BIGINT)
+             AS n_docs_latest,
+           TRUE AS tag_survived,
+           TRUE AS middle_expired,
+           CAST(1 AS BIGINT) AS n_expired
+    FROM tagged t LEFT JOIN latest l ON l.lang = t.lang
+    GROUP BY t.lang, t.n_docs_tagged, t.sum_chars_tagged
+    """,
+    tags=("sources", "table-format", "tags", "retention"),
+    description="Tags as retention pins (Iceberg tag semantics): main "
+    "v1 (even doc_ids) is tagged 'baseline', v2 appends the odds, v3 "
+    "overwrites with the en-only corpus, then expire_snapshots("
+    "keep_last=1) runs retention. The tagged v1 MUST survive expiry "
+    "(the audit that cites the tag stays reproducible) while the "
+    "untagged v2 is removed — middle_expired pins that reading v2 now "
+    "fails loudly, n_expired pins exactly one snapshot removed, and "
+    "the per-lang aggregates replay BOTH the tag read (v1 content) and "
+    "the post-retention latest read (v3 content) from the source "
+    "table. At 100 TB tags are how published corpus releases stay "
+    "readable under an aggressive retention policy.",
+)
+def q_snapshot_tag_retention(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        create_tag, expire_snapshots, read_snapshot, snapshot_history,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="svdml-tag-")
+    write_snapshot(docs.where(F.col("doc_id") % 2 == 0), table)  # v1
+    create_tag(table, "baseline")  # pins v1
+    write_snapshot(docs.where(F.col("doc_id") % 2 == 1), table)  # v2
+    write_snapshot(docs.where(F.col("lang") == "en"), table, mode="overwrite")
+    out = expire_snapshots(table, keep_last=1)  # v2 goes; v1 is tagged
+    try:
+        read_snapshot(spark, table, version=2)
+        middle_expired = False
+    except FileNotFoundError:
+        middle_expired = True
+    # a real probe, not a pinned literal: the tagged version's snapshot
+    # file must still be in the surviving history after retention
+    tag_survived = 1 in [s["version"] for s in snapshot_history(table)]
+    tagged = (
+        read_snapshot(spark, table, tag="baseline")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_tagged"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars_tagged"),
+        )
+    )
+    latest = (
+        read_snapshot(spark, table)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs_latest"))
+    )
+    return tagged.join(F.broadcast(latest), "lang", "left").select(
+        "lang", "n_docs_tagged", "sum_chars_tagged",
+        F.coalesce(F.col("n_docs_latest"), F.lit(0)).cast("bigint")
+        .alias("n_docs_latest"),
+        F.lit(bool(tag_survived)).alias("tag_survived"),
+        F.lit(bool(middle_expired)).alias("middle_expired"),
+        F.lit(int(out["snapshots_removed"])).cast("bigint").alias("n_expired"),
+    )

@@ -69,6 +69,7 @@ from pyspark.sql.types import StructType
 
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
+_REFS_DIR = "_refs"
 _FMT = "%08d.json"
 
 # Reader protocol version this module understands (Delta
@@ -81,20 +82,34 @@ _FMT = "%08d.json"
 _READER_VERSION = 2
 
 
-def _snap_path(table: str, version: int) -> str:
-    return os.path.join(table, _SNAP_DIR, _FMT % version)
+def _log_dir(table: str, branch: str | None = None) -> str:
+    """The snapshot-log directory for the main chain (``branch=None``)
+    or a named branch (``_refs/<name>/``). Branch logs use the SAME
+    snapshot format and commit protocol as the main chain but their own
+    numbering, and their shards reference the shared ``data/`` dir —
+    the Iceberg refs model: a branch is an independent head over the
+    same file store, invisible to main readers until published."""
+    if branch is None:
+        return os.path.join(table, _SNAP_DIR)
+    return os.path.join(table, _REFS_DIR, branch)
 
 
-def latest_version(table: str) -> int | None:
-    """Highest committed version, or None for an empty/absent table."""
-    snaps = glob.glob(os.path.join(table, _SNAP_DIR, "*.json"))
+def _snap_path(table: str, version: int, branch: str | None = None) -> str:
+    return os.path.join(_log_dir(table, branch), _FMT % version)
+
+
+def latest_version(table: str, branch: str | None = None) -> int | None:
+    """Highest committed version, or None for an empty/absent table
+    (with ``branch=``: the branch's head sequence number, or None for
+    an absent branch)."""
+    snaps = glob.glob(os.path.join(_log_dir(table, branch), "*.json"))
     if not snaps:
         return None
     return max(int(os.path.basename(p).split(".")[0]) for p in snaps)
 
 
-def _load_snapshot(table: str, version: int) -> dict:
-    with open(_snap_path(table, version)) as f:
+def _load_snapshot(table: str, version: int, branch: str | None = None) -> dict:
+    with open(_snap_path(table, version, branch)) as f:
         snap = json.load(f)
     required = snap.get("reader_version", 1)
     if required > _READER_VERSION:
@@ -417,7 +432,9 @@ def _merge_schema(old: StructType, new: StructType) -> StructType:
     return StructType(merged)
 
 
-def _claim_snapshot(table: str, tmp_dir: str, snapshot: dict) -> bool:
+def _claim_snapshot(
+    table: str, tmp_dir: str, snapshot: dict, branch: str | None = None,
+) -> bool:
     """Step 3 of the commit protocol, shared by every committer: write
     the snapshot to a private temp file and claim its version number
     with a hard-link create (put-if-absent). True = committed; False =
@@ -436,7 +453,7 @@ def _claim_snapshot(table: str, tmp_dir: str, snapshot: dict) -> bool:
     parent = snapshot.get("parent")
     if parent is not None:
         try:
-            prev = _load_snapshot(table, parent).get("committed_at")
+            prev = _load_snapshot(table, parent, branch).get("committed_at")
             if prev is not None and now <= prev:
                 now = prev + 1e-6
         except FileNotFoundError:  # parent expired — clock wins
@@ -449,10 +466,11 @@ def _claim_snapshot(table: str, tmp_dir: str, snapshot: dict) -> bool:
         snapshot["reader_version"] = 2
     tmp_snap = os.path.join(tmp_dir, "snapshot.json")
     os.makedirs(tmp_dir, exist_ok=True)
+    os.makedirs(_log_dir(table, branch), exist_ok=True)
     with open(tmp_snap, "w") as f:
         json.dump(snapshot, f, indent=1, sort_keys=True)
     try:
-        os.link(tmp_snap, _snap_path(table, snapshot["version"]))
+        os.link(tmp_snap, _snap_path(table, snapshot["version"], branch))
         return True
     except FileExistsError:
         os.remove(tmp_snap)
@@ -712,13 +730,15 @@ def _arrow_partition_split(t, fields: list[dict]) -> list[tuple]:
     return out
 
 
-def table_partition_by(table: str) -> list[str]:
+def table_partition_by(table: str, branch: str | None = None) -> list[str]:
     """The live table's partition columns ([] for an unpartitioned,
-    new, or absent table)."""
-    current = latest_version(table)
+    new, or absent table). With ``branch=``, the branch head's spec."""
+    current = latest_version(table, branch)
     if current is None:
         return []
-    return list(_load_snapshot(table, current).get("partition_by", []))
+    return list(
+        _load_snapshot(table, current, branch).get("partition_by", [])
+    )
 
 
 def _enforce_constraints(df: DataFrame, constraints: dict) -> None:
@@ -741,12 +761,15 @@ def _enforce_constraints(df: DataFrame, constraints: dict) -> None:
             )
 
 
-def _base_constraints(table: str) -> dict:
-    """The live table's constraints (empty for a new/absent table)."""
-    current = latest_version(table)
+def _base_constraints(table: str, branch: str | None = None) -> dict:
+    """The live table's constraints (empty for a new/absent table).
+    With ``branch=``, the branch head's constraints (a fork copies the
+    main snapshot verbatim, so branches inherit and keep enforcing the
+    table's invariants — audit writes are not a constraint bypass)."""
+    current = latest_version(table, branch)
     if current is None:
         return {}
-    return _load_snapshot(table, current).get("constraints", {})
+    return _load_snapshot(table, current, branch).get("constraints", {})
 
 
 def add_constraint(
@@ -1194,10 +1217,17 @@ def _inherited_blooms(
 
 def _remove_unreferenced(table: str) -> int:
     """Delete data files no surviving snapshot references (the orphan
-    sweep shared by :func:`vacuum` and :func:`expire_snapshots`)."""
+    sweep shared by :func:`vacuum` and :func:`expire_snapshots`).
+    BRANCH snapshots (``_refs/<name>/``) count as references too —
+    an unpublished audit branch's data must survive GC until the
+    branch itself is dropped."""
     live: set[str] = set()
     for snap in snapshot_history(table):
         live.update(s["file"] for s in snap["shards"])
+    for p in glob.glob(os.path.join(table, _REFS_DIR, "*", "*.json")):
+        with open(p) as f:
+            snap = json.load(f)
+        live.update(s["file"] for s in snap.get("shards", []))
     removed = 0
     for p in glob.glob(os.path.join(table, _DATA_DIR, "part-*.parquet")):
         if os.path.basename(p) not in live:
@@ -1391,10 +1421,20 @@ def write_snapshot(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 2048, bloom_k: int = 3,
     partition_by: list[str] | None = None,
+    branch: str | None = None,
     _cluster_within: list[str] | None = None,
     _cluster_parts: int | None = None,
 ) -> int:
     """Commit ``df`` to ``table`` as a new snapshot; returns the version.
+
+    ``branch=`` commits onto a named branch (:func:`create_branch`)
+    instead of the main chain — the Iceberg write-audit-publish
+    staging write: the commit is a real snapshot (same protocol, same
+    shared ``data/`` dir, own sequence numbers under ``_refs/<name>/``)
+    but INVISIBLE to every main-chain reader until
+    :func:`publish_branch` cherry-picks the branch head onto main.
+    Branches inherit and keep enforcing the table's constraints and
+    partition spec (the fork copies the main snapshot verbatim).
 
     ``append`` keeps every live shard and adds this job's; ``overwrite``
     makes this job's shards the only live ones (old files stay on disk
@@ -1437,6 +1477,12 @@ def write_snapshot(
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_table: unknown mode {mode!r}")
+    if branch is not None and latest_version(table, branch) is None:
+        raise FileNotFoundError(
+            f"snapshot_table: branch {branch!r} does not exist on "
+            f"{table}; create_branch() first — a branch write with no "
+            f"fork point has no base to publish against"
+        )
     for c in bloom_cols or []:
         t = df.schema[c].dataType.simpleString()
         if t not in ("int", "bigint", "smallint", "tinyint", "string"):
@@ -1447,14 +1493,14 @@ def write_snapshot(
     # resolve the partition spec BEFORE staging (layout depends on it):
     # appends inherit the table's spec and reject a conflicting one;
     # overwrite inherits on None and redefines otherwise
-    table_pb = table_partition_by(table)
+    table_pb = table_partition_by(table, branch)
     if partition_by is None:
         pb = table_pb
     else:
         # canonicalize ("bucket( 8,doc_id )" == "bucket(8, doc_id)")
         # before comparing to the stored spec
         pb = [_parse_partition_spec(s)["spec"] for s in partition_by]
-        if mode == "append" and latest_version(table) is not None \
+        if mode == "append" and latest_version(table, branch) is not None \
                 and pb != table_pb:
             raise ValueError(
                 f"snapshot_table: append with partition_by={pb} "
@@ -1475,12 +1521,12 @@ def write_snapshot(
                 f"{'/'.join(f['types'])} source columns only; "
                 f"{f['source']!r} is {t}"
             )
-    validated = _base_constraints(table)
+    validated = _base_constraints(table, branch)
     _enforce_constraints(df, validated)  # fail BEFORE staging any data
     # remember the base this job's schema was captured against: a
     # rebase that crosses a schema-evolution commit must conflict, not
     # silently merge (see the rename/drop check in the claim loop)
-    entry_version = latest_version(table)
+    entry_version = latest_version(table, branch)
     job = uuid.uuid4().hex
     tmp_dir = os.path.join(table, "_tmp", job)
     try:
@@ -1495,14 +1541,14 @@ def write_snapshot(
         )
         # 3. claim the next version; on EEXIST rebase and retry
         while True:
-            current = latest_version(table)
+            current = latest_version(table, branch)
             if current is None:
                 base_shards: list[dict] = []
                 base_schema = df.schema
                 base_deletes: list[dict] = []
                 constraints: dict = {}
             else:
-                snap = _load_snapshot(table, current)
+                snap = _load_snapshot(table, current, branch)
                 constraints = snap.get("constraints", {})
                 # a constraint added concurrently (between our entry
                 # validation and this claim) still binds this batch
@@ -1545,7 +1591,10 @@ def write_snapshot(
                 if mode == "append" and current != entry_version:
                     v = current
                     while v is not None and v != entry_version:
-                        s = snap if v == current else _load_snapshot(table, v)
+                        s = (
+                            snap if v == current
+                            else _load_snapshot(table, v, branch)
+                        )
                         if s["operation"] in (
                             "rename_column", "drop_column",
                         ):
@@ -1594,7 +1643,9 @@ def write_snapshot(
                 snapshot["constraints"] = constraints
             if pb:
                 snapshot["partition_by"] = pb
-            if _claim_snapshot(table, tmp_dir, snapshot):
+            if branch is not None:
+                snapshot["branch"] = branch
+            if _claim_snapshot(table, tmp_dir, snapshot, branch):
                 return version
             # lost the race: rebase on the winner's snapshot, retry
     finally:
@@ -1606,6 +1657,7 @@ def read_snapshot(
     prune: tuple | None = None, as_of: float | None = None,
     bloom_point: tuple | None = None,
     partition_filter: dict | None = None,
+    branch: str | None = None, tag: str | None = None,
 ) -> DataFrame:
     """Scan one pinned snapshot (latest by default) — time travel via
     ``version=`` or ``as_of=`` (epoch seconds; resolved to the last
@@ -1644,16 +1696,39 @@ def read_snapshot(
     committed, so later appends are never affected), each group scans
     with its combined NOT-filter, and the groups union. With no pending
     deletes this is exactly one explicit-file-list scan."""
+    if branch is not None and tag is not None:
+        raise ValueError(
+            "snapshot_table: branch= and tag= are mutually exclusive"
+        )
+    if tag is not None:
+        # a tag is an immutable NAME for a main-chain version — resolve
+        # and fall through to the plain pinned-version read
+        if version is not None or as_of is not None:
+            raise ValueError(
+                "snapshot_table: tag= already pins a version; it is "
+                "mutually exclusive with version= and as_of="
+            )
+        version = _load_tag(table, tag)["version"]
     if as_of is not None:
         if version is not None:
             raise ValueError(
                 "snapshot_table: version= and as_of= are mutually exclusive"
             )
+        if branch is not None:
+            # branch commit stamps are monotonic within the BRANCH log
+            # only; AS OF over a fork would silently mix two timelines
+            raise ValueError(
+                "snapshot_table: as_of= is main-chain only; pin a "
+                "branch sequence with version= instead"
+            )
         version = version_as_of(table, as_of)
-    v = latest_version(table) if version is None else version
+    v = latest_version(table, branch) if version is None else version
     if v is None:
-        raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
-    snap = _load_snapshot(table, v)
+        raise FileNotFoundError(
+            f"snapshot_table: {table} has no snapshots"
+            + (f" on branch {branch!r}" if branch is not None else "")
+        )
+    snap = _load_snapshot(table, v, branch)
     schema = StructType.fromJson(snap["schema"])
     shards = snap["shards"]
     if prune is not None:
@@ -1795,6 +1870,14 @@ def expire_snapshots(
     FIRST (after which the shards are unreferenced orphans), then the
     shards — a crash mid-way never leaves a live snapshot naming a
     deleted file.
+
+    TAGGED versions (:func:`create_tag`) are never expired, whatever
+    the policy says — a tag is the retention pin (Iceberg keeps
+    tag-referenced snapshots through expiration for the same reason:
+    an audit that cites a tag must stay readable until the tag itself
+    is deleted). Branch logs are untouched (their forks hold verbatim
+    COPIES of main snapshots, so expiring the main file never breaks
+    a branch).
     """
     last = latest_version(table)
     if last is None:
@@ -1809,8 +1892,11 @@ def expire_snapshots(
             if at is None or at < older_than:
                 break  # this one really is old enough to expire
             cutoff -= 1  # younger than the cutoff: keep it too
+    tagged = {r["version"] for r in list_refs(table) if r["type"] == "tag"}
     removed_snaps = 0
     for v in range(1, cutoff + 1):
+        if v in tagged:
+            continue
         try:
             os.remove(_snap_path(table, v))
             removed_snaps += 1
@@ -1866,6 +1952,246 @@ def vacuum(table: str, stage_older_than: float | None = None) -> dict:
                     pass
         out["staged_removed"] = staged
     return out
+
+
+# ---------------------------------------------------------------------------
+# Refs: branches + tags (Iceberg refs / write-audit-publish)
+#
+# A BRANCH is an independent snapshot log under _refs/<name>/ sharing
+# the table's data/ directory: same snapshot format, same put-if-absent
+# commit protocol, its own sequence numbers. Sequence 1 (the FORK) is a
+# verbatim copy of one main-chain snapshot plus a recorded
+# base_version; write_snapshot(branch=...) then commits onto the branch
+# head, invisible to every main-chain reader. publish_branch()
+# cherry-picks the branch head's table state onto main as one commit —
+# the Iceberg WAP flow (write to the audit branch, audit it, publish) —
+# and conflicts LOUDLY if main advanced past the fork base, because a
+# squash-publish over someone else's commit would silently drop it.
+# A TAG is an immutable name for one main-chain version
+# (_refs/<name>.tag.json, claimed put-if-absent); expire_snapshots()
+# keeps tagged versions alive, so a tag is the retention pin the public
+# formats use for "keep the audited release readable forever".
+# ---------------------------------------------------------------------------
+
+_REF_NAME_OK = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_-."
+)
+
+
+def _check_ref_name(table: str, name: str) -> None:
+    if not name or not set(name) <= _REF_NAME_OK or name.endswith(".tag"):
+        raise ValueError(
+            f"snapshot_table: invalid ref name {name!r} "
+            f"(letters/digits/_-. only, may not end with '.tag')"
+        )
+    if os.path.isdir(os.path.join(table, _REFS_DIR, name)):
+        raise FileExistsError(
+            f"snapshot_table: a branch named {name!r} already exists"
+        )
+    if os.path.exists(_tag_path(table, name)):
+        raise FileExistsError(
+            f"snapshot_table: a tag named {name!r} already exists"
+        )
+
+
+def _tag_path(table: str, name: str) -> str:
+    return os.path.join(table, _REFS_DIR, f"{name}.tag.json")
+
+
+def _load_tag(table: str, name: str) -> dict:
+    try:
+        with open(_tag_path(table, name)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"snapshot_table: no tag {name!r} on {table}"
+        ) from None
+
+
+def create_tag(table: str, name: str, version: int | None = None) -> int:
+    """Name a main-chain version immutably (Iceberg tag). Claimed with
+    the same put-if-absent link as snapshots, so a concurrent duplicate
+    loses loudly; re-pointing a tag means delete_tag + create_tag (the
+    immutability IS the contract — audits cite tags precisely because
+    they cannot move). Returns the tagged version."""
+    _check_ref_name(table, name)
+    v = latest_version(table) if version is None else version
+    if v is None or not os.path.exists(_snap_path(table, v)):
+        raise FileNotFoundError(
+            f"snapshot_table: cannot tag version {v!r} of {table} — "
+            f"no such committed snapshot"
+        )
+    os.makedirs(os.path.join(table, _REFS_DIR), exist_ok=True)
+    tmp = os.path.join(table, "_tmp", f"tag-{uuid.uuid4().hex}.json")
+    os.makedirs(os.path.dirname(tmp), exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(
+            {"name": name, "type": "tag", "version": v,
+             "created_at": time.time()},
+            f, indent=1, sort_keys=True,
+        )
+    try:
+        os.link(tmp, _tag_path(table, name))
+    except FileExistsError:
+        raise FileExistsError(
+            f"snapshot_table: a tag named {name!r} already exists"
+        ) from None
+    finally:
+        os.remove(tmp)
+    return v
+
+
+def delete_tag(table: str, name: str) -> None:
+    """Drop a tag (its version becomes expirable again)."""
+    try:
+        os.remove(_tag_path(table, name))
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"snapshot_table: no tag {name!r} on {table}"
+        ) from None
+
+
+def create_branch(
+    table: str, name: str, at_version: int | None = None,
+) -> int:
+    """Fork a branch from a main-chain version (latest by default):
+    branch sequence 1 is a verbatim copy of that snapshot plus the
+    recorded ``base_version`` that :func:`publish_branch` later
+    validates against. Claimed put-if-absent, so two concurrent
+    create_branch calls for the same name race safely. Returns the
+    fork's branch sequence (always 1)."""
+    _check_ref_name(table, name)
+    base = latest_version(table) if at_version is None else at_version
+    if base is None or not os.path.exists(_snap_path(table, base)):
+        raise FileNotFoundError(
+            f"snapshot_table: cannot fork {name!r} at version {base!r} "
+            f"of {table} — no such committed snapshot"
+        )
+    fork = dict(_load_snapshot(table, base))
+    fork.update(
+        {
+            "version": 1,
+            "parent": None,
+            "operation": "fork",
+            "branch": name,
+            "base_version": base,
+            "properties": {"forked_from": base},
+        }
+    )
+    tmp_dir = os.path.join(table, "_tmp", f"fork-{uuid.uuid4().hex}")
+    try:
+        if not _claim_snapshot(table, tmp_dir, fork, branch=name):
+            raise FileExistsError(
+                f"snapshot_table: a branch named {name!r} already exists"
+            )
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return 1
+
+
+def drop_branch(table: str, name: str) -> None:
+    """Delete a branch and its snapshot log. Data files only the branch
+    referenced become orphans; :func:`vacuum` reclaims them."""
+    d = os.path.join(table, _REFS_DIR, name)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(
+            f"snapshot_table: no branch {name!r} on {table}"
+        )
+    shutil.rmtree(d)
+
+
+def list_refs(table: str) -> list[dict]:
+    """All refs, sorted by name: tags as ``{"name", "type": "tag",
+    "version"}``, branches as ``{"name", "type": "branch", "head_seq",
+    "base_version"}``."""
+    out = []
+    root = os.path.join(table, _REFS_DIR)
+    for p in sorted(glob.glob(os.path.join(root, "*.tag.json"))):
+        with open(p) as f:
+            t = json.load(f)
+        out.append(
+            {"name": t["name"], "type": "tag", "version": t["version"]}
+        )
+    for d in sorted(glob.glob(os.path.join(root, "*/"))):
+        name = os.path.basename(d.rstrip("/"))
+        head = latest_version(table, name)
+        if head is None:
+            continue  # torn create_branch: no claimed fork yet
+        fork = _load_snapshot(table, 1, name)
+        out.append(
+            {
+                "name": name,
+                "type": "branch",
+                "head_seq": head,
+                "base_version": fork.get("base_version"),
+            }
+        )
+    return sorted(out, key=lambda r: r["name"])
+
+
+def publish_branch(table: str, branch: str) -> int:
+    """Cherry-pick the branch head's table state onto main as ONE
+    commit (Iceberg WAP publish): schema, shards, deletes, constraints,
+    and partition spec all come from the branch head; the new main
+    snapshot records which branch and sequence it published. The
+    publish only commits while main's head still equals the branch's
+    fork base — if main advanced, a squash over the interleaved commit
+    would silently drop it, so the publish conflicts loudly
+    (re-fork + replay is the caller's retry, exactly Iceberg's
+    cherry-pick ancestry rule). Publishing a branch with no commits
+    beyond the fork is refused (nothing to publish — no version churn,
+    same discipline as the no-op DML guard). Returns the new main
+    version; the branch is left intact for the caller to drop."""
+    head_seq = latest_version(table, branch)
+    if head_seq is None:
+        raise FileNotFoundError(
+            f"snapshot_table: no branch {branch!r} on {table}"
+        )
+    if head_seq == 1:
+        raise ValueError(
+            f"snapshot_table: branch {branch!r} has no commits beyond "
+            f"its fork; nothing to publish"
+        )
+    head = _load_snapshot(table, head_seq, branch)
+    base = _load_snapshot(table, 1, branch).get("base_version")
+    tmp_dir = os.path.join(table, "_tmp", f"publish-{uuid.uuid4().hex}")
+    try:
+        while True:
+            current = latest_version(table)
+            if current != base:
+                raise ValueError(
+                    f"snapshot_table: cannot publish branch {branch!r}: "
+                    f"main is at version {current} but the branch forked "
+                    f"from {base} — a squash-publish would drop the "
+                    f"interleaved commits; re-fork from {current} and "
+                    f"replay the branch writes"
+                )
+            snapshot = {
+                k: v
+                for k, v in head.items()
+                if k not in (
+                    "version", "parent", "operation", "branch",
+                    "base_version", "committed_at", "properties",
+                )
+            }
+            snapshot.update(
+                {
+                    "version": (current or 0) + 1,
+                    "parent": current,
+                    "operation": "publish",
+                    "properties": {
+                        **head.get("properties", {}),
+                        "published_branch": branch,
+                        "published_seq": head_seq,
+                    },
+                }
+            )
+            if _claim_snapshot(table, tmp_dir, snapshot):
+                return snapshot["version"]
+            # lost the race for this version number: loop re-checks the
+            # fork base (the winner moved main, so this raises conflict)
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
 def streaming_snapshot_sink(table: str, app_id: str | None = None):

@@ -3162,3 +3162,177 @@ def test_dml_noop_no_empty_commit(spark, docs, tmp_path):
             spark, table, "no_such_col < 0", prune=("doc_id", -100, -1)
         )
     assert latest_version(table) == v1
+
+
+# ---------------------------------------------------------------------------
+# Refs: branches, tags, write-audit-publish
+# ---------------------------------------------------------------------------
+
+
+def test_branch_isolation_and_publish(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    write_snapshot(en, table)
+    assert st.create_branch(table, "audit") == 1
+    # fork reads as the main state it copied
+    assert _canon(read_snapshot(spark, table, branch="audit")) == _canon(en)
+    seq = write_snapshot(de, table, branch="audit")
+    assert seq == 2
+    # main readers see NOTHING of the branch write (the WAP property)
+    assert latest_version(table) == 1
+    assert _canon(read_snapshot(spark, table)) == _canon(en)
+    # branch readers see the fork content plus the branch commit
+    assert _canon(read_snapshot(spark, table, branch="audit")) == _canon(
+        en.unionByName(de)
+    )
+    v = st.publish_branch(table, "audit")
+    assert v == 2
+    snap = st._load_snapshot(table, 2)
+    assert snap["operation"] == "publish"
+    assert snap["properties"]["published_branch"] == "audit"
+    assert _canon(read_snapshot(spark, table)) == _canon(en.unionByName(de))
+    st.drop_branch(table, "audit")
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, branch="audit")
+
+
+def test_branch_requires_fork_and_unique_name(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)
+    with pytest.raises(FileNotFoundError):
+        write_snapshot(docs, table, branch="nope")  # no create_branch
+    st.create_branch(table, "b")
+    with pytest.raises(FileExistsError):
+        st.create_branch(table, "b")
+    st.create_tag(table, "r1")
+    with pytest.raises(FileExistsError):
+        st.create_branch(table, "r1")  # tag name collides
+    with pytest.raises(FileExistsError):
+        st.create_tag(table, "b")  # branch name collides
+    with pytest.raises(ValueError):
+        st.create_branch(table, "bad/name")
+
+
+def test_publish_conflict_when_main_advances(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table)
+    st.create_branch(table, "b")
+    write_snapshot(docs.where(F.col("lang") == "de"), table, branch="b")
+    write_snapshot(docs.where(F.col("lang") == "fr"), table)  # interleaved
+    with pytest.raises(ValueError, match="re-fork"):
+        st.publish_branch(table, "b")
+    # main kept the interleaved commit; nothing was dropped
+    assert latest_version(table) == 2
+
+
+def test_publish_nothing_refused(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)
+    st.create_branch(table, "b")
+    with pytest.raises(ValueError, match="nothing to publish"):
+        st.publish_branch(table, "b")
+    assert latest_version(table) == 1  # no version churn
+
+
+def test_branch_concurrent_writer_rebase(spark, docs, tmp_path):
+    """A branch commit that loses its sequence number to a concurrent
+    branch writer rebases and lands on the next one — same protocol as
+    the main chain."""
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    fr = docs.where(F.col("lang") == "fr")
+    write_snapshot(en, table)
+    st.create_branch(table, "b")
+    real_claim = st._claim_snapshot
+    raced = {"done": False}
+
+    def racing_claim(t, tmp_dir, snapshot, branch=None):
+        if branch == "b" and not raced["done"]:
+            raced["done"] = True
+            # a concurrent writer claims seq 2 first
+            write_snapshot(de, t, branch="b")
+        return real_claim(t, tmp_dir, snapshot, branch)
+
+    st._claim_snapshot = racing_claim
+    try:
+        seq = write_snapshot(fr, table, branch="b")
+    finally:
+        st._claim_snapshot = real_claim
+    assert seq == 3  # lost seq 2, rebased onto the winner
+    assert _canon(read_snapshot(spark, table, branch="b")) == _canon(
+        en.unionByName(de).unionByName(fr)
+    )
+
+
+def test_branch_inherits_constraints(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    write_snapshot(docs.where(F.col("n_chars") > 0), table)
+    st.add_constraint(spark, table, "pos_chars", "n_chars > 0")
+    st.create_branch(table, "b")
+    bad = docs.withColumn("n_chars", F.lit(-1).cast("bigint"))
+    with pytest.raises(ValueError, match="pos_chars"):
+        write_snapshot(bad, table, branch="b")
+
+
+def test_tag_pins_version_through_expiry(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table)
+    st.create_tag(table, "baseline")  # tags latest = v1
+    write_snapshot(docs.where(F.col("lang") == "de"), table)
+    write_snapshot(docs.where(F.col("lang") == "fr"), table)
+    out = expire_snapshots(table, keep_last=1)
+    assert out["snapshots_removed"] == 1  # v2 only; v1 is tagged
+    assert _canon(read_snapshot(spark, table, tag="baseline")) == _canon(en)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, version=2)
+    with pytest.raises(FileExistsError):
+        st.create_tag(table, "baseline")  # immutable
+    st.delete_tag(table, "baseline")
+    out = expire_snapshots(table, keep_last=1)
+    assert out["snapshots_removed"] == 1  # the pin is gone
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, tag="baseline")
+
+
+def test_branch_data_survives_gc_until_drop(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    write_snapshot(docs.where(F.col("lang") == "en"), table)
+    st.create_branch(table, "b")
+    write_snapshot(docs.where(F.col("lang") == "de"), table, branch="b")
+    assert st.vacuum(table)["orphans_removed"] == 0  # branch refs count
+    assert expire_snapshots(table, keep_last=5)["shards_removed"] == 0
+    n_branch = read_snapshot(spark, table, branch="b").count()
+    assert n_branch == read_snapshot(spark, table).count() + docs.where(
+        F.col("lang") == "de"
+    ).count()
+    st.drop_branch(table, "b")
+    assert st.vacuum(table)["orphans_removed"] > 0  # now orphaned
+
+
+def test_list_refs(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)
+    st.create_tag(table, "v1")
+    st.create_branch(table, "dev")
+    refs = st.list_refs(table)
+    assert refs == [
+        {"name": "dev", "type": "branch", "head_seq": 1, "base_version": 1},
+        {"name": "v1", "type": "tag", "version": 1},
+    ]
+
+
+def test_read_snapshot_ref_arg_validation(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)
+    st.create_tag(table, "v1")
+    st.create_branch(table, "b")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_snapshot(spark, table, branch="b", tag="v1")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_snapshot(spark, table, tag="v1", version=1)
+    with pytest.raises(ValueError, match="main-chain only"):
+        read_snapshot(spark, table, branch="b", as_of=1.0)
