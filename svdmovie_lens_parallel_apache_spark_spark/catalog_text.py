@@ -1417,8 +1417,13 @@ def q_semantic_dedup_kmeans(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     assigned, cents = kmeans_lloyd(emb, k=8, iters=2)
+    # the assignment feeds the count, BOTH sides of the bucketed
+    # self-join, and the final agg — persist so those are cache hits
+    # instead of four recomputations of the k*dim nearest-centroid
+    # projection (kmeans_lloyd already persists the projected source)
+    assigned = assigned.persist()
     np_ = adaptive_n_planes(
-        emb.count(), base=_LSH_BASE, target=_LSH_TARGET, cap=_LSH_CAP
+        assigned.count(), base=_LSH_BASE, target=_LSH_TARGET, cap=_LSH_CAP
     )
     planes = lsh_hyperplanes(64, np_, tag="hp")
     nb = assigned.withColumn("bucket", lsh_bucket(F.col("vec"), planes))
@@ -1506,16 +1511,16 @@ def q_semantic_dedup_kmeans(spark, sf_dir):
     "al. 2020: hash paragraphs, drop the ones shared across documents): "
     "documents are split into lines, each line is normalized "
     "(lower+trim) and counted by DISTINCT containing docs, and any line "
-    "present in more than max(1%% of the corpus, 1) docs is boilerplate "
+    "present in more than max(1% of the corpus, 1) docs is boilerplate "
     "— removed from EVERY document before the docs are reassembled in "
     "original line order. Because the fixture texts are single-line "
     "word bags, deterministic footer lines (per-source 'subscribe' "
-    "footer, even-doc 'follow us', doc_id%%7 per-lang copyright, and a "
+    "footer, even-doc 'follow us', doc_id%7 per-lang copyright, and a "
     "per-doc unique 'ref id N') are appended with the SAME concat in "
     "both engines — the dedup must drop exactly the shared footers and "
     "keep the unique lines. Scale shape: the line-count aggregation "
     "shuffles once on the uniform normalized-line key; the boilerplate "
-    "set is tiny BY DEFINITION (each member appears in >1%% of docs, so "
+    "set is tiny BY DEFINITION (each member appears in >1% of docs, so "
     "there are at most ~100x avg-lines-per-doc of them) and is "
     "broadcast for the anti-join; reassembly shuffles once on doc_id; "
     "the relative threshold is computed in-plan from a broadcast 1-row "

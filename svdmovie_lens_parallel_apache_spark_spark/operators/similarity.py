@@ -543,13 +543,18 @@ def kmeans_lloyd(
       rounding is part of the algorithm, so cross-engine float drift
       cannot compound across iterations.
 
-    Scale shape: ``iters + 1`` corpus scans (persist upstream to pay one),
-    each a shuffle-free map + one partial-aggregated shuffle of
-    k·dim·n_partitions rows for the update. Driver state is k·dim floats
+    Scale shape: ``iters + 1`` passes over the projected corpus — the
+    projection is persisted here so the source is scanned ONCE and each
+    pass is a cached map + one partial-aggregated shuffle of
+    k·dim·n_partitions rows for the update (callers that re-scan the
+    returned assignment — a within-cluster pair join, a final agg —
+    also hit the cache, not the source). Driver state is k·dim floats
     per round — scalar-bounded. ``k``/``iters`` are the knobs a 100 TB
     run raises (k ∝ corpus size keeps clusters bounded for the
     within-cluster pair stage downstream)."""
-    v = emb.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    v = emb.select(
+        "vec_id", to_double(F.col("embedding")).alias("vec")
+    ).persist()
     init = v.orderBy("vec_id").limit(k).collect()  # k rows — bounded
     centroids = [(i, list(r["vec"])) for i, r in enumerate(init)]
 

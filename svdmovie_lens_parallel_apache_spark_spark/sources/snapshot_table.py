@@ -1225,8 +1225,11 @@ def _remove_unreferenced(table: str) -> int:
     for snap in snapshot_history(table):
         live.update(s["file"] for s in snap["shards"])
     for p in glob.glob(os.path.join(table, _REFS_DIR, "*", "*.json")):
-        with open(p) as f:
-            snap = json.load(f)
+        try:
+            with open(p) as f:
+                snap = json.load(f)
+        except FileNotFoundError:
+            continue  # branch dropped concurrently — fewer references
         live.update(s["file"] for s in snap.get("shards", []))
     removed = 0
     for p in glob.glob(os.path.join(table, _DATA_DIR, "part-*.parquet")):
@@ -1542,6 +1545,17 @@ def write_snapshot(
         # 3. claim the next version; on EEXIST rebase and retry
         while True:
             current = latest_version(table, branch)
+            if branch is not None and current is None:
+                # the branch existed at entry (checked above) but its
+                # log is empty now: a concurrent drop_branch removed
+                # it mid-write. Committing would silently resurrect
+                # the branch as a fork-less chain with no base_version
+                # — fail loudly instead.
+                raise FileNotFoundError(
+                    f"snapshot_table: branch {branch!r} on {table} was "
+                    f"dropped while this write was staging; re-create "
+                    f"the branch and retry"
+                )
             if current is None:
                 base_shards: list[dict] = []
                 base_schema = df.schema
@@ -1591,10 +1605,24 @@ def write_snapshot(
                 if mode == "append" and current != entry_version:
                     v = current
                     while v is not None and v != entry_version:
-                        s = (
-                            snap if v == current
-                            else _load_snapshot(table, v, branch)
-                        )
+                        try:
+                            s = (
+                                snap if v == current
+                                else _load_snapshot(table, v, branch)
+                            )
+                        except FileNotFoundError:
+                            # an intermediate snapshot expired while we
+                            # rebased: the chain back to the entry base
+                            # is unverifiable, so conservatively
+                            # conflict (the documented retry) instead
+                            # of crashing with a missing-file error
+                            raise ValueError(
+                                f"snapshot_table: history between this "
+                                f"append's base ({entry_version}) and "
+                                f"the current head ({current}) was "
+                                f"expired while the append was staging; "
+                                f"retry the write against the new head"
+                            ) from None
                         if s["operation"] in (
                             "rename_column", "drop_column",
                         ):
@@ -1967,10 +1995,13 @@ def vacuum(table: str, stage_older_than: float | None = None) -> dict:
 # the Iceberg WAP flow (write to the audit branch, audit it, publish) —
 # and conflicts LOUDLY if main advanced past the fork base, because a
 # squash-publish over someone else's commit would silently drop it.
-# A TAG is an immutable name for one main-chain version
-# (_refs/<name>.tag.json, claimed put-if-absent); expire_snapshots()
-# keeps tagged versions alive, so a tag is the retention pin the public
-# formats use for "keep the audited release readable forever".
+# A TAG is an immutable name for one main-chain version; expire_
+# snapshots() keeps tagged versions alive, so a tag is the retention
+# pin the public formats use for "keep the audited release readable
+# forever". BOTH ref types claim the SAME put-if-absent file
+# (_refs/<name>.ref.json), so a tag and a branch can never race into
+# the same name — one namespace, one claim point, exactly like the
+# snapshot chain itself.
 # ---------------------------------------------------------------------------
 
 _REF_NAME_OK = frozenset(
@@ -1978,73 +2009,97 @@ _REF_NAME_OK = frozenset(
 )
 
 
-def _check_ref_name(table: str, name: str) -> None:
-    if not name or not set(name) <= _REF_NAME_OK or name.endswith(".tag"):
+def _check_ref_name(name: str) -> None:
+    # "." and ".." would alias the branch log onto _refs/ itself or the
+    # table root (drop_branch would then rmtree EVERYTHING); a leading
+    # non-alphanumeric also rules out other dots-only spellings
+    if (
+        not name
+        or len(name) > 128
+        or not set(name) <= _REF_NAME_OK
+        or not name[0].isalnum()
+        or name.endswith((".ref", ".tag"))
+    ):
         raise ValueError(
-            f"snapshot_table: invalid ref name {name!r} "
-            f"(letters/digits/_-. only, may not end with '.tag')"
-        )
-    if os.path.isdir(os.path.join(table, _REFS_DIR, name)):
-        raise FileExistsError(
-            f"snapshot_table: a branch named {name!r} already exists"
-        )
-    if os.path.exists(_tag_path(table, name)):
-        raise FileExistsError(
-            f"snapshot_table: a tag named {name!r} already exists"
+            f"snapshot_table: invalid ref name {name!r} (letters/"
+            f"digits/_-. only, must start alphanumeric, <=128 chars, "
+            f"may not end with '.ref'/'.tag')"
         )
 
 
-def _tag_path(table: str, name: str) -> str:
-    return os.path.join(table, _REFS_DIR, f"{name}.tag.json")
+def _ref_path(table: str, name: str) -> str:
+    return os.path.join(table, _REFS_DIR, f"{name}.ref.json")
+
+
+def _claim_ref(table: str, name: str, payload: dict) -> bool:
+    """Put-if-absent claim of the ref NAME (shared by tags and
+    branches — the single claim point that makes cross-type duplicate
+    names impossible). True = claimed; False = the name is taken."""
+    os.makedirs(os.path.join(table, _REFS_DIR), exist_ok=True)
+    tmp = os.path.join(table, "_tmp", f"ref-{uuid.uuid4().hex}.json")
+    os.makedirs(os.path.dirname(tmp), exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    try:
+        os.link(tmp, _ref_path(table, name))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
+def _load_ref(table: str, name: str) -> dict | None:
+    try:
+        with open(_ref_path(table, name)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
 
 
 def _load_tag(table: str, name: str) -> dict:
-    try:
-        with open(_tag_path(table, name)) as f:
-            return json.load(f)
-    except FileNotFoundError:
+    ref = _load_ref(table, name)
+    if ref is None:
         raise FileNotFoundError(
             f"snapshot_table: no tag {name!r} on {table}"
-        ) from None
+        )
+    if ref.get("type") != "tag":
+        raise ValueError(
+            f"snapshot_table: ref {name!r} on {table} is a "
+            f"{ref.get('type')}, not a tag"
+        )
+    return ref
 
 
 def create_tag(table: str, name: str, version: int | None = None) -> int:
     """Name a main-chain version immutably (Iceberg tag). Claimed with
     the same put-if-absent link as snapshots, so a concurrent duplicate
-    loses loudly; re-pointing a tag means delete_tag + create_tag (the
-    immutability IS the contract — audits cite tags precisely because
-    they cannot move). Returns the tagged version."""
-    _check_ref_name(table, name)
+    — tag OR branch — loses loudly; re-pointing a tag means delete_tag
+    + create_tag (the immutability IS the contract — audits cite tags
+    precisely because they cannot move). Returns the tagged version."""
+    _check_ref_name(name)
     v = latest_version(table) if version is None else version
     if v is None or not os.path.exists(_snap_path(table, v)):
         raise FileNotFoundError(
             f"snapshot_table: cannot tag version {v!r} of {table} — "
             f"no such committed snapshot"
         )
-    os.makedirs(os.path.join(table, _REFS_DIR), exist_ok=True)
-    tmp = os.path.join(table, "_tmp", f"tag-{uuid.uuid4().hex}.json")
-    os.makedirs(os.path.dirname(tmp), exist_ok=True)
-    with open(tmp, "w") as f:
-        json.dump(
-            {"name": name, "type": "tag", "version": v,
-             "created_at": time.time()},
-            f, indent=1, sort_keys=True,
-        )
-    try:
-        os.link(tmp, _tag_path(table, name))
-    except FileExistsError:
+    if not _claim_ref(
+        table, name,
+        {"name": name, "type": "tag", "version": v,
+         "created_at": time.time()},
+    ):
         raise FileExistsError(
-            f"snapshot_table: a tag named {name!r} already exists"
-        ) from None
-    finally:
-        os.remove(tmp)
+            f"snapshot_table: a ref named {name!r} already exists"
+        )
     return v
 
 
 def delete_tag(table: str, name: str) -> None:
     """Drop a tag (its version becomes expirable again)."""
+    _load_tag(table, name)  # raises on absent name or branch ref
     try:
-        os.remove(_tag_path(table, name))
+        os.remove(_ref_path(table, name))
     except FileNotFoundError:
         raise FileNotFoundError(
             f"snapshot_table: no tag {name!r} on {table}"
@@ -2057,16 +2112,35 @@ def create_branch(
     """Fork a branch from a main-chain version (latest by default):
     branch sequence 1 is a verbatim copy of that snapshot plus the
     recorded ``base_version`` that :func:`publish_branch` later
-    validates against. Claimed put-if-absent, so two concurrent
-    create_branch calls for the same name race safely. Returns the
-    fork's branch sequence (always 1)."""
-    _check_ref_name(table, name)
+    validates against. The NAME is claimed put-if-absent in the shared
+    ref namespace first, then the fork snapshot — two concurrent
+    create_branch calls (or a branch racing a tag) for the same name
+    race safely; a crash between the two claims leaves a torn ref that
+    a retry of create_branch repairs. Returns the fork's branch
+    sequence (always 1)."""
+    _check_ref_name(name)
     base = latest_version(table) if at_version is None else at_version
     if base is None or not os.path.exists(_snap_path(table, base)):
         raise FileNotFoundError(
             f"snapshot_table: cannot fork {name!r} at version {base!r} "
             f"of {table} — no such committed snapshot"
         )
+    if not _claim_ref(
+        table, name,
+        {"name": name, "type": "branch", "created_at": time.time()},
+    ):
+        ref = _load_ref(table, name)
+        torn = (
+            ref is not None
+            and ref.get("type") == "branch"
+            and latest_version(table, name) is None
+        )
+        if not torn:
+            raise FileExistsError(
+                f"snapshot_table: a ref named {name!r} already exists"
+            )
+        # torn create (marker claimed, fork never committed): fall
+        # through and claim the fork — the repair path
     fork = dict(_load_snapshot(table, base))
     fork.update(
         {
@@ -2090,34 +2164,50 @@ def create_branch(
 
 
 def drop_branch(table: str, name: str) -> None:
-    """Delete a branch and its snapshot log. Data files only the branch
-    referenced become orphans; :func:`vacuum` reclaims them."""
-    d = os.path.join(table, _REFS_DIR, name)
-    if not os.path.isdir(d):
+    """Delete a branch: its snapshot log first, then its name claim.
+    Data files only the branch referenced become orphans;
+    :func:`vacuum` reclaims them. (Deletion order mirrors create in
+    reverse — a crash between the two leaves a torn ref that
+    create_branch's repair path or a drop_branch retry clears.)"""
+    ref = _load_ref(table, name)
+    if ref is None or ref.get("type") != "branch":
         raise FileNotFoundError(
             f"snapshot_table: no branch {name!r} on {table}"
         )
-    shutil.rmtree(d)
+    shutil.rmtree(os.path.join(table, _REFS_DIR, name), ignore_errors=True)
+    try:
+        os.remove(_ref_path(table, name))
+    except FileNotFoundError:
+        pass  # a concurrent drop got there first
 
 
 def list_refs(table: str) -> list[dict]:
     """All refs, sorted by name: tags as ``{"name", "type": "tag",
     "version"}``, branches as ``{"name", "type": "branch", "head_seq",
-    "base_version"}``."""
+    "base_version"}``. Concurrently-dropped refs and torn branch
+    creates (name claimed, fork not yet committed) are skipped, never
+    crashed on — this runs inside GC."""
     out = []
     root = os.path.join(table, _REFS_DIR)
-    for p in sorted(glob.glob(os.path.join(root, "*.tag.json"))):
-        with open(p) as f:
-            t = json.load(f)
-        out.append(
-            {"name": t["name"], "type": "tag", "version": t["version"]}
-        )
-    for d in sorted(glob.glob(os.path.join(root, "*/"))):
-        name = os.path.basename(d.rstrip("/"))
+    for p in sorted(glob.glob(os.path.join(root, "*.ref.json"))):
+        try:
+            with open(p) as f:
+                ref = json.load(f)
+        except FileNotFoundError:
+            continue  # dropped concurrently
+        name = ref.get("name")
+        if ref.get("type") == "tag":
+            out.append(
+                {"name": name, "type": "tag", "version": ref["version"]}
+            )
+            continue
         head = latest_version(table, name)
         if head is None:
             continue  # torn create_branch: no claimed fork yet
-        fork = _load_snapshot(table, 1, name)
+        try:
+            fork = _load_snapshot(table, 1, name)
+        except FileNotFoundError:
+            continue  # dropped between the two reads
         out.append(
             {
                 "name": name,

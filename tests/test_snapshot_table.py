@@ -3336,3 +3336,72 @@ def test_read_snapshot_ref_arg_validation(spark, docs, tmp_path):
         read_snapshot(spark, table, tag="v1", version=1)
     with pytest.raises(ValueError, match="main-chain only"):
         read_snapshot(spark, table, branch="b", as_of=1.0)
+
+
+def test_ref_name_dot_rejected(spark, docs, tmp_path):
+    """'.' / '..' would alias the branch log onto _refs/ or the table
+    root (drop_branch would rmtree everything); dots-only and
+    suffix-spoofing names are invalid."""
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)
+    for bad in (".", "..", "...", ".hidden", "x.ref", "x.tag", "", "a/b"):
+        with pytest.raises(ValueError):
+            st.create_branch(table, bad)
+        with pytest.raises(ValueError):
+            st.create_tag(table, bad)
+
+
+def test_branch_dropped_mid_write_fails_loudly(spark, docs, tmp_path):
+    """A branch write whose branch is dropped between staging and claim
+    must fail, not resurrect the branch as a fork-less chain."""
+    table = str(tmp_path / "t")
+    write_snapshot(docs.where(F.col("lang") == "en"), table)
+    st.create_branch(table, "b")
+    real_stage = st._stage_publish
+
+    def dropping_stage(*a, **k):
+        out = real_stage(*a, **k)
+        # the branch disappears AFTER this write staged its shards but
+        # BEFORE the claim loop runs — the widest real race window
+        st.drop_branch(table, "b")
+        return out
+
+    de = docs.where(F.col("lang") == "de")
+    st._stage_publish = dropping_stage
+    try:
+        with pytest.raises(FileNotFoundError, match="dropped while"):
+            write_snapshot(de, table, branch="b")
+    finally:
+        st._stage_publish = real_stage
+    # main chain untouched; the branch is really gone
+    assert latest_version(table) == 1
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, branch="b")
+
+
+def test_delete_tag_refuses_branch_ref(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)
+    st.create_branch(table, "b")
+    with pytest.raises(ValueError, match="not a tag"):
+        st.delete_tag(table, "b")
+    with pytest.raises(FileNotFoundError):
+        st.drop_branch(table, "nope")
+
+
+def test_torn_branch_create_repairable(spark, docs, tmp_path):
+    """A crash between the name claim and the fork commit leaves a torn
+    ref: list_refs skips it, reads fail loudly, and a create_branch
+    retry repairs it."""
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)
+    assert st._claim_ref(
+        table, "b", {"name": "b", "type": "branch", "created_at": 0.0}
+    )  # marker claimed, fork never committed (the torn state)
+    assert st.list_refs(table) == []
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, branch="b")
+    assert st.create_branch(table, "b") == 1  # repair
+    assert st.list_refs(table) == [
+        {"name": "b", "type": "branch", "head_seq": 1, "base_version": 1}
+    ]
