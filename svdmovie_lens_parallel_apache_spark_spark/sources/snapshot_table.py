@@ -250,10 +250,34 @@ def read_metadata_table(
     data scan. ``version=`` pins files/partitions like
     :func:`read_snapshot`; history always lists every surviving
     snapshot (``version=`` with it is rejected, not ignored)."""
-    if kind not in ("history", "files", "partitions"):
+    if kind not in ("history", "files", "partitions", "refs"):
         raise ValueError(
             f"snapshot_table: unknown metadata table {kind!r} "
-            f"(history | files | partitions)"
+            f"(history | files | partitions | refs)"
+        )
+    if kind == "refs":
+        # Iceberg .refs parity: one row per tag/branch. Tags expose the
+        # pinned main version; branches expose their head sequence and
+        # fork base. Metadata-only, like every other inspection table.
+        if version is not None:
+            raise ValueError(
+                "snapshot_table: refs lists every live ref; "
+                "version= is not applicable"
+            )
+        rows = [
+            {
+                "name": r["name"],
+                "type": r["type"],
+                "version": r.get("version"),
+                "head_seq": r.get("head_seq"),
+                "base_version": r.get("base_version"),
+            }
+            for r in list_refs(table)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "name string, type string, version bigint, "
+            "head_seq bigint, base_version bigint",
         )
     if kind == "history":
         if version is not None:

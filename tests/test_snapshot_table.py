@@ -3405,3 +3405,28 @@ def test_torn_branch_create_repairable(spark, docs, tmp_path):
     assert st.list_refs(table) == [
         {"name": "b", "type": "branch", "head_seq": 1, "base_version": 1}
     ]
+
+
+def test_refs_metadata_table(spark, docs, tmp_path):
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)
+    st.create_tag(table, "rel1")
+    st.create_branch(table, "dev")
+    write_snapshot(docs.where(F.col("lang") == "en"), table, branch="dev")
+    rows = sorted(
+        (r["name"], r["type"], r["version"], r["head_seq"], r["base_version"])
+        for r in st.read_metadata_table(spark, table, "refs").collect()
+    )
+    assert rows == [
+        ("dev", "branch", None, 2, 1),
+        ("rel1", "tag", 1, None, None),
+    ]
+    with pytest.raises(ValueError, match="not applicable"):
+        st.read_metadata_table(spark, table, "refs", version=1)
+    # empty refs dir -> empty frame with the declared schema
+    t2 = str(tmp_path / "t2")
+    write_snapshot(docs, t2)
+    empty = st.read_metadata_table(spark, t2, "refs")
+    assert empty.count() == 0 and empty.columns == [
+        "name", "type", "version", "head_seq", "base_version"
+    ]
