@@ -4898,3 +4898,159 @@ def q_snapshot_tag_retention(spark, sf_dir):
         F.lit(bool(middle_expired)).alias("middle_expired"),
         F.lit(int(out["snapshots_removed"])).cast("bigint").alias("n_expired"),
     )
+
+
+@register(
+    "url_canonical_domains",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, n_chars,
+             CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'de'
+                  WHEN 'fr' THEN 'fr' WHEN 'es' THEN 'es'
+                  ELSE 'cn' END AS tld
+      FROM documents),
+    u AS (
+      SELECT doc_id, lang, n_chars,
+             concat('https://',
+                    CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END,
+                    source, '.Example.', tld,
+                    '/p/', CAST(doc_id % 50 AS VARCHAR),
+                    CASE WHEN doc_id % 2 = 0
+                         THEN concat('?utm_source=feed&ref=', lang,
+                                     '&utm_campaign=x')
+                         ELSE concat('?ref=', lang) END,
+                    CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END
+             ) AS url
+      FROM d),
+    n AS (
+      SELECT doc_id, lang, n_chars,
+             substr(string_split(url, '#')[1], 9) AS rest
+      FROM u),
+    h AS (SELECT *, string_split(rest, '/')[1] AS host_raw FROM n),
+    h2 AS (
+      SELECT *, lower(host_raw) AS host,
+             substr(rest, length(host_raw) + 1) AS pathq
+      FROM h),
+    h3 AS (
+      SELECT *,
+             CASE WHEN starts_with(host, 'www.')
+                  THEN substr(host, 5) ELSE host END AS host_norm,
+             string_split(pathq, '?')[1] AS path,
+             coalesce(string_split(pathq, '?')[2], '') AS query
+      FROM h2),
+    p AS (
+      SELECT *,
+             list_filter(string_split(query, '&'),
+                         x -> x <> '' AND NOT starts_with(x, 'utm_'))
+               AS params,
+             len(list_filter(string_split(query, '&'),
+                             x -> starts_with(x, 'utm_'))) AS n_removed
+      FROM h3),
+    c AS (
+      SELECT *,
+             concat(host_norm, path,
+                    CASE WHEN len(params) > 0
+                         THEN concat('?',
+                              array_to_string(list_sort(params), '&'))
+                         ELSE '' END) AS canon,
+             CASE WHEN starts_with(host, 'www.') THEN 1 ELSE 0 END AS www_i,
+             string_split(host_norm, '.') AS labels
+      FROM p),
+    c2 AS (
+      SELECT *, concat(labels[len(labels) - 1], '.', labels[len(labels)])
+               AS domain
+      FROM c)
+    SELECT domain,
+           count(*) AS n_docs,
+           count(DISTINCT canon) AS n_unique,
+           CAST(sum(n_removed) AS BIGINT) AS n_utm_removed,
+           CAST(sum(www_i) AS BIGINT) AS n_www_stripped,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           (domain LIKE '%.cn') AS blocked,
+           CAST(sum({oracle_hash_sql("canon")}) AS BIGINT) AS canon_fp
+    FROM c2 GROUP BY domain
+    """,
+    tags=("text", "web-corpus", "llm-pipeline", "normalization"),
+    description="URL canonicalization + registered-domain rollup — the "
+    "web-corpus gate every CommonCrawl-style pipeline runs before "
+    "dedup: deterministic URLs are built per doc with the SAME concat "
+    "in both engines (mixed-case WWW hosts, utm_* tracking params, "
+    "fragments, per-lang TLDs), then normalized WITHOUT regex — strip "
+    "fragment, lowercase host, strip www., drop utm_* params, sort the "
+    "survivors — so URL variants that differ only in tracking noise "
+    "collapse to one canonical form (n_unique < n_docs proves real "
+    "collapses; canon_fp fingerprints every canonical string). The "
+    "registered domain (last two host labels) drives the rollup and a "
+    "policy blocklist flag (.cn TLD here). Scale shape: pure "
+    "whole-stage-codegen string expressions, one shuffle for the "
+    "domain agg (count-distinct expands once on the uniform canonical "
+    "key); no UDF, no regex engine divergence to reconcile.",
+)
+def q_url_canonical_domains(spark, sf_dir):
+    from .functions.hashing import portable_hash64
+
+    big = F.lit(1 << 20)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tld = (
+        F.when(F.col("lang") == "en", "com")
+        .when(F.col("lang") == "de", "de")
+        .when(F.col("lang") == "fr", "fr")
+        .when(F.col("lang") == "es", "es")
+        .otherwise("cn")
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".Example."), tld,
+        F.lit("/p/"), (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&ref="), F.col("lang"),
+                F.lit("&utm_campaign=x"),
+            ),
+        ).otherwise(F.concat(F.lit("?ref="), F.col("lang"))),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    rest = F.get(F.split(url, "#"), 0).substr(F.lit(9), big)
+    host_raw = F.get(F.split(rest, "/"), 0)
+    host = F.lower(host_raw)
+    host_norm = F.when(
+        host.startswith("www."), host.substr(F.lit(5), big)
+    ).otherwise(host)
+    pathq = rest.substr(F.length(host_raw) + 1, big)
+    path = F.get(F.split(pathq, "\\?"), 0)
+    query = F.coalesce(F.get(F.split(pathq, "\\?"), 1), F.lit(""))
+    qparts = F.split(query, "&")
+    params = F.filter(
+        qparts, lambda x: (x != "") & ~x.startswith("utm_")
+    )
+    n_removed = F.size(F.filter(qparts, lambda x: x.startswith("utm_")))
+    canon = F.concat(
+        host_norm, path,
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+        ).otherwise(F.lit("")),
+    )
+    labels = F.split(host_norm, "\\.")
+    rows = d.select(
+        "n_chars",
+        F.concat(
+            F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1)
+        ).alias("domain"),
+        canon.alias("canon"),
+        n_removed.alias("n_removed"),
+        host.startswith("www.").cast("int").alias("www_i"),
+    )
+    return rows.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("canon").alias("n_unique"),
+        F.sum("n_removed").cast("bigint").alias("n_utm_removed"),
+        F.sum("www_i").cast("bigint").alias("n_www_stripped"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.max(F.col("domain").endswith(".cn")).alias("blocked"),
+        F.sum(portable_hash64(F.col("canon"))).cast("bigint").alias("canon_fp"),
+    )
