@@ -122,15 +122,16 @@ def _load_snapshot(table: str, version: int, branch: str | None = None) -> dict:
     return snap
 
 
-def snapshot_history(table: str) -> list[dict]:
-    """All committed snapshots, oldest first (the table's audit log)."""
-    last = latest_version(table)
+def snapshot_history(table: str, branch: str | None = None) -> list[dict]:
+    """All committed snapshots, oldest first (the table's audit log).
+    With ``branch=``, the branch's own log (fork first)."""
+    last = latest_version(table, branch)
     if last is None:
         return []
     out = []
     for v in range(1, last + 1):
         try:
-            out.append(_load_snapshot(table, v))
+            out.append(_load_snapshot(table, v, branch))
         except FileNotFoundError:  # expired by expire_snapshots
             continue
     return out
@@ -2308,10 +2309,19 @@ def publish_branch(table: str, branch: str) -> int:
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
-def streaming_snapshot_sink(table: str, app_id: str | None = None):
+def streaming_snapshot_sink(
+    table: str, app_id: str | None = None, branch: str | None = None,
+):
     """Exactly-once streaming writes into a snapshot table: a
     ``foreachBatch`` function committing each micro-batch as one atomic
     APPEND snapshot stamped with its batch id.
+
+    ``branch=`` is the STREAMING write-audit-publish form: micro-batches
+    land on an audit branch (:func:`create_branch` first), invisible to
+    main readers, with the same batch-id idempotence replayed against
+    the BRANCH's log; a downstream audit then :func:`publish_branch`-es
+    the accumulated window onto main as one commit. This is how a
+    continuous ingest gets gated without ever exposing unaudited rows.
 
     foreachBatch is at-least-once — after a crash Spark replays the last
     un-checkpointed batch — so the sink is made idempotent by the
@@ -2341,7 +2351,7 @@ def streaming_snapshot_sink(table: str, app_id: str | None = None):
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        for snap in reversed(snapshot_history(table)):
+        for snap in reversed(snapshot_history(table, branch)):
             props = snap.get("properties", {})
             done = props.get("streaming_batch_id")
             if done is None or props.get("streaming_app_id") != app_id:
@@ -2353,7 +2363,9 @@ def streaming_snapshot_sink(table: str, app_id: str | None = None):
         props = {"streaming_batch_id": batch_id}
         if app_id is not None:
             props["streaming_app_id"] = app_id
-        write_snapshot(batch_df, table, mode="append", properties=props)
+        write_snapshot(
+            batch_df, table, mode="append", properties=props, branch=branch,
+        )
 
     return sink
 

@@ -3430,3 +3430,65 @@ def test_refs_metadata_table(spark, docs, tmp_path):
     assert empty.count() == 0 and empty.columns == [
         "name", "type", "version", "head_seq", "base_version"
     ]
+
+
+def test_streaming_wap_branch_sink(spark, docs, tmp_path):
+    """Streaming write-audit-publish: micro-batches land on an audit
+    branch (invisible to main), batch-id idempotence replays against
+    the BRANCH log, and publish_branch exposes the audited window to
+    main as one commit."""
+    from pyspark.sql import types as T
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        streaming_snapshot_sink,
+    )
+
+    en = docs.where(F.col("lang") == "en")
+    table = str(tmp_path / "t")
+    write_snapshot(en, table)  # main v1 = the published corpus
+    st.create_branch(table, "ingest")
+
+    rest = docs.where(F.col("lang") != "en").orderBy("doc_id").collect()
+    halves = [rest[0::2], rest[1::2]]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for h in halves:
+        spark.createDataFrame(h, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(
+            streaming_snapshot_sink(table, branch="ingest")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # two micro-batches landed on the branch; main is untouched
+    assert latest_version(table, "ingest") == 3  # fork + 2 batches
+    assert latest_version(table) == 1
+    assert _canon(read_snapshot(spark, table)) == _canon(en)
+    # replaying a committed batch id against the branch is a no-op
+    sink = streaming_snapshot_sink(table, branch="ingest")
+    sink(spark.createDataFrame(halves[0], schema), 0)
+    assert latest_version(table, "ingest") == 3
+    # audit passes -> publish the whole ingested window as ONE commit
+    v = st.publish_branch(table, "ingest")
+    assert v == 2
+    assert _canon(read_snapshot(spark, table)) == _canon(docs)
+    got = [
+        s["properties"].get("streaming_batch_id")
+        for s in st.snapshot_history(table, "ingest")
+    ]
+    assert got == [None, 0, 1]  # fork, then the two batch commits
