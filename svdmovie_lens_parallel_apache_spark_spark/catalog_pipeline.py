@@ -5054,3 +5054,90 @@ def q_url_canonical_domains(spark, sf_dir):
         F.max(F.col("domain").endswith(".cn")).alias("blocked"),
         F.sum(portable_hash64(F.col("canon"))).cast("bigint").alias("canon_fp"),
     )
+
+
+@register(
+    "snapshot_branch_changes",
+    f"""
+    WITH staged AS (
+      SELECT lang, n_chars, doc_id FROM documents WHERE doc_id % 2 = 1),
+    late AS (
+      SELECT lang, count(*) AS n_late FROM documents
+      WHERE doc_id % 4 = 3 GROUP BY lang),
+    after AS (
+      SELECT lang, count(*) AS n_main_after FROM documents GROUP BY lang)
+    SELECT s.lang,
+           count(*) AS n_staged,
+           CAST(coalesce(any_value(l.n_late), 0) AS BIGINT) AS n_late,
+           CAST(sum(s.n_chars) AS BIGINT) AS sum_chars_staged,
+           CAST(any_value(a.n_main_after) AS BIGINT) AS n_main_after,
+           CAST(sum({oracle_hash_sql(
+               "concat(CAST(s.doc_id AS VARCHAR), '|', s.lang)"
+           )}) AS BIGINT) AS staged_fp
+    FROM staged s
+    LEFT JOIN late l ON l.lang = s.lang
+    JOIN after a ON a.lang = s.lang
+    GROUP BY s.lang
+    """,
+    tags=("sources", "table-format", "wap", "incremental"),
+    description="Branch incremental read — the WAP audit report 'what "
+    "exactly will this publish add': the corpus is main v1 (even "
+    "doc_ids), an ingest branch accumulates the odds across TWO branch "
+    "commits (doc_id%4==1 then doc_id%4==3), and "
+    "read_changes(branch=, start=1-the-fork) returns precisely the "
+    "staged rows from branch METADATA alone — no main scan, no fork "
+    "rescan; a sub-range read (start=2) isolates just the second "
+    "commit (n_late). The audit aggregates and fingerprints the staged "
+    "rows per lang, then publish_branch exposes them and the main head "
+    "count confirms the delta landed. Oracle replays staged/late/after "
+    "splits from the source table. At 100 TB this is the publish gate's "
+    "O(new files) review of a day's ingest against a corpus-sized "
+    "table.",
+)
+def q_snapshot_branch_changes(spark, sf_dir):
+    import tempfile
+
+    from .functions.hashing import portable_hash64
+    from .sources.snapshot_table import (
+        create_branch, publish_branch, read_changes, read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="svdml-bchanges-")
+    write_snapshot(docs.where(F.col("doc_id") % 2 == 0), table)  # main v1
+    create_branch(table, "ingest")
+    write_snapshot(docs.where(F.col("doc_id") % 4 == 1), table, branch="ingest")
+    write_snapshot(docs.where(F.col("doc_id") % 4 == 3), table, branch="ingest")
+    staged = read_changes(spark, table, 1, branch="ingest")
+    late = (
+        read_changes(spark, table, 2, branch="ingest")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )
+    audit = staged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_staged"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars_staged"),
+        F.sum(
+            portable_hash64(
+                F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("lang"))
+            )
+        )
+        .cast("bigint")
+        .alias("staged_fp"),
+    )
+    publish_branch(table, "ingest")
+    after = (
+        read_snapshot(spark, table)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_main_after"))
+    )
+    return (
+        audit.join(F.broadcast(late), "lang", "left")
+        .join(F.broadcast(after), "lang")
+        .select(
+            "lang", "n_staged",
+            F.coalesce(F.col("n_late"), F.lit(0)).cast("bigint").alias("n_late"),
+            "sum_chars_staged", "n_main_after", "staged_fp",
+        )
+    )

@@ -3100,6 +3100,7 @@ def read_changes(
     spark: SparkSession, table: str, start_version: int,
     end_version: int | None = None,
     partition_filter: dict | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """Incremental read (Iceberg incremental append scan / Delta CDF's
     append-only fast path): the rows ADDED after ``start_version`` up to
@@ -3123,22 +3124,27 @@ def read_changes(
     narrows the incremental read to the matching partitions' added
     files from metadata alone — the per-language/per-day derived-table
     refresh, O(that partition's new files). Unstamped added shards are
-    conservatively kept."""
-    end = latest_version(table) if end_version is None else end_version
+    conservatively kept.
+
+    ``branch=`` reads a BRANCH's own version range — with
+    ``start_version=1`` (the fork) this is the WAP audit primitive
+    "exactly what will this publish add", computed from branch metadata
+    without touching main or rescanning the fork's content."""
+    end = latest_version(table, branch) if end_version is None else end_version
     if end is None or start_version > end:
         raise ValueError(
             f"snapshot_table: bad change range ({start_version}, {end}]"
         )
-    added, schema_json = _added_files(table, start_version, end)
+    added, schema_json = _added_files(table, start_version, end, branch)
     if partition_filter:
-        pb = _load_snapshot(table, end).get("partition_by", [])
+        pb = _load_snapshot(table, end, branch).get("partition_by", [])
         for key, want in partition_filter.items():
             tvals = _transform_probes(pb, key, want)
             added = [s for s in added if _partition_match(s, key, tvals)]
     schema = StructType.fromJson(
         schema_json
         if schema_json is not None
-        else _load_snapshot(table, end)["schema"]
+        else _load_snapshot(table, end, branch)["schema"]
     )
     if not added:
         return spark.createDataFrame([], schema)
@@ -3315,7 +3321,8 @@ def read_cdc(
 
 
 def _added_files(
-    table: str, start_version: int, end_version: int
+    table: str, start_version: int, end_version: int,
+    branch: str | None = None,
 ) -> tuple[list[dict], dict | None]:
     """The metadata walk behind :func:`read_changes` and the
     ``snapshot_changes`` stream source: file names appended in
@@ -3330,13 +3337,13 @@ def _added_files(
     prev_snap: dict = (
         {"shards": [], "deletes": []}
         if start_version == 0
-        else _load_snapshot(table, start_version)
+        else _load_snapshot(table, start_version, branch)
     )
     prev: set[str] = {s["file"] for s in prev_snap["shards"]}
     added: list[dict] = []
     schema_json = None
     for v in range(start_version + 1, end_version + 1):
-        snap = _load_snapshot(table, v)
+        snap = _load_snapshot(table, v, branch)
         cur = set(s["file"] for s in snap["shards"])
         if snap["operation"] in (
             "metadata", "add_column", "set_partition_spec"

@@ -3492,3 +3492,31 @@ def test_streaming_wap_branch_sink(spark, docs, tmp_path):
         for s in st.snapshot_history(table, "ingest")
     ]
     assert got == [None, 0, 1]  # fork, then the two batch commits
+
+
+def test_read_changes_on_branch(spark, docs, tmp_path):
+    """read_changes(branch=..., start=1) is the WAP audit primitive:
+    exactly the rows the publish will add, from branch metadata alone."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        read_changes,
+    )
+
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    fr = docs.where(F.col("lang") == "fr")
+    table = str(tmp_path / "t")
+    write_snapshot(en, table)
+    st.create_branch(table, "b")
+    write_snapshot(de, table, branch="b")
+    write_snapshot(fr, table, branch="b")
+    staged = read_changes(spark, table, 1, branch="b")
+    assert _canon(staged) == _canon(de.unionByName(fr))
+    # sub-range: only the second branch commit
+    assert _canon(read_changes(spark, table, 2, branch="b")) == _canon(fr)
+    # main log is a different timeline: the same range on main is the
+    # empty delta — branch commits never leak into main's change feed
+    assert read_changes(spark, table, 1).count() == 0
+    # a branch overwrite is not representable as added files
+    write_snapshot(en, table, mode="overwrite", branch="b")
+    with pytest.raises(ValueError, match="append-only"):
+        read_changes(spark, table, 1, branch="b")
