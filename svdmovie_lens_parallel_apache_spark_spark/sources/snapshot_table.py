@@ -245,12 +245,15 @@ def read_metadata_table(
       weight).
     - ``"partitions"`` — :func:`show_partitions` as rows: partition
       map (NULL for unstamped shards), n_rows, n_shards.
+    - ``"refs"`` — one row per live tag (name, pinned main ``version``)
+      or branch (name, ``head_seq``, ``base_version``), Iceberg
+      ``.refs`` parity via the same race-tolerant walk GC uses.
 
     The 100 TB operational surface: auditing layout, stats coverage,
     partition balance, and commit cadence is a metadata scan, never a
     data scan. ``version=`` pins files/partitions like
-    :func:`read_snapshot`; history always lists every surviving
-    snapshot (``version=`` with it is rejected, not ignored)."""
+    :func:`read_snapshot`; history and refs always list everything
+    live (``version=`` with them is rejected, not ignored)."""
     if kind not in ("history", "files", "partitions", "refs"):
         raise ValueError(
             f"snapshot_table: unknown metadata table {kind!r} "
@@ -2256,7 +2259,16 @@ def publish_branch(table: str, branch: str) -> int:
     cherry-pick ancestry rule). Publishing a branch with no commits
     beyond the fork is refused (nothing to publish — no version churn,
     same discipline as the no-op DML guard). Returns the new main
-    version; the branch is left intact for the caller to drop."""
+    version; the branch is left intact for the caller to drop.
+
+    Streaming-sink commits on the branch carry ``streaming_batch_id``
+    stamps; the publish does NOT copy them verbatim (a leaked stamp on
+    a main commit would poison main-chain sink idempotence). Instead it
+    records each lineage's HIGH-WATER batch id under
+    ``published_streaming`` — the durable replay ledger the branch sink
+    consults after the documented publish → drop_branch → create_branch
+    cycle destroys the branch's own log (the Delta txnAppId discipline:
+    the ledger lives in the store that persists)."""
     head_seq = latest_version(table, branch)
     if head_seq is None:
         raise FileNotFoundError(
@@ -2269,6 +2281,16 @@ def publish_branch(table: str, branch: str) -> int:
         )
     head = _load_snapshot(table, head_seq, branch)
     base = _load_snapshot(table, 1, branch).get("base_version")
+    # per-lineage streaming high-water marks across the WHOLE branch log
+    # (app_id None keys as "" — JSON keys are strings)
+    lineages: dict[str, int] = {}
+    for s in snapshot_history(table, branch):
+        props = s.get("properties", {})
+        bid = props.get("streaming_batch_id")
+        if bid is None:
+            continue
+        key = props.get("streaming_app_id") or ""
+        lineages[key] = max(lineages.get(key, -1), bid)
     tmp_dir = os.path.join(table, "_tmp", f"publish-{uuid.uuid4().hex}")
     try:
         while True:
@@ -2289,16 +2311,25 @@ def publish_branch(table: str, branch: str) -> int:
                     "base_version", "committed_at", "properties",
                 )
             }
+            props = {
+                # streaming_* stamps stay off main commits: the main
+                # sink's replay scan matches on those exact keys, and a
+                # leaked branch stamp would make it skip or duplicate
+                # real main batches
+                k: v
+                for k, v in head.get("properties", {}).items()
+                if not k.startswith("streaming_")
+            }
+            props["published_branch"] = branch
+            props["published_seq"] = head_seq
+            if lineages:
+                props["published_streaming"] = lineages
             snapshot.update(
                 {
                     "version": (current or 0) + 1,
                     "parent": current,
                     "operation": "publish",
-                    "properties": {
-                        **head.get("properties", {}),
-                        "published_branch": branch,
-                        "published_seq": head_seq,
-                    },
+                    "properties": props,
                 }
             )
             if _claim_snapshot(table, tmp_dir, snapshot):
@@ -2360,6 +2391,21 @@ def streaming_snapshot_sink(
                 return  # at-least-once replay of a committed batch
             if done < batch_id:
                 break  # monotonic per lineage: older can't hold this id
+        if branch is not None:
+            # the branch's own log is destroyed by the WAP cycle
+            # (publish → drop_branch → create_branch), so a replay that
+            # races a window rollover finds a fresh empty log. The
+            # durable ledger is main: every publish records each
+            # lineage's high-water batch id under published_streaming.
+            key = app_id or ""
+            for snap in reversed(snapshot_history(table)):
+                marks = snap.get("properties", {}).get(
+                    "published_streaming", {}
+                )
+                if key in marks:
+                    if marks[key] >= batch_id:
+                        return  # replay of an already-PUBLISHED batch
+                    break  # high-water marks are monotonic per lineage
         props = {"streaming_batch_id": batch_id}
         if app_id is not None:
             props["streaming_app_id"] = app_id
@@ -3129,7 +3175,17 @@ def read_changes(
     ``branch=`` reads a BRANCH's own version range — with
     ``start_version=1`` (the fork) this is the WAP audit primitive
     "exactly what will this publish add", computed from branch metadata
-    without touching main or rescanning the fork's content."""
+    without touching main or rescanning the fork's content.
+    ``start_version=0`` is rejected for branches: the fork (sequence 1)
+    is a verbatim copy of a main snapshot, so "since creation" would
+    report the entire forked corpus as a change."""
+    if branch is not None and start_version == 0:
+        raise ValueError(
+            "snapshot_table: start_version=0 with branch= would report "
+            "the whole forked corpus as a change (the fork is a "
+            "verbatim copy of main); use start_version=1 for changes "
+            "since the fork"
+        )
     end = latest_version(table, branch) if end_version is None else end_version
     if end is None or start_version > end:
         raise ValueError(

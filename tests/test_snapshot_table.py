@@ -3520,3 +3520,77 @@ def test_read_changes_on_branch(spark, docs, tmp_path):
     write_snapshot(en, table, mode="overwrite", branch="b")
     with pytest.raises(ValueError, match="append-only"):
         read_changes(spark, table, 1, branch="b")
+
+
+def test_publish_does_not_leak_streaming_stamps(spark, docs, tmp_path):
+    """A WAP publish of a streamed window must not poison main-chain
+    sink idempotence: streaming_* stamps stay off the publish commit
+    (as published_streaming high-water marks instead), so a later plain
+    main-chain sink still commits its own batch 0."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        streaming_snapshot_sink,
+    )
+
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    fr = docs.where(F.col("lang") == "fr")
+    table = str(tmp_path / "t")
+    write_snapshot(en, table)
+    st.create_branch(table, "w1")
+    bsink = streaming_snapshot_sink(table, branch="w1")
+    bsink(de, 0)  # one streamed micro-batch on the branch
+    v = st.publish_branch(table, "w1")
+    pub = st._load_snapshot(table, v)
+    assert "streaming_batch_id" not in pub["properties"]
+    assert pub["properties"]["published_streaming"] == {"": 0}
+    # a NEW main-chain lineage's batch 0 must not be skipped
+    msink = streaming_snapshot_sink(table)
+    msink(fr, 0)
+    assert latest_version(table) == v + 1
+    assert _canon(read_snapshot(spark, table)) == _canon(
+        en.unionByName(de).unionByName(fr)
+    )
+
+
+def test_branch_sink_replay_after_window_rollover(spark, docs, tmp_path):
+    """The WAP cycle (publish -> drop_branch -> create_branch) destroys
+    the branch's own log; a crash-replay of an already-PUBLISHED batch
+    id against the fresh branch must be skipped via main's
+    published_streaming ledger — no duplicate rows in the next window."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        streaming_snapshot_sink,
+    )
+
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    fr = docs.where(F.col("lang") == "fr")
+    table = str(tmp_path / "t")
+    write_snapshot(en, table)
+    st.create_branch(table, "ingest")
+    sink = streaming_snapshot_sink(table, branch="ingest")
+    sink(de, 0)
+    sink(fr, 1)
+    st.publish_branch(table, "ingest")
+    st.drop_branch(table, "ingest")
+    st.create_branch(table, "ingest")  # next audit window
+    sink = streaming_snapshot_sink(table, branch="ingest")
+    sink(fr, 1)  # at-least-once replay of the PUBLISHED batch 1
+    assert latest_version(table, "ingest") == 1  # skipped: fork only
+    sink(de.limit(0), 2)  # a genuinely new batch still commits
+    assert latest_version(table, "ingest") == 2
+    # published corpus holds each row exactly once
+    assert _canon(read_snapshot(spark, table)) == _canon(
+        en.unionByName(de).unionByName(fr)
+    )
+
+
+def test_read_changes_branch_start_zero_rejected(spark, docs, tmp_path):
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        read_changes,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)
+    st.create_branch(table, "b")
+    with pytest.raises(ValueError, match="verbatim copy"):
+        read_changes(spark, table, 0, branch="b")
