@@ -5141,3 +5141,60 @@ def q_snapshot_branch_changes(spark, sf_dir):
             "sum_chars_staged", "n_main_after", "staged_fp",
         )
     )
+
+
+@register(
+    "snapshot_refs_inspection",
+    """
+    WITH e AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),
+         a AS (SELECT count(*) AS n FROM documents)
+    SELECT 'baseline' AS name, 'tag' AS type,
+           CAST(1 AS BIGINT) AS pinned, CAST(e.n AS BIGINT) AS n_rows
+    FROM e
+    UNION ALL
+    SELECT 'dev' AS name, 'branch' AS type,
+           CAST(1 AS BIGINT) AS pinned, CAST(a.n AS BIGINT) AS n_rows
+    FROM a
+    """,
+    tags=("sources", "table-format", "refs", "inspection"),
+    description="Refs inspection surface (Iceberg .refs): the table is "
+    "built as v1 = even doc_ids, tagged 'baseline', and a 'dev' branch "
+    "appends the odds; read_metadata_table(kind='refs') lists both refs "
+    "(tag's pinned main version, branch's fork base), and each ref is "
+    "then READ THROUGH — read_snapshot(tag=) must serve exactly v1's "
+    "rows and read_snapshot(branch=) the fork-plus-append — so the "
+    "gate ties the metadata rows to the data each ref actually "
+    "resolves to, not just to pinned literals. Metadata listing is "
+    "O(refs); the per-ref counts are ordinary snapshot scans.",
+)
+def q_snapshot_refs_inspection(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        create_branch, create_tag, read_metadata_table, read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    table = tempfile.mkdtemp(prefix="svdml-refs-")
+    write_snapshot(docs.where(F.col("doc_id") % 2 == 0), table)  # v1
+    create_tag(table, "baseline")
+    create_branch(table, "dev")
+    write_snapshot(docs.where(F.col("doc_id") % 2 == 1), table, branch="dev")
+    refs = read_metadata_table(spark, table, "refs").select(
+        "name", "type",
+        F.coalesce(F.col("version"), F.col("base_version")).alias("pinned"),
+    )
+    counts = (
+        read_snapshot(spark, table, tag="baseline")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit("baseline").alias("name"), "n_rows")
+        .unionByName(
+            read_snapshot(spark, table, branch="dev")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit("dev").alias("name"), "n_rows")
+        )
+    )
+    return refs.join(F.broadcast(counts), "name").select(
+        "name", "type", "pinned", F.col("n_rows").cast("bigint").alias("n_rows")
+    )
