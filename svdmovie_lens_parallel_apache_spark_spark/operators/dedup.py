@@ -592,3 +592,102 @@ def substring_dup_stats(docs: DataFrame, window: int = 20) -> DataFrame:
         "n_dup_windows",
         frac.alias("dup_win_frac"),
     ).withColumn("flagged", F.col("dup_win_frac") >= 0.5)
+
+
+def jaccard_pairs_prefix(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3,
+    block_col: str = "lang",
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard near-dup pairs via PREFIX FILTERING
+    (Chaudhuri/Bayardo prefix filter, the PPJoin candidate rule) — the
+    LOSSLESS scale path next to :func:`jaccard_pairs`'s ``max_df`` cap:
+
+        df per (block, shingle)  →  canonical order = (df asc, shingle)
+        → per doc keep only the PREFIX: first |d| - ceil(t*|d|) + 1
+          shingles in canonical order
+        → candidate pairs = docs sharing >=1 PREFIX shingle
+        → verify candidates exactly (array_intersect on full shingle
+          sets), keep jaccard >= t
+
+    Why it is exact: if J(A,B) >= t and both docs skipped each other in
+    the prefix index, the overlap would have to live entirely in the two
+    suffixes of length ceil(t*|d|) - 1 — too small to reach t (the
+    standard prefix-filter guarantee). So unlike ``max_df``, no
+    recall is traded away at ANY df distribution.
+
+    Why it scales: the canonical order is ascending document frequency,
+    so a doc's prefix holds its RAREST shingles — an ultra-common
+    shingle enters prefixes only for docs short enough that it ranks in
+    their first (1-t)|d|+1, which bounds posting-list blowup without a
+    tuning knob. A length filter (least(sz)/greatest(sz) >= t, since
+    Jaccard <= min/max) prunes candidates before the exact verify, and
+    verification is O(candidates x shingle width) — candidates, not all
+    pairs. Plan: two shuffles to rank (df join, per-doc prefix), one to
+    group prefix postings, one candidate distinct, one verify join."""
+    from pyspark.sql import functions as F
+
+    from ..functions.scalar import portable_round as _r
+
+    s = with_shingles(docs, n).select(
+        F.col(block_col).alias("blk"), "doc_id", "shingles",
+        F.size("shingles").alias("sz"),
+    )
+    posts = s.select("blk", "doc_id", F.explode("shingles").alias("sh"))
+    dfs = posts.groupBy("blk", "sh").agg(F.count(F.lit(1)).alias("df"))
+    p_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).cast("int")
+    pref = (
+        posts.join(dfs, ["blk", "sh"])
+        .groupBy("blk", "doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("o"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .select(
+            "blk", "doc_id",
+            F.explode(F.slice(F.col("o"), 1, p_len)).alias("ps"),
+        )
+        .select("blk", "doc_id", F.col("ps.sh").alias("sh"))
+    )
+    grouped = pref.groupBy("blk", "sh").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    pair_list = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cand = (
+        grouped.select("blk", F.explode(pair_list).alias("p"))
+        .select("blk", F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    a = s.select(
+        "blk", F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sha"), F.col("sz").alias("sz_a"),
+    )
+    b = s.select(
+        "blk", F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("shb"), F.col("sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    jac = _r(
+        inter.cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - inter).cast("double"),
+        6,
+    )
+    return (
+        cand.join(a, ["blk", "doc_a"])
+        .join(b, ["blk", "doc_b"])
+        .where(
+            F.least(F.col("sz_a"), F.col("sz_b")).cast("double")
+            >= F.lit(threshold) * F.greatest(F.col("sz_a"), F.col("sz_b"))
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

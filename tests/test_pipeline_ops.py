@@ -406,3 +406,22 @@ def test_substring_dedup_planted_span(spark):
     assert not rows[5].flagged and rows[5].dup_win_frac == 0.0
     # docs 1/2: dup fraction 1/3 -> below the 0.5 flag
     assert not rows[1].flagged and not rows[2].flagged
+
+
+def test_jaccard_prefix_filter_lossless(spark, sf_dir):
+    """The prefix-filter variant must equal the UNCAPPED exact
+    posting-list baseline bit-for-bit — the prefix filter's guarantee
+    is zero recall loss at the threshold, unlike the max_df cap."""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        tuple(r)
+        for r in jaccard_pairs(docs, 0.5, 3, "lang", max_df=10**9).collect()
+    }
+    pref = {tuple(r) for r in jaccard_pairs_prefix(docs, 0.5, 3, "lang").collect()}
+    assert pref == exact and len(pref) > 0
