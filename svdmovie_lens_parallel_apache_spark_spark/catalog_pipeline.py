@@ -4767,7 +4767,8 @@ def q_snapshot_wap_publish(spark, sf_dir):
     import tempfile
 
     from .sources.snapshot_table import (
-        create_branch, publish_branch, read_snapshot, write_snapshot,
+        create_branch, delete_where, publish_branch, read_snapshot,
+        write_snapshot,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
@@ -4792,11 +4793,10 @@ def q_snapshot_wap_publish(spark, sf_dir):
     )
     # the WAP property: main is untouched while the dirty batch audits
     isolation_ok = read_snapshot(spark, table).count() == n_main_before
-    # remediation: branch becomes the quarantine-filtered table state
-    write_snapshot(
-        on_branch.where(F.col("n_chars") >= 0), table,
-        mode="overwrite", branch="audit",
-    )
+    # remediation IN PLACE on the branch: row-level DELETE of the
+    # quarantined rows (copy-on-write rewrite of only the touched
+    # shards, committed to the branch log — main still sees v1)
+    delete_where(spark, table, "n_chars < 0", branch="audit")
     audit_clean_ok = (
         read_snapshot(spark, table, branch="audit")
         .where(F.col("n_chars") < 0).count() == 0

@@ -2694,6 +2694,7 @@ def delete_where(
     spark: SparkSession, table: str, condition: str,
     prune: tuple | None = None, lazy: bool = False,
     partition_prune: dict | None = None,
+    branch: str | None = None,
 ) -> int:
     """Row-level DELETE as one atomic snapshot (Delta ``DELETE FROM`` /
     Iceberg copy-on-write delete shaped): rows where ``condition`` is
@@ -2741,14 +2742,29 @@ def delete_where(
     ``delete_where`` / ``merge_upsert`` on a table with pending lazy
     deletes raise loudly (their rewrites would silently detach covered
     shards from the tombstones): compact first.
+
+    ``branch=`` deletes on a BRANCH head (WAP remediation in place: an
+    audit that finds bad rows deletes them on the audit branch and
+    re-audits — main never sees either state until publish). The
+    rewrite reads and stages against the shared ``data/`` dir; only the
+    commit lands in the branch log. A lazy tombstone on a branch rides
+    the branch head and is carried onto main by ``publish_branch``
+    verbatim (shard lists are table-global file names).
     """
     from pyspark.sql import functions as F
 
+    if branch is not None and latest_version(table, branch) is None:
+        raise FileNotFoundError(
+            f"snapshot_table: no branch {branch!r} on {table}; "
+            f"create_branch() first"
+        )
     if lazy:
-        current = latest_version(table)
+        current = latest_version(table, branch)
         if current is None:
             raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
-        schema = StructType.fromJson(_load_snapshot(table, current)["schema"])
+        schema = StructType.fromJson(
+            _load_snapshot(table, current, branch)["schema"]
+        )
         # analyse the condition against the table schema BEFORE the
         # tombstone commits: the CoW path validates implicitly by
         # evaluating the filter, but a committed unparseable/misspelled
@@ -2757,13 +2773,16 @@ def delete_where(
         _ = spark.createDataFrame([], schema).where(
             F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
         ).schema
-        return _lazy_delete(table, condition, partition_prune)
+        return _lazy_delete(table, condition, partition_prune, branch)
     keep = ~F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
     while True:
-        current = latest_version(table)
+        current = latest_version(table, branch)
         if current is None:
-            raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
-        snap = _load_snapshot(table, current)
+            raise FileNotFoundError(
+                f"snapshot_table: {table} has no snapshots"
+                + (f" on branch {branch!r}" if branch is not None else "")
+            )
+        snap = _load_snapshot(table, current, branch)
         if snap.get("deletes"):
             raise ValueError(
                 "snapshot_table: copy-on-write delete with pending lazy "
@@ -2843,7 +2862,9 @@ def delete_where(
                 snapshot["constraints"] = snap["constraints"]
             if pb:
                 snapshot["partition_by"] = pb
-            if _claim_snapshot(table, tmp_dir, snapshot):
+            if branch is not None:
+                snapshot["branch"] = branch
+            if _claim_snapshot(table, tmp_dir, snapshot, branch):
                 return version
             continue  # concurrent commit won: retry on the new base
         finally:
@@ -2852,6 +2873,7 @@ def delete_where(
 
 def _lazy_delete(
     table: str, condition: str, partition_prune: dict | None = None,
+    branch: str | None = None,
 ) -> int:
     """The metadata-only commit behind ``delete_where(lazy=True)``.
     ``partition_prune`` narrows the tombstone to the shards whose
@@ -2861,12 +2883,13 @@ def _lazy_delete(
     tmp_dir = os.path.join(table, "_tmp", job)
     try:
         while True:
-            current = latest_version(table)
+            current = latest_version(table, branch)
             if current is None:
                 raise FileNotFoundError(
                     f"snapshot_table: {table} has no snapshots"
+                    + (f" on branch {branch!r}" if branch is not None else "")
                 )
-            snap = _load_snapshot(table, current)
+            snap = _load_snapshot(table, current, branch)
             covered, _ = _triage_shards(
                 snap["shards"], None, partition_prune,
                 snap.get("partition_by", []),
@@ -2901,7 +2924,9 @@ def _lazy_delete(
                 snapshot["constraints"] = snap["constraints"]
             if snap.get("partition_by"):
                 snapshot["partition_by"] = snap["partition_by"]
-            if _claim_snapshot(table, tmp_dir, snapshot):
+            if branch is not None:
+                snapshot["branch"] = branch
+            if _claim_snapshot(table, tmp_dir, snapshot, branch):
                 return version
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -2911,6 +2936,7 @@ def update_where(
     spark: SparkSession, table: str, set_exprs: dict[str, str],
     condition: str, prune: tuple | None = None,
     partition_prune: dict | None = None,
+    branch: str | None = None,
 ) -> int:
     """Row-level UPDATE as one atomic snapshot (Delta ``UPDATE table
     SET col = expr WHERE cond`` / Iceberg copy-on-write update shaped)
@@ -2942,19 +2968,31 @@ def update_where(
     at their own commit). Pending lazy deletes raise (the rewrite
     would detach their tombstones — compact first, same rule as the
     other CoW writers). A lost commit race retries against the new
-    base. Returns the committed version."""
+    base. Returns the committed version.
+
+    ``branch=`` updates a BRANCH head in place (WAP remediation: fix
+    the bad rows on the audit branch, re-audit, publish) — same shared
+    ``data/`` staging, commit lands in the branch log only."""
     from pyspark.sql import functions as F
 
     if not set_exprs:
         raise ValueError(
             "snapshot_table: update_where needs at least one SET column"
         )
+    if branch is not None and latest_version(table, branch) is None:
+        raise FileNotFoundError(
+            f"snapshot_table: no branch {branch!r} on {table}; "
+            f"create_branch() first"
+        )
     hit = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
     while True:
-        current = latest_version(table)
+        current = latest_version(table, branch)
         if current is None:
-            raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
-        snap = _load_snapshot(table, current)
+            raise FileNotFoundError(
+                f"snapshot_table: {table} has no snapshots"
+                + (f" on branch {branch!r}" if branch is not None else "")
+            )
+        snap = _load_snapshot(table, current, branch)
         if snap.get("deletes"):
             raise ValueError(
                 "snapshot_table: copy-on-write update with pending lazy "
@@ -3065,7 +3103,9 @@ def update_where(
                 snapshot["constraints"] = snap["constraints"]
             if pb:
                 snapshot["partition_by"] = pb
-            if _claim_snapshot(table, tmp_dir, snapshot):
+            if branch is not None:
+                snapshot["branch"] = branch
+            if _claim_snapshot(table, tmp_dir, snapshot, branch):
                 return version
             continue  # concurrent commit won: retry on the new base
         finally:

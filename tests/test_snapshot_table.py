@@ -3594,3 +3594,83 @@ def test_read_changes_branch_start_zero_rejected(spark, docs, tmp_path):
     st.create_branch(table, "b")
     with pytest.raises(ValueError, match="verbatim copy"):
         read_changes(spark, table, 0, branch="b")
+
+
+def test_branch_dml_remediation_and_publish(spark, docs, tmp_path):
+    """WAP remediation in place: the audit UPDATEs bad rows and DELETEs
+    hopeless ones on the branch, main stays untouched until publish."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        delete_where,
+        update_where,
+    )
+
+    en = docs.where(F.col("lang") == "en")
+    table = str(tmp_path / "t")
+    write_snapshot(en, table, stats_cols=["n_chars"])
+    st.create_branch(table, "audit")
+    dirty = docs.where(F.col("lang") != "en").withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 3 == 0, -F.col("n_chars")).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    write_snapshot(dirty, table, branch="audit")
+    # remediate ON THE BRANCH: flip recoverable rows, drop zh entirely
+    update_where(
+        spark, table, {"n_chars": "CAST(-n_chars AS BIGINT)"},
+        "n_chars < 0", branch="audit",
+    )
+    delete_where(spark, table, "lang = 'zh'", branch="audit")
+    # main never saw any of it
+    assert latest_version(table) == 1
+    assert _canon(read_snapshot(spark, table)) == _canon(en)
+    # branch now equals the clean expected state
+    expected = docs.where(F.col("lang") != "zh")
+    assert _canon(read_snapshot(spark, table, branch="audit")) == _canon(
+        expected
+    )
+    v = st.publish_branch(table, "audit")
+    assert _canon(read_snapshot(spark, table, version=v)) == _canon(expected)
+
+
+def test_branch_lazy_delete_rides_publish(spark, docs, tmp_path):
+    """A merge-on-read tombstone committed on the branch is carried
+    onto main by publish (shard lists are table-global file names)."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        delete_where,
+    )
+
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    table = str(tmp_path / "t")
+    write_snapshot(en, table)
+    st.create_branch(table, "b")
+    write_snapshot(de, table, branch="b")
+    delete_where(
+        spark, table, "doc_id % 2 = 0", lazy=True, branch="b"
+    )
+    # tombstone applies on the branch read, not on main
+    assert _canon(read_snapshot(spark, table, branch="b")) == _canon(
+        en.unionByName(de).where(F.col("doc_id") % 2 != 0)
+    )
+    assert _canon(read_snapshot(spark, table)) == _canon(en)
+    st.publish_branch(table, "b")
+    assert _canon(read_snapshot(spark, table)) == _canon(
+        en.unionByName(de).where(F.col("doc_id") % 2 != 0)
+    )
+
+
+def test_branch_dml_requires_branch(spark, docs, tmp_path):
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        delete_where,
+        update_where,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)
+    with pytest.raises(FileNotFoundError, match="create_branch"):
+        delete_where(spark, table, "doc_id = 1", branch="nope")
+    with pytest.raises(FileNotFoundError, match="create_branch"):
+        update_where(
+            spark, table, {"n_chars": "n_chars"}, "doc_id = 1", branch="nope"
+        )
