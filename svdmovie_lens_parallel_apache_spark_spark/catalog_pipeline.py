@@ -4753,9 +4753,11 @@ def q_snapshot_incremental_dedup(spark, sf_dir):
     "write_snapshot(branch=...)), NOT to main. The audit reads the "
     "branch, counts violations per lang, and probes main mid-audit — "
     "isolation_ok pins that main still serves exactly v1 while the "
-    "dirty batch sits on the branch. Remediation overwrites the branch "
-    "with the quarantine-filtered state, a re-audit pins zero "
-    "violations, and publish_branch cherry-picks the branch head onto "
+    "dirty batch sits on the branch. Remediation is a row-level "
+    "DELETE IN PLACE ON THE BRANCH (delete_where(branch=), pruned by "
+    "the recorded n_chars stats so clean forked shards carry over "
+    "untouched), a re-audit pins zero violations, and publish_branch "
+    "cherry-picks the branch head onto "
     "main as version 2 (conflicting loudly had main advanced past the "
     "fork). The oracle replays the final published state, the per-lang "
     "quarantine counts, and pins the audit booleans and published "
@@ -4794,9 +4796,14 @@ def q_snapshot_wap_publish(spark, sf_dir):
     # the WAP property: main is untouched while the dirty batch audits
     isolation_ok = read_snapshot(spark, table).count() == n_main_before
     # remediation IN PLACE on the branch: row-level DELETE of the
-    # quarantined rows (copy-on-write rewrite of only the touched
-    # shards, committed to the branch log — main still sees v1)
-    delete_where(spark, table, "n_chars < 0", branch="audit")
+    # quarantined rows, pruned by the recorded n_chars stats — every
+    # matching row has n_chars in [lo, -1], so the clean forked shards
+    # (min > 0) carry over untouched and only the dirty batch's shards
+    # rewrite; the commit lands in the branch log, main still sees v1
+    delete_where(
+        spark, table, "n_chars < 0",
+        prune=("n_chars", -(1 << 40), -1), branch="audit",
+    )
     audit_clean_ok = (
         read_snapshot(spark, table, branch="audit")
         .where(F.col("n_chars") < 0).count() == 0

@@ -61,6 +61,22 @@ def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def _posting_pairs(ds: Column) -> Column:
+    """All i<j element pairs of a SORTED posting-list array ``ds`` as
+    ``struct(a, b)`` — the single pair-emission expression every
+    posting-list join shares (ordering of ``ds`` gives a < b for
+    free). One subtle index expression, one copy."""
+    return F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def _jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))
@@ -113,16 +129,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
     grouped = posts.groupBy("blk", "sh").agg(
         F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("ds")
     )
-    pair_list = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    pairs = grouped.select(F.explode(pair_list).alias("p"))
+    pairs = grouped.select(F.explode(_posting_pairs(F.col("ds"))).alias("p"))
     inter = (
         pairs.select(
             F.col("p.a.doc_id").alias("doc_a"),
@@ -623,13 +630,21 @@ def jaccard_pairs_prefix(
     Jaccard <= min/max) prunes candidates before the exact verify, and
     verification is O(candidates x shingle width) — candidates, not all
     pairs. Plan: two shuffles to rank (df join, per-doc prefix), one to
-    group prefix postings, one candidate distinct, one verify join."""
+    group prefix postings, one candidate distinct, one verify join.
+
+    A NULL block value is its own block (the baseline's groupBy
+    semantics): the block key is coalesced to a sentinel BEFORE the
+    equi-joins, because plain join equality would silently drop every
+    NULL-block doc and break the lossless contract."""
     from pyspark.sql import functions as F
 
     from ..functions.scalar import portable_round as _r
 
+    # "\x00?" cannot collide with a real value: it only has to differ
+    # from the STRING FORMS of this one column's non-null values
+    blk = F.coalesce(F.col(block_col).cast("string"), F.lit("\x00?"))
     s = with_shingles(docs, n).select(
-        F.col(block_col).alias("blk"), "doc_id", "shingles",
+        blk.alias("blk"), "doc_id", "shingles",
         F.size("shingles").alias("sz"),
     )
     posts = s.select("blk", "doc_id", F.explode("shingles").alias("sh"))

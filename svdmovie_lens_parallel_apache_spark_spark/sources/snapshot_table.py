@@ -2322,8 +2322,24 @@ def publish_branch(table: str, branch: str) -> int:
             }
             props["published_branch"] = branch
             props["published_seq"] = head_seq
-            if lineages:
-                props["published_streaming"] = lineages
+            # carry EVERY known lineage's mark forward, not just this
+            # branch's: merge the durable ledger + the base snapshot's
+            # marks + this window's — so the latest publish commit and
+            # the ledger each hold the COMPLETE map and retention can
+            # never erase a lineage's only high-water mark
+            merged = dict(_ledger_marks(table))
+            base_marks = (
+                {}
+                if current is None
+                else _load_snapshot(table, current)
+                .get("properties", {})
+                .get("published_streaming", {})
+            )
+            for src in (base_marks, lineages):
+                for k, v in src.items():
+                    merged[k] = max(merged.get(k, -1), v)
+            if merged:
+                props["published_streaming"] = merged
             snapshot.update(
                 {
                     "version": (current or 0) + 1,
@@ -2333,9 +2349,50 @@ def publish_branch(table: str, branch: str) -> int:
                 }
             )
             if _claim_snapshot(table, tmp_dir, snapshot):
+                if merged:
+                    _ledger_append(table, merged)
                 return snapshot["version"]
             # lost the race for this version number: loop re-checks the
             # fork base (the winner moved main, so this raises conflict)
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+_LEDGER_DIR = "_ledger"  # under _refs/: survives expire_snapshots
+
+
+def _ledger_marks(table: str) -> dict[str, int]:
+    """Latest entry of the durable streaming-publish ledger (empty if
+    none). The ledger is a put-if-absent sequence chain under
+    ``_refs/_ledger/`` — expire_snapshots never touches ``_refs``, so a
+    lineage's high-water mark outlives the publish snapshot that first
+    recorded it (the Delta txnAppId discipline: the replay ledger lives
+    in durable table state, not in expirable history)."""
+    seq = latest_version(table, _LEDGER_DIR)
+    if seq is None:
+        return {}
+    try:
+        return _load_snapshot(table, seq, _LEDGER_DIR).get("marks", {})
+    except FileNotFoundError:
+        return {}
+
+
+def _ledger_append(table: str, marks: dict[str, int]) -> None:
+    """Append a merged ledger entry (claim loop: losers re-merge with
+    the winner and retry, same protocol as every other commit)."""
+    tmp_dir = os.path.join(table, "_tmp", f"ledger-{uuid.uuid4().hex}")
+    try:
+        while True:
+            prev = _ledger_marks(table)
+            merged = dict(prev)
+            for k, v in marks.items():
+                merged[k] = max(merged.get(k, -1), v)
+            if merged == prev:
+                return  # nothing new to record
+            seq = (latest_version(table, _LEDGER_DIR) or 0) + 1
+            entry = {"version": seq, "parent": None, "marks": merged}
+            if _claim_snapshot(table, tmp_dir, entry, _LEDGER_DIR):
+                return
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
@@ -2395,9 +2452,15 @@ def streaming_snapshot_sink(
             # the branch's own log is destroyed by the WAP cycle
             # (publish → drop_branch → create_branch), so a replay that
             # races a window rollover finds a fresh empty log. The
-            # durable ledger is main: every publish records each
-            # lineage's high-water batch id under published_streaming.
+            # durable ledger is the _refs/_ledger chain (carried
+            # forward by every publish and immune to expire_snapshots);
+            # the latest publish commit's published_streaming map is
+            # the fallback for the narrow crash window between a
+            # publish commit and its ledger append.
             key = app_id or ""
+            done = _ledger_marks(table).get(key, -1)
+            if done >= batch_id:
+                return  # replay of an already-PUBLISHED batch
             for snap in reversed(snapshot_history(table)):
                 marks = snap.get("properties", {}).get(
                     "published_streaming", {}
@@ -3219,6 +3282,11 @@ def read_changes(
     ``start_version=0`` is rejected for branches: the fork (sequence 1)
     is a verbatim copy of a main snapshot, so "since creation" would
     report the entire forked corpus as a change."""
+    if branch is not None and latest_version(table, branch) is None:
+        raise FileNotFoundError(
+            f"snapshot_table: no branch {branch!r} on {table}; "
+            f"create_branch() first"
+        )
     if branch is not None and start_version == 0:
         raise ValueError(
             "snapshot_table: start_version=0 with branch= would report "

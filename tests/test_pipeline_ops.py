@@ -419,9 +419,21 @@ def test_jaccard_prefix_filter_lossless(spark, sf_dir):
     from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    # NULL-block docs form their own block in the baseline's groupBy;
+    # the prefix variant must match there too (a plain equi-join on the
+    # block key would silently drop them)
+    nulls = spark.createDataFrame(
+        [
+            (9000001, "alpha beta gamma delta epsilon zeta", None),
+            (9000002, "alpha beta gamma delta epsilon eta", None),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    docs = docs.select("doc_id", "text", "lang").unionByName(nulls)
     exact = {
         tuple(r)
         for r in jaccard_pairs(docs, 0.5, 3, "lang", max_df=10**9).collect()
     }
     pref = {tuple(r) for r in jaccard_pairs_prefix(docs, 0.5, 3, "lang").collect()}
     assert pref == exact and len(pref) > 0
+    assert any(a >= 9000001 for a, _, _ in pref)  # the NULL block paired

@@ -3674,3 +3674,37 @@ def test_branch_dml_requires_branch(spark, docs, tmp_path):
         update_where(
             spark, table, {"n_chars": "n_chars"}, "doc_id = 1", branch="nope"
         )
+
+
+def test_streaming_ledger_survives_expiry(spark, docs, tmp_path):
+    """The replay ledger must outlive the publish snapshot that first
+    recorded it: publish a streamed window, advance main, expire the
+    publish commit, roll the window — a crash-replay of the published
+    batch id must STILL be skipped (via the _refs/_ledger chain)."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        streaming_snapshot_sink,
+    )
+
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    fr = docs.where(F.col("lang") == "fr")
+    table = str(tmp_path / "t")
+    write_snapshot(en, table)
+    st.create_branch(table, "ingest")
+    sink = streaming_snapshot_sink(table, branch="ingest")
+    sink(de, 0)
+    st.publish_branch(table, "ingest")  # main v2, ledger {"" : 0}
+    st.drop_branch(table, "ingest")
+    write_snapshot(fr, table)  # main v3 (no streaming marks)
+    out = expire_snapshots(table, keep_last=1)  # v2 (and its marks) gone
+    assert out["snapshots_removed"] >= 1
+    st.create_branch(table, "ingest")
+    sink = streaming_snapshot_sink(table, branch="ingest")
+    sink(de, 0)  # crash-replay of the PUBLISHED batch 0
+    assert latest_version(table, "ingest") == 1  # skipped: fork only
+    sink(de.limit(0), 1)  # the next real batch still commits
+    assert latest_version(table, "ingest") == 2
+    # a second window's publish carries the merged marks forward
+    v = st.publish_branch(table, "ingest")
+    marks = st._load_snapshot(table, v)["properties"]["published_streaming"]
+    assert marks == {"": 1}
