@@ -2483,6 +2483,7 @@ def merge_upsert(
     updates: DataFrame, table: str, key_cols: list[str],
     prune_col: str | None = None, delete_condition: str | None = None,
     partition_prune: dict | None = None,
+    branch: str | None = None,
 ) -> int:
     """Copy-on-write MERGE (Delta ``MERGE WHEN MATCHED UPDATE / WHEN NOT
     MATCHED INSERT``-shaped): rows in ``updates`` replace current rows
@@ -2492,6 +2493,11 @@ def merge_upsert(
     being replaced) union the updates — two scans and one join, no
     driver-side row handling; at 100 TB the anti-join broadcast-builds
     when updates are small (the common upsert) and shuffles otherwise.
+
+    ``branch=`` merges onto a BRANCH head (WAP remediation: upsert
+    corrected rows on the audit branch, re-audit, publish) — the third
+    branch-DML leg next to ``delete_where``/``update_where``; same
+    shared ``data/`` staging, commit in the branch log only.
 
     ``prune_col`` (one of ``key_cols``) makes the rewrite PARTIAL: the
     updates' [min, max] on that column bounds which keys can match, so
@@ -2565,11 +2571,19 @@ def merge_upsert(
         ).collect()[0]
         if row["lo"] is not None and row["hi"] is not None:
             bounds = (row["lo"], row["hi"])
+    if branch is not None and latest_version(table, branch) is None:
+        raise FileNotFoundError(
+            f"snapshot_table: no branch {branch!r} on {table}; "
+            f"create_branch() first"
+        )
     while True:
-        current = latest_version(table)
+        current = latest_version(table, branch)
         if current is None:
-            raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
-        snap = _load_snapshot(table, current)
+            raise FileNotFoundError(
+                f"snapshot_table: {table} has no snapshots"
+                + (f" on branch {branch!r}" if branch is not None else "")
+            )
+        snap = _load_snapshot(table, current, branch)
         if snap.get("deletes"):
             raise ValueError(
                 "snapshot_table: merge with pending lazy deletes would "
@@ -2654,7 +2668,9 @@ def merge_upsert(
                 snapshot["constraints"] = snap["constraints"]
             if pb:
                 snapshot["partition_by"] = pb
-            if _claim_snapshot(table, tmp_dir, snapshot):
+            if branch is not None:
+                snapshot["branch"] = branch
+            if _claim_snapshot(table, tmp_dir, snapshot, branch):
                 return version
             continue  # concurrent commit won: retry on the new base
         finally:

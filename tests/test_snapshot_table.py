@@ -3708,3 +3708,40 @@ def test_streaming_ledger_survives_expiry(spark, docs, tmp_path):
     v = st.publish_branch(table, "ingest")
     marks = st._load_snapshot(table, v)["properties"]["published_streaming"]
     assert marks == {"": 1}
+
+
+def test_branch_merge_upsert(spark, docs, tmp_path):
+    """merge_upsert(branch=) — the third branch-DML leg: corrected rows
+    upsert onto the audit branch; main untouched until publish."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        merge_upsert,
+    )
+
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    table = str(tmp_path / "t")
+    write_snapshot(en, table)
+    st.create_branch(table, "b")
+    write_snapshot(de, table, branch="b")
+    # corrected post-images for three de rows + one brand-new row
+    fixes = de.orderBy("doc_id").limit(3).withColumn(
+        "n_chars", F.col("n_chars") + 1000000
+    )
+    new_row = spark.createDataFrame(
+        [(8000001, "xx", 7)], "doc_id bigint, lang string, n_chars bigint"
+    )
+    merge_upsert(
+        fixes.unionByName(new_row), table, ["doc_id"], branch="b"
+    )
+    assert latest_version(table) == 1  # main untouched
+    got = {
+        r["doc_id"]: r["n_chars"]
+        for r in read_snapshot(spark, table, branch="b").collect()
+    }
+    for r in fixes.collect():
+        assert got[r["doc_id"]] == r["n_chars"]  # updated in place
+    assert got[8000001] == 7  # inserted
+    st.publish_branch(table, "b")
+    assert read_snapshot(spark, table).count() == len(got)
+    with pytest.raises(FileNotFoundError, match="create_branch"):
+        merge_upsert(new_row, table, ["doc_id"], branch="nope")
