@@ -3702,6 +3702,7 @@ def compact_table(
     cluster_by: list[str] | None = None,
     zorder_by: tuple[str, str] | None = None, zbits: int = 16,
     bloom_cols: list[str] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Small-file compaction as a snapshot commit (Iceberg
     ``rewrite_data_files`` / Delta ``OPTIMIZE`` shaped): rewrite the
@@ -3733,21 +3734,28 @@ def compact_table(
     ``2**zbits`` for placement to be meaningful (hash/bucketize first
     otherwise; stats record REAL column values, so correctness never
     depends on this, only pruning selectivity). Mutually exclusive with
-    ``cluster_by``."""
+    ``cluster_by``.
+
+    ``branch=`` compacts a BRANCH head: a streaming-WAP window
+    accumulates one micro-batch file per commit, so compacting the
+    branch before :func:`publish_branch` bounds the file count the
+    publish makes live on main (Iceberg runs rewrite_data_files on
+    branches for the same reason). Pending branch tombstones
+    materialise in the rewrite, same as on main."""
     if cluster_by and zorder_by:
         raise ValueError(
             "snapshot_table: cluster_by and zorder_by are mutually exclusive"
         )
     from pyspark.sql import functions as F
 
-    df = read_snapshot(spark, table)
+    df = read_snapshot(spark, table, branch=branch)
     n = max(1, target_shards)
     # on a PARTITIONED table the staging split performs its own range
     # shuffle on (tuple, cluster keys) — a driver-side pre-shuffle here
     # would be a second full-table shuffle whose layout is immediately
     # discarded, so the clustering work is delegated entirely to
     # _stage_publish (via _cluster_within/_cluster_parts below)
-    pb_live = bool(table_partition_by(table))
+    pb_live = bool(table_partition_by(table, branch))
     if cluster_by:
         if not pb_live:
             df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
@@ -3792,6 +3800,7 @@ def compact_table(
         },
         stats_cols=stats_cols,
         bloom_cols=bloom_cols,
+        branch=branch,
         _cluster_within=inner,
         _cluster_parts=n,
     )

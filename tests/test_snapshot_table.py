@@ -3745,3 +3745,38 @@ def test_branch_merge_upsert(spark, docs, tmp_path):
     assert read_snapshot(spark, table).count() == len(got)
     with pytest.raises(FileNotFoundError, match="create_branch"):
         merge_upsert(new_row, table, ["doc_id"], branch="nope")
+
+
+def test_branch_compaction_before_publish(spark, docs, tmp_path):
+    """compact_table(branch=) bounds the file count a streaming-WAP
+    window publishes: micro-batch shards collapse into target_shards,
+    replay idempotence still holds across the compaction commit, and
+    the publish makes the compacted layout live on main."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table,
+        streaming_snapshot_sink,
+    )
+
+    en = docs.where(F.col("lang") == "en")
+    table = str(tmp_path / "t")
+    write_snapshot(en, table)
+    st.create_branch(table, "w")
+    sink = streaming_snapshot_sink(table, branch="w")
+    sink(docs.where(F.col("lang") == "de"), 0)
+    sink(docs.where(F.col("lang") == "fr"), 1)
+    before = st._load_snapshot(
+        table, latest_version(table, "w"), "w"
+    )["n_shards"]
+    compact_table(spark, table, target_shards=2, branch="w")
+    snap = st._load_snapshot(table, latest_version(table, "w"), "w")
+    assert snap["n_shards"] <= 2 < before
+    assert snap["properties"]["compaction"] is True
+    # replay of a pre-compaction batch id is still skipped
+    seq = latest_version(table, "w")
+    sink(docs.where(F.col("lang") == "de"), 1)
+    assert latest_version(table, "w") == seq
+    # main is untouched until publish; publish serves the compacted rows
+    assert _canon(read_snapshot(spark, table)) == _canon(en)
+    st.publish_branch(table, "w")
+    expected = docs.where(F.col("lang").isin("en", "de", "fr"))
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
