@@ -3780,3 +3780,26 @@ def test_branch_compaction_before_publish(spark, docs, tmp_path):
     st.publish_branch(table, "w")
     expected = docs.where(F.col("lang").isin("en", "de", "fr"))
     assert _canon(read_snapshot(spark, table)) == _canon(expected)
+
+
+def test_two_branch_publish_race(spark, docs, tmp_path):
+    """Two branches forked from the same base: the first publish wins,
+    the second conflicts loudly (its fork base is no longer main's
+    head) — the cherry-pick ancestry rule under a real two-writer race,
+    not just a main-advance."""
+    table = str(tmp_path / "t")
+    write_snapshot(docs.where(F.col("lang") == "en"), table)
+    st.create_branch(table, "b1")
+    st.create_branch(table, "b2")
+    write_snapshot(docs.where(F.col("lang") == "de"), table, branch="b1")
+    write_snapshot(docs.where(F.col("lang") == "fr"), table, branch="b2")
+    assert st.publish_branch(table, "b1") == 2
+    with pytest.raises(ValueError, match="re-fork"):
+        st.publish_branch(table, "b2")
+    # the loser re-forks from the new head and replays: lands cleanly
+    st.drop_branch(table, "b2")
+    st.create_branch(table, "b2")
+    write_snapshot(docs.where(F.col("lang") == "fr"), table, branch="b2")
+    assert st.publish_branch(table, "b2") == 3
+    expected = docs.where(F.col("lang").isin("en", "de", "fr"))
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
