@@ -1599,7 +1599,11 @@ def q_line_dedup_boilerplate(spark, sf_dir):
 
 
 _PREFIX_JACCARD_CTES = f"""pt AS (
-      SELECT doc_id, lang, {_TOKS.format(src='lower(text)')} AS toks FROM documents),
+      -- NULL langs form their own block in the operator (coalesced to a
+      -- "\\x00?" sentinel); mirror that here or NULL-lang docs would
+      -- silently drop out of the equi-joins below
+      SELECT doc_id, coalesce(lang, chr(0) || '?') AS lang,
+             {_TOKS.format(src='lower(text)')} AS toks FROM documents),
     psh AS (SELECT doc_id, lang, {_SHINGLES} AS sh FROM pt),
     pposts AS (SELECT lang, doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM psh),
     pdf AS (SELECT lang, shingle, count(*) AS df FROM pposts GROUP BY 1, 2),

@@ -668,17 +668,8 @@ def jaccard_pairs_prefix(
     grouped = pref.groupBy("blk", "sh").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ds")
     )
-    pair_list = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
     cand = (
-        grouped.select("blk", F.explode(pair_list).alias("p"))
+        grouped.select("blk", F.explode(_posting_pairs(F.col("ds"))).alias("p"))
         .select("blk", F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )

@@ -2040,18 +2040,21 @@ _REF_NAME_OK = frozenset(
 def _check_ref_name(name: str) -> None:
     # "." and ".." would alias the branch log onto _refs/ itself or the
     # table root (drop_branch would then rmtree EVERYTHING); a leading
-    # non-alphanumeric also rules out other dots-only spellings
+    # non-alphanumeric also rules out other dots-only spellings. A
+    # ".json" suffix is rejected too: a branch named "x.ref.json" would
+    # put its log DIRECTORY where list_refs' "*.ref.json" glob expects
+    # claim files, and open() on a directory would crash GC.
     if (
         not name
         or len(name) > 128
         or not set(name) <= _REF_NAME_OK
         or not name[0].isalnum()
-        or name.endswith((".ref", ".tag"))
+        or name.endswith((".ref", ".tag", ".json"))
     ):
         raise ValueError(
             f"snapshot_table: invalid ref name {name!r} (letters/"
             f"digits/_-. only, must start alphanumeric, <=128 chars, "
-            f"may not end with '.ref'/'.tag')"
+            f"may not end with '.ref'/'.tag'/'.json')"
         )
 
 
@@ -2218,6 +2221,8 @@ def list_refs(table: str) -> list[dict]:
     out = []
     root = os.path.join(table, _REFS_DIR)
     for p in sorted(glob.glob(os.path.join(root, "*.ref.json"))):
+        if not os.path.isfile(p):
+            continue  # a stray directory matching the glob is not a ref
         try:
             with open(p) as f:
                 ref = json.load(f)
@@ -2437,6 +2442,15 @@ def streaming_snapshot_sink(
     matter — at 100 TB pair this with :func:`expire_snapshots`
     retention (bounded history) as any Delta/Iceberg deployment does.
     """
+    if app_id == "":
+        # "" is the ledger/publish-map key for app_id=None (JSON keys
+        # are strings); allowing a user lineage named "" would make the
+        # two share one high-water mark and silently skip each other's
+        # replayed batches after a publish.
+        raise ValueError(
+            "snapshot_table: app_id='' is reserved for the unnamed "
+            "lineage (app_id=None); pass a non-empty app_id or None"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         for snap in reversed(snapshot_history(table, branch)):

@@ -15,6 +15,7 @@ from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
     latest_version,
     read_snapshot,
     snapshot_history,
+    streaming_snapshot_sink,
     write_snapshot,
 )
 
@@ -3344,11 +3345,37 @@ def test_ref_name_dot_rejected(spark, docs, tmp_path):
     suffix-spoofing names are invalid."""
     table = str(tmp_path / "t")
     write_snapshot(docs, table)
-    for bad in (".", "..", "...", ".hidden", "x.ref", "x.tag", "", "a/b"):
+    for bad in (
+        ".", "..", "...", ".hidden", "x.ref", "x.tag", "", "a/b",
+        # ".json" names would put the branch-log DIRECTORY where
+        # list_refs' "*.ref.json" glob expects claim files and brick GC
+        "x.ref.json", "x.json",
+    ):
         with pytest.raises(ValueError):
             st.create_branch(table, bad)
         with pytest.raises(ValueError):
             st.create_tag(table, bad)
+
+
+def test_list_refs_skips_stray_directories(spark, docs, tmp_path):
+    """A directory whose name matches the claim-file glob (e.g. left by
+    an older writer or manual surgery) must be skipped, not open()-ed —
+    list_refs runs inside expire_snapshots/GC."""
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)
+    st.create_tag(table, "v1")
+    os.makedirs(os.path.join(table, "_refs", "stray.ref.json"))
+    assert st.list_refs(table) == [{"name": "v1", "type": "tag", "version": 1}]
+
+
+def test_streaming_sink_rejects_empty_app_id(spark, docs, tmp_path):
+    """app_id='' is the ledger key for the unnamed lineage (None); a
+    user lineage named '' would share its high-water mark and silently
+    skip the other's replays after a publish."""
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table)
+    with pytest.raises(ValueError, match="reserved"):
+        streaming_snapshot_sink(table, app_id="")
 
 
 def test_branch_dropped_mid_write_fails_loudly(spark, docs, tmp_path):
