@@ -1396,8 +1396,10 @@ def _kmeans_semantic_oracle(
     _kmeans_semantic_oracle(8, 2, 0.4),
     tags=("dedup", "semantic", "kmeans", "embedding", "ml"),
     description="SemDeDup-style semantic dedup (Abbas et al. 2023, public): "
-    "deterministic distributed Lloyd's k-means (init = k smallest vec_ids, "
-    "literal-broadcast centroids so assignment is a shuffle-free projection, "
+    "deterministic distributed Lloyd's k-means (init = k smallest vec_ids; "
+    "assignment is a shuffle-free Arrow-batched pandas_udf argmin against a "
+    "broadcast NumPy centroid matrix — plan size constant in k, dims folded "
+    "in order so it is bit-identical to the literal when-chain twin; "
     "DECIMAL-accumulated rounded centroid updates so cross-engine drift cannot "
     "compound) clusters the corpus; near-duplicates are then detected only "
     "within (cluster, adaptive sign-LSH bucket) blocks — cosine >= 0.4 against "

@@ -523,8 +523,93 @@ def knn_pq(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
     )
 
 
+def _nearest_literal(
+    vec: Column, cents: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid cid with centroids unrolled as plan LITERALS: a
+    ``when``-chain of sequential-fold squared-L2 distances (bit-identical
+    to DuckDB ``list_reduce``), strict ``<`` so ties keep the smaller
+    cid. Whole-stage-codegen'd and shuffle-free — but the chain nests
+    the RUNNING BEST inside each step's ``when`` twice (once in the
+    comparison, once in the otherwise), so the expression tree grows
+    ~2^k: analysis OOMs around k≈13 (measured). This is the replay twin
+    that pins the oracle at small k; :func:`_assign_vectorized` is the
+    production path."""
+    best_cid, best_d2 = F.lit(-1), F.lit(float("inf"))
+    for cid, cvec in cents:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        d2 = F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        hit = d2 < best_d2  # strict: ties keep the smaller cid
+        best_cid = F.when(hit, F.lit(cid)).otherwise(best_cid)
+        best_d2 = F.when(hit, d2).otherwise(best_d2)
+    return best_cid
+
+
+def _assign_vectorized(
+    v: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Nearest-centroid assignment as an Arrow-batched ``pandas_udf``
+    argmin against a ``SparkContext.broadcast`` NumPy (k×dim) centroid
+    matrix — the k-scalable twin of :func:`_nearest_literal`: plan size
+    is CONSTANT in k (one UDF node), memory is one shared k×dim float64
+    matrix per executor, and cost grows linearly in k inside NumPy
+    instead of in Catalyst expression nodes.
+
+    Bit-identical to the literal path by construction, so the DuckDB
+    oracle transfers unchanged:
+
+    - distances accumulate over dimensions IN ORDER (``acc += (x_j -
+      c_j)²`` per dim, vectorized over rows×centroids) — elementwise
+      IEEE float64, the same op sequence per (row, centroid) as the
+      sequential ``aggregate`` fold;
+    - ``np.argmin`` returns the FIRST minimum — same tie rule as the
+      fold's strict ``<`` keeping the earlier (smaller) cid.
+
+    Row batches are sub-chunked so the (rows × k) distance buffer stays
+    ~32 MB regardless of k — at k=10⁵ a full 10k-row Arrow batch would
+    otherwise need an 8 GB buffer."""
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    mat = np.array([cv for _, cv in cents], dtype=np.float64)  # (k, dim)
+    sc = v.sparkSession.sparkContext
+    bc = sc.broadcast((cids, mat))
+
+    @F.pandas_udf("int")
+    def _argmin_cid(vecs: pd.Series) -> pd.Series:
+        b_cids, b_mat = bc.value
+        n = len(vecs)
+        if n == 0:
+            return pd.Series([], dtype="int32")
+        x = np.stack(vecs.to_numpy())  # (n, dim) float64
+        out = np.empty(n, dtype=np.int64)
+        # bound the (chunk × k) distance buffer to ~32 MB of float64;
+        # preallocate acc/diff once and reuse (the loop is memory-
+        # bandwidth-bound — fresh temporaries per dim double the traffic)
+        k_ = len(b_cids)
+        chunk = max(1, (4 << 20) // max(1, k_))
+        acc = np.empty((min(chunk, n), k_))
+        d = np.empty_like(acc)
+        for s in range(0, n, chunk):
+            xs = x[s : s + chunk]
+            a = acc[: xs.shape[0]]
+            db = d[: xs.shape[0]]
+            a[:] = 0.0
+            for j in range(b_mat.shape[1]):  # dims IN ORDER: fold parity
+                np.subtract(xs[:, j, None], b_mat[None, :, j], out=db)
+                db *= db
+                a += db
+            out[s : s + chunk] = b_cids[np.argmin(a, axis=1)]
+        return pd.Series(out, dtype="int64").astype("int32")
+
+    return v.withColumn("cid", _argmin_cid(F.col("vec")))
+
+
 def kmeans_lloyd(
     emb: DataFrame, k: int = 8, iters: int = 2, decimals: int = 6,
+    assign: str = "vectorized",
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Deterministic distributed Lloyd's k-means over the embedding
     column — the clustering stage of SemDeDup-style semantic dedup
@@ -534,10 +619,17 @@ def kmeans_lloyd(
     Fully replayable in the DuckDB oracle, so every choice is pinned:
 
     - init: the ``k`` vectors with the smallest ``vec_id`` (cid = rank);
-    - assignment: squared-L2 via the sequential ``aggregate`` fold
-      (bit-identical to ``list_reduce``), ties broken by smallest cid —
-      centroids ride along as LITERALS (a k×dim broadcast, never a
-      shuffle), so each pass is a pure projection over the corpus;
+    - assignment: squared-L2 accumulated over dimensions IN ORDER
+      (bit-identical to ``list_reduce``'s sequential fold), ties broken
+      by smallest cid. Two interchangeable physical forms —
+      ``assign="vectorized"`` (default): Arrow-batched ``pandas_udf``
+      argmin against a broadcast NumPy (k×dim) matrix, plan size
+      constant in k (the 100 TB form: SemDeDup wants k in the 10⁴–10⁵
+      range, ∝ corpus size); ``assign="literal"``: centroids unrolled
+      as plan literals into a codegen'd ``when``-chain — zero Python,
+      but its nested running-best doubles the expression tree per
+      centroid (~2^k nodes; analysis OOMs at k≈13). Both produce
+      identical assignments (pytest-gated), so the oracle pins BOTH;
     - update: per-(cid, dimension) mean via DECIMAL(18,9) accumulation
       (order-independent at any parallelism) rounded to ``decimals`` —
       rounding is part of the algorithm, so cross-engine float drift
@@ -552,28 +644,24 @@ def kmeans_lloyd(
     per round — scalar-bounded. ``k``/``iters`` are the knobs a 100 TB
     run raises (k ∝ corpus size keeps clusters bounded for the
     within-cluster pair stage downstream)."""
+    if assign not in ("vectorized", "literal"):
+        raise ValueError(
+            f"kmeans_lloyd: assign must be 'vectorized' or 'literal', "
+            f"got {assign!r}"
+        )
     v = emb.select(
         "vec_id", to_double(F.col("embedding")).alias("vec")
     ).persist()
     init = v.orderBy("vec_id").limit(k).collect()  # k rows — bounded
     centroids = [(i, list(r["vec"])) for i, r in enumerate(init)]
 
-    def nearest(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
-        best_cid, best_d2 = F.lit(-1), F.lit(float("inf"))
-        for cid, cvec in cents:
-            c = F.array(*[F.lit(float(x)) for x in cvec])
-            d2 = F.aggregate(
-                F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            hit = d2 < best_d2  # strict: ties keep the smaller cid
-            best_cid = F.when(hit, F.lit(cid)).otherwise(best_cid)
-            best_d2 = F.when(hit, d2).otherwise(best_d2)
-        return best_cid
+    def nearest(df: DataFrame, cents) -> DataFrame:
+        if assign == "literal":
+            return df.withColumn("cid", _nearest_literal(F.col("vec"), cents))
+        return _assign_vectorized(df, cents)
 
     for _ in range(iters):
-        assigned = v.withColumn("cid", nearest(F.col("vec"), centroids))
+        assigned = nearest(v, centroids)
         means = (
             assigned.select("cid", F.posexplode("vec").alias("pos", "mv"))
             .groupBy("cid", "pos")
@@ -594,5 +682,5 @@ def kmeans_lloyd(
             (cid, [dims[p] for p in sorted(dims)])
             for cid, dims in sorted(by_cid.items())
         ]
-    final = v.withColumn("cid", nearest(F.col("vec"), centroids))
+    final = nearest(v, centroids)
     return final, centroids

@@ -437,3 +437,50 @@ def test_jaccard_prefix_filter_lossless(spark, sf_dir):
     pref = {tuple(r) for r in jaccard_pairs_prefix(docs, 0.5, 3, "lang").collect()}
     assert pref == exact and len(pref) > 0
     assert any(a >= 9000001 for a, _, _ in pref)  # the NULL block paired
+
+
+def test_kmeans_vectorized_equals_literal_assignment(spark, sf_dir):
+    """The Arrow-batched argmin path (plan size constant in k — the
+    100 TB form) must produce BIT-IDENTICAL assignments and centroids
+    to the literal when-chain path at every iteration: same in-order
+    dimension fold, same first-minimum tie rule. k=8/iters=2 — the
+    catalog query's exact configuration, so this gate transfers the
+    DuckDB oracle's pin onto the vectorized path. (The literal path
+    cannot go much higher: its nested when-chain duplicates the running
+    best per centroid — ~2^k expression nodes — and OOMs analysis
+    around k≈13, which is WHY the vectorized path exists.)"""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.similarity import kmeans_lloyd
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lit_df, lit_cents = kmeans_lloyd(emb, k=8, iters=2, assign="literal")
+    vec_df, vec_cents = kmeans_lloyd(emb, k=8, iters=2, assign="vectorized")
+    assert lit_cents == vec_cents  # updates replay identically
+    lit = {r.vec_id: r.cid for r in lit_df.select("vec_id", "cid").collect()}
+    vec = {r.vec_id: r.cid for r in vec_df.select("vec_id", "cid").collect()}
+    assert lit == vec and len(lit) == emb.count()
+    lit_df.unpersist()
+    vec_df.unpersist()
+
+
+def test_kmeans_vectorized_scales_in_k(spark, sf_dir):
+    """k=256 must run through the vectorized path with a CONSTANT-size
+    plan (one Python UDF node, no k-proportional expression tree) —
+    the literal path dies on analysis/codegen blowup around k≈10².
+    Assignment sanity: every cid is one of the surviving centroids and
+    at least the k initial vectors self-assign distinctly."""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.similarity import kmeans_lloyd
+    from svdmovie_lens_parallel_apache_spark_spark.plans.explain import formatted_plan
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    import re
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df, cents = kmeans_lloyd(emb, k=256, iters=1, assign="vectorized")
+    plan = formatted_plan(df)
+    udf_nodes = re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.MULTILINE)
+    assert len(udf_nodes) == 1  # one UDF node, any k
+    cids = {c for c, _ in cents}
+    got = {r.cid for r in df.select("cid").distinct().collect()}
+    assert got <= cids and len(got) > 128
+    df.unpersist()
