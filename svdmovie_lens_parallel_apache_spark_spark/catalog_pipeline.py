@@ -3854,6 +3854,89 @@ def q_snapshot_drop_partition(spark, sf_dir):
 
 
 @register(
+    "snapshot_replace_partition",
+    f"""
+    WITH final AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN lang = 'en' THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM documents
+      WHERE lang <> 'en' OR doc_id % 10 <> 0)
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           TRUE                         AS replace_ok
+    FROM final GROUP BY lang
+    """,
+    tags=("sources", "table-format", "partitioning", "dml"),
+    description="ATOMIC partition overwrite (Iceberg replacePartitions / "
+    "INSERT OVERWRITE ... PARTITION): commit documents partitioned by "
+    "lang, then replace_partition swaps the 'en' partition for a "
+    "re-materialized version (n_chars corrected by +1000, every 10th doc "
+    "dropped — a REPLACE, not an upsert) in ONE commit, so no reader can "
+    "see the hole the drop_partition+write composition exposes between "
+    "its two commits. replace_ok pins the three claims: every non-en "
+    "shard is carried into the new snapshot under the SAME file name "
+    "(byte-identical, zero read/write), time travel to v1 still reads "
+    "the full original en partition, and the whole replace is exactly "
+    "one version. The daily re-materialization primitive at 100 TB: "
+    "rebuilding one day touches one partition's files plus O(shards) "
+    "metadata. Engine: sources/snapshot_table.py::replace_partition.",
+)
+def q_snapshot_replace_partition(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        _load_snapshot,
+        read_snapshot,
+        replace_partition,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    table = tempfile.mkdtemp(prefix="svdml-snapreplace-") + "/t"
+    write_snapshot(docs, table, partition_by=["lang"])
+    v1_files = {
+        s["file"]: s["partition"]["lang"]
+        for s in snapshot_history(table)[-1]["shards"]
+    }
+    en = docs.where(F.col("lang") == "en")
+    n_en = en.count()
+    fixed_en = en.where(F.col("doc_id") % 10 != 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    v = replace_partition(fixed_en, table, {"lang": "en"})
+    snap = _load_snapshot(table, v)
+    carried = {
+        s["file"] for s in snap["shards"] if s["partition"]["lang"] != "en"
+    }
+    replace_ok = bool(
+        v == 2  # ONE commit — never a drop+write hole
+        and carried == {f for f, l in v1_files.items() if l != "en"}
+        and snap["properties"]["rows_replaced"] == n_en
+        and read_snapshot(spark, table, 1)
+        .where(F.col("lang") == "en")
+        .count() == n_en
+    )
+    return (
+        read_snapshot(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias(
+                "text_fp"
+            ),
+        )
+        .withColumn("replace_ok", F.lit(replace_ok))
+    )
+
+
+@register(
     "snapshot_incremental_read",
     f"""
     SELECT lang,

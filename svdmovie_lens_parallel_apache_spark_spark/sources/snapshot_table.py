@@ -1445,6 +1445,43 @@ def _stage_publish(
     return mine, counts, stats, partitions
 
 
+def _rebase_evolution_guard(
+    table: str, branch: str | None, snap: dict, current: int,
+    entry_version: int | None, what: str,
+) -> None:
+    """Walk the operation chain from the current head back to the
+    version this job entered at; a rename_column/drop_column anywhere
+    in between means this job's entry-time schema is stale and a
+    silent ``_merge_schema`` rebase would resurrect the renamed or
+    dropped name as a separate column. Delta/Iceberg raise a metadata
+    conflict here; so does every rebasing writer in this module."""
+    if current == entry_version:
+        return
+    v = current
+    while v is not None and v != entry_version:
+        try:
+            s = snap if v == current else _load_snapshot(table, v, branch)
+        except FileNotFoundError:
+            # an intermediate snapshot expired while we rebased: the
+            # chain back to the entry base is unverifiable, so
+            # conservatively conflict (the documented retry) instead
+            # of crashing with a missing-file error
+            raise ValueError(
+                f"snapshot_table: history between this {what}'s base "
+                f"({entry_version}) and the current head ({current}) "
+                f"was expired while the {what} was staging; retry the "
+                f"write against the new head"
+            ) from None
+        if s["operation"] in ("rename_column", "drop_column"):
+            raise ValueError(
+                f"snapshot_table: table schema evolved "
+                f"({s['operation']} committed at version {v}) while "
+                f"this {what} was staging; retry the write against "
+                f"the new schema"
+            )
+        v = s.get("parent")
+
+
 def write_snapshot(
     df: DataFrame, table: str, mode: str = "append",
     properties: dict | None = None,
@@ -1628,39 +1665,12 @@ def write_snapshot(
                 # ENTRY-TIME df.schema into the evolved base and
                 # resurrect the renamed/dropped name as a separate
                 # column, landing the new rows under the stale name.
-                # Delta/Iceberg raise a metadata conflict here; so do
-                # we. Walk the operation chain back to the entry base.
-                if mode == "append" and current != entry_version:
-                    v = current
-                    while v is not None and v != entry_version:
-                        try:
-                            s = (
-                                snap if v == current
-                                else _load_snapshot(table, v, branch)
-                            )
-                        except FileNotFoundError:
-                            # an intermediate snapshot expired while we
-                            # rebased: the chain back to the entry base
-                            # is unverifiable, so conservatively
-                            # conflict (the documented retry) instead
-                            # of crashing with a missing-file error
-                            raise ValueError(
-                                f"snapshot_table: history between this "
-                                f"append's base ({entry_version}) and "
-                                f"the current head ({current}) was "
-                                f"expired while the append was staging; "
-                                f"retry the write against the new head"
-                            ) from None
-                        if s["operation"] in (
-                            "rename_column", "drop_column",
-                        ):
-                            raise ValueError(
-                                f"snapshot_table: table schema evolved "
-                                f"({s['operation']} committed at version "
-                                f"{v}) while this append was staging; "
-                                f"retry the write against the new schema"
-                            )
-                        v = s.get("parent")
+                # Delta/Iceberg raise a metadata conflict here; so do we.
+                if mode == "append":
+                    _rebase_evolution_guard(
+                        table, branch, snap, current, entry_version,
+                        "append",
+                    )
             def _shard(n):
                 s = {"file": n, "n_rows": counts[n]}
                 if stats[n]:
@@ -2781,6 +2791,239 @@ def drop_partition(table: str, matching: dict) -> int:
                 return version
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def replace_partition(
+    df: DataFrame, table: str, matching: dict | None = None,
+    stats_cols: list[str] | None = None,
+    properties: dict | None = None,
+    branch: str | None = None,
+) -> int:
+    """ATOMIC partition overwrite (Iceberg ``replacePartitions`` /
+    ``INSERT OVERWRITE ... PARTITION``): drop every live shard of the
+    target partition(s) and install ``df``'s shards in their place as
+    ONE commit — no reader can ever see the hole that composing
+    :func:`drop_partition` + :func:`write_snapshot` (two commits)
+    exposes between them. The daily re-materialization idiom: rebuild
+    day N from corrected upstream data while days != N are carried
+    verbatim (byte-identical files, zero read, zero write) and time
+    travel to the pre-replace version still serves the old day N.
+
+    ``matching={col_or_spec: value_or_list}`` is the STATIC form: the
+    named partitions are replaced, and every staged shard must fall
+    inside them — a row outside the named partition would silently
+    land in (and corrupt) a partition this commit did not declare, so
+    it raises and the staged files are removed. ``matching=None`` is
+    the DYNAMIC form (Spark ``spark.sql.sources.partitionOverwriteMode
+    =dynamic`` / Iceberg dynamic overwrite): exactly the partition
+    tuples PRESENT in ``df`` are replaced — an empty ``df`` is a
+    loud error there, since "replace nothing" is never what a
+    re-materialization meant.
+
+    Same loud-refusal contract as :func:`drop_partition`: a live shard
+    with no recorded value for a needed partition field (written
+    before partitioning) MAY hold matching rows, so the replace
+    refuses and points at ``compact_table``. Same rebase rules as the
+    other DML writers: the claim loop re-validates freshly added
+    constraints, conflicts on a concurrent re-partition or
+    rename/drop-column, and carries pending lazy-delete tombstones
+    (their covers resolve against live shards only). ``branch=``
+    replaces on a branch head (WAP remediation of one bad partition).
+    Returns the committed version."""
+    pb = table_partition_by(table, branch)
+    if latest_version(table, branch) is None:
+        raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
+    if not pb:
+        raise ValueError(
+            "snapshot_table: replace_partition requires a partitioned "
+            "table (use write_snapshot(mode='overwrite') to replace an "
+            "unpartitioned table outright)"
+        )
+    probes: dict[str, set] | None = None
+    if matching is not None:
+        if not matching:
+            raise ValueError(
+                "snapshot_table: matching={} would replace EVERY "
+                "partition; pass matching=None for dynamic overwrite "
+                "or write_snapshot(mode='overwrite') to replace the "
+                "whole table"
+            )
+        canon = {
+            _parse_partition_spec(k)["spec"]: w for k, w in matching.items()
+        }
+        bad = [c for c in canon if c not in pb]
+        if bad:
+            raise ValueError(
+                f"snapshot_table: replace_partition columns {bad} are "
+                f"not partition columns (spec: {pb})"
+            )
+        probes = {c: _transform_probes(pb, c, w) for c, w in canon.items()}
+    for spec in pb:
+        f = _parse_partition_spec(spec)
+        if f["source"] not in df.columns:
+            raise ValueError(
+                f"snapshot_table: partition column {f['source']!r} "
+                f"not in DataFrame"
+            )
+    validated = _base_constraints(table, branch)
+    _enforce_constraints(df, validated)
+    entry_version = latest_version(table, branch)
+    job = uuid.uuid4().hex
+    tmp_dir = os.path.join(table, "_tmp", job)
+    mine: list[str] = []
+    committed = False
+    try:
+        mine, counts, stats, parts = _stage_publish(
+            df, table, tmp_dir, stats_cols, pb,
+        )
+        if matching is None and not mine:
+            raise ValueError(
+                "snapshot_table: dynamic replace_partition with an "
+                "empty DataFrame would replace nothing; name the "
+                "partitions (matching=) or use drop_partition"
+            )
+        if probes is not None:
+            stray = [
+                n for n in mine
+                if not all(
+                    parts[n].get(c) in t for c, t in probes.items()
+                )
+            ]
+            if stray:
+                ex = parts[stray[0]]
+                raise ValueError(
+                    f"snapshot_table: {len(stray)} staged shard(s) fall "
+                    f"outside the declared partition(s) "
+                    f"{sorted(probes)} (e.g. {ex}) — rows outside the "
+                    f"named partition would corrupt partitions this "
+                    f"replace did not declare"
+                )
+            needed = set(probes)
+        else:
+            needed = set(pb)
+        staged_tuples = {
+            tuple(sorted(parts[n].items())) for n in mine
+        }
+        while True:
+            current = latest_version(table, branch)
+            if current is None:
+                raise FileNotFoundError(
+                    f"snapshot_table: branch {branch!r} on {table} was "
+                    f"dropped while this replace was staging; re-create "
+                    f"the branch and retry"
+                    if branch is not None
+                    else f"snapshot_table: {table} has no snapshots"
+                )
+            snap = _load_snapshot(table, current, branch)
+            if snap.get("partition_by", []) != pb:
+                raise ValueError(
+                    f"snapshot_table: table was re-partitioned to "
+                    f"{snap.get('partition_by', [])} while this replace "
+                    f"(spec {pb}) was staging; retry the write"
+                )
+            constraints = snap.get("constraints", {})
+            fresh = {
+                k: v for k, v in constraints.items()
+                if validated.get(k) != v
+            }
+            if fresh:
+                _enforce_constraints(df, fresh)
+                validated = {**validated, **fresh}
+            _rebase_evolution_guard(
+                table, branch, snap, current, entry_version, "replace",
+            )
+            unstamped = [
+                s["file"]
+                for s in snap["shards"]
+                if any(c not in s.get("partition", {}) for c in needed)
+            ]
+            if unstamped:
+                raise ValueError(
+                    f"snapshot_table: {len(unstamped)} live shard(s) "
+                    f"carry no recorded partition values for "
+                    f"{sorted(needed)} (pre-partitioning or streaming "
+                    f"appends) and may contain matching rows; run "
+                    f"compact_table first"
+                )
+            kept, replaced = [], []
+            for s in snap["shards"]:
+                if probes is not None:
+                    hit = all(
+                        _partition_match(s, c, t)
+                        for c, t in probes.items()
+                    )
+                else:
+                    rec = {c: s["partition"].get(c) for c in pb}
+                    hit = tuple(sorted(rec.items())) in staged_tuples
+                (replaced if hit else kept).append(s)
+            blooms = _inherited_blooms(
+                df.sparkSession, table, mine, replaced,
+            )
+
+            def _shard(n):
+                sh = {"file": n, "n_rows": counts[n]}
+                if stats[n]:
+                    sh["stats"] = stats[n]
+                if blooms.get(n):
+                    sh["bloom"] = blooms[n]
+                if parts.get(n):
+                    sh["partition"] = parts[n]
+                return sh
+
+            version = current + 1
+            snapshot = {
+                "version": version,
+                "parent": current,
+                "operation": "replace_partition",
+                "properties": {
+                    **(properties or {}),
+                    "partition": (
+                        {
+                            c: sorted(t, key=lambda x: (x is None, x or ""))
+                            for c, t in probes.items()
+                        }
+                        if probes is not None
+                        else {"dynamic_tuples": [
+                            dict(t)
+                            for t in sorted(staged_tuples, key=repr)
+                        ]}
+                    ),
+                    "shards_replaced": len(replaced),
+                    "rows_replaced": sum(s["n_rows"] for s in replaced),
+                },
+                "schema": _merge_schema(
+                    StructType.fromJson(snap["schema"]), df.schema
+                ).jsonValue(),
+                "n_shards": len(kept) + len(mine),
+                "n_rows": (
+                    sum(s["n_rows"] for s in kept)
+                    + sum(counts[n] for n in mine)
+                ),
+                "shards": sorted(
+                    kept + [_shard(n) for n in mine],
+                    key=lambda s: s["file"],
+                ),
+                "partition_by": pb,
+            }
+            if snap.get("deletes"):
+                snapshot["deletes"] = snap["deletes"]
+            if constraints:
+                snapshot["constraints"] = constraints
+            if branch is not None:
+                snapshot["branch"] = branch
+            if _claim_snapshot(table, tmp_dir, snapshot, branch):
+                committed = True
+                return version
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        if not committed:
+            # nothing references the published-but-unclaimed shards;
+            # reclaim them now instead of leaving orphans for vacuum
+            for n in mine:
+                try:
+                    os.remove(os.path.join(table, _DATA_DIR, n))
+                except FileNotFoundError:
+                    pass
 
 
 def delete_where(

@@ -3830,3 +3830,157 @@ def test_two_branch_publish_race(spark, docs, tmp_path):
     assert st.publish_branch(table, "b2") == 3
     expected = docs.where(F.col("lang").isin("en", "de", "fr"))
     assert _canon(read_snapshot(spark, table)) == _canon(expected)
+
+
+def test_replace_partition_atomic_static(spark, docs, tmp_path):
+    """INSERT OVERWRITE PARTITION as ONE commit: the named partition's
+    shards swap for the new data's, every other partition's files are
+    carried byte-identical (same names, zero read/write), time travel
+    still serves the pre-replace state, and a stray row outside the
+    named partition refuses loudly without committing or leaking
+    staged files."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        replace_partition,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["lang"])          # v1
+    files_v1 = {
+        s["file"]: s.get("partition") for s in snapshot_history(table)[-1]["shards"]
+    }
+    fixed_en = docs.where(F.col("lang") == "en").withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    v = replace_partition(fixed_en, table, {"lang": "en"})      # v2
+    assert v == 2
+    snap = st._load_snapshot(table, v)
+    assert snap["operation"] == "replace_partition"
+    assert snap["properties"]["partition"] == {"lang": ["en"]}
+    assert snap["properties"]["rows_replaced"] == docs.where(
+        F.col("lang") == "en"
+    ).count()
+    # non-matching partitions carried verbatim — same file names
+    kept = {s["file"] for s in snap["shards"] if s["partition"]["lang"] != "en"}
+    assert kept == {
+        f for f, p in files_v1.items() if p["lang"] != "en"
+    }
+    expected = docs.where(F.col("lang") != "en").unionByName(fixed_en)
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
+    # time travel reads the pre-replace day
+    assert _canon(read_snapshot(spark, table, 1)) == _canon(docs)
+    # a stray row outside the declared partition refuses, commits
+    # nothing, and leaves no orphan staged files behind
+    n_files = len(os.listdir(os.path.join(table, "data")))
+    bad = fixed_en.unionByName(docs.where(F.col("lang") == "de").limit(1))
+    with pytest.raises(ValueError, match="outside the declared"):
+        replace_partition(bad, table, {"lang": "en"})
+    assert latest_version(table) == 2
+    assert len(os.listdir(os.path.join(table, "data"))) == n_files
+
+
+def test_replace_partition_dynamic(spark, docs, tmp_path):
+    """matching=None replaces exactly the partition tuples PRESENT in
+    the new data (Iceberg dynamic overwrite); an empty DataFrame is a
+    loud error, not a silent no-op."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        replace_partition,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["lang"])
+    new = docs.where(F.col("lang").isin("en", "de")).withColumn(
+        "n_chars", F.lit(0).cast("long")
+    )
+    replace_partition(new, table)
+    expected = docs.where(~F.col("lang").isin("en", "de")).unionByName(new)
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
+    props = st._load_snapshot(table, latest_version(table))["properties"]
+    tuples = props["partition"]["dynamic_tuples"]
+    assert {t["lang"] for t in tuples} == {"en", "de"}
+    with pytest.raises(ValueError, match="replace nothing"):
+        replace_partition(new.limit(0), table)
+
+
+def test_replace_partition_guards(spark, docs, tmp_path):
+    """Unpartitioned table, matching={}, a non-partition column, and an
+    unstamped live shard all refuse loudly."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        replace_partition,
+    )
+
+    flat = str(tmp_path / "flat")
+    write_snapshot(docs, flat)
+    with pytest.raises(ValueError, match="requires a partitioned"):
+        replace_partition(docs, flat, {"lang": "en"})
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs, table, partition_by=["lang"])
+    with pytest.raises(ValueError, match="replace EVERY"):
+        replace_partition(docs, table, {})
+    with pytest.raises(ValueError, match="not partition columns"):
+        replace_partition(docs, table, {"doc_id": 1})
+    # an unstamped live shard may hold matching rows: refuse
+    snapfile = os.path.join(
+        table, "_snapshots",
+        sorted(os.listdir(os.path.join(table, "_snapshots")))[-1],
+    )
+    d = json.load(open(snapfile))
+    d["shards"][0].pop("partition")
+    json.dump(d, open(snapfile, "w"))
+    with pytest.raises(ValueError, match="compact_table first"):
+        replace_partition(
+            docs.where(F.col("lang") == "en"), table, {"lang": "en"}
+        )
+
+
+def test_replace_partition_races_concurrent_append(spark, docs, tmp_path):
+    """An append to a DIFFERENT partition racing the replace: both
+    commits land (the loser rebases), no rows lost, and the replace
+    still swaps exactly the named partition as of ITS commit."""
+    import threading
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        replace_partition,
+    )
+
+    table = str(tmp_path / "t")
+    base = docs.where(F.col("lang").isin("en", "de"))
+    write_snapshot(base, table, partition_by=["lang"])          # v1
+    fixed_en = base.where(F.col("lang") == "en").withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    extra_de = docs.where(F.col("lang") == "de").withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    rows_extra = extra_de.collect()
+    errors = []
+
+    def do_replace():
+        try:
+            replace_partition(fixed_en, table, {"lang": "en"})
+        except Exception as e:
+            errors.append(repr(e))
+
+    def do_append():
+        try:
+            sub = docs.sparkSession.createDataFrame(rows_extra, docs.schema)
+            write_snapshot(sub, table, mode="append")
+        except Exception as e:
+            errors.append(repr(e))
+
+    threads = [
+        threading.Thread(target=do_replace),
+        threading.Thread(target=do_append),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert latest_version(table) == 3  # both landed, neither lost
+    expected = (
+        base.where(F.col("lang") == "de")
+        .unionByName(fixed_en)
+        .unionByName(extra_de)
+    )
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
