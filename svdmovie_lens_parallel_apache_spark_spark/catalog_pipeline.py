@@ -5234,6 +5234,102 @@ def q_snapshot_branch_changes(spark, sf_dir):
 
 
 @register(
+    "snapshot_branch_cdc",
+    f"""
+    WITH en AS (
+      SELECT doc_id, lang, text, n_chars FROM documents WHERE lang = 'en'),
+    de AS (
+      SELECT doc_id, lang, text, n_chars FROM documents WHERE lang = 'de'),
+    s3del AS (
+      SELECT * FROM (SELECT * FROM en UNION ALL SELECT * FROM de)
+      WHERE n_chars < 500),
+    s4upd AS (
+      SELECT * FROM en WHERE n_chars >= 500 AND doc_id % 10 = 0)
+    SELECT CAST(2 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+           lang, count(*) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           TRUE AS main_untouched
+    FROM de GROUP BY lang
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'delete', lang, count(*),
+           CAST(sum(n_chars) AS BIGINT),
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT), TRUE
+    FROM s3del GROUP BY lang
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'delete', lang, count(*),
+           CAST(sum(n_chars) AS BIGINT),
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT), TRUE
+    FROM s4upd GROUP BY lang
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'insert', lang, count(*),
+           CAST(sum(n_chars + 1000) AS BIGINT),
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT), TRUE
+    FROM s4upd GROUP BY lang
+    """,
+    tags=("sources", "table-format", "cdc", "wap"),
+    description="Row-level CDC over a BRANCH log (read_cdc(branch=)) — "
+    "the WAP-audit diff 'exactly which rows did this window's writes "
+    "AND remediation change' read BEFORE publishing: main holds en "
+    "(v1), an audit branch takes a dirty de append (seq 2), a "
+    "remediation delete_where n_chars<500 (seq 3 — note it also "
+    "cleans matching rows of the FORKED en corpus, exactly what a "
+    "branch-wide rule does), and an update_where n_chars+1000 on an "
+    "en doc_id slice (seq 4, surfacing as delete(pre-image)+"
+    "insert(post-image) pairs). The feed is read per branch sequence "
+    "from the branch's own log; main_untouched pins that main is "
+    "still v1 with exactly the en rows while all of this is visible "
+    "on the branch — the audit reviews row-level changes the "
+    "append-only read_changes(branch=) cannot represent. Engine: "
+    "sources/snapshot_table.py::read_cdc (branch=).",
+)
+def q_snapshot_branch_cdc(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        create_branch,
+        delete_where,
+        latest_version,
+        read_cdc,
+        read_snapshot,
+        update_where,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    en = docs.where(F.col("lang") == "en")
+    table = tempfile.mkdtemp(prefix="svdml-bcdc-") + "/t"
+    write_snapshot(en, table)                                   # main v1
+    create_branch(table, "audit")                               # seq 1
+    write_snapshot(
+        docs.where(F.col("lang") == "de"), table, branch="audit"
+    )                                                           # seq 2
+    delete_where(spark, table, "n_chars < 500", branch="audit")  # seq 3
+    update_where(
+        spark, table, {"n_chars": "n_chars + 1000"},
+        "lang = 'en' AND doc_id % 10 = 0", branch="audit",
+    )                                                           # seq 4
+    main_untouched = bool(
+        latest_version(table) == 1
+        and read_snapshot(spark, table).count() == en.count()
+    )
+    return (
+        read_cdc(spark, table, 1, branch="audit")
+        .groupBy("_commit_version", "_change_type", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias(
+                "text_fp"
+            ),
+        )
+        .withColumn("main_untouched", F.lit(main_untouched))
+    )
+
+
+@register(
     "snapshot_refs_inspection",
     """
     WITH e AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),

@@ -3593,6 +3593,7 @@ def read_changes(
 def read_cdc(
     spark: SparkSession, table: str, start_version: int,
     end_version: int | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """Change-data-feed read (Delta CDF / Iceberg changelog scan
     shaped): every row-level change in ``(start_version, end_version]``
@@ -3623,15 +3624,40 @@ def read_cdc(
     changing its semantics.
 
     Emitted rows use the END version's schema (evolution: columns a
-    commit predates read as NULL, same contract as time travel)."""
+    commit predates read as NULL, same contract as time travel).
+
+    ``branch=`` reads a BRANCH's own sequence range — the row-level
+    form of ``read_changes(branch=)``: with ``start_version=1`` (the
+    fork) it answers "exactly which rows did this audit window's
+    writes AND remediation change" BEFORE publishing, including the
+    delete/insert pairs a branch ``delete_where``/``update_where``/
+    ``merge_upsert`` produced — the WAP-audit diff the append-only
+    read cannot represent. ``start_version=0`` is rejected for
+    branches: the fork (sequence 1) is a verbatim copy of a main
+    snapshot, so diffing from empty would report the entire forked
+    corpus as inserts."""
     from pyspark.sql import functions as F
 
-    end = latest_version(table) if end_version is None else end_version
+    if branch is not None and latest_version(table, branch) is None:
+        raise FileNotFoundError(
+            f"snapshot_table: no branch {branch!r} on {table}; "
+            f"create_branch() first"
+        )
+    if branch is not None and start_version == 0:
+        raise ValueError(
+            "snapshot_table: start_version=0 with branch= would report "
+            "the whole forked corpus as inserts (the fork is a verbatim "
+            "copy of main); use start_version=1 for changes since the "
+            "fork"
+        )
+    end = latest_version(table, branch) if end_version is None else end_version
     if end is None or start_version > end or start_version < 0:
         raise ValueError(
             f"snapshot_table: bad change range ({start_version}, {end}]"
         )
-    out_schema = StructType.fromJson(_load_snapshot(table, end)["schema"])
+    out_schema = StructType.fromJson(
+        _load_snapshot(table, end, branch)["schema"]
+    )
     out_cols = out_schema.fieldNames()
 
     def _empty():
@@ -3656,12 +3682,12 @@ def read_cdc(
 
     parts = []
     prev = (
-        _load_snapshot(table, start_version) if start_version > 0
+        _load_snapshot(table, start_version, branch) if start_version > 0
         else {"shards": []}
     )
     sig_prev = _visibility(prev)
     for v in range(start_version + 1, end + 1):
-        snap = _load_snapshot(table, v)
+        snap = _load_snapshot(table, v, branch)
         old_snap, sig_old = prev, sig_prev
         sig_new = _visibility(snap)
         prev, sig_prev = snap, sig_new  # carry forward: one load per version

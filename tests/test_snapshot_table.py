@@ -3984,3 +3984,43 @@ def test_replace_partition_races_concurrent_append(spark, docs, tmp_path):
         .unionByName(extra_de)
     )
     assert _canon(read_snapshot(spark, table)) == _canon(expected)
+
+
+def test_read_cdc_branch_guards_and_pairs(spark, docs, tmp_path):
+    """read_cdc(branch=): start_version=0 refuses (the fork is a
+    verbatim main copy — diffing from empty would report the whole
+    corpus as inserts), a missing branch refuses, and a branch
+    update_where surfaces as delete(pre)+insert(post) pairs while
+    main's own CDC feed stays empty."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        create_branch, read_cdc, update_where,
+    )
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table)
+    create_branch(table, "b")
+    update_where(
+        spark, table, {"n_chars": "n_chars + 7"},
+        "doc_id % 2 = 0", branch="b",
+    )
+    with pytest.raises(ValueError, match="whole forked corpus"):
+        read_cdc(spark, table, 0, branch="b")
+    with pytest.raises(FileNotFoundError, match="no branch"):
+        read_cdc(spark, table, 1, branch="nope")
+    cdc = read_cdc(spark, table, 1, branch="b")
+    n_upd = en.where(F.col("doc_id") % 2 == 0).count()
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in cdc.groupBy("_change_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert by_type == {"insert": n_upd, "delete": n_upd}
+    # pre/post pairs: same keys, post = pre + 7
+    pre = {r.doc_id: r.n_chars for r in cdc.where(F.col("_change_type") == "delete").collect()}
+    post = {r.doc_id: r.n_chars for r in cdc.where(F.col("_change_type") == "insert").collect()}
+    assert set(pre) == set(post)
+    assert all(post[k] == pre[k] + 7 for k in pre)
+    # the audit never touched main: its own feed since v1 is empty
+    assert read_cdc(spark, table, 1).count() == 0
