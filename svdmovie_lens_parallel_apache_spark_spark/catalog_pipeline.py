@@ -4913,6 +4913,221 @@ def q_snapshot_wap_publish(spark, sf_dir):
 
 
 @register(
+    "pipeline_daily_e2e",
+    """
+    WITH fp AS (
+      SELECT doc_id, lang, n_chars, md5(lower(trim(text))) AS fp
+      FROM documents),
+    d1 AS (
+      SELECT fp, min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+             arg_min(n_chars, doc_id) AS n_chars
+      FROM fp WHERE doc_id % 3 = 0 GROUP BY fp),
+    b2 AS (
+      SELECT fp, min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+             arg_min(n_chars, doc_id) AS n_chars
+      FROM fp WHERE doc_id % 3 = 1 GROUP BY fp),
+    i2 AS (SELECT b.* FROM b2 b ANTI JOIN d1 USING (fp)),
+    s2 AS (
+      SELECT b.lang, count(*) AS n FROM b2 b SEMI JOIN d1 USING (fp)
+      GROUP BY b.lang),
+    q2 AS (SELECT lang, count(*) AS n FROM i2 WHERE doc_id % 11 = 0
+           GROUP BY lang),
+    d2 AS (
+      SELECT * FROM d1
+      UNION ALL SELECT * FROM i2 WHERE doc_id % 11 <> 0),
+    b3 AS (
+      SELECT fp, min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+             arg_min(n_chars, doc_id) AS n_chars
+      FROM fp WHERE doc_id % 3 = 2 GROUP BY fp),
+    i3 AS (SELECT b.* FROM b3 b ANTI JOIN d2 USING (fp)),
+    s3 AS (
+      SELECT b.lang, count(*) AS n FROM b3 b SEMI JOIN d2 USING (fp)
+      GROUP BY b.lang),
+    fin AS (SELECT * FROM d2 UNION ALL SELECT * FROM i3)
+    SELECT f.lang,
+           count(*) AS n_docs,
+           CAST(sum(f.n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(CASE WHEN f.doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_day1,
+           CAST(sum(CASE WHEN f.doc_id % 3 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_day2,
+           CAST(sum(CASE WHEN f.doc_id % 3 = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_day3,
+           CAST(coalesce(any_value(q2.n), 0) AS BIGINT) AS n_quarantined,
+           CAST(coalesce(any_value(s2.n), 0) AS BIGINT) AS n_skipped_d2,
+           CAST(coalesce(any_value(s3.n), 0) AS BIGINT) AS n_skipped_d3,
+           TRUE AS pipeline_ok
+    FROM fin f
+    LEFT JOIN q2 ON q2.lang = f.lang
+    LEFT JOIN s2 ON s2.lang = f.lang
+    LEFT JOIN s3 ON s3.lang = f.lang
+    GROUP BY f.lang
+    """,
+    tags=("pipeline", "table-format", "wap", "dedup", "retention"),
+    description="Daily-pipeline CAPSTONE — three simulated days on ONE "
+    "snapshot table, chaining every table-format piece the way a real "
+    "100 TB corpus runs: day 1 bootstraps the corpus (fp-keyed exact "
+    "dedup, fingerprints recorded as per-shard stats + Bloom so later "
+    "anti-joins can skip shards); day 2 is a WAP window — the batch is "
+    "dirty (doc_id%11 rows corrupted negative), deduped against the "
+    "table AND itself, committed to an audit BRANCH (main provably "
+    "untouched mid-audit), remediated IN PLACE with a stats-pruned "
+    "branch delete_where, re-audited clean, then published as main v2 "
+    "and tagged 'day2-release'; day 3 is a plain incremental-dedup "
+    "append (v3) followed by small-file compaction (v4, row-"
+    "preserving) and retention: expire_snapshots(keep_last=1) drops "
+    "v1+v3 while the TAG pins v2 forever — pipeline_ok pins isolation, "
+    "clean re-audit, version arithmetic (publish=2/append=3/compact=4), "
+    "compaction row-preservation, the post-expiry surviving set "
+    "{tagged v2, head v4}, tag-read equality with the published day-2 "
+    "state, and the refs listing after the branch drops. The oracle "
+    "replays all three days' dedup/quarantine/union algebra from the "
+    "source table. Engine: sources/snapshot_table.py (refs, DML, "
+    "compaction, retention) + the dedup-on-ingest pattern.",
+)
+def q_pipeline_daily_e2e(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        compact_table,
+        create_branch,
+        create_tag,
+        delete_where,
+        drop_branch,
+        expire_snapshots,
+        list_refs,
+        publish_branch,
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    fp = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+
+    def self_dedup(df):
+        return df.groupBy("fp").agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_chars", "doc_id").alias("n_chars"),
+        ).select("fp", "doc_id", "lang", "n_chars")
+
+    table = tempfile.mkdtemp(prefix="svdml-daily-") + "/t"
+    fpcols = dict(stats_cols=["fp"], bloom_cols=["fp"])
+    # ---- day 1: bootstrap ingest (main v1)
+    write_snapshot(self_dedup(fp.where(F.col("doc_id") % 3 == 0)),
+                   table, **fpcols)
+    n_day1 = read_snapshot(spark, table).count()
+    # ---- day 2: WAP window on a branch
+    create_branch(table, "day2")
+    dirty = self_dedup(
+        fp.where(F.col("doc_id") % 3 == 1).withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") % 11 == 0, -F.col("n_chars"))
+            .otherwise(F.col("n_chars")),
+        )
+    )
+    existing = read_snapshot(spark, table, branch="day2").select("fp")
+    ingest2 = dirty.join(existing, "fp", "left_anti")
+    write_snapshot(ingest2, table, branch="day2", **fpcols)
+    isolation_ok = read_snapshot(spark, table).count() == n_day1
+    quarantined = (
+        read_snapshot(spark, table, branch="day2")
+        .where(F.col("n_chars") < 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_q"))
+    ).collect()
+    delete_where(
+        spark, table, "n_chars < 0",
+        prune=("n_chars", -(1 << 40), -1), branch="day2",
+    )
+    audit_clean = (
+        read_snapshot(spark, table, branch="day2")
+        .where(F.col("n_chars") < 0).count() == 0
+    )
+    v_pub = publish_branch(table, "day2")
+    drop_branch(table, "day2")  # the WAP cycle: window closed
+    create_tag(table, "day2-release")  # pins v2 through retention
+    n_after_d2 = read_snapshot(spark, table).count()
+    # ---- day 3: incremental-dedup append on main, then maintenance
+    existing = read_snapshot(spark, table).select("fp")
+    ingest3 = (
+        self_dedup(fp.where(F.col("doc_id") % 3 == 2))
+        .join(existing, "fp", "left_anti")
+    )
+    v_d3 = write_snapshot(ingest3, table, **fpcols)
+    n_after_d3 = read_snapshot(spark, table).count()
+    v_compact = compact_table(
+        spark, table, target_shards=4, stats_cols=["fp"],
+    )
+    expire_snapshots(table, keep_last=1)
+    surviving = [s["version"] for s in snapshot_history(table)]
+    refs = list_refs(table)
+    pipeline_ok = bool(
+        isolation_ok
+        and audit_clean
+        and (v_pub, v_d3, v_compact) == (2, 3, 4)
+        and read_snapshot(spark, table).count() == n_after_d3  # compaction
+        and surviving == [2, 4]  # tag pinned v2; v1+v3 expired
+        and read_snapshot(spark, table, tag="day2-release").count()
+        == n_after_d2
+        and refs == [{"name": "day2-release", "type": "tag", "version": 2}]
+    )
+    qmap = {r["lang"]: r["n_q"] for r in quarantined}
+    qdf = spark.createDataFrame(
+        [(l, int(n)) for l, n in qmap.items()] or [(None, 0)],
+        "lang string, n_q long",
+    )
+    sk2 = (
+        self_dedup(
+            fp.where(F.col("doc_id") % 3 == 1)
+        ).join(
+            self_dedup(fp.where(F.col("doc_id") % 3 == 0)).select("fp"),
+            "fp", "left_semi",
+        ).groupBy("lang").agg(F.count(F.lit(1)).alias("n_s2"))
+    )
+    sk3 = (
+        self_dedup(fp.where(F.col("doc_id") % 3 == 2))
+        .join(
+            read_snapshot(spark, table, tag="day2-release").select("fp"),
+            "fp", "left_semi",
+        ).groupBy("lang").agg(F.count(F.lit(1)).alias("n_s3"))
+    )
+    return (
+        read_snapshot(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum((F.col("doc_id") % 3 == 0).cast("int")).cast("bigint")
+            .alias("n_day1"),
+            F.sum((F.col("doc_id") % 3 == 1).cast("int")).cast("bigint")
+            .alias("n_day2"),
+            F.sum((F.col("doc_id") % 3 == 2).cast("int")).cast("bigint")
+            .alias("n_day3"),
+        )
+        .join(F.broadcast(qdf), "lang", "left")
+        .join(F.broadcast(sk2), "lang", "left")
+        .join(F.broadcast(sk3), "lang", "left")
+        .select(
+            "lang", "n_docs", "sum_chars", "n_day1", "n_day2", "n_day3",
+            F.coalesce(F.col("n_q"), F.lit(0)).cast("bigint")
+            .alias("n_quarantined"),
+            F.coalesce(F.col("n_s2"), F.lit(0)).cast("bigint")
+            .alias("n_skipped_d2"),
+            F.coalesce(F.col("n_s3"), F.lit(0)).cast("bigint")
+            .alias("n_skipped_d3"),
+            F.lit(pipeline_ok).alias("pipeline_ok"),
+        )
+    )
+
+
+@register(
     "snapshot_tag_retention",
     """
     WITH tagged AS (
