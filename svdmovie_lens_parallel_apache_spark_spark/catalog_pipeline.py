@@ -5018,7 +5018,10 @@ def q_pipeline_daily_e2e(spark, sf_dir):
         ).select("fp", "doc_id", "lang", "n_chars")
 
     table = tempfile.mkdtemp(prefix="svdml-daily-") + "/t"
-    fpcols = dict(stats_cols=["fp"], bloom_cols=["fp"])
+    # n_chars stats are what make the remediation delete's prune real:
+    # without them every shard (incl. day-1's clean fork) is
+    # conservatively rewritten
+    fpcols = dict(stats_cols=["fp", "n_chars"], bloom_cols=["fp"])
     # ---- day 1: bootstrap ingest (main v1)
     write_snapshot(self_dedup(fp.where(F.col("doc_id") % 3 == 0)),
                    table, **fpcols)

@@ -571,7 +571,14 @@ def _assign_vectorized(
 
     Row batches are sub-chunked so the (rows × k) distance buffer stays
     ~32 MB regardless of k — at k=10⁵ a full 10k-row Arrow batch would
-    otherwise need an 8 GB buffer."""
+    otherwise need an 8 GB buffer.
+
+    Input contract (both paths): finite, fixed-dimension, non-null
+    vectors — the engine's embedding columns by construction. The two
+    paths are only defined to agree there: a NaN component makes the
+    literal fold's strict ``<`` never fire (cid −1 sentinel) while
+    ``np.argmin`` picks index 0, and a NULL/ragged vector raises here
+    but sentinels there; callers with untrusted vectors filter first."""
     cids = np.array([c for c, _ in cents], dtype=np.int64)
     mat = np.array([cv for _, cv in cents], dtype=np.float64)  # (k, dim)
     sc = v.sparkSession.sparkContext

@@ -2832,7 +2832,12 @@ def replace_partition(
     Returns the committed version."""
     pb = table_partition_by(table, branch)
     if latest_version(table, branch) is None:
-        raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
+        raise FileNotFoundError(
+            f"snapshot_table: no branch {branch!r} on {table}; "
+            f"create_branch() first"
+            if branch is not None
+            else f"snapshot_table: {table} has no snapshots"
+        )
     if not pb:
         raise ValueError(
             "snapshot_table: replace_partition requires a partitioned "
@@ -2977,10 +2982,17 @@ def replace_partition(
                 "operation": "replace_partition",
                 "properties": {
                     **(properties or {}),
+                    # SOURCE probe values, same form drop_partition
+                    # logs — a metadata consumer comparing sibling
+                    # commits must not need to re-run the transform
                     "partition": (
                         {
-                            c: sorted(t, key=lambda x: (x is None, x or ""))
-                            for c, t in probes.items()
+                            c: (
+                                [_pstr(v) for v in w]
+                                if isinstance(w, (list, tuple, set))
+                                else _pstr(w)
+                            )
+                            for c, w in canon.items()
                         }
                         if probes is not None
                         else {"dynamic_tuples": [

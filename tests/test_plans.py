@@ -62,6 +62,10 @@ def test_relational_suite_is_jvm_only(spark, sf_dir):
                 "ann_pq",
                 "ann_ivf",
                 "ann_lsh_knn",  # Arrow matmul bucket keys; ann_lsh_buckets stays JVM
+                # k-means assignment: Arrow argmin over a broadcast
+                # centroid matrix — the literal-unrolled JVM twin dies
+                # at k~13 (~2^k plan nodes), so Arrow IS the scale path
+                "semantic_dedup_kmeans",
                 "udtf_",  # Python UDTF extension-point demo — per-row by nature
             )
         ):

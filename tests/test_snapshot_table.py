@@ -3855,7 +3855,8 @@ def test_replace_partition_atomic_static(spark, docs, tmp_path):
     assert v == 2
     snap = st._load_snapshot(table, v)
     assert snap["operation"] == "replace_partition"
-    assert snap["properties"]["partition"] == {"lang": ["en"]}
+    # source-probe form, same shape drop_partition logs
+    assert snap["properties"]["partition"] == {"lang": "en"}
     assert snap["properties"]["rows_replaced"] == docs.where(
         F.col("lang") == "en"
     ).count()

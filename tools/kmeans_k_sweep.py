@@ -21,7 +21,7 @@ ArrowEvalPython node at every k).
 Writes the result under the ``kmeans_k_sweep`` key of SCALING.json.
 
 Usage:
-    python tools/kmeans_k_sweep.py [sf_dir]      # default scratch/sf1
+    python tools/kmeans_k_sweep.py [sf_dir]      # default scratch/sf10
 """
 from __future__ import annotations
 
