@@ -1460,6 +1460,70 @@ def q_semantic_dedup_kmeans(spark, sf_dir):
 
 
 @register(
+    "semantic_dedup_kmeans_k64",
+    _kmeans_semantic_oracle(64, 1, 0.4),
+    tags=("dedup", "semantic", "kmeans", "embedding", "ml"),
+    description="The k-knob actually TURNING under the oracle gate: the "
+    "same SemDeDup pipeline at k=64 — five times past the literal "
+    "when-chain's analysis ceiling (~2^k expression nodes, OOMs at "
+    "k~13), so this k is reachable ONLY through the vectorized "
+    "Arrow-argmin assignment (plan size constant in k, broadcast "
+    "NumPy centroid matrix, dims folded in order). The DuckDB oracle "
+    "is data-driven (CROSS JOIN against the centroid CTE — its SQL is "
+    "O(iters), independent of k), so it replays init, assignment, and "
+    "the decimal centroid update bit-for-bit at this k too: the proof "
+    "that 'k ∝ corpus size' is a knob the implementation can back, "
+    "not just a docstring claim. One Lloyd pass (init + 1 update + "
+    "final assignment) keeps the within-cluster pair stage k-bounded.",
+)
+def q_semantic_dedup_kmeans_k64(spark, sf_dir):
+    from .functions.vectors import cosine_similarity, l2_norm
+    from .operators.similarity import (
+        adaptive_n_planes,
+        kmeans_lloyd,
+        lsh_bucket,
+        lsh_hyperplanes,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_lloyd(emb, k=64, iters=1)
+    assigned = assigned.persist()
+    np_ = adaptive_n_planes(
+        assigned.count(), base=_LSH_BASE, target=_LSH_TARGET, cap=_LSH_CAP
+    )
+    planes = lsh_hyperplanes(64, np_, tag="hp")
+    nb = assigned.withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+    a = nb.select(
+        "cid", "bucket", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va")
+    )
+    b = nb.select(
+        "cid", "bucket", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb")
+    )
+    dups = (
+        a.join(b, ["cid", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(_r(cosine_similarity(F.col("va"), F.col("vb")), 6) >= 0.4)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    norms = spark.createDataFrame(
+        [(cid, cvec) for cid, cvec in cents], "cid int, cvec array<double>"
+    ).select("cid", _r(l2_norm(F.col("cvec")), 6).alias("centroid_norm"))
+    return (
+        assigned.join(dups, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.coalesce(F.sum("is_dup"), F.lit(0)).cast("bigint").alias("n_dupes"),
+        )
+        .withColumn("n_kept", (F.col("n_members") - F.col("n_dupes")).cast("bigint"))
+        .join(F.broadcast(norms), "cid")
+        .select("cid", "n_members", "n_dupes", "n_kept", "centroid_norm")
+    )
+
+
+@register(
     "line_dedup_boilerplate",
     f"""
     WITH d AS (
