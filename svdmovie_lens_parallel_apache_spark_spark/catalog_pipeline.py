@@ -2822,6 +2822,104 @@ def q_length_percentile_filter_scalable(spark, sf_dir):
 
 
 @register(
+    "snapshot_merge_mor",
+    f"""
+    WITH cur AS (
+      SELECT doc_id, lang, text, n_chars FROM documents WHERE lang = 'en'
+    ),
+    up1 AS (
+      SELECT doc_id, lang, text, n_chars + 1000 AS n_chars
+      FROM cur WHERE doc_id % 6 = 0),
+    up2 AS (
+      SELECT doc_id, lang, text, n_chars + 2000 AS n_chars
+      FROM cur WHERE doc_id % 9 = 0),
+    merged AS (
+      SELECT * FROM cur
+      WHERE doc_id % 6 <> 0 AND doc_id % 9 <> 0
+      UNION ALL SELECT * FROM up1 WHERE doc_id % 9 <> 0
+      UNION ALL SELECT * FROM up2
+    )
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           TRUE                         AS mor_ok
+    FROM merged GROUP BY lang
+    """,
+    tags=("sources", "table-format", "merge", "deletion-vectors"),
+    description="MERGE-ON-READ with positional deletion vectors (Delta "
+    "DV / Iceberg positional-delete shaped): two STACKED "
+    "merge_upsert(mor=True) commits — every 6th en doc updated, then "
+    "every 9th updated AGAIN (the second vector must tombstone the "
+    "first merge's appended rows, which are the visible versions, "
+    "never double-delete) — writing only the updates plus two small "
+    "(file, row_index) coordinate parquets while ZERO matched files "
+    "rewrite; readers subtract the vectors with per-vector broadcast "
+    "anti-joins over the covered shards only. compact_table then "
+    "materialises both vectors and the final state must equal the "
+    "pre-compaction read. mor_ok pins: no shard rewritten by either "
+    "merge (all pre-merge files still live), exactly two pending "
+    "vectors before compaction and zero after, and time travel to the "
+    "pre-merge version reading the original rows. The oracle replays "
+    "the two-round upsert algebra from the source table. The "
+    "update-heavy 100 TB path: CDC apply / GDPR / backfill cost drops "
+    "from O(matched files) rewrite to O(updates). Engine: "
+    "sources/snapshot_table.py::merge_upsert(mor=True) + "
+    "_scan_with_deletes.",
+)
+def q_snapshot_merge_mor(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_table import (
+        compact_table,
+        merge_upsert,
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    en = docs.where(F.col("lang") == "en")
+    table = tempfile.mkdtemp(prefix="svdml-mor-") + "/t"
+    write_snapshot(en, table, stats_cols=["doc_id"])
+    files_v1 = {s["file"] for s in snapshot_history(table)[-1]["shards"]}
+    up1 = en.where(F.col("doc_id") % 6 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    merge_upsert(up1, table, key_cols=["doc_id"], mor=True)
+    up2 = en.where(F.col("doc_id") % 9 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 2000
+    )
+    merge_upsert(up2, table, key_cols=["doc_id"], mor=True)
+    snap = snapshot_history(table)[-1]
+    n_dv = len([d for d in snap.get("deletes", []) if "positions" in d])
+    no_rewrites = files_v1 <= {s["file"] for s in snap["shards"]}
+    before = read_snapshot(spark, table)
+    agg = lambda df: (  # noqa: E731 — one aggregation, two uses
+        df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias(
+                "text_fp"
+            ),
+        )
+    )
+    pre_compact = {tuple(r) for r in agg(before).collect()}
+    compact_table(spark, table, target_shards=4)
+    final = agg(read_snapshot(spark, table))
+    mor_ok = bool(
+        n_dv == 2
+        and no_rewrites
+        and not snapshot_history(table)[-1].get("deletes")
+        and {tuple(r) for r in final.collect()} == pre_compact
+        and read_snapshot(spark, table, 1).count() == en.count()
+    )
+    return final.withColumn("mor_ok", F.lit(mor_ok))
+
+
+@register(
     "snapshot_merge_upsert",
     f"""
     WITH cur AS (

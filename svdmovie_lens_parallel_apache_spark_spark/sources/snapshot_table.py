@@ -1249,21 +1249,31 @@ def _remove_unreferenced(table: str) -> int:
     BRANCH snapshots (``_refs/<name>/``) count as references too —
     an unpublished audit branch's data must survive GC until the
     branch itself is dropped."""
+    def _refs_of(snap: dict):
+        for s in snap.get("shards", []):
+            yield s["file"]
+        # positional deletion vectors live in data/ too: a surviving
+        # snapshot's pending DV is as load-bearing as its shards
+        for d in snap.get("deletes", []):
+            if "positions" in d:
+                yield d["positions"]
+
     live: set[str] = set()
     for snap in snapshot_history(table):
-        live.update(s["file"] for s in snap["shards"])
+        live.update(_refs_of(snap))
     for p in glob.glob(os.path.join(table, _REFS_DIR, "*", "*.json")):
         try:
             with open(p) as f:
                 snap = json.load(f)
         except FileNotFoundError:
             continue  # branch dropped concurrently — fewer references
-        live.update(s["file"] for s in snap.get("shards", []))
+        live.update(_refs_of(snap))
     removed = 0
-    for p in glob.glob(os.path.join(table, _DATA_DIR, "part-*.parquet")):
-        if os.path.basename(p) not in live:
-            os.remove(p)
-            removed += 1
+    for pat in ("part-*.parquet", "dv-*.parquet"):
+        for p in glob.glob(os.path.join(table, _DATA_DIR, pat)):
+            if os.path.basename(p) not in live:
+                os.remove(p)
+                removed += 1
     return removed
 
 
@@ -1825,7 +1835,7 @@ def read_snapshot(
 
 def _read_shards(
     spark: SparkSession, table: str, shards: list[dict],
-    schema: StructType,
+    schema: StructType, with_pos: bool = False,
 ) -> DataFrame:
     """Explicit-file-list scan of ``shards`` surfacing the snapshot's
     LOGICAL ``schema``. A shard carrying a column mapping (``names``:
@@ -1837,14 +1847,33 @@ def _read_shards(
     drop — the classic name-reuse trap) reads as NULL, never as the
     old physical bytes. Unmapped shards scan directly (the
     explicit-schema parquet read NULL-fills missing columns). One scan
-    per distinct mapping; with no mappings this is exactly one scan."""
+    per distinct mapping; with no mappings this is exactly one scan.
+
+    ``with_pos`` additionally surfaces each row's physical identity —
+    ``__file`` (shard basename) and ``__pos`` (parquet ``_metadata.
+    row_index``) — the coordinates positional deletion vectors key on.
+    Files are immutable once committed, so (file, pos) is a stable
+    row id across every later read of the same shard."""
     from functools import reduce
 
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField
 
+    pos_cols = (
+        [
+            F.substring_index(F.col("_metadata.file_path"), "/", -1)
+            .alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        ]
+        if with_pos else []
+    )
     if not shards:
-        return spark.createDataFrame([], schema)
+        df = spark.createDataFrame([], schema)
+        if with_pos:
+            df = df.withColumn(
+                "__file", F.lit(None).cast("string")
+            ).withColumn("__pos", F.lit(None).cast("bigint"))
+        return df
     groups: dict[tuple | None, list[str]] = {}
     for s in shards:
         names = s.get("names")
@@ -1856,7 +1885,8 @@ def _read_shards(
     ):
         paths = [os.path.join(table, _DATA_DIR, n) for n in sorted(files)]
         if key is None:
-            parts.append(spark.read.schema(schema).parquet(*paths))
+            df = spark.read.schema(schema).parquet(*paths)
+            parts.append(df.select("*", *pos_cols) if with_pos else df)
             continue
         mapping = dict(key)
         physical = StructType(
@@ -1874,7 +1904,8 @@ def _read_shards(
                     if f.name in mapping
                     else F.lit(None).cast(f.dataType).alias(f.name)
                     for f in schema.fields
-                ]
+                ],
+                *pos_cols,
             )
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
@@ -1883,23 +1914,45 @@ def _read_shards(
 def _scan_with_deletes(
     spark: SparkSession, table: str, schema: StructType,
     shards: list[dict], deletes: list[dict],
+    with_pos: bool = False,
 ) -> DataFrame:
     """Scan the given shard entries under a snapshot's pending
-    lazy-delete tombstones — the merge-on-read kernel shared by
+    tombstones — the merge-on-read kernel shared by
     :func:`read_snapshot` (whole snapshot) and :func:`read_cdc` (just
-    the shards whose visibility changed at one commit). Shards are
-    grouped by which tombstones cover them; each group scans once
-    (column-mapping aware, via :func:`_read_shards`) with its combined
-    NOT-filter; with no tombstones this is one explicit-file-list
-    scan."""
-    if not shards:
-        return spark.createDataFrame([], schema)
-    if not deletes:
-        return _read_shards(spark, table, shards, schema)
+    the shards whose visibility changed at one commit). Two tombstone
+    encodings compose here:
+
+    - CONDITION (``{"condition", "shards"}``, from
+      ``delete_where(lazy=True)``): the NOT-filter re-evaluates at
+      read time;
+    - POSITIONAL deletion vector (``{"positions", "shards",
+      "n_rows"}``, from ``merge_upsert(mor=True)`` — Delta DV /
+      Iceberg positional-delete shaped): ``positions`` names a parquet
+      file of (file, pos) row coordinates under ``data/``; covered
+      shards scan with their physical row identity surfaced and the
+      DV anti-joins them away — broadcast when the recorded ``n_rows``
+      is small (the common case: a DV holds one merge's matched rows),
+      a plain join otherwise.
+
+    Shards are grouped by which tombstones cover them; each group
+    scans once (column-mapping aware, via :func:`_read_shards`);
+    with no tombstones this is one explicit-file-list scan.
+    ``with_pos=True`` keeps the ``__file``/``__pos`` identity columns
+    on the result (the MoR writers need the VISIBLE rows' coordinates
+    to stack a new vector on top)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
+    def _strip(df, had_pos):
+        if had_pos and not with_pos:
+            return df.drop("__file", "__pos")
+        return df
+
+    if not shards:
+        return _read_shards(spark, table, [], schema, with_pos)
+    if not deletes:
+        return _read_shards(spark, table, shards, schema, with_pos)
     covers = [set(d["shards"]) for d in deletes]
     groups: dict[tuple, list[dict]] = {}
     for s in shards:
@@ -1907,11 +1960,26 @@ def _scan_with_deletes(
         groups.setdefault(key, []).append(s)
     parts = []
     for key, group in sorted(groups.items()):
-        df = _read_shards(spark, table, group, schema)
+        has_dv = any("positions" in deletes[i] for i in key)
+        df = _read_shards(
+            spark, table, group, schema, with_pos or has_dv
+        )
         for i in key:
-            cond = F.expr(deletes[i]["condition"]).cast("boolean")
-            df = df.where(~F.coalesce(cond, F.lit(False)))
-        parts.append(df)
+            d = deletes[i]
+            if "positions" in d:
+                dv = spark.read.schema("file string, pos bigint").parquet(
+                    os.path.join(table, _DATA_DIR, d["positions"])
+                ).select(
+                    F.col("file").alias("__file"),
+                    F.col("pos").alias("__pos"),
+                )
+                if d.get("n_rows", 0) <= 4_000_000:
+                    dv = F.broadcast(dv)
+                df = df.join(dv, ["__file", "__pos"], "left_anti")
+            else:
+                cond = F.expr(d["condition"]).cast("boolean")
+                df = df.where(~F.coalesce(cond, F.lit(False)))
+        parts.append(_strip(df, has_dv))
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
@@ -2503,15 +2571,64 @@ def streaming_snapshot_sink(
     return sink
 
 
+def _stage_dv(
+    matched: DataFrame, table: str, tmp_dir: str,
+) -> tuple[str | None, list[str], int]:
+    """Write visible matched-row coordinates (``__file``/``__pos``) as
+    ONE deletion-vector parquet published under ``data/`` (invisible
+    until a snapshot's tombstone names it — same two-step protocol as
+    shards). Returns ``(dv_name, covered_files, n_rows)``;
+    ``(None, [], 0)`` when nothing matched."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(tmp_dir, "dv")
+    matched.select(
+        F.col("__file").alias("file"), F.col("__pos").alias("pos")
+    ).coalesce(1).write.mode("overwrite").parquet(out)
+    spark = matched.sparkSession
+    per_file = (
+        spark.read.schema("file string, pos bigint").parquet(out)
+        .groupBy("file").count().collect()
+    )
+    if not per_file:
+        return None, [], 0
+    staged = glob.glob(os.path.join(out, "part-*.parquet"))
+    name = f"dv-{uuid.uuid4().hex}.parquet"
+    os.replace(staged[0], os.path.join(table, _DATA_DIR, name))
+    return (
+        name,
+        sorted(r["file"] for r in per_file),
+        int(sum(r["count"] for r in per_file)),
+    )
+
+
 def merge_upsert(
     updates: DataFrame, table: str, key_cols: list[str],
     prune_col: str | None = None, delete_condition: str | None = None,
     partition_prune: dict | None = None,
     branch: str | None = None,
+    mor: bool = False,
 ) -> int:
     """Copy-on-write MERGE (Delta ``MERGE WHEN MATCHED UPDATE / WHEN NOT
     MATCHED INSERT``-shaped): rows in ``updates`` replace current rows
     with the same key; unmatched keys insert. One atomic snapshot.
+
+    ``mor=True`` is the MERGE-ON-READ encoding (Delta deletion vectors
+    / Iceberg positional deletes): instead of rewriting every matched
+    file, the merge appends the updates as new shards and records the
+    matched rows' physical coordinates (shard file, parquet row index)
+    in a small deletion-vector parquet; readers subtract them via an
+    anti-join in :func:`_scan_with_deletes`. Write cost drops from
+    O(matched files) to O(updates + one coordinate scan of the matched
+    files) — the update-heavy 100 TB workload (CDC apply, GDPR
+    deletes, feature backfills) where CoW rewrite amplification is the
+    bottleneck. MoR merges STACK (each adds a vector over the still-
+    visible rows), and :func:`compact_table` materialises all pending
+    vectors back into clean files — the standing compaction cadence
+    the public formats pair with DVs. Read-side cost until then: one
+    broadcast anti-join per vector over the covered shards only.
+    CoW DML and schema evolution refuse while vectors are pending
+    (compact first), exactly as with condition tombstones.
 
     Plan shape: current LEFT ANTI updates on the keys (drop the rows
     being replaced) union the updates — two scans and one join, no
@@ -2608,10 +2725,14 @@ def merge_upsert(
                 + (f" on branch {branch!r}" if branch is not None else "")
             )
         snap = _load_snapshot(table, current, branch)
-        if snap.get("deletes"):
+        if snap.get("deletes") and not mor:
+            # a CoW rewrite would detach pending tombstones; a MoR
+            # merge composes with them instead (its coordinate scan
+            # sees only the rows still visible under them)
             raise ValueError(
                 "snapshot_table: merge with pending lazy deletes would "
-                "detach them; run compact_table first"
+                "detach them; run compact_table first (or merge with "
+                "mor=True, which stacks)"
             )
         table_schema = StructType.fromJson(snap["schema"])
         missing = [c for c in key_cols if c not in table_schema.fieldNames()]
@@ -2630,7 +2751,14 @@ def merge_upsert(
             snap.get("partition_by", []),
         )
         schema = _merge_schema(table_schema, updates.schema)
-        if touched:
+        dv_name, dv_covers, dv_rows = None, [], 0
+        if mor:
+            # the updates ALWAYS append (normalized to the evolved
+            # schema); matched old rows are subtracted by coordinates
+            merged = spark.createDataFrame([], schema).unionByName(
+                surviving, allowMissingColumns=True
+            )
+        elif touched:
             cur = _read_shards(spark, table, touched, table_schema)
             kept = cur.join(
                 updates.select(*key_cols).distinct(),
@@ -2649,7 +2777,24 @@ def merge_upsert(
         pb = snap.get("partition_by", [])
         job = uuid.uuid4().hex
         tmp_dir = os.path.join(table, "_tmp", job)
+        committed = False
         try:
+            if mor and touched:
+                # coordinates of the VISIBLE matched rows (pending
+                # tombstones applied first, so stacked vectors never
+                # double-delete): semi-join the touched shards' rows
+                # on the merge keys, keep (file, pos) only
+                vis = _scan_with_deletes(
+                    spark, table, table_schema, touched,
+                    snap.get("deletes", []), with_pos=True,
+                )
+                matched = vis.join(
+                    updates.select(*key_cols).distinct(),
+                    on=key_cols, how="left_semi",
+                ).select("__file", "__pos")
+                dv_name, dv_covers, dv_rows = _stage_dv(
+                    matched, table, tmp_dir
+                )
             mine, counts, stats, parts = _stage_publish(
                 merged, table, tmp_dir, stats_cols, pb,
                 cluster_parts=max(1, len(touched)) if pb else None,
@@ -2668,7 +2813,17 @@ def merge_upsert(
                     s["partition"] = parts[n]
                 return s
 
-            shards = list(carried) + [_shard(n) for n in mine]
+            old = snap["shards"] if mor else carried
+            shards = list(old) + [_shard(n) for n in mine]
+            deletes = list(snap.get("deletes", []))
+            if dv_name is not None:
+                deletes.append(
+                    {
+                        "positions": dv_name,
+                        "shards": dv_covers,
+                        "n_rows": dv_rows,
+                    }
+                )
             version = current + 1
             snapshot = {
                 "version": version,
@@ -2676,8 +2831,19 @@ def merge_upsert(
                 "operation": "merge",
                 "properties": {
                     "merge_keys": list(key_cols),
-                    "shards_rewritten": len(touched),
+                    "shards_rewritten": 0 if mor else len(touched),
                     "shards_skipped": len(carried),
+                    **(
+                        {
+                            "mor": True,
+                            "rows_deleted": dv_rows,
+                            **(
+                                {"dv": dv_name}
+                                if dv_name is not None else {}
+                            ),
+                        }
+                        if mor else {}
+                    ),
                     **(
                         {"delete_condition": delete_condition}
                         if delete_condition is not None else {}
@@ -2685,9 +2851,12 @@ def merge_upsert(
                 },
                 "schema": schema.jsonValue(),
                 "n_shards": len(shards),
+                # physical rows: pending vectors subtract at read time
                 "n_rows": sum(s["n_rows"] for s in shards),
                 "shards": sorted(shards, key=lambda s: s["file"]),
             }
+            if deletes:
+                snapshot["deletes"] = deletes
             if snap.get("constraints"):
                 snapshot["constraints"] = snap["constraints"]
             if pb:
@@ -2695,10 +2864,18 @@ def merge_upsert(
             if branch is not None:
                 snapshot["branch"] = branch
             if _claim_snapshot(table, tmp_dir, snapshot, branch):
+                committed = True
                 return version
             continue  # concurrent commit won: retry on the new base
         finally:
             shutil.rmtree(tmp_dir, ignore_errors=True)
+            if not committed and dv_name is not None:
+                # lost the race (or failed): the published-but-
+                # unclaimed vector is unreferenced — reclaim it now
+                try:
+                    os.remove(os.path.join(table, _DATA_DIR, dv_name))
+                except FileNotFoundError:
+                    pass
 
 
 def drop_partition(table: str, matching: dict) -> int:
@@ -3681,10 +3858,19 @@ def read_cdc(
         ).limit(0)
 
     def _visibility(snap: dict) -> dict[str, tuple]:
-        """file -> sorted tuple of tombstone conditions covering it —
-        equal signatures mean identical visible rows for that file."""
+        """file -> sorted tuple of tombstone identities covering it —
+        equal signatures mean identical visible rows for that file.
+        A positional vector's identity is its (immutable) file name;
+        a condition tombstone's is the condition text."""
         dels = snap.get("deletes", [])
-        covers = [(d["condition"], set(d["shards"])) for d in dels]
+        covers = [
+            (
+                d["condition"] if "condition" in d
+                else "dv:" + d["positions"],
+                set(d["shards"]),
+            )
+            for d in dels
+        ]
         return {
             s["file"]: tuple(
                 sorted(c for c, cover in covers if s["file"] in cover)

@@ -4025,3 +4025,148 @@ def test_read_cdc_branch_guards_and_pairs(spark, docs, tmp_path):
     assert all(post[k] == pre[k] + 7 for k in pre)
     # the audit never touched main: its own feed since v1 is empty
     assert read_cdc(spark, table, 1).count() == 0
+
+
+def test_merge_mor_deletion_vector_basic(spark, docs, tmp_path):
+    """merge_upsert(mor=True): matched files are NOT rewritten — the
+    updates append and a positional deletion vector subtracts the old
+    versions at read; time travel to the pre-merge version still reads
+    them; unmatched keys insert."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        merge_upsert,
+    )
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    for i in range(4):  # several shards so covers are per-file
+        write_snapshot(
+            en.where(F.col("doc_id") % 4 == i).coalesce(1), table,
+            stats_cols=["doc_id"],
+        )
+    before = {s["file"] for s in snapshot_history(table)[-1]["shards"]}
+    upd = en.where(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    ins = spark.createDataFrame(
+        [(9_000_001, "en", 42)], "doc_id long, lang string, n_chars long"
+    )
+    v = merge_upsert(
+        upd.unionByName(ins), table, key_cols=["doc_id"], mor=True
+    )
+    snap = st._load_snapshot(table, v)
+    assert snap["properties"]["mor"] is True
+    assert snap["properties"]["shards_rewritten"] == 0
+    assert snap["properties"]["rows_deleted"] == upd.count()
+    # every pre-merge shard is still live, plus the appended ones
+    live = {s["file"] for s in snap["shards"]}
+    assert before <= live
+    dvs = [d for d in snap["deletes"] if "positions" in d]
+    assert len(dvs) == 1 and dvs[0]["n_rows"] == upd.count()
+    assert os.path.exists(os.path.join(table, "data", dvs[0]["positions"]))
+    expected = (
+        en.where(F.col("doc_id") % 10 != 0)
+        .unionByName(upd)
+        .unionByName(ins)
+    )
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
+    # time travel: the pre-merge version still reads the old rows
+    assert _canon(read_snapshot(spark, table, v - 1)) == _canon(en)
+
+
+def test_merge_mor_stacks_then_compaction_materialises(spark, docs, tmp_path):
+    """A second MoR merge must tombstone the FIRST merge's appended
+    rows (they are the visible versions now) — vectors stack over
+    visible rows only, never double-delete. compact_table then
+    materialises every vector; expire+vacuum reclaims the dv files."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table, merge_upsert, vacuum,
+    )
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table)
+    up1 = en.where(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.lit(111).cast("long")
+    )
+    merge_upsert(up1, table, key_cols=["doc_id"], mor=True)
+    # overlapping second merge: half the keys updated AGAIN
+    up2 = en.where(F.col("doc_id") % 20 == 0).withColumn(
+        "n_chars", F.lit(222).cast("long")
+    )
+    merge_upsert(up2, table, key_cols=["doc_id"], mor=True)
+    expected = (
+        en.where(F.col("doc_id") % 10 != 0)
+        .unionByName(up1.where(F.col("doc_id") % 20 != 0))
+        .unionByName(up2)
+    )
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
+    snap = snapshot_history(table)[-1]
+    assert len([d for d in snap["deletes"] if "positions" in d]) == 2
+    # vacuum keeps the referenced vectors
+    assert vacuum(table)["orphans_removed"] == 0
+    assert len(__import__("glob").glob(
+        os.path.join(table, "data", "dv-*.parquet")
+    )) == 2
+    # compaction materialises: clean files, no pending deletes
+    compact_table(spark, table, target_shards=2)
+    assert not snapshot_history(table)[-1].get("deletes")
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
+    # retention reclaims the now-unreferenced vectors
+    expire_snapshots(table, keep_last=1)
+    assert __import__("glob").glob(
+        os.path.join(table, "data", "dv-*.parquet")
+    ) == []
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
+
+
+def test_merge_mor_cdc_and_cow_guards(spark, docs, tmp_path):
+    """read_cdc surfaces a MoR merge as delete(pre)+insert(post) pairs
+    (same feed shape as the CoW merge); CoW DML and schema evolution
+    refuse while vectors are pending, pointing at compaction."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        delete_where, merge_upsert, read_cdc, rename_column, update_where,
+    )
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table)
+    upd = en.where(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 7
+    )
+    merge_upsert(upd, table, key_cols=["doc_id"], mor=True)
+    cdc = read_cdc(spark, table, 1)
+    n_upd = upd.count()
+    pre = {r.doc_id: r.n_chars for r in cdc.where(F.col("_change_type") == "delete").collect()}
+    post = {r.doc_id: r.n_chars for r in cdc.where(F.col("_change_type") == "insert").collect()}
+    assert len(pre) == len(post) == n_upd
+    assert all(post[k] == pre[k] + 7 for k in pre)
+    with pytest.raises(ValueError, match="compact_table first"):
+        delete_where(spark, table, "n_chars < 0")
+    with pytest.raises(ValueError, match="compact_table first"):
+        update_where(spark, table, {"n_chars": "n_chars"}, "true")
+    with pytest.raises(ValueError, match="compact"):
+        rename_column(spark, table, "n_chars", "nc")
+    with pytest.raises(ValueError, match="mor=True"):
+        merge_upsert(upd, table, key_cols=["doc_id"])  # CoW refuses
+
+
+def test_merge_mor_on_branch_publishes(spark, docs, tmp_path):
+    """A MoR merge on a WAP branch: the vector rides the branch,
+    main is untouched until publish, and the published state subtracts
+    the old versions on main too."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        create_branch, merge_upsert, publish_branch,
+    )
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table)
+    create_branch(table, "fix")
+    upd = en.where(F.col("doc_id") % 5 == 0).withColumn(
+        "n_chars", F.lit(0).cast("long")
+    )
+    merge_upsert(upd, table, key_cols=["doc_id"], branch="fix", mor=True)
+    assert _canon(read_snapshot(spark, table)) == _canon(en)  # isolated
+    publish_branch(table, "fix")
+    expected = en.where(F.col("doc_id") % 5 != 0).unionByName(upd)
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
