@@ -3050,6 +3050,136 @@ def q_snapshot_stream_ingest(spark, sf_dir):
 
 
 @register(
+    "snapshot_stream_upsert",
+    f"""
+    WITH en AS (
+      SELECT doc_id, lang, text, n_chars FROM documents WHERE lang = 'en'),
+    de AS (
+      SELECT doc_id, lang, text, n_chars FROM documents WHERE lang = 'de'),
+    final AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN doc_id % 8 = 0 THEN n_chars + 3000
+                  WHEN doc_id % 4 = 0 THEN n_chars + 1000
+                  WHEN doc_id % 4 = 1 THEN n_chars + 2000
+                  ELSE n_chars END AS n_chars
+      FROM en
+      UNION ALL SELECT doc_id, lang, text, n_chars FROM de)
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           TRUE                         AS stream_ok
+    FROM final GROUP BY lang
+    """,
+    tags=("sources", "table-format", "streaming", "merge",
+          "deletion-vectors"),
+    description="Continuous CDC-apply: streaming UPSERT into the snapshot "
+    "table via streaming_merge_sink — the Delta 'MERGE in foreachBatch' "
+    "pattern with MoR deletion vectors, so each micro-batch costs "
+    "O(batch) instead of a CoW rewrite of every matched file. Three "
+    "live micro-batches over a file stream (availableNow, one file per "
+    "trigger): update every 4th en doc, update every 4th+1 AND insert "
+    "the de docs, then RE-update every 8th (the second vector must "
+    "tombstone the first batch's appended versions). stream_ok pins: "
+    "exactly 3 merge commits each with mor=True and zero shards "
+    "rewritten, 3 stacked vectors pending, and a direct REPLAY of "
+    "batch 0 through the sink being skipped by the snapshot-log "
+    "idempotence protocol (version unchanged — at-least-once "
+    "foreachBatch becomes exactly-once table state). The oracle "
+    "replays the three batches' upsert algebra in order. Engine: "
+    "sources/snapshot_table.py::streaming_merge_sink.",
+)
+def q_snapshot_stream_upsert(spark, sf_dir):
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from .sources.snapshot_table import (
+        latest_version,
+        read_snapshot,
+        snapshot_history,
+        streaming_merge_sink,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    en = docs.where(F.col("lang") == "en")
+    table = tempfile.mkdtemp(prefix="svdml-streamupsert-") + "/t"
+    write_snapshot(en, table, stats_cols=["doc_id"])            # v1
+    batches = [
+        en.where(F.col("doc_id") % 4 == 0).withColumn(
+            "n_chars", F.col("n_chars") + 1000
+        ),
+        en.where(F.col("doc_id") % 4 == 1).withColumn(
+            "n_chars", F.col("n_chars") + 2000
+        ).unionByName(docs.where(F.col("lang") == "de")),
+        en.where(F.col("doc_id") % 8 == 0).withColumn(
+            "n_chars", F.col("n_chars") + 3000
+        ),
+    ]
+    src_dir = tempfile.mkdtemp(prefix="svdml-streamupsert-src-")
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src_dir)
+        _time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    ckpt = tempfile.mkdtemp(prefix="svdml-streamupsert-ckpt-")
+    sink = streaming_merge_sink(table, ["doc_id"], app_id="cdc")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    head = latest_version(table)
+    merges = [s for s in snapshot_history(table) if s["operation"] == "merge"]
+    n_dv = len(
+        [
+            d
+            for d in snapshot_history(table)[-1].get("deletes", [])
+            if "positions" in d
+        ]
+    )
+    sink(batches[0], 0)  # at-least-once replay: must be a no-op
+    stream_ok = bool(
+        head == 4
+        and latest_version(table) == head  # the replay committed nothing
+        and len(merges) == 3
+        and all(
+            s["properties"].get("mor") is True
+            and s["properties"]["shards_rewritten"] == 0
+            for s in merges
+        )
+        and n_dv == 3
+    )
+    return (
+        read_snapshot(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias(
+                "text_fp"
+            ),
+        )
+        .withColumn("stream_ok", F.lit(stream_ok))
+    )
+
+
+@register(
     "snapshot_sink_ingest",
     f"""
     SELECT lang,

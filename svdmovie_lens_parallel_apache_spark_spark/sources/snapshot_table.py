@@ -2531,41 +2531,98 @@ def streaming_snapshot_sink(
         )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        for snap in reversed(snapshot_history(table, branch)):
-            props = snap.get("properties", {})
-            done = props.get("streaming_batch_id")
-            if done is None or props.get("streaming_app_id") != app_id:
-                continue  # not a commit from THIS writer lineage
-            if done == batch_id:
-                return  # at-least-once replay of a committed batch
-            if done < batch_id:
-                break  # monotonic per lineage: older can't hold this id
-        if branch is not None:
-            # the branch's own log is destroyed by the WAP cycle
-            # (publish → drop_branch → create_branch), so a replay that
-            # races a window rollover finds a fresh empty log. The
-            # durable ledger is the _refs/_ledger chain (carried
-            # forward by every publish and immune to expire_snapshots);
-            # the latest publish commit's published_streaming map is
-            # the fallback for the narrow crash window between a
-            # publish commit and its ledger append.
-            key = app_id or ""
-            done = _ledger_marks(table).get(key, -1)
-            if done >= batch_id:
-                return  # replay of an already-PUBLISHED batch
-            for snap in reversed(snapshot_history(table)):
-                marks = snap.get("properties", {}).get(
-                    "published_streaming", {}
-                )
-                if key in marks:
-                    if marks[key] >= batch_id:
-                        return  # replay of an already-PUBLISHED batch
-                    break  # high-water marks are monotonic per lineage
+        if _streaming_replayed(table, app_id, batch_id, branch):
+            return
         props = {"streaming_batch_id": batch_id}
         if app_id is not None:
             props["streaming_app_id"] = app_id
         write_snapshot(
             batch_df, table, mode="append", properties=props, branch=branch,
+        )
+
+    return sink
+
+
+def _streaming_replayed(
+    table: str, app_id: str | None, batch_id: int, branch: str | None,
+) -> bool:
+    """The shared idempotence check behind every streaming sink: has a
+    commit of THIS writer lineage already landed this batch id? Walks
+    the (branch) log for the lineage's most recent stamp; for branches
+    it additionally consults the durable ``_refs/_ledger`` chain and
+    the latest publish commit's ``published_streaming`` map — the
+    branch's own log is destroyed by the WAP cycle (publish →
+    drop_branch → re-create), so a replay racing a window rollover
+    finds a fresh empty log, and the ledger (carried forward by every
+    publish, immune to expire_snapshots) is what remembers the
+    published high-water mark. Batch ids are monotonic per lineage, so
+    only the most recent stamp can matter."""
+    for snap in reversed(snapshot_history(table, branch)):
+        props = snap.get("properties", {})
+        done = props.get("streaming_batch_id")
+        if done is None or props.get("streaming_app_id") != app_id:
+            continue  # not a commit from THIS writer lineage
+        if done == batch_id:
+            return True  # at-least-once replay of a committed batch
+        if done < batch_id:
+            break  # monotonic per lineage: older can't hold this id
+    if branch is not None:
+        key = app_id or ""
+        done = _ledger_marks(table).get(key, -1)
+        if done >= batch_id:
+            return True  # replay of an already-PUBLISHED batch
+        for snap in reversed(snapshot_history(table)):
+            marks = snap.get("properties", {}).get(
+                "published_streaming", {}
+            )
+            if key in marks:
+                if marks[key] >= batch_id:
+                    return True  # replay of an already-PUBLISHED batch
+                break  # high-water marks are monotonic per lineage
+    return False
+
+
+def streaming_merge_sink(
+    table: str, key_cols: list[str], app_id: str | None = None,
+    mor: bool = True, branch: str | None = None,
+):
+    """Exactly-once streaming UPSERT into a snapshot table: a
+    ``foreachBatch`` function applying each micro-batch as ONE
+    :func:`merge_upsert` commit — the Delta "MERGE in foreachBatch"
+    CDC-apply pattern, keyed by ``key_cols``. With ``mor=True`` (the
+    default, and the point) every batch costs O(batch + one coordinate
+    scan of the matched shards) via deletion vectors instead of a CoW
+    rewrite of every matched file per micro-batch — pair with a
+    periodic :func:`compact_table` to materialise the stacked vectors,
+    exactly the cadence a continuous CDC-apply runs at 100 TB.
+    ``mor=False`` is the CoW form for low-rate streams (note it
+    refuses while any tombstones are pending, so it cannot follow a
+    MoR batch without compaction in between).
+
+    Idempotence is the same snapshot-log replay protocol as
+    :func:`streaming_snapshot_sink` (``app_id`` namespacing, branch
+    WAP + durable-ledger rules included): a replayed batch id that
+    already appears in a committed snapshot of this lineage is
+    skipped, so the at-least-once ``foreachBatch`` contract becomes
+    exactly-once table state. Each batch must carry at most one row
+    per key (the ambiguous-merge refusal is loud) — dedup upstream
+    with ``dropDuplicates``/``max_by`` as Delta's pattern prescribes.
+    """
+    if app_id == "":
+        raise ValueError(
+            "snapshot_table: app_id='' is reserved for the unnamed "
+            "lineage (app_id=None); pass a non-empty app_id or None"
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if _streaming_replayed(table, app_id, batch_id, branch):
+            return
+        props = {"streaming_batch_id": batch_id}
+        if app_id is not None:
+            props["streaming_app_id"] = app_id
+        merge_upsert(
+            batch_df, table, key_cols=key_cols, mor=mor, branch=branch,
+            properties=props,
         )
 
     return sink
@@ -2608,6 +2665,7 @@ def merge_upsert(
     partition_prune: dict | None = None,
     branch: str | None = None,
     mor: bool = False,
+    properties: dict | None = None,
 ) -> int:
     """Copy-on-write MERGE (Delta ``MERGE WHEN MATCHED UPDATE / WHEN NOT
     MATCHED INSERT``-shaped): rows in ``updates`` replace current rows
@@ -2830,6 +2888,7 @@ def merge_upsert(
                 "parent": current,
                 "operation": "merge",
                 "properties": {
+                    **(properties or {}),
                     "merge_keys": list(key_cols),
                     "shards_rewritten": 0 if mor else len(touched),
                     "shards_skipped": len(carried),

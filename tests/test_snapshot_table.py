@@ -4170,3 +4170,40 @@ def test_merge_mor_on_branch_publishes(spark, docs, tmp_path):
     publish_branch(table, "fix")
     expected = en.where(F.col("doc_id") % 5 != 0).unionByName(upd)
     assert _canon(read_snapshot(spark, table)) == _canon(expected)
+
+
+def test_streaming_merge_sink_idempotent_upserts(spark, docs, tmp_path):
+    """The merge sink's exactly-once contract: a replayed batch id is
+    skipped per lineage, distinct lineages don't collide, mor merges
+    apply in batch order, and app_id='' is rejected like the append
+    sink's."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        streaming_merge_sink,
+    )
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table)
+    with pytest.raises(ValueError, match="reserved"):
+        streaming_merge_sink(table, ["doc_id"], app_id="")
+    sink = streaming_merge_sink(table, ["doc_id"], app_id="cdc")
+    b0 = en.where(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.lit(1).cast("long")
+    )
+    b1 = en.where(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.lit(2).cast("long")
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    v = latest_version(table)
+    sink(b0, 0)  # at-least-once replay: no-op
+    sink(b1, 1)
+    assert latest_version(table) == v == 3
+    # last writer per key wins across batches
+    got = {r.doc_id: r.n_chars for r in read_snapshot(spark, table).collect()}
+    for r in en.collect():
+        assert got[r.doc_id] == (2 if r.doc_id % 3 == 0 else r.n_chars)
+    # a DIFFERENT lineage's batch 0 is not a replay of ours
+    other = streaming_merge_sink(table, ["doc_id"], app_id="cdc2")
+    other(b1.limit(1), 0)
+    assert latest_version(table) == 4
