@@ -3521,6 +3521,7 @@ def update_where(
     condition: str, prune: tuple | None = None,
     partition_prune: dict | None = None,
     branch: str | None = None,
+    mor: bool = False,
 ) -> int:
     """Row-level UPDATE as one atomic snapshot (Delta ``UPDATE table
     SET col = expr WHERE cond`` / Iceberg copy-on-write update shaped)
@@ -3556,7 +3557,16 @@ def update_where(
 
     ``branch=`` updates a BRANCH head in place (WAP remediation: fix
     the bad rows on the audit branch, re-audit, publish) — same shared
-    ``data/`` staging, commit lands in the branch log only."""
+    ``data/`` staging, commit lands in the branch log only.
+
+    ``mor=True`` is the MERGE-ON-READ form (the third MoR DML leg
+    next to ``delete_where(lazy=True)``'s condition tombstone and
+    ``merge_upsert(mor=True)``'s vector): only the MATCHED rows'
+    post-images are written as new shards, and their pre-images are
+    subtracted by a positional deletion vector — write cost
+    O(matched rows), never O(matched files), and it composes with
+    pending tombstones of either kind (positions come from the
+    still-visible rows). :func:`compact_table` materialises."""
     from pyspark.sql import functions as F
 
     if not set_exprs:
@@ -3577,10 +3587,11 @@ def update_where(
                 + (f" on branch {branch!r}" if branch is not None else "")
             )
         snap = _load_snapshot(table, current, branch)
-        if snap.get("deletes"):
+        if snap.get("deletes") and not mor:
             raise ValueError(
                 "snapshot_table: copy-on-write update with pending lazy "
-                "deletes would detach them; run compact_table first"
+                "deletes would detach them; run compact_table first "
+                "(or update with mor=True, which stacks)"
             )
         schema = StructType.fromJson(snap["schema"])
         missing = [c for c in set_exprs if c not in schema.fieldNames()]
@@ -3615,9 +3626,40 @@ def update_where(
         pb = snap.get("partition_by", [])
         job = uuid.uuid4().hex
         tmp_dir = os.path.join(table, "_tmp", job)
+        committed = False
+        dv_name, dv_covers, dv_rows = None, [], 0
         try:
             mine, counts, stats, parts = [], {}, {}, {}
-            if touched:
+            if touched and mor:
+                # MoR: only the matched VISIBLE rows' post-images are
+                # written; their pre-images are subtracted by position
+                vis = _scan_with_deletes(
+                    spark, table, schema, touched,
+                    snap.get("deletes", []), with_pos=True,
+                )
+                matched = vis.where(hit).persist()
+                updated = matched.select(
+                    *[
+                        F.expr(set_exprs[f.name]).alias(f.name)
+                        if f.name in set_exprs
+                        else F.col(f.name)
+                        for f in schema.fields
+                    ]
+                )
+                _enforce_constraints(
+                    updated, snap.get("constraints", {})
+                )
+                dv_name, dv_covers, dv_rows = _stage_dv(
+                    matched.select("__file", "__pos"), table, tmp_dir
+                )
+                if dv_name is None:
+                    matched.unpersist()
+                    return current  # nothing matched: no-op, no commit
+                mine, counts, stats, parts = _stage_publish(
+                    updated, table, tmp_dir, stats_cols, pb,
+                )
+                matched.unpersist()
+            elif touched:
                 cur = _read_shards(spark, table, touched, schema)
                 rewritten = cur.select(
                     *[
@@ -3666,7 +3708,17 @@ def update_where(
                     s["partition"] = parts[n]
                 return s
 
-            shards = list(carried) + [_shard(n) for n in mine]
+            old = snap["shards"] if mor else carried
+            shards = list(old) + [_shard(n) for n in mine]
+            deletes = list(snap.get("deletes", []))
+            if dv_name is not None:
+                deletes.append(
+                    {
+                        "positions": dv_name,
+                        "shards": dv_covers,
+                        "n_rows": dv_rows,
+                    }
+                )
             version = current + 1
             snapshot = {
                 "version": version,
@@ -3675,14 +3727,20 @@ def update_where(
                 "properties": {
                     "update_condition": condition,
                     "set": dict(set_exprs),
-                    "shards_rewritten": len(touched),
+                    "shards_rewritten": 0 if mor else len(touched),
                     "shards_skipped": len(carried),
+                    **(
+                        {"mor": True, "rows_updated": dv_rows}
+                        if mor else {}
+                    ),
                 },
                 "schema": snap["schema"],
                 "n_shards": len(shards),
                 "n_rows": sum(s["n_rows"] for s in shards),
                 "shards": sorted(shards, key=lambda s: s["file"]),
             }
+            if deletes:
+                snapshot["deletes"] = deletes
             if snap.get("constraints"):
                 snapshot["constraints"] = snap["constraints"]
             if pb:
@@ -3690,10 +3748,16 @@ def update_where(
             if branch is not None:
                 snapshot["branch"] = branch
             if _claim_snapshot(table, tmp_dir, snapshot, branch):
+                committed = True
                 return version
             continue  # concurrent commit won: retry on the new base
         finally:
             shutil.rmtree(tmp_dir, ignore_errors=True)
+            if not committed and dv_name is not None:
+                try:
+                    os.remove(os.path.join(table, _DATA_DIR, dv_name))
+                except FileNotFoundError:
+                    pass
 
 
 def rollback(table: str, version: int) -> int:

@@ -4207,3 +4207,46 @@ def test_streaming_merge_sink_idempotent_upserts(spark, docs, tmp_path):
     other = streaming_merge_sink(table, ["doc_id"], app_id="cdc2")
     other(b1.limit(1), 0)
     assert latest_version(table) == 4
+
+
+def test_update_where_mor_positional(spark, docs, tmp_path):
+    """update_where(mor=True): matched rows' post-images append and
+    their pre-images subtract by position — zero files rewritten; it
+    stacks on a pending condition tombstone (positions come from the
+    VISIBLE rows only); a no-match update commits nothing; compaction
+    materialises."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table, delete_where, update_where,
+    )
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table)
+    # a pending CONDITION tombstone first: MoR update must compose
+    delete_where(spark, table, "doc_id % 7 = 0", lazy=True)
+    before = {s["file"] for s in snapshot_history(table)[-1]["shards"]}
+    v = update_where(
+        spark, table, {"n_chars": "n_chars + 50"},
+        "doc_id % 2 = 0", mor=True,
+    )
+    snap = st._load_snapshot(table, v)
+    assert snap["properties"]["mor"] is True
+    assert snap["properties"]["shards_rewritten"] == 0
+    survivors = en.where(F.col("doc_id") % 7 != 0)
+    n_match = survivors.where(F.col("doc_id") % 2 == 0).count()
+    assert snap["properties"]["rows_updated"] == n_match
+    assert before <= {s["file"] for s in snap["shards"]}
+    expected = survivors.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 2 == 0, F.col("n_chars") + 50)
+        .otherwise(F.col("n_chars")),
+    )
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
+    # no-match MoR update: no commit
+    assert update_where(
+        spark, table, {"n_chars": "n_chars"}, "doc_id < 0", mor=True
+    ) == v
+    assert latest_version(table) == v
+    compact_table(spark, table, target_shards=2)
+    assert not snapshot_history(table)[-1].get("deletes")
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
