@@ -851,12 +851,17 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
             version += 1
             snap()
         elif op == "delete_lazy":
+            # engine no-op rule: a tombstone covering ZERO live shards
+            # (e.g. right after a delete-everything CoW) commits
+            # nothing — no pending tombstone, no version
+            had_shards = bool(snapshot_history(table)[-1]["shards"])
             st.delete_where(spark, table, f"{cv} > {thr}", lazy=True)
             # covers only rows present NOW; later appends are unaffected
             model = [r for r in model if not (r[1] > thr)]
-            pending += 1
-            version += 1
-            snap()
+            if had_shards:
+                pending += 1
+                version += 1
+                snap()
         elif op == "update":
             sets = {cv: f"{cv} + 1"}
             if pending:
