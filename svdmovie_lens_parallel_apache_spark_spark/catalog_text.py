@@ -1409,6 +1409,14 @@ def _kmeans_semantic_oracle(
     "centroid updates, adaptive np, bucketing, and the fold bit-for-bit.",
 )
 def q_semantic_dedup_kmeans(spark, sf_dir):
+    return _semantic_dedup_kmeans_impl(spark, sf_dir, k=8, iters=2)
+
+
+def _semantic_dedup_kmeans_impl(spark, sf_dir, k: int, iters: int):
+    """The shared SemDeDup pipeline behind ``semantic_dedup_kmeans``
+    (k=8, the oracle-pinned default) and ``semantic_dedup_kmeans_k64``
+    (the k-knob proof) — cluster, bucket, within-(cid, bucket)
+    earlier-member cosine, per-cluster counts + centroid norm."""
     from .functions.vectors import cosine_similarity, l2_norm
     from .operators.similarity import (
         adaptive_n_planes,
@@ -1418,10 +1426,10 @@ def q_semantic_dedup_kmeans(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned, cents = kmeans_lloyd(emb, k=8, iters=2)
+    assigned, cents = kmeans_lloyd(emb, k=k, iters=iters)
     # the assignment feeds the count, BOTH sides of the bucketed
     # self-join, and the final agg — persist so those are cache hits
-    # instead of four recomputations of the k*dim nearest-centroid
+    # instead of four recomputations of the nearest-centroid
     # projection (kmeans_lloyd already persists the projected source)
     assigned = assigned.persist()
     np_ = adaptive_n_planes(
@@ -1477,50 +1485,7 @@ def q_semantic_dedup_kmeans(spark, sf_dir):
     "final assignment) keeps the within-cluster pair stage k-bounded.",
 )
 def q_semantic_dedup_kmeans_k64(spark, sf_dir):
-    from .functions.vectors import cosine_similarity, l2_norm
-    from .operators.similarity import (
-        adaptive_n_planes,
-        kmeans_lloyd,
-        lsh_bucket,
-        lsh_hyperplanes,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    assigned, cents = kmeans_lloyd(emb, k=64, iters=1)
-    assigned = assigned.persist()
-    np_ = adaptive_n_planes(
-        assigned.count(), base=_LSH_BASE, target=_LSH_TARGET, cap=_LSH_CAP
-    )
-    planes = lsh_hyperplanes(64, np_, tag="hp")
-    nb = assigned.withColumn("bucket", lsh_bucket(F.col("vec"), planes))
-    a = nb.select(
-        "cid", "bucket", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va")
-    )
-    b = nb.select(
-        "cid", "bucket", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb")
-    )
-    dups = (
-        a.join(b, ["cid", "bucket"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .where(_r(cosine_similarity(F.col("va"), F.col("vb")), 6) >= 0.4)
-        .select(F.col("vec_b").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dup", F.lit(1))
-    )
-    norms = spark.createDataFrame(
-        [(cid, cvec) for cid, cvec in cents], "cid int, cvec array<double>"
-    ).select("cid", _r(l2_norm(F.col("cvec")), 6).alias("centroid_norm"))
-    return (
-        assigned.join(dups, "vec_id", "left")
-        .groupBy("cid")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.coalesce(F.sum("is_dup"), F.lit(0)).cast("bigint").alias("n_dupes"),
-        )
-        .withColumn("n_kept", (F.col("n_members") - F.col("n_dupes")).cast("bigint"))
-        .join(F.broadcast(norms), "cid")
-        .select("cid", "n_members", "n_dupes", "n_kept", "centroid_norm")
-    )
+    return _semantic_dedup_kmeans_impl(spark, sf_dir, k=64, iters=1)
 
 
 @register(

@@ -1302,6 +1302,13 @@ def _stage_publish(
     name -> {col: str|None}), which is what metadata pruning reads."""
     # schema-only validation FIRST: failing after the distributed write
     # would waste the whole job and strand orphans in data/
+    reserved = [c for c in ("__file", "__pos") if c in df.columns]
+    if reserved:
+        raise ValueError(
+            f"snapshot_table: column names {reserved} are reserved for "
+            f"the merge-on-read row identity (_read_shards with_pos); "
+            f"rename before writing"
+        )
     for c in stats_cols or []:
         t = df.schema[c].dataType.simpleString()
         if t not in ("int", "bigint", "smallint", "tinyint",
@@ -1958,26 +1965,34 @@ def _scan_with_deletes(
     for s in shards:
         key = tuple(i for i, cover in enumerate(covers) if s["file"] in cover)
         groups.setdefault(key, []).append(s)
+    # one read (and at most one broadcast) per VECTOR, shared by every
+    # shard group it covers — a stacked vector typically covers both
+    # the original shards and a later merge's appends, two groups
+    dv_dfs: dict[int, DataFrame] = {}
+    for i, d in enumerate(deletes):
+        if "positions" not in d:
+            continue
+        dv = spark.read.schema("file string, pos bigint").parquet(
+            os.path.join(table, _DATA_DIR, d["positions"])
+        ).select(
+            F.col("file").alias("__file"), F.col("pos").alias("__pos"),
+        )
+        # ~10 MB of (path-less name, bigint) rows — Spark's own
+        # auto-broadcast ballpark; bigger vectors shuffle-join safely
+        if d.get("n_rows", 0) <= 200_000:
+            dv = F.broadcast(dv)
+        dv_dfs[i] = dv
     parts = []
     for key, group in sorted(groups.items()):
-        has_dv = any("positions" in deletes[i] for i in key)
+        has_dv = any(i in dv_dfs for i in key)
         df = _read_shards(
             spark, table, group, schema, with_pos or has_dv
         )
         for i in key:
-            d = deletes[i]
-            if "positions" in d:
-                dv = spark.read.schema("file string, pos bigint").parquet(
-                    os.path.join(table, _DATA_DIR, d["positions"])
-                ).select(
-                    F.col("file").alias("__file"),
-                    F.col("pos").alias("__pos"),
-                )
-                if d.get("n_rows", 0) <= 4_000_000:
-                    dv = F.broadcast(dv)
-                df = df.join(dv, ["__file", "__pos"], "left_anti")
+            if i in dv_dfs:
+                df = df.join(dv_dfs[i], ["__file", "__pos"], "left_anti")
             else:
-                cond = F.expr(d["condition"]).cast("boolean")
+                cond = F.expr(deletes[i]["condition"]).cast("boolean")
                 df = df.where(~F.coalesce(cond, F.lit(False)))
         parts.append(_strip(df, has_dv))
     return reduce(lambda a, b: a.unionByName(b), parts)
@@ -3628,6 +3643,7 @@ def update_where(
         tmp_dir = os.path.join(table, "_tmp", job)
         committed = False
         dv_name, dv_covers, dv_rows = None, [], 0
+        cached = None
         try:
             mine, counts, stats, parts = [], {}, {}, {}
             if touched and mor:
@@ -3637,7 +3653,7 @@ def update_where(
                     spark, table, schema, touched,
                     snap.get("deletes", []), with_pos=True,
                 )
-                matched = vis.where(hit).persist()
+                matched = cached = vis.where(hit).persist()
                 updated = matched.select(
                     *[
                         F.expr(set_exprs[f.name]).alias(f.name)
@@ -3653,12 +3669,10 @@ def update_where(
                     matched.select("__file", "__pos"), table, tmp_dir
                 )
                 if dv_name is None:
-                    matched.unpersist()
                     return current  # nothing matched: no-op, no commit
                 mine, counts, stats, parts = _stage_publish(
                     updated, table, tmp_dir, stats_cols, pb,
                 )
-                matched.unpersist()
             elif touched:
                 cur = _read_shards(spark, table, touched, schema)
                 rewritten = cur.select(
@@ -3752,6 +3766,8 @@ def update_where(
                 return version
             continue  # concurrent commit won: retry on the new base
         finally:
+            if cached is not None:
+                cached.unpersist()  # incl. constraint-refusal raises
             shutil.rmtree(tmp_dir, ignore_errors=True)
             if not committed and dv_name is not None:
                 try:

@@ -4255,3 +4255,13 @@ def test_update_where_mor_positional(spark, docs, tmp_path):
     compact_table(spark, table, target_shards=2)
     assert not snapshot_history(table)[-1].get("deletes")
     assert _canon(read_snapshot(spark, table)) == _canon(expected)
+
+
+def test_reserved_mor_identity_columns_rejected(spark, tmp_path):
+    """__file/__pos are the MoR row-identity names every positional
+    read and write depends on; a user column shadowing them would make
+    the identity projection ambiguous — refused at staging."""
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 2)], "doc_id long, __pos long")
+    with pytest.raises(ValueError, match="reserved"):
+        write_snapshot(df, table)
