@@ -1426,7 +1426,8 @@ def _semantic_dedup_kmeans_impl(spark, sf_dir, k: int, iters: int):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned, cents = kmeans_lloyd(emb, k=k, iters=iters)
+    handles: list = []
+    assigned, cents = kmeans_lloyd(emb, k=k, iters=iters, release=handles)
     # the assignment feeds the count, BOTH sides of the bucketed
     # self-join, and the final agg — persist so those are cache hits
     # instead of four recomputations of the nearest-centroid
@@ -1435,6 +1436,12 @@ def _semantic_dedup_kmeans_impl(spark, sf_dir, k: int, iters: int):
     np_ = adaptive_n_planes(
         assigned.count(), base=_LSH_BASE, target=_LSH_TARGET, cap=_LSH_CAP
     )
+    # the count above materialised `assigned` into ITS cache, which
+    # supersedes kmeans_lloyd's source projection and final broadcast
+    # for everything downstream — release both (re-shipped/re-computed
+    # only if `assigned` is ever evicted)
+    for h in handles:
+        h.unpersist()
     planes = lsh_hyperplanes(64, np_, tag="hp")
     nb = assigned.withColumn("bucket", lsh_bucket(F.col("vec"), planes))
     a = nb.select(

@@ -551,13 +551,22 @@ def _nearest_literal(
 
 def _assign_vectorized(
     v: DataFrame, cents: list[tuple[int, list[float]]]
-) -> DataFrame:
+) -> tuple[DataFrame, "object"]:
     """Nearest-centroid assignment as an Arrow-batched ``pandas_udf``
     argmin against a ``SparkContext.broadcast`` NumPy (k×dim) centroid
     matrix — the k-scalable twin of :func:`_nearest_literal`: plan size
     is CONSTANT in k (one UDF node), memory is one shared k×dim float64
     matrix per executor, and cost grows linearly in k inside NumPy
     instead of in Catalyst expression nodes.
+
+    Returns ``(df, broadcast)`` so the CALLER owns the broadcast's
+    lifetime: at SemDeDup-scale k the (k×dim) matrix is tens of MB per
+    executor, and Lloyd's loop creates one per iteration —
+    :func:`kmeans_lloyd` unpersists each iteration's broadcast as soon
+    as that iteration's means aggregation has materialised.
+    ``Broadcast.unpersist()`` only drops executor copies (the driver
+    re-ships on any later re-execution of the plan), so releasing is
+    always safe — never ``destroy()``, which would break lazy reuse.
 
     Bit-identical to the literal path by construction, so the DuckDB
     oracle transfers unchanged:
@@ -611,12 +620,13 @@ def _assign_vectorized(
             out[s : s + chunk] = b_cids[np.argmin(a, axis=1)]
         return pd.Series(out, dtype="int64").astype("int32")
 
-    return v.withColumn("cid", _argmin_cid(F.col("vec")))
+    return v.withColumn("cid", _argmin_cid(F.col("vec"))), bc
 
 
 def kmeans_lloyd(
     emb: DataFrame, k: int = 8, iters: int = 2, decimals: int = 6,
     assign: str = "vectorized",
+    release: list | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Deterministic distributed Lloyd's k-means over the embedding
     column — the clustering stage of SemDeDup-style semantic dedup
@@ -650,7 +660,18 @@ def kmeans_lloyd(
     also hit the cache, not the source). Driver state is k·dim floats
     per round — scalar-bounded. ``k``/``iters`` are the knobs a 100 TB
     run raises (k ∝ corpus size keeps clusters bounded for the
-    within-cluster pair stage downstream)."""
+    within-cluster pair stage downstream).
+
+    Resource lifetime: each ITERATION's centroid broadcast is
+    unpersisted here as soon as its means aggregation has materialised
+    (so executors hold at most one k×dim matrix at a time, not
+    ``iters + 1`` of them). Two resources must outlive the returned
+    DataFrame — the persisted source projection and the FINAL
+    assignment's broadcast; pass ``release=[]`` to receive them and
+    call ``.unpersist()`` on each once the returned assignment is
+    materialised (both are re-computed/re-shipped on later
+    re-execution, so releasing never breaks correctness, only
+    caching)."""
     if assign not in ("vectorized", "literal"):
         raise ValueError(
             f"kmeans_lloyd: assign must be 'vectorized' or 'literal', "
@@ -662,13 +683,16 @@ def kmeans_lloyd(
     init = v.orderBy("vec_id").limit(k).collect()  # k rows — bounded
     centroids = [(i, list(r["vec"])) for i, r in enumerate(init)]
 
-    def nearest(df: DataFrame, cents) -> DataFrame:
+    def nearest(df: DataFrame, cents) -> tuple[DataFrame, object]:
         if assign == "literal":
-            return df.withColumn("cid", _nearest_literal(F.col("vec"), cents))
+            return (
+                df.withColumn("cid", _nearest_literal(F.col("vec"), cents)),
+                None,
+            )
         return _assign_vectorized(df, cents)
 
     for _ in range(iters):
-        assigned = nearest(v, centroids)
+        assigned, bc = nearest(v, centroids)
         means = (
             assigned.select("cid", F.posexplode("vec").alias("pos", "mv"))
             .groupBy("cid", "pos")
@@ -681,6 +705,10 @@ def kmeans_lloyd(
             )
             .collect()  # ≤ k·dim rows — bounded
         )
+        if bc is not None:
+            # this iteration's (k×dim) matrix is consumed: the means
+            # collect above materialised every task that needed it
+            bc.unpersist()
         by_cid: dict[int, dict[int, float]] = {}
         for r in means:
             by_cid.setdefault(r["cid"], {})[r["pos"]] = r["mv"]
@@ -689,5 +717,9 @@ def kmeans_lloyd(
             (cid, [dims[p] for p in sorted(dims)])
             for cid, dims in sorted(by_cid.items())
         ]
-    final = nearest(v, centroids)
+    final, final_bc = nearest(v, centroids)
+    if release is not None:
+        release.append(v)
+        if final_bc is not None:
+            release.append(final_bc)
     return final, centroids

@@ -2746,6 +2746,13 @@ def merge_upsert(
 
     A merge that loses the commit race retries against the new base
     (same conservative conflict rule as :func:`delete_where`).
+
+    A merge that changes nothing commits nothing (update_where's
+    no-empty-commit rule): an empty ``updates`` batch — or one fully
+    consumed by ``delete_condition`` whose keys match no visible row —
+    returns the current version without a new snapshot, so a
+    :func:`streaming_merge_sink` fed empty micro-batches does not
+    churn one version per batch.
     """
     from pyspark.sql import functions as F
 
@@ -2754,10 +2761,13 @@ def merge_upsert(
         raise ValueError(
             f"snapshot_table: prune_col {prune_col!r} must be a merge key"
         )
+    updates_empty = updates.isEmpty()
     # ambiguous merges fail loudly (Delta's "multiple source rows matched"
     # rule): duplicate keys in ONE updates batch would silently land twice
     dup = (
-        updates.groupBy(*key_cols)
+        []
+        if updates_empty
+        else updates.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") > 1)
         .limit(1)
@@ -2778,6 +2788,16 @@ def merge_upsert(
                 F.expr(delete_condition).cast("boolean"), F.lit(False)
             )
         )
+    # a merge that can neither insert nor delete is a NO-OP, never a
+    # commit (matching update_where's no-empty-commit rule): a
+    # streaming_merge_sink fed empty micro-batches must not churn one
+    # version per batch. Fully-delete_condition-consumed batches still
+    # proceed — their keys legitimately delete matched rows (the MoR
+    # path re-checks after staging the vector: no vector + nothing
+    # surviving → no-op too).
+    surviving_empty = updates_empty or (
+        delete_condition is not None and surviving.isEmpty()
+    )
     bounds = None
     if prune_col is not None:
         row = updates.agg(
@@ -2813,6 +2833,8 @@ def merge_upsert(
             raise ValueError(
                 f"snapshot_table: merge keys {missing} not in table"
             )
+        if updates_empty:
+            return current  # no keys → no matches → no-op, no commit
         # kept rows already satisfied the invariants at their own
         # commit; only the incoming (surviving) rows need validation
         _enforce_constraints(surviving, snap.get("constraints", {}))
@@ -2868,6 +2890,11 @@ def merge_upsert(
                 dv_name, dv_covers, dv_rows = _stage_dv(
                     matched, table, tmp_dir
                 )
+            if surviving_empty and dv_name is None and (mor or not touched):
+                # nothing to insert AND nothing deleted (MoR: the
+                # staged vector came back empty; CoW: prune proved no
+                # shard can match) — unchanged state, no commit
+                return current
             mine, counts, stats, parts = _stage_publish(
                 merged, table, tmp_dir, stats_cols, pb,
                 cluster_parts=max(1, len(touched)) if pb else None,

@@ -484,3 +484,45 @@ def test_kmeans_vectorized_scales_in_k(spark, sf_dir):
     got = {r.cid for r in df.select("cid").distinct().collect()}
     assert got <= cids and len(got) > 128
     df.unpersist()
+
+
+def test_kmeans_releases_iteration_broadcasts_and_hands_back_final(spark, sf_dir):
+    """Broadcast lifecycle (100 TB hygiene): at SemDeDup-scale k each
+    iteration's (k×dim) centroid matrix is tens of MB per executor —
+    Lloyd's loop must unpersist every ITERATION broadcast once its
+    means aggregation materialises, and hand the two resources that
+    must outlive the returned DataFrame (the persisted source
+    projection + the FINAL assignment's broadcast) to the caller via
+    ``release=``. Releasing them after materialisation must not change
+    results (unpersist only drops executor copies; the driver
+    re-ships on re-execution)."""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.similarity import kmeans_lloyd
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    handles: list = []
+    df, cents = kmeans_lloyd(
+        emb, k=8, iters=2, assign="vectorized", release=handles
+    )
+    # exactly the persisted projection + the final broadcast
+    assert len(handles) == 2
+    from pyspark.broadcast import Broadcast
+    from pyspark.sql import DataFrame as _DF
+
+    assert isinstance(handles[0], _DF) and handles[0].is_cached
+    assert isinstance(handles[1], Broadcast)
+    before = {r.vec_id: r.cid for r in df.select("vec_id", "cid").collect()}
+    for h in handles:
+        h.unpersist()
+    assert not handles[0].is_cached
+    # the released plan still recomputes identically (broadcast
+    # re-ships, projection re-reads the source)
+    after = {r.vec_id: r.cid for r in df.select("vec_id", "cid").collect()}
+    assert before == after and len(before) == emb.count()
+    # literal path: no broadcast to hand back, projection only
+    handles2: list = []
+    lit_df, _ = kmeans_lloyd(
+        emb, k=8, iters=1, assign="literal", release=handles2
+    )
+    assert len(handles2) == 1 and isinstance(handles2[0], _DF)
+    handles2[0].unpersist()

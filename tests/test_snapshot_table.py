@@ -4265,3 +4265,63 @@ def test_reserved_mor_identity_columns_rejected(spark, tmp_path):
     df = spark.createDataFrame([(1, 2)], "doc_id long, __pos long")
     with pytest.raises(ValueError, match="reserved"):
         write_snapshot(df, table)
+
+
+def test_merge_upsert_empty_batch_is_a_noop(spark, docs, tmp_path):
+    """A merge that changes nothing commits nothing (update_where's
+    no-empty-commit rule): empty updates batches — the steady state of
+    a streaming_merge_sink between CDC bursts — return the current
+    version in BOTH encodings instead of churning one snapshot (and a
+    possible 0-row shard) per micro-batch."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        merge_upsert,
+    )
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table, stats_cols=["doc_id"])
+    v0 = latest_version(table)
+    empty = spark.createDataFrame([], en.schema)
+    assert merge_upsert(empty, table, key_cols=["doc_id"], mor=True) == v0
+    assert merge_upsert(empty, table, key_cols=["doc_id"], mor=False) == v0
+    assert latest_version(table) == v0
+    assert len(snapshot_history(table)) == 1
+    # no stray deletion vector or shard was published either
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(table, "data", "dv-*.parquet")) == []
+    snap = st._load_snapshot(table, v0)
+    assert len(_glob.glob(os.path.join(table, "data", "part-*.parquet"))) == len(
+        snap["shards"]
+    )
+
+
+def test_merge_upsert_delete_only_no_match_is_a_noop_mor(spark, docs, tmp_path):
+    """MoR merge whose batch is fully consumed by delete_condition and
+    whose keys match no visible row: the staged vector comes back empty
+    and nothing survives to insert — no commit. The same batch with
+    MATCHING keys legitimately commits a delete-only vector."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        merge_upsert,
+    )
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table, stats_cols=["doc_id"])
+    v0 = latest_version(table)
+    ghost = spark.createDataFrame(
+        [(9_000_001, "en", 1)], "doc_id long, lang string, n_chars long"
+    )
+    v = merge_upsert(
+        ghost, table, key_cols=["doc_id"], mor=True,
+        delete_condition="n_chars >= 0",
+    )
+    assert v == v0 and len(snapshot_history(table)) == 1
+    # matching key: a real delete-only MoR commit
+    victim = en.limit(1).withColumn("n_chars", F.lit(1).cast("long"))
+    v2 = merge_upsert(
+        victim, table, key_cols=["doc_id"], mor=True,
+        delete_condition="n_chars >= 0",
+    )
+    assert v2 == v0 + 1
+    assert read_snapshot(spark, table).count() == en.count() - 1

@@ -74,11 +74,11 @@ def main() -> None:
             t0 = time.time()
             # sum(cid) forces the UDF: a bare count() would let Catalyst
             # prune the (deterministic) UDF column and time the cache
-            _assign_vectorized(base, cents).agg(
-                {"cid": "sum"}
-            ).collect()
+            timed, bc = _assign_vectorized(base, cents)
+            timed.agg({"cid": "sum"}).collect()
+            bc.unpersist()
             times.append(time.time() - t0)
-        plan = formatted_plan(_assign_vectorized(base, cents))
+        plan = formatted_plan(_assign_vectorized(base, cents)[0])
         udf_nodes = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.MULTILINE))
         out["ks"][str(k)] = {
             "assign_pass_s": round(min(times), 3),
