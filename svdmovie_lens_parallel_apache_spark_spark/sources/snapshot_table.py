@@ -1256,7 +1256,7 @@ def _remove_unreferenced(table: str) -> int:
         # snapshot's pending DV is as load-bearing as its shards
         for d in snap.get("deletes", []):
             if "positions" in d:
-                yield d["positions"]
+                yield from _dv_parts(d)
 
     live: set[str] = set()
     for snap in snapshot_history(table):
@@ -1973,7 +1973,7 @@ def _scan_with_deletes(
         if "positions" not in d:
             continue
         dv = spark.read.schema("file string, pos bigint").parquet(
-            os.path.join(table, _DATA_DIR, d["positions"])
+            *[os.path.join(table, _DATA_DIR, n) for n in _dv_parts(d)]
         ).select(
             F.col("file").alias("__file"), F.col("pos").alias("__pos"),
         )
@@ -2643,35 +2643,67 @@ def streaming_merge_sink(
     return sink
 
 
+# coordinate rows per deletion-vector part file: each publish task
+# writes at most this many (file, pos) rows, so a merge/update matching
+# tens of millions of rows fans its vector write across executors
+# instead of funnelling through one task — ~200 MB of coordinates per
+# part at typical shard-name lengths. One micro-batch-sized vector
+# (the common CDC-apply case) still lands as a single file.
+_DV_ROWS_PER_PART = 4_000_000
+
+
 def _stage_dv(
     matched: DataFrame, table: str, tmp_dir: str,
-) -> tuple[str | None, list[str], int]:
+) -> tuple[list[str], list[str], int]:
     """Write visible matched-row coordinates (``__file``/``__pos``) as
-    ONE deletion-vector parquet published under ``data/`` (invisible
-    until a snapshot's tombstone names it — same two-step protocol as
-    shards). Returns ``(dv_name, covered_files, n_rows)``;
-    ``(None, [], 0)`` when nothing matched."""
+    deletion-vector parquet part(s) published under ``data/``
+    (invisible until a snapshot's tombstone names them — same two-step
+    protocol as shards). Small vectors (≤ :data:`_DV_ROWS_PER_PART`
+    coordinates) stay ONE file; bigger ones split into
+    ``ceil(n / _DV_ROWS_PER_PART)`` round-robin parts written in
+    parallel, so a GDPR-scale delete never serialises O(matched rows)
+    through a single task. Returns ``(dv_parts, covered_files,
+    n_rows)``; ``([], [], 0)`` when nothing matched."""
+    import math
+
     from pyspark.sql import functions as F
 
-    out = os.path.join(tmp_dir, "dv")
-    matched.select(
+    coords = matched.select(
         F.col("__file").alias("file"), F.col("__pos").alias("pos")
-    ).coalesce(1).write.mode("overwrite").parquet(out)
-    spark = matched.sparkSession
-    per_file = (
-        spark.read.schema("file string, pos bigint").parquet(out)
-        .groupBy("file").count().collect()
-    )
-    if not per_file:
-        return None, [], 0
-    staged = glob.glob(os.path.join(out, "part-*.parquet"))
-    name = f"dv-{uuid.uuid4().hex}.parquet"
-    os.replace(staged[0], os.path.join(table, _DATA_DIR, name))
-    return (
-        name,
-        sorted(r["file"] for r in per_file),
-        int(sum(r["count"] for r in per_file)),
-    )
+    ).persist()
+    try:
+        per_file = coords.groupBy("file").count().collect()
+        if not per_file:
+            return [], [], 0
+        total = int(sum(r["count"] for r in per_file))
+        n_parts = max(1, math.ceil(total / _DV_ROWS_PER_PART))
+        out = os.path.join(tmp_dir, "dv")
+        (
+            coords.repartition(n_parts) if n_parts > 1
+            else coords.coalesce(1)
+        ).write.mode("overwrite").parquet(out)
+        staged = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+        stem = f"dv-{uuid.uuid4().hex}"
+        names = []
+        for i, p in enumerate(staged):
+            name = (
+                f"{stem}.parquet" if len(staged) == 1
+                else f"{stem}-{i:05d}.parquet"
+            )
+            os.replace(p, os.path.join(table, _DATA_DIR, name))
+            names.append(name)
+        return names, sorted(r["file"] for r in per_file), total
+    finally:
+        coords.unpersist()
+
+
+def _dv_parts(tombstone: dict) -> list[str]:
+    """The part file(s) of a positional tombstone — ``positions`` is a
+    bare string for single-part vectors (the original on-disk form,
+    kept so pre-split tables read unchanged) and a list for vectors
+    big enough to have fanned out across writer tasks."""
+    p = tombstone["positions"]
+    return [p] if isinstance(p, str) else list(p)
 
 
 def merge_upsert(
@@ -2846,7 +2878,7 @@ def merge_upsert(
             snap.get("partition_by", []),
         )
         schema = _merge_schema(table_schema, updates.schema)
-        dv_name, dv_covers, dv_rows = None, [], 0
+        dv_parts, dv_covers, dv_rows = [], [], 0
         if mor:
             # the updates ALWAYS append (normalized to the evolved
             # schema); matched old rows are subtracted by coordinates
@@ -2887,10 +2919,10 @@ def merge_upsert(
                     updates.select(*key_cols).distinct(),
                     on=key_cols, how="left_semi",
                 ).select("__file", "__pos")
-                dv_name, dv_covers, dv_rows = _stage_dv(
+                dv_parts, dv_covers, dv_rows = _stage_dv(
                     matched, table, tmp_dir
                 )
-            if surviving_empty and dv_name is None and (mor or not touched):
+            if surviving_empty and not dv_parts and (mor or not touched):
                 # nothing to insert AND nothing deleted (MoR: the
                 # staged vector came back empty; CoW: prune proved no
                 # shard can match) — unchanged state, no commit
@@ -2916,10 +2948,13 @@ def merge_upsert(
             old = snap["shards"] if mor else carried
             shards = list(old) + [_shard(n) for n in mine]
             deletes = list(snap.get("deletes", []))
-            if dv_name is not None:
+            if dv_parts:
                 deletes.append(
                     {
-                        "positions": dv_name,
+                        "positions": (
+                            dv_parts[0] if len(dv_parts) == 1
+                            else dv_parts
+                        ),
                         "shards": dv_covers,
                         "n_rows": dv_rows,
                     }
@@ -2939,8 +2974,8 @@ def merge_upsert(
                             "mor": True,
                             "rows_deleted": dv_rows,
                             **(
-                                {"dv": dv_name}
-                                if dv_name is not None else {}
+                                {"dv": ",".join(dv_parts)}
+                                if dv_parts else {}
                             ),
                         }
                         if mor else {}
@@ -2970,13 +3005,14 @@ def merge_upsert(
             continue  # concurrent commit won: retry on the new base
         finally:
             shutil.rmtree(tmp_dir, ignore_errors=True)
-            if not committed and dv_name is not None:
+            if not committed and dv_parts:
                 # lost the race (or failed): the published-but-
-                # unclaimed vector is unreferenced — reclaim it now
-                try:
-                    os.remove(os.path.join(table, _DATA_DIR, dv_name))
-                except FileNotFoundError:
-                    pass
+                # unclaimed vector parts are unreferenced — reclaim now
+                for n in dv_parts:
+                    try:
+                        os.remove(os.path.join(table, _DATA_DIR, n))
+                    except FileNotFoundError:
+                        pass
 
 
 def drop_partition(table: str, matching: dict) -> int:
@@ -3669,7 +3705,7 @@ def update_where(
         job = uuid.uuid4().hex
         tmp_dir = os.path.join(table, "_tmp", job)
         committed = False
-        dv_name, dv_covers, dv_rows = None, [], 0
+        dv_parts, dv_covers, dv_rows = [], [], 0
         cached = None
         try:
             mine, counts, stats, parts = [], {}, {}, {}
@@ -3692,10 +3728,10 @@ def update_where(
                 _enforce_constraints(
                     updated, snap.get("constraints", {})
                 )
-                dv_name, dv_covers, dv_rows = _stage_dv(
+                dv_parts, dv_covers, dv_rows = _stage_dv(
                     matched.select("__file", "__pos"), table, tmp_dir
                 )
-                if dv_name is None:
+                if not dv_parts:
                     return current  # nothing matched: no-op, no commit
                 mine, counts, stats, parts = _stage_publish(
                     updated, table, tmp_dir, stats_cols, pb,
@@ -3752,10 +3788,13 @@ def update_where(
             old = snap["shards"] if mor else carried
             shards = list(old) + [_shard(n) for n in mine]
             deletes = list(snap.get("deletes", []))
-            if dv_name is not None:
+            if dv_parts:
                 deletes.append(
                     {
-                        "positions": dv_name,
+                        "positions": (
+                            dv_parts[0] if len(dv_parts) == 1
+                            else dv_parts
+                        ),
                         "shards": dv_covers,
                         "n_rows": dv_rows,
                     }
@@ -3796,11 +3835,12 @@ def update_where(
             if cached is not None:
                 cached.unpersist()  # incl. constraint-refusal raises
             shutil.rmtree(tmp_dir, ignore_errors=True)
-            if not committed and dv_name is not None:
-                try:
-                    os.remove(os.path.join(table, _DATA_DIR, dv_name))
-                except FileNotFoundError:
-                    pass
+            if not committed and dv_parts:
+                for n in dv_parts:
+                    try:
+                        os.remove(os.path.join(table, _DATA_DIR, n))
+                    except FileNotFoundError:
+                        pass
 
 
 def rollback(table: str, version: int) -> int:
@@ -4032,7 +4072,7 @@ def read_cdc(
         covers = [
             (
                 d["condition"] if "condition" in d
-                else "dv:" + d["positions"],
+                else "dv:" + ",".join(_dv_parts(d)),
                 set(d["shards"]),
             )
             for d in dels

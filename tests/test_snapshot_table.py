@@ -4325,3 +4325,53 @@ def test_merge_upsert_delete_only_no_match_is_a_noop_mor(spark, docs, tmp_path):
     )
     assert v2 == v0 + 1
     assert read_snapshot(spark, table).count() == en.count() - 1
+
+
+def test_deletion_vector_splits_into_bounded_parts(
+    spark, docs, tmp_path, monkeypatch
+):
+    """A vector bigger than _DV_ROWS_PER_PART coordinates fans out
+    across writer tasks into multiple published part files (tombstone
+    ``positions`` becomes a list) instead of funnelling O(matched rows)
+    through one coalesce(1) task — and every consumer composes over
+    the parts: read subtracts all of them, CDC diffs through them,
+    compaction materialises them, GC counts each part as referenced
+    until expiry then sweeps all of them."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table,
+        merge_upsert,
+        read_cdc,
+        vacuum,
+    )
+
+    monkeypatch.setattr(st, "_DV_ROWS_PER_PART", 25)
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table, stats_cols=["doc_id"])
+    matched = en.where(F.col("doc_id") % 2 == 0)
+    n_matched = matched.count()
+    assert n_matched > 60  # forces >2 parts at the patched bound
+    upd = matched.withColumn("n_chars", F.col("n_chars") + 1000)
+    v = merge_upsert(upd, table, key_cols=["doc_id"], mor=True)
+    snap = st._load_snapshot(table, v)
+    dvs = [d for d in snap["deletes"] if "positions" in d]
+    assert len(dvs) == 1 and dvs[0]["n_rows"] == n_matched
+    parts = st._dv_parts(dvs[0])
+    assert len(parts) > 2 and isinstance(dvs[0]["positions"], list)
+    for p in parts:
+        assert os.path.exists(os.path.join(table, "data", p))
+    expected = en.where(F.col("doc_id") % 2 != 0).unionByName(upd)
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
+    # CDC through the multi-part vector: updates = delete+insert pairs
+    cdc = read_cdc(spark, table, v - 1, v)
+    assert cdc.where(F.col("_change_type") == "delete").count() == n_matched
+    assert cdc.where(F.col("_change_type") == "insert").count() == n_matched
+    # compaction materialises, then vacuum+expire sweeps every part
+    compact_table(spark, table)
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
+    expire_snapshots(table, keep_last=1)
+    vacuum(table)
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(table, "data", "dv-*.parquet")) == []
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
