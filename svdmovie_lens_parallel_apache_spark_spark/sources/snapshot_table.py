@@ -908,9 +908,11 @@ def _alter_columns(
     old_schema)`` returns the shard entry to record (None = unchanged).
     Live CHECK constraints are re-analyzed against the new schema and
     block the commit if they reference an altered column (drop the
-    constraint first — loud, never a broken table). Pending lazy
-    deletes block rename/drop for the same reason (tombstone
-    conditions are written against current names)."""
+    constraint first — loud, never a broken table). Pending CONDITION
+    tombstones block rename/drop for the same reason (their SQL text
+    is written against current names); pending positional deletion
+    vectors do NOT — (file, pos) coordinates are name-free and carry
+    forward untouched."""
     from pyspark.sql import functions as F
 
     job = uuid.uuid4().hex
@@ -923,7 +925,15 @@ def _alter_columns(
                     f"snapshot_table: {table} has no snapshots"
                 )
             snap = _load_snapshot(table, current)
-            if snap.get("deletes") and operation != "add_column":
+            # only CONDITION tombstones block rename/drop: their SQL
+            # text is written against current column names, so the
+            # alter would orphan them. POSITIONAL deletion vectors are
+            # name-free (file, pos) coordinates — they compose with
+            # column mapping for free and carry forward untouched.
+            conditional = [
+                d for d in snap.get("deletes", []) if "condition" in d
+            ]
+            if conditional and operation != "add_column":
                 raise ValueError(
                     f"snapshot_table: {operation} with pending lazy "
                     f"deletes would orphan their conditions; run "
@@ -1044,8 +1054,10 @@ def rename_column(
     column, so pruning on the NEW name keeps working. Time travel to
     pre-rename versions still shows the old name (each snapshot is
     self-contained). Raises on unknown ``old``, existing ``new``,
-    pending lazy deletes, or a live CHECK constraint referencing
-    ``old`` (drop it first). Incremental/CDC reads refuse ranges that
+    pending CONDITION tombstones (their SQL text is written against
+    current names — positional deletion vectors are name-free
+    coordinates and compose freely), or a live CHECK constraint
+    referencing ``old`` (drop it first). Incremental/CDC reads refuse ranges that
     cross the rename (frames before and after disagree on names —
     restart the consumer from the evolution point)."""
     def make_schema(schema: StructType) -> StructType:
@@ -2732,8 +2744,10 @@ def merge_upsert(
     vectors back into clean files — the standing compaction cadence
     the public formats pair with DVs. Read-side cost until then: one
     broadcast anti-join per vector over the covered shards only.
-    CoW DML and schema evolution refuse while vectors are pending
-    (compact first), exactly as with condition tombstones.
+    CoW DML refuses while vectors are pending (compact first), exactly
+    as with condition tombstones; schema evolution COMPOSES — the
+    coordinates are name-free, so rename/drop/add commit straight over
+    a pending vector.
 
     Plan shape: current LEFT ANTI updates on the keys (drop the rows
     being replaced) union the updates — two scans and one join, no

@@ -4126,8 +4126,9 @@ def test_merge_mor_stacks_then_compaction_materialises(spark, docs, tmp_path):
 
 def test_merge_mor_cdc_and_cow_guards(spark, docs, tmp_path):
     """read_cdc surfaces a MoR merge as delete(pre)+insert(post) pairs
-    (same feed shape as the CoW merge); CoW DML and schema evolution
-    refuse while vectors are pending, pointing at compaction."""
+    (same feed shape as the CoW merge); CoW DML refuses while vectors
+    are pending, pointing at compaction — schema evolution composes
+    (positional coordinates are name-free)."""
     from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
         delete_where, merge_upsert, read_cdc, rename_column, update_where,
     )
@@ -4149,10 +4150,15 @@ def test_merge_mor_cdc_and_cow_guards(spark, docs, tmp_path):
         delete_where(spark, table, "n_chars < 0")
     with pytest.raises(ValueError, match="compact_table first"):
         update_where(spark, table, {"n_chars": "n_chars"}, "true")
-    with pytest.raises(ValueError, match="compact"):
-        rename_column(spark, table, "n_chars", "nc")
     with pytest.raises(ValueError, match="mor=True"):
         merge_upsert(upd, table, key_cols=["doc_id"])  # CoW refuses
+    # rename COMPOSES with a pending positional vector (name-free
+    # coordinates) — the full matrix is pinned in
+    # test_deletion_vectors_compose_with_schema_evolution
+    rename_column(spark, table, "n_chars", "nc")
+    assert read_snapshot(spark, table).where(
+        F.col("nc").isNull()
+    ).count() == 0
 
 
 def test_merge_mor_on_branch_publishes(spark, docs, tmp_path):
@@ -4375,3 +4381,84 @@ def test_deletion_vector_splits_into_bounded_parts(
 
     assert _glob.glob(os.path.join(table, "data", "dv-*.parquet")) == []
     assert _canon(read_snapshot(spark, table)) == _canon(expected)
+
+
+def test_deletion_vectors_compose_with_schema_evolution(spark, docs, tmp_path):
+    """DV × column mapping: a pending positional vector is name-free
+    (file, pos) coordinates, so ADD/RENAME/DROP COLUMN commit straight
+    over it — reads keep subtracting it under the evolved schema,
+    another MoR merge stacks on top, and compaction materialises
+    everything post-evolution. Condition tombstones (SQL text bound to
+    names) still refuse rename/drop."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        add_column,
+        compact_table,
+        delete_where,
+        drop_column,
+        merge_upsert,
+        read_cdc,
+        rename_column,
+    )
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table, stats_cols=["doc_id"])
+    upd = en.where(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    v_merge = merge_upsert(upd, table, key_cols=["doc_id"], mor=True)
+    expected = en.where(F.col("doc_id") % 10 != 0).unionByName(upd)
+
+    # ADD over a pending vector: new column NULL everywhere, DV applies
+    add_column(spark, table, "score", "double")
+    got = read_snapshot(spark, table)
+    assert got.where(F.col("score").isNotNull()).count() == 0
+    assert _canon(got.drop("score")) == _canon(expected)
+    # CDC across (merge .. add_column] passes the row-preserving add
+    cdc = read_cdc(spark, table, v_merge - 1)
+    assert cdc.where(F.col("_change_type") == "delete").count() == upd.count()
+
+    # RENAME over a pending vector: values travel to the new name,
+    # the vector still subtracts pre-images
+    rename_column(spark, table, "n_chars", "chars")
+    got = read_snapshot(spark, table)
+    assert _canon(got.select("doc_id", "lang", "chars")) == _canon(
+        expected.select("doc_id", "lang", "n_chars")
+    )
+
+    # a second MoR merge STACKS over the renamed schema
+    upd2 = (
+        read_snapshot(spark, table)
+        .where(F.col("doc_id") % 15 == 0)
+        .withColumn("chars", F.col("chars") + 5)
+        .select("doc_id", "lang", "chars")
+    )
+    n2 = upd2.count()
+    assert n2 > 0
+    merge_upsert(upd2, table, key_cols=["doc_id"], mor=True)
+    snap = snapshot_history(table)[-1]
+    assert len([d for d in snap["deletes"] if "positions" in d]) == 2
+
+    # DROP over pending vectors
+    drop_column(spark, table, "score")
+    expected2 = (
+        expected.withColumnRenamed("n_chars", "chars")
+        .select("doc_id", "lang", "chars")
+        .join(upd2.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(upd2)
+    )
+    assert _canon(read_snapshot(spark, table)) == _canon(expected2)
+
+    # compaction materialises both vectors under the evolved schema
+    compact_table(spark, table)
+    snap = snapshot_history(table)[-1]
+    assert not snap.get("deletes")
+    assert _canon(read_snapshot(spark, table)) == _canon(expected2)
+
+    # CONDITION tombstones still refuse rename/drop (names are bound)
+    delete_where(spark, table, "doc_id % 7 = 0", lazy=True)
+    with pytest.raises(ValueError, match="conditions"):
+        rename_column(spark, table, "chars", "n_chars")
+    with pytest.raises(ValueError, match="conditions"):
+        drop_column(spark, table, "chars")
+    add_column(spark, table, "extra", "int")  # add still composes
