@@ -3180,6 +3180,137 @@ def q_snapshot_stream_upsert(spark, sf_dir):
 
 
 @register(
+    "snapshot_cdc_stream",
+    f"""
+    WITH en AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'),
+    de AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'de'),
+    state2 AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM en
+      UNION ALL SELECT doc_id, lang, n_chars FROM de),
+    feed AS (
+      SELECT doc_id, lang, n_chars,
+             'insert' AS ct, 1 AS v FROM en
+      UNION ALL
+      SELECT doc_id, lang, n_chars, 'delete', 2
+      FROM en WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id, lang, n_chars + 1000, 'insert', 2
+      FROM en WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id, lang, n_chars, 'insert', 2 FROM de
+      UNION ALL
+      SELECT doc_id, lang, n_chars, 'delete', 3
+      FROM state2 WHERE doc_id % 15 = 0
+      UNION ALL
+      SELECT doc_id, lang, n_chars + 7, 'insert', 3
+      FROM state2 WHERE doc_id % 15 = 0)
+    SELECT CAST(v AS BIGINT)  AS commit_version,
+           ct                 AS change_type,
+           lang,
+           count(*)           AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('doc_id')}) AS BIGINT) AS id_fp,
+           TRUE               AS parity_ok
+    FROM feed GROUP BY v, ct, lang
+    """,
+    tags=("sources", "table-format", "streaming", "cdc",
+          "deletion-vectors"),
+    description="The table→table CDC loop CLOSED: a snapshot table "
+    "taking row-level DML (a MoR merge updating every 10th en doc and "
+    "inserting the de docs, then a MoR update_where bumping every "
+    "15th doc of the merged state) is subscribed to as a STREAM via "
+    "the snapshot_cdc Python DataSource (Delta readChangeFeed "
+    "streaming shaped) — offsets are snapshot versions, each commit's "
+    "changes plan as per-file insert/delete-coordinate partitions "
+    "read executor-side with pyarrow (pre-images = rows at the new "
+    "vector's coordinates; the stack-over-visible-rows invariant "
+    "guarantees no double-delete), so no downstream job ever polls "
+    "versions by hand. The result aggregates the DRAINED feed per "
+    "(commit, change_type, lang); parity_ok pins the streamed multiset "
+    "bit-equal (exceptAll both ways) to batch read_cdc over the same "
+    "range. The oracle replays the three commits' change algebra. "
+    "Engine: sources/snapshot_stream.py (snapshot_cdc), "
+    "sources/snapshot_table.py::read_cdc.",
+)
+def q_snapshot_cdc_stream(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_stream import register_snapshot_cdc
+    from .sources.snapshot_table import (
+        merge_upsert,
+        read_cdc,
+        update_where,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    table = tempfile.mkdtemp(prefix="svdml-cdcstream-") + "/t"
+    write_snapshot(en, table, stats_cols=["doc_id"])                 # v1
+    upd = en.where(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    merge_upsert(upd.unionByName(de), table, key_cols=["doc_id"],
+                 mor=True)                                           # v2
+    update_where(
+        spark, table, {"n_chars": "n_chars + 7"},
+        "doc_id % 15 = 0", mor=True,
+    )                                                                # v3
+
+    register_snapshot_cdc(spark)
+    out = tempfile.mkdtemp(prefix="svdml-cdcstream-out-") + "/feed"
+    ckpt = tempfile.mkdtemp(prefix="svdml-cdcstream-ckpt-")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.format("snapshot_cdc")
+        .option("path", table)
+        .option("start_version", 0)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed_schema = (
+        "doc_id long, lang string, n_chars long, "
+        "_change_type string, _commit_version long"
+    )
+    streamed = spark.read.schema(feed_schema).parquet(out)
+    batch = read_cdc(spark, table, 0).select(
+        "doc_id", "lang", "n_chars", "_change_type", "_commit_version"
+    )
+    parity_ok = (
+        streamed.exceptAll(batch).isEmpty()
+        and batch.exceptAll(streamed).isEmpty()
+    )
+    return (
+        streamed.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+            "lang",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("doc_id"))).cast("long").alias(
+                "id_fp"
+            ),
+        )
+        .withColumn("parity_ok", F.lit(parity_ok))
+    )
+
+
+@register(
     "snapshot_sink_ingest",
     f"""
     SELECT lang,

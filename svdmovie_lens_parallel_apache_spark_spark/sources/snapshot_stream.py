@@ -52,6 +52,19 @@ Usage::
     register_snapshot_changes(spark)
     (spark.readStream.format("snapshot_changes")
         .option("path", table).option("start_version", 0).load())
+
+A second format, ``snapshot_cdc`` (Delta ``readChangeFeed`` streaming
+/ Iceberg changelog scan shaped), is the ROW-LEVEL twin: it streams
+every change as table rows + ``_change_type`` ('insert' | 'delete') +
+``_commit_version``, and — unlike the append-only format — passes
+through the commits row-level DML produces (MoR merge/update deletion
+vectors, pure file removals like ``drop_partition``), so a table fed
+by ``streaming_merge_sink`` can itself be subscribed to: the
+table→table CDC pipeline with updates, end to end, no version
+polling. Commit shapes whose changes are not exactly attributable to
+single files (CoW rewrites, condition tombstones, rename/drop
+crossings) fail loudly — fall back to batch ``read_cdc`` or restart
+past them (see :func:`_cdc_plan_version`).
 """
 
 from __future__ import annotations
@@ -192,3 +205,316 @@ def _build():
 def register_snapshot_changes(spark) -> None:
     """Idempotent registration of the ``snapshot_changes`` stream format."""
     spark.dataSource.register(_build())
+
+
+def _conform_arrow(t, fields, names: dict | None):
+    """Conform a pyarrow table to the stream's pinned logical
+    ``fields`` — the executor-side twin of the driver's
+    ``_read_shards`` column-mapping read: with a shard mapping
+    (logical → physical, stamped by rename/drop), each logical column
+    reads its PHYSICAL bytes and an unmapped logical name reads NULL
+    (never a same-named physical column — the name-reuse trap);
+    without one, match by name, NULL-filling absences. Extra physical
+    columns (added after the stream pinned its schema) drop until the
+    consumer restarts — Delta's streaming evolution contract. Pure
+    Arrow column shuffling: zero-copy for present columns."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    if names is None and list(t.schema.names) == [f.name for f in fields]:
+        return t
+    present = set(t.schema.names)
+
+    def col(f):
+        physical = names.get(f.name) if names is not None else f.name
+        if physical is not None and physical in present:
+            return t[physical]
+        return pa.nulls(len(t), type=to_arrow_type(f.dataType))
+
+    return pa.table({f.name: col(f) for f in fields})
+
+
+def _cdc_plan_version(table: str, v: int) -> list[dict]:
+    """Plan one committed version's row-level changes as PER-FILE work
+    items (the streaming twin of ``read_cdc``'s visibility diff, with
+    the diff restricted to the commit shapes whose changes are exactly
+    attributable to single files — so executors never need a
+    cross-file ``exceptAll``):
+
+    - row-preserving commits (metadata, add_column, spec evolution,
+      layout/materialising compaction) plan nothing;
+    - pure appends (and MoR merge/update inserts) plan one INSERT item
+      per added file;
+    - a commit's NEW positional vectors plan one DELETE_COORDS item
+      per covered file — the pre-images are the rows at the vector's
+      coordinates, which the stack-over-visible-rows invariant
+      guarantees were visible in the parent (never double-deleted);
+    - pure removals (drop_partition, whole-file deletes) plan one
+      DELETE_FILE item per removed file — its visible rows (all rows
+      minus the parent's positional coordinates) are the pre-images.
+
+    Anything else raises loudly: a CoW rewrite (adds AND removes
+    files) re-writes unchanged rows, so per-file attribution would
+    fabricate delete+insert churn the batch diff cancels; a condition
+    tombstone needs driver-side SQL evaluation; rename/drop crossing
+    the range changes names mid-feed. Those ranges restart from a
+    fresh ``start_version`` or fall back to batch :func:`~.
+    snapshot_table.read_cdc` — stated, never silently skipped."""
+    import os
+
+    from .snapshot_table import _DATA_DIR, _dv_parts
+
+    snap = _load_snapshot(table, v)
+    op = snap["operation"]
+    if op in ("rename_column", "drop_column"):
+        raise ValueError(
+            f"snapshot_cdc: version {v} is a {op} commit; frames before "
+            f"and after it disagree on column names — restart the feed "
+            f"at or after it"
+        )
+    parent = (
+        _load_snapshot(table, v - 1) if v > 1 else {"shards": []}
+    )
+    if snap.get("properties", {}).get("compaction"):
+        # layout rewrite; a materialising compaction applies pending
+        # tombstones INTO files, so visible rows are identical too
+        return []
+    old = {s["file"]: s for s in parent["shards"]}
+    new = {s["file"]: s for s in snap["shards"]}
+    added = [s for f, s in sorted(new.items()) if f not in old]
+    removed = [s for f, s in sorted(old.items()) if f not in new]
+    old_dels = parent.get("deletes", [])
+    new_dels = snap.get("deletes", [])
+    if new_dels[: len(old_dels)] != old_dels:
+        raise ValueError(
+            f"snapshot_cdc: version {v} ({op}) rewrites the parent's "
+            f"tombstone set; not stream-representable — restart from a "
+            f"fresh start_version or rebuild via batch read_cdc"
+        )
+    extra = new_dels[len(old_dels):]
+    if any("condition" in d for d in extra):
+        raise ValueError(
+            f"snapshot_cdc: version {v} ({op}) adds a condition "
+            f"tombstone (driver-side SQL); not stream-representable — "
+            f"compact the table and restart the feed"
+        )
+    if added and removed:
+        raise ValueError(
+            f"snapshot_cdc: version {v} ({op}) is a copy-on-write "
+            f"rewrite (adds and removes files); per-file attribution "
+            f"would fabricate unchanged-row churn — restart from a "
+            f"fresh start_version or rebuild via batch read_cdc"
+        )
+    data = os.path.join(table, _DATA_DIR)
+    items: list[dict] = []
+    for s in added:
+        items.append(
+            {
+                "kind": "insert",
+                "data_path": os.path.join(data, s["file"]),
+                "names": s.get("names"),
+                "version": v,
+                "dv_paths": [],
+                "file_name": s["file"],
+            }
+        )
+    # positional parent tombstones per covered file (for removals)
+    parent_cover: dict[str, list[str]] = {}
+    has_parent_condition: dict[str, bool] = {}
+    for d in old_dels:
+        for f in d["shards"]:
+            if "condition" in d:
+                has_parent_condition[f] = True
+            else:
+                parent_cover.setdefault(f, []).extend(
+                    os.path.join(data, p) for p in _dv_parts(d)
+                )
+    for d in extra:  # new vectors: pre-images at their coordinates
+        paths = [os.path.join(data, p) for p in _dv_parts(d)]
+        for f in d["shards"]:
+            items.append(
+                {
+                    "kind": "delete_coords",
+                    "data_path": os.path.join(data, f),
+                    "names": old[f].get("names"),
+                    "version": v,
+                    "dv_paths": paths,
+                    "file_name": f,
+                }
+            )
+    for s in removed:
+        f = s["file"]
+        if has_parent_condition.get(f):
+            raise ValueError(
+                f"snapshot_cdc: version {v} ({op}) removes file {f} "
+                f"covered by a condition tombstone (driver-side SQL); "
+                f"not stream-representable — compact first"
+            )
+        items.append(
+            {
+                "kind": "delete_file",
+                "data_path": os.path.join(data, f),
+                "names": s.get("names"),
+                "version": v,
+                "dv_paths": parent_cover.get(f, []),
+                "file_name": f,
+            }
+        )
+    return items
+
+
+def _build_cdc():
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    @dataclass
+    class _Change(InputPartition):
+        kind: str | None  # None = empty-range sentinel
+        data_path: str = ""
+        names: tuple | None = None  # shard column map, as sorted items
+        version: int = 0
+        dv_paths: tuple = ()
+        file_name: str = ""
+
+    class SnapshotCdcStreamReader(DataSourceStreamReader):
+        """Change-data-feed STREAM over a snapshot table (Delta
+        ``readChangeFeed`` streaming / Iceberg changelog-scan shaped):
+        each micro-batch is the row-level changes of a committed
+        version range, tagged ``_change_type`` ('insert' | 'delete')
+        and ``_commit_version`` — so a downstream table can subscribe
+        to an UPSTREAM table that takes row-level DML (the
+        ``streaming_merge_sink`` CDC-apply loop), closing the
+        table→table incremental pipeline without version polling.
+
+        Offsets are snapshot versions; planning is a pure function of
+        the log (``_cdc_plan_version``), so restarts are exactly-once
+        by construction, same as ``snapshot_changes``. An update
+        surfaces as its delete(pre-image) + insert(post-image) pair —
+        note one divergence from batch ``read_cdc``'s multiset diff:
+        an update writing values IDENTICAL to the old row emits the
+        pair anyway (the batch diff cancels it), Delta CDF's behavior;
+        net effect per key is identical for any consumer merging by
+        key. The scan schema is pinned at query start; columns added
+        mid-stream surface after a restart."""
+
+        def __init__(self, options):
+            self.table = options.get("path")
+            if not self.table:
+                raise ValueError("snapshot_cdc: option 'path' required")
+            self.start_version = int(options.get("start_version", 0))
+            v = latest_version(self.table)
+            if v is None:
+                raise FileNotFoundError(
+                    f"snapshot_cdc: {self.table} has no snapshots"
+                )
+            self.schema_json = _load_snapshot(self.table, v)["schema"]
+
+        def initialOffset(self):
+            return {"version": self.start_version}
+
+        def latestOffset(self):
+            v = latest_version(self.table)
+            return {"version": self.start_version if v is None else v}
+
+        def partitions(self, start, end):
+            items = []
+            for v in range(start["version"] + 1, end["version"] + 1):
+                items.extend(_cdc_plan_version(self.table, v))
+            return [
+                _Change(
+                    kind=i["kind"],
+                    data_path=i["data_path"],
+                    names=(
+                        tuple(sorted(i["names"].items()))
+                        if i["names"] is not None else None
+                    ),
+                    version=i["version"],
+                    dv_paths=tuple(i["dv_paths"]),
+                    file_name=i["file_name"],
+                )
+                for i in items
+            ] or [_Change(kind=None)]
+
+        def read(self, partition):
+            if partition.kind is None:
+                return
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(partition.data_path)
+            if partition.kind != "insert":
+                pos: list[int] = []
+                for p in partition.dv_paths:
+                    dv = pq.read_table(
+                        p, filters=[("file", "=", partition.file_name)]
+                    )
+                    pos.extend(dv.column("pos").to_pylist())
+                if partition.kind == "delete_coords":
+                    # pre-images AT the new vector's coordinates
+                    t = t.take(pa.array(sorted(pos), type=pa.int64()))
+                else:  # delete_file: visible rows = all minus parent's
+                    mask = np.ones(len(t), dtype=bool)
+                    if pos:
+                        mask[np.asarray(pos, dtype=np.int64)] = False
+                    t = t.filter(pa.array(mask))
+            fields = StructType.fromJson(self.schema_json).fields
+            t = _conform_arrow(
+                t, fields,
+                dict(partition.names) if partition.names is not None
+                else None,
+            )
+            kind = "insert" if partition.kind == "insert" else "delete"
+            t = t.append_column(
+                "_change_type", pa.array([kind] * len(t), type=pa.string())
+            ).append_column(
+                "_commit_version",
+                pa.array([partition.version] * len(t), type=pa.int64()),
+            )
+            yield from t.to_batches()
+
+        def commit(self, end):
+            pass  # the snapshot log + Spark's offset log are the state
+
+    class SnapshotCdcDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "snapshot_cdc"
+
+        def schema(self):
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+            )
+
+            table = self.options.get("path")
+            if not table:
+                raise ValueError("snapshot_cdc: option 'path' required")
+            v = latest_version(table)
+            if v is None:
+                raise FileNotFoundError(
+                    f"snapshot_cdc: {table} has no snapshots"
+                )
+            base = StructType.fromJson(_load_snapshot(table, v)["schema"])
+            return StructType(
+                list(base.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
+
+        def streamReader(self, schema):
+            return SnapshotCdcStreamReader(self.options)
+
+    return SnapshotCdcDataSource
+
+
+def register_snapshot_cdc(spark) -> None:
+    """Idempotent registration of the ``snapshot_cdc`` stream format."""
+    spark.dataSource.register(_build_cdc())
