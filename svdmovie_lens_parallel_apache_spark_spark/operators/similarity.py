@@ -623,6 +623,56 @@ def _assign_vectorized(
     return v.withColumn("cid", _argmin_cid(F.col("vec"))), bc
 
 
+def _assign_blas(
+    v: DataFrame, cents: list[tuple[int, list[float]]]
+) -> tuple[DataFrame, "object"]:
+    """Nearest-centroid assignment in the BLAS form ``‖x‖² − 2·x·Cᵀ +
+    ‖c‖²`` — one GEMM per row chunk instead of a per-dimension loop,
+    the next rung above :func:`_assign_vectorized` for SemDeDup-scale
+    k (10⁴–10⁵ centroids, where the in-order fold's dim-at-a-time
+    memory traffic is the bottleneck; the matmul is compute-bound and
+    one to two orders faster at large k).
+
+    NOT bit-identical to the fold paths: the expansion reassociates
+    the per-dimension sum (and ``‖x‖²`` cancels out of the argmin, so
+    it is dropped entirely), so distances differ in the last float64
+    ulps. What IS preserved — and what the pytest gate checks — is the
+    ASSIGNMENT: argmin over centroids with first-minimum ties. Exact
+    distance TIES can therefore break differently than the fold's
+    strict ``<`` in adversarial inputs (equidistant centroids within
+    rounding drift); on real-valued embeddings ties have measure zero,
+    which is why this mode is OPT-IN (``assign="blas"``) while the
+    fold-parity path stays the oracle-pinned default. Same broadcast
+    lifetime contract as :func:`_assign_vectorized`."""
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    mat = np.array([cv for _, cv in cents], dtype=np.float64)  # (k, dim)
+    c2 = np.einsum("ij,ij->i", mat, mat)  # ‖c‖², (k,)
+    sc = v.sparkSession.sparkContext
+    bc = sc.broadcast((cids, mat, c2))
+
+    @F.pandas_udf("int")
+    def _argmin_cid(vecs: pd.Series) -> pd.Series:
+        b_cids, b_mat, b_c2 = bc.value
+        n = len(vecs)
+        if n == 0:
+            return pd.Series([], dtype="int32")
+        x = np.stack(vecs.to_numpy())  # (n, dim) float64
+        out = np.empty(n, dtype=np.int64)
+        # ~32 MB (chunk × k) GEMM output buffer, same bound as the
+        # fold path; ‖x‖² is constant per row so argmin drops it
+        k_ = len(b_cids)
+        chunk = max(1, (4 << 20) // max(1, k_))
+        for s in range(0, n, chunk):
+            xs = x[s : s + chunk]
+            d = xs @ b_mat.T  # (chunk, k) GEMM — the whole point
+            d *= -2.0
+            d += b_c2[None, :]
+            out[s : s + chunk] = b_cids[np.argmin(d, axis=1)]
+        return pd.Series(out, dtype="int64").astype("int32")
+
+    return v.withColumn("cid", _argmin_cid(F.col("vec"))), bc
+
+
 def kmeans_lloyd(
     emb: DataFrame, k: int = 8, iters: int = 2, decimals: int = 6,
     assign: str = "vectorized",
@@ -646,7 +696,11 @@ def kmeans_lloyd(
       as plan literals into a codegen'd ``when``-chain — zero Python,
       but its nested running-best doubles the expression tree per
       centroid (~2^k nodes; analysis OOMs at k≈13). Both produce
-      identical assignments (pytest-gated), so the oracle pins BOTH;
+      identical assignments (pytest-gated), so the oracle pins BOTH.
+      ``assign="blas"`` is the OPT-IN top rung for k in the 10⁴–10⁵
+      range: one GEMM per row chunk (``‖x‖²−2x·c+‖c‖²``) — distances
+      reassociate (not bit-identical to the fold), assignments gated
+      equal on real-valued inputs (exact ties have measure zero);
     - update: per-(cid, dimension) mean via DECIMAL(18,9) accumulation
       (order-independent at any parallelism) rounded to ``decimals`` —
       rounding is part of the algorithm, so cross-engine float drift
@@ -672,10 +726,10 @@ def kmeans_lloyd(
     materialised (both are re-computed/re-shipped on later
     re-execution, so releasing never breaks correctness, only
     caching)."""
-    if assign not in ("vectorized", "literal"):
+    if assign not in ("vectorized", "literal", "blas"):
         raise ValueError(
-            f"kmeans_lloyd: assign must be 'vectorized' or 'literal', "
-            f"got {assign!r}"
+            f"kmeans_lloyd: assign must be 'vectorized', 'literal' or "
+            f"'blas', got {assign!r}"
         )
     v = emb.select(
         "vec_id", to_double(F.col("embedding")).alias("vec")
@@ -689,6 +743,8 @@ def kmeans_lloyd(
                 df.withColumn("cid", _nearest_literal(F.col("vec"), cents)),
                 None,
             )
+        if assign == "blas":
+            return _assign_blas(df, cents)
         return _assign_vectorized(df, cents)
 
     for _ in range(iters):

@@ -526,3 +526,33 @@ def test_kmeans_releases_iteration_broadcasts_and_hands_back_final(spark, sf_dir
     )
     assert len(handles2) == 1 and isinstance(handles2[0], _DF)
     handles2[0].unpersist()
+
+
+def test_kmeans_blas_assignment_equals_fold_paths(spark, sf_dir):
+    """assign='blas' (one GEMM per chunk — the 10⁴–10⁵-centroid form)
+    must produce the SAME ASSIGNMENTS and centroid trajectory as the
+    fold-parity vectorized path on real-valued embeddings, at a k past
+    the literal path's ceiling. Distances reassociate (not bit-equal);
+    the gate is assignment equality — exact ties have measure zero on
+    these inputs, which is why the mode is opt-in rather than the
+    oracle-pinned default."""
+    from svdmovie_lens_parallel_apache_spark_spark.operators.similarity import kmeans_lloyd
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    h1: list = []
+    h2: list = []
+    vec_df, vec_cents = kmeans_lloyd(
+        emb, k=64, iters=2, assign="vectorized", release=h1
+    )
+    blas_df, blas_cents = kmeans_lloyd(
+        emb, k=64, iters=2, assign="blas", release=h2
+    )
+    # identical rounded-centroid trajectory => the update algebra saw
+    # identical assignments at every iteration, not just the last
+    assert vec_cents == blas_cents
+    vec = {r.vec_id: r.cid for r in vec_df.select("vec_id", "cid").collect()}
+    blas = {r.vec_id: r.cid for r in blas_df.select("vec_id", "cid").collect()}
+    assert vec == blas and len(vec) == emb.count()
+    for h in h1 + h2:
+        h.unpersist()

@@ -42,8 +42,10 @@ KS = (8, 256, 2048)
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "scratch", "sf10")
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from svdmovie_lens_parallel_apache_spark_spark.operators.similarity import (
+        _assign_blas,
         _assign_vectorized,
         kmeans_lloyd,
     )
@@ -78,15 +80,42 @@ def main() -> None:
             timed.agg({"cid": "sum"}).collect()
             bc.unpersist()
             times.append(time.time() - t0)
+        blas_times = []
+        for _ in range(2):
+            t0 = time.time()
+            timed, bc = _assign_blas(base, cents)
+            timed.agg({"cid": "sum"}).collect()
+            bc.unpersist()
+            blas_times.append(time.time() - t0)
+        # assignment-equality spot gate (the pytest gate runs at k=64;
+        # this re-checks at every swept k on the big fixture)
+        vec_df, vbc = _assign_vectorized(base, cents)
+        blas_df, bbc = _assign_blas(base, cents)
+        mismatches = (
+            vec_df.select("vec_id", "cid")
+            .join(
+                blas_df.select("vec_id", F.col("cid").alias("cid_b")),
+                "vec_id",
+            )
+            .where(F.col("cid") != F.col("cid_b"))
+            .count()
+        )
+        vbc.unpersist(); bbc.unpersist()
         plan = formatted_plan(_assign_vectorized(base, cents)[0])
         udf_nodes = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.MULTILINE))
         out["ks"][str(k)] = {
             "assign_pass_s": round(min(times), 3),
+            "blas_assign_pass_s": round(min(blas_times), 3),
+            "blas_assign_mismatches": mismatches,
             "n_centroids_alive": len(cents),
             "plan_udf_nodes": udf_nodes,
         }
         df.unpersist()
-        print(f"k={k}: assign pass {min(times):.3f}s ({udf_nodes} UDF node)")
+        print(
+            f"k={k}: assign pass {min(times):.3f}s / blas "
+            f"{min(blas_times):.3f}s, {mismatches} mismatches "
+            f"({udf_nodes} UDF node)"
+        )
     t_lo = out["ks"][str(KS[1])]["assign_pass_s"]
     t_hi = out["ks"][str(KS[2])]["assign_pass_s"]
     out["k_exponent_tail"] = round(
@@ -95,7 +124,9 @@ def main() -> None:
     out["note"] = (
         "assignment-pass time vs k at fixed corpus; exponent fit on the "
         f"{KS[1]}->{KS[2]} tail (below that, scan+Arrow fixed cost "
-        "dominates). literal path OOMs analysis at k~13 (~2^k plan nodes)."
+        "dominates). literal path OOMs analysis at k~13 (~2^k plan nodes). "
+        "blas_assign_pass_s is the opt-in GEMM form (assign='blas'), "
+        "assignment-equality spot-checked per k (blas_assign_mismatches)."
     )
     print(f"k-exponent ({KS[1]}->{KS[2]}): {out['k_exponent_tail']}")
     with open(SCALING) as f:
