@@ -3311,6 +3311,126 @@ def q_snapshot_cdc_stream(spark, sf_dir):
 
 
 @register(
+    "snapshot_cdc_replication",
+    f"""
+    WITH en AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'),
+    de AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'de'),
+    state2 AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM en
+      UNION ALL SELECT doc_id, lang, n_chars FROM de),
+    state3 AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 15 = 0 THEN n_chars + 7
+                  ELSE n_chars END AS n_chars
+      FROM state2),
+    final AS (
+      SELECT * FROM state3 WHERE doc_id % 12 <> 3)
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('doc_id')}) AS BIGINT) AS id_fp,
+           TRUE                         AS replication_ok
+    FROM final GROUP BY lang
+    """,
+    tags=("sources", "table-format", "streaming", "cdc", "merge",
+          "deletion-vectors"),
+    description="The table→table CDC loop end to end — REPLICATION: an "
+    "upstream snapshot table takes three MoR DML commits (merge "
+    "updating every 10th en doc + inserting the de docs; update_where "
+    "bumping every 15th doc; a delete-only merge removing every "
+    "doc_id%12==3 row), and a downstream replica bootstrapped from v1 "
+    "subscribes via the snapshot_cdc STREAM, applying each micro-batch "
+    "through streaming_cdc_apply_sink: the feed reduces to one "
+    "decision per key (highest _commit_version; insert beats delete "
+    "within a version, so an update's pre/post pair nets to its "
+    "post-image), post-images upsert and deleted keys remove via "
+    "merge_upsert(delete_keys=) in ONE exactly-once commit per batch — "
+    "CDC metadata columns never touch the replica's schema. "
+    "replication_ok pins replica == upstream (exceptAll both ways) AND "
+    "a replayed batch committing nothing (snapshot-log idempotence). "
+    "The result aggregates the REPLICA per lang; the oracle replays "
+    "the three commits' state algebra. Engine: snapshot_stream.py "
+    "(snapshot_cdc), snapshot_table.py::streaming_cdc_apply_sink, "
+    "merge_upsert(delete_keys=).",
+)
+def q_snapshot_cdc_replication(spark, sf_dir):
+    import tempfile
+
+    from .sources.snapshot_stream import register_snapshot_cdc
+    from .sources.snapshot_table import (
+        latest_version,
+        merge_upsert,
+        read_cdc,
+        read_snapshot,
+        streaming_cdc_apply_sink,
+        update_where,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    up = tempfile.mkdtemp(prefix="svdml-cdcrepl-") + "/up"
+    down = tempfile.mkdtemp(prefix="svdml-cdcrepl-") + "/down"
+    write_snapshot(en, up, stats_cols=["doc_id"])                    # v1
+    write_snapshot(en, down, stats_cols=["doc_id"])  # bootstrap = v1
+    upd = en.where(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    merge_upsert(upd.unionByName(de), up, key_cols=["doc_id"],
+                 mor=True)                                           # v2
+    update_where(
+        spark, up, {"n_chars": "n_chars + 7"}, "doc_id % 15 = 0",
+        mor=True,
+    )                                                                # v3
+    victims = read_snapshot(spark, up).where(F.col("doc_id") % 12 == 3)
+    merge_upsert(
+        victims, up, key_cols=["doc_id"], mor=True,
+        delete_condition="true",
+    )                                                                # v4
+
+    register_snapshot_cdc(spark)
+    ckpt = tempfile.mkdtemp(prefix="svdml-cdcrepl-ckpt-")
+    sink = streaming_cdc_apply_sink(down, ["doc_id"], app_id="repl")
+    q = (
+        spark.readStream.format("snapshot_cdc")
+        .option("path", up)
+        .option("start_version", 1)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    replica = read_snapshot(spark, down)
+    upstream = read_snapshot(spark, up)
+    v_now = latest_version(down)
+    sink(read_cdc(spark, up, 1, 2), 0)  # replay: must commit nothing
+    replication_ok = (
+        replica.exceptAll(upstream).isEmpty()
+        and upstream.exceptAll(replica).isEmpty()
+        and latest_version(down) == v_now
+    )
+    return (
+        replica.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("doc_id"))).cast("long").alias(
+                "id_fp"
+            ),
+        )
+        .withColumn("replication_ok", F.lit(replication_ok))
+    )
+
+
+@register(
     "snapshot_sink_ingest",
     f"""
     SELECT lang,

@@ -2655,6 +2655,75 @@ def streaming_merge_sink(
     return sink
 
 
+def streaming_cdc_apply_sink(
+    table: str, key_cols: list[str], app_id: str | None = None,
+    mor: bool = True, branch: str | None = None,
+):
+    """Apply a ``snapshot_cdc``-shaped change feed (table rows +
+    ``_change_type`` 'insert'|'delete' + ``_commit_version``) to a
+    downstream table as ONE exactly-once merge per micro-batch — the
+    replication leg that completes the table→table CDC loop: upstream
+    DML → ``snapshot_cdc`` stream → this sink → downstream equals
+    upstream, no version polling, no manual diffing.
+
+    Per batch the feed first REDUCES to one decision per key (a batch
+    can span several upstream commits touching the same key):
+
+    - keep the change with the highest ``_commit_version`` per key;
+    - within that version, 'insert' beats 'delete' — an upstream
+      UPDATE arrives as its delete(pre)+insert(post) pair at ONE
+      version, and its net effect is the post-image; a version whose
+      only change for the key is 'delete' is a true delete.
+
+    Survivors then apply in one :func:`merge_upsert`: post-images as
+    ``updates``, deleted keys as ``delete_keys`` — the metadata
+    columns never touch the target's schema. Idempotence is the same
+    snapshot-log replay protocol as :func:`streaming_merge_sink`
+    (``app_id`` namespacing, branch rules included), and the merge's
+    no-op rule means idle feed windows commit nothing.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if app_id == "":
+        raise ValueError(
+            "snapshot_table: app_id='' is reserved for the unnamed "
+            "lineage (app_id=None); pass a non-empty app_id or None"
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if _streaming_replayed(table, app_id, batch_id, branch):
+            return
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.desc("_commit_version"),
+            F.when(F.col("_change_type") == "insert", 0).otherwise(1),
+        )
+        reduced = (
+            batch_df.withColumn("__rank", F.row_number().over(w))
+            .where(F.col("__rank") == 1)
+            .drop("__rank")
+        )
+        payload = [
+            c for c in reduced.columns
+            if c not in ("_change_type", "_commit_version")
+        ]
+        post = reduced.where(
+            F.col("_change_type") == "insert"
+        ).select(*payload)
+        dead = reduced.where(
+            F.col("_change_type") == "delete"
+        ).select(*key_cols)
+        props = {"streaming_batch_id": batch_id}
+        if app_id is not None:
+            props["streaming_app_id"] = app_id
+        merge_upsert(
+            post, table, key_cols=key_cols, delete_keys=dead,
+            mor=mor, branch=branch, properties=props,
+        )
+
+    return sink
+
+
 # coordinate rows per deletion-vector part file: each publish task
 # writes at most this many (file, pos) rows, so a merge/update matching
 # tens of millions of rows fans its vector write across executors
@@ -2721,6 +2790,7 @@ def _dv_parts(tombstone: dict) -> list[str]:
 def merge_upsert(
     updates: DataFrame, table: str, key_cols: list[str],
     prune_col: str | None = None, delete_condition: str | None = None,
+    delete_keys: DataFrame | None = None,
     partition_prune: dict | None = None,
     branch: str | None = None,
     mor: bool = False,
@@ -2790,6 +2860,18 @@ def merge_upsert(
     see the snapshot_cdc_aggregate catalog query), instead of a merge
     followed by a table-wide ``delete_where``.
 
+    ``delete_keys`` is the key-set form of the delete clause (``WHEN
+    MATCHED THEN DELETE`` driven by a separate key DataFrame): rows in
+    the table whose key appears in ``delete_keys`` are removed, with
+    no payload columns involved — which is exactly what a CDC feed
+    needs (its 'delete' rows carry ``_change_type`` metadata that must
+    NOT evolve into the target's schema; see
+    :func:`streaming_cdc_apply_sink`). A key in BOTH ``updates`` and
+    ``delete_keys`` is ambiguous and raises, same as duplicate update
+    keys. Composes with ``prune_col`` (bounds widen to cover the
+    delete keys) and both MoR/CoW encodings in the same single atomic
+    commit.
+
     A merge that loses the commit race retries against the new base
     (same conservative conflict rule as :func:`delete_where`).
 
@@ -2807,9 +2889,19 @@ def merge_upsert(
         raise ValueError(
             f"snapshot_table: prune_col {prune_col!r} must be a merge key"
         )
+    if delete_keys is not None:
+        missing_k = [c for c in key_cols if c not in delete_keys.columns]
+        if missing_k:
+            raise ValueError(
+                f"snapshot_table: delete_keys lacks merge key(s) "
+                f"{missing_k}"
+            )
+        delete_keys = delete_keys.select(*key_cols).distinct()
     updates_empty = updates.isEmpty()
+    deletes_empty = delete_keys is None or delete_keys.isEmpty()
     # ambiguous merges fail loudly (Delta's "multiple source rows matched"
-    # rule): duplicate keys in ONE updates batch would silently land twice
+    # rule): duplicate keys in ONE updates batch would silently land twice,
+    # and a key both updated and key-deleted has no defined outcome
     dup = (
         []
         if updates_empty
@@ -2824,6 +2916,19 @@ def merge_upsert(
             f"snapshot_table: updates contain duplicate merge key "
             f"{tuple(dup[0][c] for c in key_cols)!r}"
         )
+    if not updates_empty and not deletes_empty:
+        clash = (
+            updates.select(*key_cols)
+            .join(delete_keys, on=key_cols, how="left_semi")
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"snapshot_table: merge key "
+                f"{tuple(clash[0][c] for c in key_cols)!r} appears in "
+                f"both updates and delete_keys — ambiguous"
+            )
     surviving = updates
     if delete_condition is not None:
         # rows matching the delete clause take their key OUT of the
@@ -2844,9 +2949,15 @@ def merge_upsert(
     surviving_empty = updates_empty or (
         delete_condition is not None and surviving.isEmpty()
     )
+    # every key that can MATCH a current row: update keys and delete
+    # keys alike anti-join/semi-join the current rows away
+    match_keys = updates.select(*key_cols)
+    if not deletes_empty:
+        match_keys = match_keys.unionByName(delete_keys)
+    match_keys = match_keys.distinct()
     bounds = None
     if prune_col is not None:
-        row = updates.agg(
+        row = match_keys.agg(
             F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
         ).collect()[0]
         if row["lo"] is not None and row["hi"] is not None:
@@ -2879,7 +2990,7 @@ def merge_upsert(
             raise ValueError(
                 f"snapshot_table: merge keys {missing} not in table"
             )
-        if updates_empty:
+        if updates_empty and deletes_empty:
             return current  # no keys → no matches → no-op, no commit
         # kept rows already satisfied the invariants at their own
         # commit; only the incoming (surviving) rows need validation
@@ -2902,8 +3013,7 @@ def merge_upsert(
         elif touched:
             cur = _read_shards(spark, table, touched, table_schema)
             kept = cur.join(
-                updates.select(*key_cols).distinct(),
-                on=key_cols, how="left_anti",
+                match_keys, on=key_cols, how="left_anti",
             )
             merged = kept.unionByName(surviving, allowMissingColumns=True)
         else:
@@ -2930,8 +3040,7 @@ def merge_upsert(
                     snap.get("deletes", []), with_pos=True,
                 )
                 matched = vis.join(
-                    updates.select(*key_cols).distinct(),
-                    on=key_cols, how="left_semi",
+                    match_keys, on=key_cols, how="left_semi",
                 ).select("__file", "__pos")
                 dv_parts, dv_covers, dv_rows = _stage_dv(
                     matched, table, tmp_dir

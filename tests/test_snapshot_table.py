@@ -4462,3 +4462,142 @@ def test_deletion_vectors_compose_with_schema_evolution(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="conditions"):
         drop_column(spark, table, "chars")
     add_column(spark, table, "extra", "int")  # add still composes
+
+
+def test_merge_upsert_delete_keys(spark, docs, tmp_path):
+    """delete_keys: WHEN MATCHED DELETE driven by a key-set DataFrame —
+    removals with no payload columns (so CDC metadata never evolves
+    into the target's schema), composing with upserts in ONE atomic
+    commit, in both encodings; a key in both updates and delete_keys
+    is ambiguous and raises."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        merge_upsert,
+    )
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    write_snapshot(en, table, stats_cols=["doc_id"])
+    upd = en.where(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    dead = en.where(F.col("doc_id") % 10 == 3).select("doc_id")
+    n_dead = dead.count()
+    assert n_dead > 0
+    v = merge_upsert(
+        upd, table, key_cols=["doc_id"], delete_keys=dead, mor=True
+    )
+    expected = (
+        en.where((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 3))
+        .unionByName(upd)
+    )
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
+    snap = st._load_snapshot(table, v)
+    assert snap["properties"]["rows_deleted"] == upd.count() + n_dead
+    # metadata columns never landed in the schema
+    assert set(read_snapshot(spark, table).columns) == {
+        "doc_id", "lang", "n_chars"
+    }
+    # CoW twin (compact first: CoW refuses over pending vectors)
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        compact_table,
+    )
+
+    compact_table(spark, table)
+    dead2 = expected.where(F.col("doc_id") % 10 == 7).select("doc_id")
+    merge_upsert(
+        spark.createDataFrame([], en.schema), table,
+        key_cols=["doc_id"], delete_keys=dead2, mor=False,
+    )
+    expected2 = expected.join(dead2, "doc_id", "left_anti")
+    assert _canon(read_snapshot(spark, table)) == _canon(expected2)
+    # ambiguity: same key updated AND deleted
+    both = expected2.limit(1)
+    with pytest.raises(ValueError, match="ambiguous"):
+        merge_upsert(
+            both, table, key_cols=["doc_id"],
+            delete_keys=both.select("doc_id"), mor=True,
+        )
+    # empty everything: no-op
+    v_now = latest_version(table)
+    assert merge_upsert(
+        spark.createDataFrame([], en.schema), table, key_cols=["doc_id"],
+        delete_keys=spark.createDataFrame([], "doc_id long"), mor=True,
+    ) == v_now
+
+
+def test_streaming_cdc_apply_replicates_table(spark, docs, tmp_path):
+    """The full table→table CDC loop: upstream takes MoR DML
+    (update+insert merge, update_where, delete-only merge); downstream
+    bootstraps from v1 and applies the snapshot_cdc feed through
+    streaming_cdc_apply_sink in two drains with a commit landing in
+    between — final downstream state must equal upstream exactly, and
+    replaying a drained batch must commit nothing."""
+    import tempfile
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_stream import (
+        register_snapshot_cdc,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        merge_upsert,
+        streaming_cdc_apply_sink,
+        update_where,
+    )
+
+    d = docs.select("doc_id", "lang", "n_chars")
+    en = d.where(F.col("lang") == "en")
+    de = d.where(F.col("lang") == "de")
+    up = str(tmp_path / "up")
+    down = str(tmp_path / "down")
+    write_snapshot(en, up, stats_cols=["doc_id"])                    # v1
+    write_snapshot(en, down, stats_cols=["doc_id"])  # bootstrap = v1
+    upd = en.where(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    merge_upsert(upd.unionByName(de), up, key_cols=["doc_id"],
+                 mor=True)                                           # v2
+    register_snapshot_cdc(spark)
+    ckpt = tempfile.mkdtemp(prefix="svdml-cdcapply-ckpt-")
+    sink = streaming_cdc_apply_sink(down, ["doc_id"], app_id="repl")
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_cdc")
+            .option("path", up)
+            .option("start_version", 1)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert _canon(read_snapshot(spark, down)) == _canon(
+        read_snapshot(spark, up)
+    )
+    # more upstream DML while the replica is down: an update plus a
+    # delete-only merge (exercises the delete_keys path end-to-end)
+    update_where(
+        spark, up, {"n_chars": "n_chars + 7"}, "doc_id % 15 = 0",
+        mor=True,
+    )                                                                # v3
+    victims = read_snapshot(spark, up).where(F.col("doc_id") % 12 == 3)
+    assert victims.count() > 0
+    merge_upsert(
+        victims, up, key_cols=["doc_id"], mor=True,
+        delete_condition="true",
+    )                                                                # v4
+    drain()
+    assert _canon(read_snapshot(spark, down)) == _canon(
+        read_snapshot(spark, up)
+    )
+    # replaying an applied batch through the sink commits nothing
+    # (rebuild batch 0's content via batch read_cdc and re-feed it)
+    v_now = latest_version(down)
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        read_cdc,
+    )
+
+    sink(read_cdc(spark, up, 1, 2), 0)
+    assert latest_version(down) == v_now
