@@ -156,25 +156,11 @@ def _build():
             import pyarrow.parquet as pq
 
             t = pq.read_table(partition.path)
-            if list(t.schema.names) != self.field_names:
-                # pre-evolution shard: conform by name IN ARROW —
-                # NULL-typed columns appended for missing fields, same
-                # zero-copy batch path as the unevolved case (no
-                # per-row Python materialisation)
-                from pyspark.sql.pandas.types import to_arrow_type
-
-                present = set(t.schema.names)
-                fields = StructType.fromJson(self.schema_json).fields
-                t = pa.table(
-                    {
-                        f.name: (
-                            t[f.name]
-                            if f.name in present
-                            else pa.nulls(len(t), type=to_arrow_type(f.dataType))
-                        )
-                        for f in fields
-                    }
-                )
+            # pre-evolution shards conform by name IN ARROW (NULL-fill
+            # missing, drop extra) — shared with the CDC reader
+            t = _conform_arrow(
+                t, StructType.fromJson(self.schema_json).fields, None
+            )
             yield from t.to_batches()
 
         def commit(self, end):
@@ -308,6 +294,18 @@ def _cdc_plan_version(table: str, v: int) -> list[dict]:
         )
     data = os.path.join(table, _DATA_DIR)
     items: list[dict] = []
+    # a vector committed WITH its covered file (one commit appending X
+    # and a vector over X — publish_branch squashing a branch's append
+    # + later MoR merge produces exactly this) means X's deleted rows
+    # were never visible on this lineage: the file streams as INSERTS
+    # of its visible rows (all minus the vector's coords) and emits no
+    # deletes for them
+    extra_cover: dict[str, list[str]] = {}
+    for d in extra:
+        for f in d["shards"]:
+            extra_cover.setdefault(f, []).extend(
+                os.path.join(data, p) for p in _dv_parts(d)
+            )
     for s in added:
         items.append(
             {
@@ -315,7 +313,7 @@ def _cdc_plan_version(table: str, v: int) -> list[dict]:
                 "data_path": os.path.join(data, s["file"]),
                 "names": s.get("names"),
                 "version": v,
-                "dv_paths": [],
+                "dv_paths": extra_cover.get(s["file"], []),
                 "file_name": s["file"],
             }
         )
@@ -333,6 +331,10 @@ def _cdc_plan_version(table: str, v: int) -> list[dict]:
     for d in extra:  # new vectors: pre-images at their coordinates
         paths = [os.path.join(data, p) for p in _dv_parts(d)]
         for f in d["shards"]:
+            if f not in old:
+                continue  # covered file added THIS commit: rows at the
+                # coords were never visible — handled as insert-minus-
+                # coords above, no delete pre-images exist
             items.append(
                 {
                     "kind": "delete_coords",
@@ -447,7 +449,7 @@ def _build_cdc():
             import pyarrow.parquet as pq
 
             t = pq.read_table(partition.data_path)
-            if partition.kind != "insert":
+            if partition.dv_paths:
                 pos: list[int] = []
                 for p in partition.dv_paths:
                     dv = pq.read_table(
@@ -457,7 +459,9 @@ def _build_cdc():
                 if partition.kind == "delete_coords":
                     # pre-images AT the new vector's coordinates
                     t = t.take(pa.array(sorted(pos), type=pa.int64()))
-                else:  # delete_file: visible rows = all minus parent's
+                else:
+                    # visible rows = all minus the coords: delete_file
+                    # (parent vectors) and same-commit-covered inserts
                     mask = np.ones(len(t), dtype=bool)
                     if pos:
                         mask[np.asarray(pos, dtype=np.int64)] = False

@@ -2759,9 +2759,16 @@ def _stage_dv(
         total = int(sum(r["count"] for r in per_file))
         n_parts = max(1, math.ceil(total / _DV_ROWS_PER_PART))
         out = os.path.join(tmp_dir, "dv")
+        # range-partition + sort by (file, pos): parts stay row-count
+        # bounded AND file-clustered, so a per-covered-file read (the
+        # CDC stream pushes filters=[("file","=",name)]) prunes whole
+        # parts/row-groups instead of scanning the entire vector —
+        # round-robin would scatter every file across every part
         (
-            coords.repartition(n_parts) if n_parts > 1
-            else coords.coalesce(1)
+            coords.repartitionByRange(n_parts, "file", "pos")
+            .sortWithinPartitions("file", "pos")
+            if n_parts > 1
+            else coords.coalesce(1).sortWithinPartitions("file", "pos")
         ).write.mode("overwrite").parquet(out)
         staged = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
         stem = f"dv-{uuid.uuid4().hex}"
@@ -2897,6 +2904,31 @@ def merge_upsert(
                 f"{missing_k}"
             )
         delete_keys = delete_keys.select(*key_cols).distinct()
+    # one merge runs several jobs over the inputs (emptiness/dup/clash
+    # guards, prune bounds, the DV coordinate scan, the staged write):
+    # cache both for the call so a hot streaming batch is computed
+    # once, not 4-6 times; released in the outermost finally
+    updates = updates.persist()
+    if delete_keys is not None:
+        delete_keys = delete_keys.persist()
+    try:
+        return _merge_upsert_cached(
+            updates, table, key_cols, prune_col, delete_condition,
+            delete_keys, partition_prune, branch, mor, properties,
+        )
+    finally:
+        updates.unpersist()
+        if delete_keys is not None:
+            delete_keys.unpersist()
+
+
+def _merge_upsert_cached(
+    updates, table, key_cols, prune_col, delete_condition,
+    delete_keys, partition_prune, branch, mor, properties,
+) -> int:
+    from pyspark.sql import functions as F
+
+    spark = updates.sparkSession
     updates_empty = updates.isEmpty()
     deletes_empty = delete_keys is None or delete_keys.isEmpty()
     # ambiguous merges fail loudly (Delta's "multiple source rows matched"

@@ -718,3 +718,58 @@ def test_snapshot_cdc_stream_refuses_cow_rewrites_loudly(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="svdml-cdcrefuse-out-") + "/p"
     with pytest.raises(StreamingQueryException, match="copy-on-write"):
         _drain_cdc(spark, table, ckpt, out)
+
+
+def test_snapshot_cdc_stream_publish_shaped_commit(spark, sf_dir):
+    """A single commit that ADDS a file and a vector covering that same
+    file — exactly what publish_branch produces when a branch appended
+    data and then MoR-merged over it before publishing. The covered
+    rows were never visible on main, so the stream must emit the added
+    file's VISIBLE rows as inserts (all minus the vector's
+    coordinates) and NO deletes for them — bit-equal to batch
+    read_cdc's visibility diff."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.readers import load_table
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_stream import (
+        register_snapshot_cdc,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        create_branch,
+        merge_upsert,
+        publish_branch,
+        read_cdc,
+        write_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    en = docs.where(F.col("lang") == "en")
+    de = docs.where(F.col("lang") == "de")
+    table = tempfile.mkdtemp(prefix="svdml-cdcpub-") + "/t"
+    write_snapshot(en, table, stats_cols=["doc_id"])                 # v1
+    create_branch(table, "fix")
+    write_snapshot(de, table, mode="append", branch="fix")    # branch 2
+    upd = de.where(F.col("doc_id") % 5 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 77
+    )
+    assert upd.count() > 0
+    merge_upsert(upd, table, key_cols=["doc_id"], mor=True,
+                 branch="fix")                                # branch 3
+    v_pub = publish_branch(table, "fix")                             # v2
+    register_snapshot_cdc(spark)
+    ckpt = tempfile.mkdtemp(prefix="svdml-cdcpub-ckpt-")
+    out = tempfile.mkdtemp(prefix="svdml-cdcpub-out-") + "/p"
+    streamed = _drain_cdc(spark, table, ckpt, out)
+    batch = read_cdc(spark, table, 0).collect()
+    cols = ["doc_id", "lang", "n_chars", "_change_type", "_commit_version"]
+    s = sorted(tuple(r[c] for c in cols) for r in streamed)
+    b = sorted(tuple(r[c] for c in cols) for r in batch)
+    assert len(s) > 0 and s == b
+    # the publish commit emitted zero deletes (covered rows were never
+    # visible on main) and the updated de rows appear exactly once
+    pub_rows = [r for r in streamed if r._commit_version == v_pub]
+    assert all(r._change_type == "insert" for r in pub_rows)
+    upd_ids = {r.doc_id for r in upd.select("doc_id").collect()}
+    got_upd = [r for r in pub_rows if r.doc_id in upd_ids]
+    assert len(got_upd) == len(upd_ids)
+    assert all(r.n_chars % 1000 > 0 for r in got_upd)  # post-images land

@@ -68,7 +68,10 @@ def main() -> None:
         # one converged-state assignment pass: centroids from a 1-iter
         # fit (so the sweep times the ASSIGNMENT, the per-pass cost the
         # k knob multiplies, not the k-independent update agg)
-        df, cents = kmeans_lloyd(emb, k=k, iters=1, assign="vectorized")
+        handles: list = []
+        df, cents = kmeans_lloyd(
+            emb, k=k, iters=1, assign="vectorized", release=handles
+        )
         base = df.select("vec_id", "vec")
         base.count()  # warm the persisted projection + Python workers
         times = []
@@ -101,7 +104,9 @@ def main() -> None:
             .count()
         )
         vbc.unpersist(); bbc.unpersist()
-        plan = formatted_plan(_assign_vectorized(base, cents)[0])
+        plan_df, pbc = _assign_vectorized(base, cents)
+        plan = formatted_plan(plan_df)
+        pbc.unpersist()
         udf_nodes = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.MULTILINE))
         out["ks"][str(k)] = {
             "assign_pass_s": round(min(times), 3),
@@ -110,7 +115,8 @@ def main() -> None:
             "n_centroids_alive": len(cents),
             "plan_udf_nodes": udf_nodes,
         }
-        df.unpersist()
+        for h in handles:
+            h.unpersist()
         print(
             f"k={k}: assign pass {min(times):.3f}s / blas "
             f"{min(blas_times):.3f}s, {mismatches} mismatches "
