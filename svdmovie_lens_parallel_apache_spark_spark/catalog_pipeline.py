@@ -6081,3 +6081,125 @@ def q_snapshot_refs_inspection(spark, sf_dir):
     return refs.join(F.broadcast(counts), "name").select(
         "name", "type", "pinned", F.col("n_rows").cast("bigint").alias("n_rows")
     )
+
+
+@register(
+    "snapshot_manifest_scale",
+    f"""
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           TRUE                         AS manifest_ok
+    FROM documents WHERE doc_id % 10 <> 0 GROUP BY lang
+    """,
+    tags=("sources", "table-format", "metadata", "scale"),
+    description="Manifest-segmented snapshot metadata (Iceberg manifest "
+    "list): a self-contained snapshot rewrites O(live files) of JSON "
+    "per commit — the metadata write-amplification ceiling at 100 TB "
+    "(~1e6 shards). With segmentation, ten appends roll their shard "
+    "lists into immutable segment files that later commits carry BY "
+    "NAME; manifest_ok pins (1) every append's snapshot JSON holds at "
+    "most the inline bound of shard entries, (2) consecutive appends "
+    "reuse the parent's segments verbatim (metadata cost O(new files + "
+    "segment names): the final snapshot inlines at most the bound "
+    "while referencing strictly more files through carried segments, "
+    "entries conserved exactly), (3) a metadata-only drop_partition "
+    "of one batch re-rolls ONLY the segments holding that batch's "
+    "files — the rest carry through the removal commit, (4) "
+    "rewrite_manifests compacts the segment list to ONE in a metadata-"
+    "only commit that read_cdc sees as empty, and (5) time travel "
+    "behind the delete still reads all rows through the old segments. "
+    "Storage-level only: loaded snapshots materialise the classic "
+    "self-contained form, so every operator composes unchanged. "
+    "Engine: sources/snapshot_table.py::_encode_manifests / "
+    "rewrite_manifests.",
+)
+def q_snapshot_manifest_scale(spark, sf_dir):
+    import tempfile
+
+    from .sources import snapshot_table as st
+    from .sources.snapshot_table import (
+        drop_partition,
+        read_cdc,
+        read_snapshot,
+        rewrite_manifests,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars",
+        (F.col("doc_id") % 10).alias("b"),
+    )
+    table = tempfile.mkdtemp(prefix="svdml-manifest-") + "/t"
+    keep = st._MANIFEST_INLINE_MAX
+    st._MANIFEST_INLINE_MAX = 2
+    try:
+        for i in range(10):
+            write_snapshot(
+                docs.where(F.col("b") == i), table,
+                mode="append", stats_cols=["doc_id"],
+                partition_by=["b"],
+            )
+        raws = [st._raw_snapshot(table, v) for v in range(1, 11)]
+        inline_bounded = all(len(r.get("shards", [])) <= 2 for r in raws)
+        carried = all(
+            set(a.get("manifests", [])) <= set(b.get("manifests", []))
+            for a, b in zip(raws, raws[1:])
+        )
+        seg_entries = sum(
+            len(st._load_manifest(table, n))
+            for n in raws[-1].get("manifests", [])
+        )
+        n_inline = len(raws[-1].get("shards", []))
+        total = len(st._load_snapshot(table, 10)["shards"])
+        # the head inlines at most the bound while referencing strictly
+        # more files via carried segments; entries conserved exactly
+        amortized = n_inline <= 2 < total and seg_entries + n_inline == total
+        segs_before = set(raws[-1].get("manifests", []))
+        v_del = drop_partition(table, {"b": 0})  # metadata-only removal
+        raw_del = st._raw_snapshot(table, v_del)
+        # batch-0's files live only in the first rolled segment(s), so
+        # exactly those re-roll; every segment not holding them carries
+        touched = {
+            n
+            for n in segs_before
+            if any(
+                e.get("partition", {}).get("b") in (0, "0")
+                for e in st._load_manifest(table, n)
+            )
+        }
+        n_carried = len(segs_before & set(raw_del.get("manifests", [])))
+        partial_carry = (
+            len(touched) < len(segs_before)
+            and n_carried == len(segs_before) - len(touched)
+        )
+        v_rw = rewrite_manifests(table)
+        raw_rw = st._raw_snapshot(table, v_rw)
+        compacted = (
+            v_rw == v_del + 1
+            and len(raw_rw.get("manifests", [])) == 1
+            and raw_rw.get("shards") == []
+            and read_cdc(spark, table, v_del, v_rw).count() == 0
+        )
+        full_history = (
+            read_snapshot(spark, table, version=10).count() == docs.count()
+        )
+        manifest_ok = bool(
+            inline_bounded and carried and amortized and partial_carry
+            and compacted and full_history
+        )
+        return (
+            read_snapshot(spark, table)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.sum(portable_hash64(F.col("text"))).cast("long").alias(
+                    "text_fp"
+                ),
+            )
+            .withColumn("manifest_ok", F.lit(manifest_ok))
+        )
+    finally:
+        st._MANIFEST_INLINE_MAX = keep

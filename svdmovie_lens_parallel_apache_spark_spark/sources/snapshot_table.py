@@ -16,14 +16,19 @@ Layout::
       data/part-<uuid>.parquet      immutable, uuid-named (never reused)
       _snapshots/00000001.json      the LOG: one numbered file per commit
       _snapshots/00000002.json
+      _manifests/m-<uuid>.json      immutable shard-list segments shared
+                                    across snapshots (large tables only)
       _tmp/<job>/                   in-flight private staging
 
-Each snapshot file is self-contained: the COMPLETE list of live shards
-at that version plus the table schema (a full manifest per commit, not
-an add/remove delta — O(files) per commit is the right trade below
-~10^5 files; the delta-log encoding is an optimisation on top, not a
-different protocol). Version N is live iff ``_snapshots/%08d.json % N``
-exists.
+Each snapshot file is LOGICALLY self-contained: the COMPLETE list of
+live shards at that version plus the table schema (a full manifest per
+commit, not an add/remove delta — O(files) of metadata per commit is
+the right trade below ~10^5 files). Above the inline bound the shard
+list is SEGMENTED into immutable ``_manifests/`` files carried across
+commits by name (Iceberg manifest-list shaped; see the manifest
+section below) — a storage-level encoding only: :func:`_load_snapshot`
+always materialises the classic form. Version N is live iff
+``_snapshots/%08d.json % N`` exists.
 
 Commit protocol (optimistic concurrency, Delta-on-POSIX shaped):
 
@@ -77,9 +82,98 @@ _FMT = "%08d.json"
 # per-shard column mappings (rename/drop evolution): a v1 reader would
 # silently misread a mapped shard (old physical names surface under
 # the wrong logical schema), so commits carrying mappings stamp 2 and
-# old readers refuse LOUDLY instead. Bump when a future feature makes
-# existing readers produce wrong answers rather than errors.
-_READER_VERSION = 2
+# old readers refuse LOUDLY instead. Version 3 = manifest-segmented
+# shard lists (``manifests`` key): an older reader would see only the
+# inline tail of the shard list and silently return a fraction of the
+# table. Bump when a future feature makes existing readers produce
+# wrong answers rather than errors.
+_READER_VERSION = 3
+
+# ---------------------------------------------------------------------------
+# Manifest segments (Iceberg manifest-list shaped).
+#
+# A self-contained snapshot rewrites the COMPLETE shard list every
+# commit — O(live files) of JSON per commit. Below ~10^5 files that is
+# the right trade; at 100 TB (~10^6 shards) the metadata write
+# amplification becomes the bottleneck: a 1-file append would rewrite a
+# multi-GB manifest. The fix is Iceberg's: segment the shard list into
+# immutable MANIFEST files under _manifests/, shared across snapshots
+# by name. A snapshot then stores ``manifests`` (list of segment file
+# names, oldest first) plus the inline ``shards`` tail of recent files;
+# a commit that only adds files carries every parent segment BY
+# REFERENCE and rewrites only the inline tail — O(changed files +
+# segment count) metadata per commit. A commit that removes files
+# (CoW delete/merge, compaction, drop_partition) breaks the affected
+# segments' carry-over check and re-rolls those entries; untouched
+# segments still carry.
+#
+# The encoding is STORAGE-LEVEL ONLY: :func:`_load_snapshot`
+# materialises the full shard list back into ``snap["shards"]`` (and
+# drops the ``manifests`` key), so every consumer of a loaded snapshot
+# dict sees the classic self-contained form. Segment files are
+# immutable and cached per-process by raw text; each load
+# ``json.loads`` fresh dicts, so consumers that restamp shard entries
+# in place can never poison the cache. Orphaned segments (lost commit
+# races, expired history) are swept by :func:`_remove_unreferenced`,
+# which treats a segment referenced by any live snapshot — main,
+# branch, or tagged — as live, exactly like data files. The same
+# in-flight-writer caveat as data files applies: a segment written in
+# step 3 before its snapshot link looks orphaned to a concurrent
+# vacuum; don't vacuum while a write is in flight.
+# ---------------------------------------------------------------------------
+_MAN_DIR = "_manifests"
+# Inline tail bound: a commit whose post-carry-over inline shard count
+# exceeds this rolls the tail into one new segment. 100 keeps snapshot
+# JSON ~O(100 entries + segment names) while bounding segment count at
+# ~live_files/100 (compact with rewrite_manifests when that grows).
+_MANIFEST_INLINE_MAX = 100
+_MANIFEST_CACHE: dict[str, str] = {}  # abs path -> raw segment text
+_MANIFEST_CACHE_MAX = 64
+
+
+def _manifest_path(table: str, name: str) -> str:
+    return os.path.join(table, _MAN_DIR, name)
+
+
+def _load_manifest(table: str, name: str) -> list[dict]:
+    """Shard entries of one immutable manifest segment. The raw text is
+    cached per-process (segments never change under a given name); the
+    per-call ``json.loads`` hands every caller FRESH dicts so in-place
+    restamping by one consumer cannot leak into another."""
+    p = _manifest_path(table, name)
+    raw = _MANIFEST_CACHE.get(p)
+    if raw is None:
+        with open(p) as f:
+            raw = f.read()
+        if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+            _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+        _MANIFEST_CACHE[p] = raw
+    return json.loads(raw)
+
+
+def _resolve_manifests(table: str, snap: dict) -> dict:
+    """Materialise a manifest-segmented snapshot back into the classic
+    self-contained form: ``shards`` becomes segment entries (oldest
+    segment first) followed by the inline tail, and the ``manifests``
+    key is REMOVED — so no downstream consumer can ever double-count a
+    stale ref after transforming the dict. Mutates and returns
+    ``snap``."""
+    names = snap.pop("manifests", None)
+    if names:
+        full: list[dict] = []
+        for name in names:
+            full.extend(_load_manifest(table, name))
+        full.extend(snap.get("shards", []))
+        snap["shards"] = full
+    return snap
+
+
+def _raw_snapshot(table: str, version: int, branch: str | None = None) -> dict:
+    """One snapshot as WRITTEN (manifest refs intact, no resolution, no
+    reader-version gate) — the commit path's carry-over source and the
+    GC's segment-liveness source."""
+    with open(_snap_path(table, version, branch)) as f:
+        return json.load(f)
 
 
 def _log_dir(table: str, branch: str | None = None) -> str:
@@ -119,7 +213,7 @@ def _load_snapshot(table: str, version: int, branch: str | None = None) -> dict:
             f"{_READER_VERSION} — upgrade before reading (refusing "
             f"loudly beats silently misreading a newer feature)"
         )
-    return snap
+    return _resolve_manifests(table, snap)
 
 
 def snapshot_history(table: str, branch: str | None = None) -> list[dict]:
@@ -460,6 +554,80 @@ def _merge_schema(old: StructType, new: StructType) -> StructType:
     return StructType(merged)
 
 
+def _encode_manifests(
+    table: str, snapshot: dict, branch: str | None = None,
+) -> dict:
+    """Segment a large shard list into manifest files (see the module
+    section above). Returns the dict to persist — either ``snapshot``
+    itself (small tables stay classic-form, byte-compatible with old
+    readers) or a COPY whose ``shards`` holds only the inline tail and
+    whose ``manifests`` names the carried/new segments.
+
+    Carry-over rule: a parent segment is reused by name iff EVERY entry
+    in it appears dict-identical in the new shard list — so appends
+    carry all segments, a removal or restamp (schema evolution) breaks
+    exactly the segments holding touched files, and correctness never
+    depends on knowing WHICH operation ran. The identity check is by
+    file name + dict equality (O(live shards) in-memory compares, no
+    serialisation). A branch FORK (parent None, ``base_version`` set)
+    carries from its main-chain base so branching a huge table costs
+    O(segment names), not a full metadata rewrite."""
+    force = snapshot.pop("_rewrite_manifests", False)
+    shards = snapshot.get("shards")
+    if not isinstance(shards, list) or (
+        len(shards) <= _MANIFEST_INLINE_MAX and not force
+    ):
+        return snapshot
+    by_file: dict[str, dict] = {}
+    for s in shards:
+        f = s.get("file") if isinstance(s, dict) else None
+        if f is None or f in by_file:
+            return snapshot  # not a shard list this encoder understands
+        by_file[f] = s
+    carried: list[str] = []
+    covered: set[str] = set()
+    if not force:
+        src = None
+        parent = snapshot.get("parent")
+        try:
+            if parent is not None:
+                src = _raw_snapshot(table, parent, branch)
+            elif branch is not None and snapshot.get("base_version"):
+                src = _raw_snapshot(table, snapshot["base_version"])
+        except FileNotFoundError:
+            src = None  # expired/absent parent: roll everything fresh
+        for name in (src or {}).get("manifests", []):
+            try:
+                entries = _load_manifest(table, name)
+            except FileNotFoundError:
+                continue  # segment GC'd from under an expired parent
+            if entries and all(
+                isinstance(e, dict)
+                and e.get("file") not in covered
+                and by_file.get(e.get("file")) == e
+                for e in entries
+            ):
+                carried.append(name)
+                covered.update(e["file"] for e in entries)
+    inline = [s for s in shards if s["file"] not in covered]
+    if len(inline) > _MANIFEST_INLINE_MAX or (force and inline):
+        name = f"m-{uuid.uuid4().hex}.json"
+        os.makedirs(os.path.join(table, _MAN_DIR), exist_ok=True)
+        tmp = _manifest_path(table, f".{name}.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(inline, f, sort_keys=True)
+        os.replace(tmp, _manifest_path(table, name))
+        carried.append(name)
+        inline = []
+    if not carried:
+        return snapshot
+    out = dict(snapshot)
+    out["manifests"] = carried
+    out["shards"] = inline
+    out["reader_version"] = max(out.get("reader_version", 1), 3)
+    return out
+
+
 def _claim_snapshot(
     table: str, tmp_dir: str, snapshot: dict, branch: str | None = None,
 ) -> bool:
@@ -492,11 +660,15 @@ def _claim_snapshot(
     # the single commit choke point so no writer can forget it
     if any(s.get("names") is not None for s in snapshot.get("shards", [])):
         snapshot["reader_version"] = 2
+    # manifest segmentation happens HERE, at the same choke point, into
+    # a COPY: callers keep the classic full-shard-list dict they built
+    # (several return or re-inspect it after a successful claim)
+    to_write = _encode_manifests(table, snapshot, branch)
     tmp_snap = os.path.join(tmp_dir, "snapshot.json")
     os.makedirs(tmp_dir, exist_ok=True)
     os.makedirs(_log_dir(table, branch), exist_ok=True)
     with open(tmp_snap, "w") as f:
-        json.dump(snapshot, f, indent=1, sort_keys=True)
+        json.dump(to_write, f, indent=1, sort_keys=True)
     try:
         os.link(tmp_snap, _snap_path(table, snapshot["version"], branch))
         return True
@@ -1260,7 +1432,12 @@ def _remove_unreferenced(table: str) -> int:
     sweep shared by :func:`vacuum` and :func:`expire_snapshots`).
     BRANCH snapshots (``_refs/<name>/``) count as references too —
     an unpublished audit branch's data must survive GC until the
-    branch itself is dropped."""
+    branch itself is dropped. Manifest segments are swept by the same
+    rule: a segment named by any surviving snapshot (and every data
+    file inside it) is live; segments orphaned by lost commit races or
+    expired history are deleted AFTER the data scan (a crash between
+    the two sweeps only ever leaves extra files, never a live snapshot
+    naming a deleted one)."""
     def _refs_of(snap: dict):
         for s in snap.get("shards", []):
             yield s["file"]
@@ -1271,21 +1448,35 @@ def _remove_unreferenced(table: str) -> int:
                 yield from _dv_parts(d)
 
     live: set[str] = set()
-    for snap in snapshot_history(table):
-        live.update(_refs_of(snap))
-    for p in glob.glob(os.path.join(table, _REFS_DIR, "*", "*.json")):
+    live_mans: set[str] = set()
+
+    def _scan(raw: dict) -> None:
+        live_mans.update(raw.get("manifests", []))
+        live.update(_refs_of(_resolve_manifests(table, raw)))
+
+    snaps: list[dict] = []
+    for p in glob.glob(
+        os.path.join(_log_dir(table), "*.json")
+    ) + glob.glob(os.path.join(table, _REFS_DIR, "*", "*.json")):
         try:
             with open(p) as f:
-                snap = json.load(f)
+                snaps.append(json.load(f))
         except FileNotFoundError:
-            continue  # branch dropped concurrently — fewer references
-        live.update(_refs_of(snap))
+            continue  # expired / branch dropped concurrently
+    for raw in snaps:
+        # a missing SEGMENT under a live snapshot raises loudly here —
+        # silently skipping it would orphan-delete that segment's data
+        _scan(raw)
     removed = 0
     for pat in ("part-*.parquet", "dv-*.parquet"):
         for p in glob.glob(os.path.join(table, _DATA_DIR, pat)):
             if os.path.basename(p) not in live:
                 os.remove(p)
                 removed += 1
+    for p in glob.glob(os.path.join(table, _MAN_DIR, "m-*.json")):
+        if os.path.basename(p) not in live_mans:
+            os.remove(p)
+            _MANIFEST_CACHE.pop(p, None)
     return removed
 
 
@@ -2113,6 +2304,56 @@ def vacuum(table: str, stage_older_than: float | None = None) -> dict:
                     pass
         out["staged_removed"] = staged
     return out
+
+
+def rewrite_manifests(table: str, branch: str | None = None) -> int:
+    """Compact the head snapshot's manifest segments into ONE segment
+    (Iceberg ``rewrite_manifests`` shaped) as a metadata-only commit —
+    no data file moves, no visible-row change (CDC over it emits
+    nothing: the file set is identical). Steady-state appends roll one
+    ~:data:`_MANIFEST_INLINE_MAX`-entry segment per that many new
+    files, so segment count grows ~live_files/max; run this when the
+    segment list itself gets long, exactly like compacting small data
+    files. Returns the new version (or the current one unchanged when
+    there is nothing to compact: zero or one segment and no inline
+    spill)."""
+    job = uuid.uuid4().hex
+    tmp_dir = os.path.join(table, "_tmp", job)
+    try:
+        while True:
+            current = latest_version(table, branch)
+            if current is None:
+                raise FileNotFoundError(
+                    f"snapshot_table: {table} has no snapshots"
+                    + (f" on branch {branch!r}" if branch else "")
+                )
+            raw = _raw_snapshot(table, current, branch)
+            mans = raw.get("manifests", [])
+            if len(mans) <= 1 and not (mans and raw.get("shards")):
+                return current  # already compact: nothing to rewrite
+            head = _load_snapshot(table, current, branch)
+            snapshot = {
+                k: head[k]
+                for k in (
+                    "schema", "shards", "deletes", "partition_by",
+                    "constraints", "n_shards", "n_rows", "base_version",
+                    "branch",
+                )
+                if k in head
+            }
+            snapshot.update(
+                {
+                    "version": current + 1,
+                    "parent": current,
+                    "operation": "rewrite_manifests",
+                    "properties": {"rewrote_segments": len(mans)},
+                    "_rewrite_manifests": True,
+                }
+            )
+            if _claim_snapshot(table, tmp_dir, snapshot, branch):
+                return current + 1
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -4368,12 +4609,13 @@ def _added_files(
         snap = _load_snapshot(table, v, branch)
         cur = set(s["file"] for s in snap["shards"])
         if snap["operation"] in (
-            "metadata", "add_column", "set_partition_spec"
+            "metadata", "add_column", "set_partition_spec",
+            "rewrite_manifests",
         ):
-            # constraint add/drop, ADD COLUMN, and partition-spec
-            # evolution: parent's shards verbatim — row-preserving by
-            # construction, nothing to emit (new columns read NULL on
-            # older files downstream).
+            # constraint add/drop, ADD COLUMN, partition-spec
+            # evolution, and manifest compaction: parent's shards
+            # verbatim — row-preserving by construction, nothing to
+            # emit (new columns read NULL on older files downstream).
             # rename/drop_column fall through to the loud raise below:
             # files appended before the rename carry old physical
             # names, which the end-schema read would silently NULL.

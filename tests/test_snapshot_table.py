@@ -4601,3 +4601,212 @@ def test_streaming_cdc_apply_replicates_table(spark, docs, tmp_path):
 
     sink(read_cdc(spark, up, 1, 2), 0)
     assert latest_version(down) == v_now
+
+
+def test_manifest_segments_roll_and_carry(spark, tmp_path, monkeypatch):
+    """Manifest segmentation (Iceberg manifest-list shaped, storage
+    level only): below the inline bound a snapshot stays classic
+    self-contained form; crossing it rolls the shard list into
+    immutable segment files that subsequent APPENDS carry by name —
+    so a 1-file append writes O(changed files + segment names) of
+    metadata, not O(live files). Loaded snapshots always materialise
+    the full list, so every consumer (reads, time travel, history)
+    sees the classic form."""
+    monkeypatch.setattr(st, "_MANIFEST_INLINE_MAX", 4)
+    table = str(tmp_path / "t")
+    mk = lambda lo: spark.range(lo, lo + 10).selectExpr(
+        "id", "id % 3 as g"
+    ).coalesce(1)
+    for i in range(4):  # 4 single-shard appends: still classic form
+        write_snapshot(mk(i * 10), table, mode="append", stats_cols=["id"])
+    raw4 = st._raw_snapshot(table, 4)
+    assert "manifests" not in raw4 and len(raw4["shards"]) == 4
+    assert raw4.get("reader_version", 1) < 3
+    write_snapshot(mk(40), table, mode="append", stats_cols=["id"])  # 5th
+    raw5 = st._raw_snapshot(table, 5)
+    assert len(raw5["manifests"]) == 1 and raw5["shards"] == []
+    assert raw5["reader_version"] == 3
+    # loaded form is classic: full shard list, no manifests key
+    snap5 = st._load_snapshot(table, 5)
+    assert "manifests" not in snap5 and len(snap5["shards"]) == 5
+    # appends now carry the segment BY NAME and grow only the tail
+    for i in range(5, 8):
+        write_snapshot(mk(i * 10), table, mode="append", stats_cols=["id"])
+    raw8 = st._raw_snapshot(table, 8)
+    assert raw8["manifests"] == raw5["manifests"]  # reused, not rewritten
+    assert len(raw8["shards"]) == 3  # inline tail = the 3 new files
+    assert read_snapshot(spark, table).count() == 80
+    assert read_snapshot(spark, table, version=5).count() == 50
+    assert sorted(r[0] for r in read_snapshot(spark, table).collect()) == list(
+        range(80)
+    )
+    # an old reader refuses LOUDLY instead of returning the inline tail
+    monkeypatch.setattr(st, "_READER_VERSION", 2)
+    with pytest.raises(ValueError, match="reader protocol"):
+        st._load_snapshot(table, 5)
+
+
+def test_manifest_removal_rerolls_only_touched_segments(
+    spark, tmp_path, monkeypatch
+):
+    """A CoW delete rewrites ONLY the segments holding touched files:
+    untouched segments carry by name through the removal commit, and
+    the re-rolled entries land correctly. Schema evolution (restamp of
+    every shard) conservatively breaks all carry-over but stays
+    correct."""
+    monkeypatch.setattr(st, "_MANIFEST_INLINE_MAX", 4)
+    table = str(tmp_path / "t")
+    mk = lambda lo: spark.range(lo, lo + 10).selectExpr(
+        "id", "id % 3 as g"
+    ).coalesce(1)
+    for i in range(10):
+        write_snapshot(mk(i * 10), table, mode="append", stats_cols=["id"])
+    raw = st._raw_snapshot(table, 10)
+    segs_before = raw["manifests"]
+    assert len(segs_before) >= 2
+    # delete rows living ONLY in the last appended file (stats-pruned
+    # CoW: one file rewritten)
+    st.delete_where(spark, table, "id >= 95")
+    raw_del = st._raw_snapshot(table, 11)
+    # every segment not holding the touched file carries by name
+    touched = [
+        name
+        for name in segs_before
+        if any(e["file"] not in {s["file"] for s in st._load_snapshot(
+            table, 11)["shards"]} for e in st._load_manifest(table, name))
+    ]
+    carried = [n for n in segs_before if n not in touched]
+    assert set(carried) <= set(raw_del.get("manifests", []))
+    assert sorted(r[0] for r in read_snapshot(spark, table).collect()) == list(
+        range(95)
+    )
+    # schema evolution restamps: correctness holds across the rewrite
+    st.add_column(spark, table, "note", "string")
+    st.rename_column(spark, table, "g", "grp")
+    got = read_snapshot(spark, table)
+    assert got.columns == ["id", "grp", "note"]
+    assert got.where(F.col("note").isNull()).count() == 95
+    assert got.groupBy("grp").count().count() == 3
+
+
+def test_manifest_gc_orphans_and_expiry(spark, tmp_path, monkeypatch):
+    """Segment GC mirrors data-file GC: a losing commit racer's segment
+    is an unreferenced orphan that vacuum sweeps; expire_snapshots
+    drops segments only expired history referenced; segments named by
+    ANY live snapshot — including a branch fork — survive."""
+    import glob as _glob
+
+    monkeypatch.setattr(st, "_MANIFEST_INLINE_MAX", 2)
+    table = str(tmp_path / "t")
+    mk = lambda lo: spark.range(lo, lo + 10).selectExpr(
+        "id", "id % 3 as g"
+    ).coalesce(1)
+    for i in range(5):
+        write_snapshot(mk(i * 10), table, mode="append", stats_cols=["id"])
+    st.create_branch(table, "audit")  # fork carries base segments
+    fork_raw = st._raw_snapshot(table, 1, branch="audit")
+    assert fork_raw.get("manifests"), "fork should reference segments"
+    assert fork_raw["manifests"] == st._raw_snapshot(table, 5).get(
+        "manifests"
+    ), "fork must carry the base's segments BY NAME (cheap branch)"
+    # fake a lost race: hand-roll an orphan segment file
+    orphan = st._manifest_path(table, "m-deadbeef.json")
+    with open(orphan, "w") as f:
+        json.dump([], f)
+    st.vacuum(table)
+    assert not os.path.exists(orphan)
+    live_before = set(st._raw_snapshot(table, 5)["manifests"])
+    assert all(
+        os.path.exists(st._manifest_path(table, n)) for n in live_before
+    )
+    # more history, then expire: only segments no surviving snapshot
+    # names are swept, and reads stay exact
+    for i in range(5, 8):
+        write_snapshot(mk(i * 10), table, mode="append", stats_cols=["id"])
+    expire_snapshots(table, keep_last=1)
+    head = set(
+        st._raw_snapshot(table, latest_version(table))["manifests"]
+    ) | set(fork_raw["manifests"])
+    on_disk = {
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(table, "_manifests", "m-*.json"))
+    }
+    assert head <= on_disk  # live (incl. branch-referenced) kept
+    assert read_snapshot(spark, table).count() == 80
+    assert read_snapshot(spark, table, branch="audit").count() == 50
+
+
+def test_rewrite_manifests_compacts_metadata(spark, tmp_path, monkeypatch):
+    """rewrite_manifests: metadata-only commit merging N segments into
+    one — file set identical (CDC and read_changes emit nothing), data
+    identical, time travel across it intact; a second call is a no-op
+    returning the current version."""
+    monkeypatch.setattr(st, "_MANIFEST_INLINE_MAX", 2)
+    table = str(tmp_path / "t")
+    mk = lambda lo: spark.range(lo, lo + 10).selectExpr(
+        "id", "id % 3 as g"
+    ).coalesce(1)
+    for i in range(7):
+        write_snapshot(mk(i * 10), table, mode="append", stats_cols=["id"])
+    v0 = latest_version(table)
+    raw0 = st._raw_snapshot(table, v0)
+    assert len(raw0["manifests"]) >= 2 and raw0["shards"]
+    v = st.rewrite_manifests(table)
+    assert v == v0 + 1
+    raw = st._raw_snapshot(table, v)
+    assert len(raw["manifests"]) == 1 and raw["shards"] == []
+    assert raw["operation"] == "rewrite_manifests"
+    assert _canon(read_snapshot(spark, table)) == _canon(
+        read_snapshot(spark, table, version=v0)
+    )
+    assert st.read_cdc(spark, table, v0, v).count() == 0
+    assert st.read_changes(spark, table, v0, v).count() == 0
+    assert st.rewrite_manifests(table) == v  # already compact: no-op
+    # the old segments become orphans only after expiry
+    expire_snapshots(table, keep_last=1)
+    import glob as _glob
+
+    left = {
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(table, "_manifests", "m-*.json"))
+    }
+    assert left == set(raw["manifests"])
+    assert read_snapshot(spark, table).count() == 70
+
+
+def test_manifest_segments_compose_with_mor_and_publish(
+    spark, docs, tmp_path, monkeypatch
+):
+    """Segments × the rest of the format: MoR merge (DV commit) carries
+    every segment (no shard touched); WAP branch work + publish carries
+    shared segments onto main; compaction re-rolls; the whole table
+    stays bit-exact."""
+    monkeypatch.setattr(st, "_MANIFEST_INLINE_MAX", 3)
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    for i in range(5):
+        part = en.where(F.col("doc_id") % 5 == i).coalesce(1)
+        write_snapshot(part, table, mode="append", stats_cols=["doc_id"])
+    v0 = latest_version(table)
+    segs = st._raw_snapshot(table, v0)["manifests"]
+    upd = en.where(F.col("doc_id") % 7 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    v1 = st.merge_upsert(upd, table, key_cols=["doc_id"], mor=True)
+    raw1 = st._raw_snapshot(table, v1)
+    assert raw1["manifests"] == segs  # DV commit touches no shards
+    expected = en.where(F.col("doc_id") % 7 != 0).unionByName(upd)
+    assert _canon(read_snapshot(spark, table)) == _canon(expected)
+    st.create_branch(table, "wap")
+    extra = docs.where(F.col("lang") == "de").coalesce(1)
+    st.write_snapshot(extra, table, mode="append", branch="wap")
+    st.publish_branch(table, "wap")
+    pub = st._raw_snapshot(table, latest_version(table))
+    assert set(segs) <= set(pub.get("manifests", []))  # shared carry
+    assert _canon(read_snapshot(spark, table)) == _canon(
+        expected.unionByName(extra)
+    )
+    st.compact_table(spark, table)
+    assert _canon(read_snapshot(spark, table)) == _canon(
+        expected.unionByName(extra)
+    )
