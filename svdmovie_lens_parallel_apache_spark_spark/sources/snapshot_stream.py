@@ -39,13 +39,25 @@ module provides that over the snapshot-log format
   same contract as Delta's streaming source).
 
 Options: ``path`` (the table directory), ``start_version`` (default 0 =
-from table creation, so version 1's files are the first batch), and
+from table creation, so version 1's files are the first batch),
 ``partition_filter`` (JSON object ``{field: source_value_or_list}``,
 fields of the table's partition spec with probes transformed like every
 other surface) — each micro-batch then plans only the matching
 partitions' added files from metadata alone, the streaming form of the
-per-language derived-table refresh. Unstamped added shards are
-conservatively kept.
+per-language derived-table refresh (unstamped added shards are
+conservatively kept) — and ``max_files_per_trigger`` (admission
+control, Delta's option of the same name): each micro-batch admits
+whole commits until their cumulative file count would exceed the
+budget, always at least one commit, so a consumer of a hot table paces
+itself instead of planning one monster batch after downtime. Commits
+are never split (a version is wholly inside one batch — the atomicity
+every downstream exactly-once argument leans on). CAVEAT: with
+``availableNow`` Spark captures ONE capped end offset per invocation,
+so the budget becomes a per-RUN budget (the drain advances at most
+budget files, re-invoke to catch up — Delta's historical Trigger.Once
+behavior); continuous triggers (``processingTime``) pace per trigger
+as expected. The cap counts a commit's files before any
+``partition_filter`` pruning.
 
 Usage::
 
@@ -80,6 +92,39 @@ from .snapshot_table import (
     _transform_probes,
     latest_version,
 )
+
+
+def _capped_latest(latest: int, pos: int | None, budget: int, count_of) -> int:
+    """Admission control (Delta ``maxFilesPerTrigger`` shaped) at
+    VERSION granularity: the largest end version whose cumulative
+    per-commit item count from ``pos`` stays within ``budget`` — always
+    at least one version, so a single commit larger than the budget
+    still ships whole (commits are never split across micro-batches:
+    the CDC apply sink's highest-version-wins reduction and the
+    append stream's per-commit atomicity both rely on a version being
+    wholly inside one batch, the same reason Delta's option admits at
+    minimum one file).
+
+    ``pos`` is the reader's planning high-water, learned from
+    ``partitions``/``commit`` calls and seeded with ``start_version`` —
+    the Python stream-reader API hands ``latestOffset`` no start
+    offset, so after a RESTART from a checkpoint ahead of
+    start_version the first capped offset can land behind the
+    checkpoint. That costs one empty micro-batch (the (checkpoint,
+    behind] range plans nothing) and teaches the reader the true
+    position; the delivered-floor clamp in ``partitions`` makes the
+    recovery duplicate-free when Spark's offset log then steps back
+    through the regressed entry. Steady-state triggers pace exactly."""
+    if pos is None or latest <= pos:
+        return latest
+    total, v = 0, pos
+    while v < latest:
+        c = count_of(v + 1)
+        if total and total + c > budget:
+            break
+        total += c
+        v += 1
+    return v
 
 
 def _build():
@@ -121,17 +166,34 @@ def _build():
             self.field_names = [
                 f.name for f in StructType.fromJson(self.schema_json).fields
             ]
+            self.max_files = int(options.get("max_files_per_trigger", 0) or 0)
+            self._pos = self.start_version  # planning high-water
+            self._floor = self.start_version  # delivered floor
 
         def initialOffset(self):
             return {"version": self.start_version}
 
         def latestOffset(self):
             v = latest_version(self.table)
-            return {"version": self.start_version if v is None else v}
+            if v is None:
+                return {"version": self.start_version}
+            if self.max_files:
+                v = _capped_latest(
+                    v, self._pos, self.max_files,
+                    lambda u: len(_added_files(self.table, u - 1, u)[0]),
+                )
+            return {"version": v}
 
         def partitions(self, start, end):
+            # delivered floor: a batch STARTING at v proves everything
+            # <= v was already delivered (Spark's offset log says so) —
+            # clamping below makes a post-restart offset regression
+            # replay-free; in monotone flow this is the identity
+            lo = max(start["version"], self._floor)
+            self._floor = lo
+            self._pos = max(self._pos, lo, end["version"])
             entries, _ = _added_files(
-                self.table, start["version"], end["version"]
+                self.table, lo, end["version"]
             )
             if self.probes:
                 entries = [
@@ -164,7 +226,10 @@ def _build():
             yield from t.to_batches()
 
         def commit(self, end):
-            pass  # the snapshot log + Spark's offset log are the state
+            # the snapshot log + Spark's offset log are the state; the
+            # position hints only pace the NEXT latestOffset and floor
+            self._pos = max(self._pos, end["version"])
+            self._floor = max(self._floor, end["version"])
 
     class SnapshotChangesDataSource(DataSource):
         @classmethod
@@ -414,17 +479,31 @@ def _build_cdc():
                     f"snapshot_cdc: {self.table} has no snapshots"
                 )
             self.schema_json = _load_snapshot(self.table, v)["schema"]
+            self.max_files = int(options.get("max_files_per_trigger", 0) or 0)
+            self._pos = self.start_version  # planning high-water
+            self._floor = self.start_version  # delivered floor
 
         def initialOffset(self):
             return {"version": self.start_version}
 
         def latestOffset(self):
             v = latest_version(self.table)
-            return {"version": self.start_version if v is None else v}
+            if v is None:
+                return {"version": self.start_version}
+            if self.max_files:
+                v = _capped_latest(
+                    v, self._pos, self.max_files,
+                    lambda u: len(_cdc_plan_version(self.table, u)),
+                )
+            return {"version": v}
 
         def partitions(self, start, end):
+            # same delivered-floor clamp as snapshot_changes (see there)
+            lo = max(start["version"], self._floor)
+            self._floor = lo
+            self._pos = max(self._pos, lo, end["version"])
             items = []
-            for v in range(start["version"] + 1, end["version"] + 1):
+            for v in range(lo + 1, end["version"] + 1):
                 items.extend(_cdc_plan_version(self.table, v))
             return [
                 _Change(
@@ -482,7 +561,10 @@ def _build_cdc():
             yield from t.to_batches()
 
         def commit(self, end):
-            pass  # the snapshot log + Spark's offset log are the state
+            # the snapshot log + Spark's offset log are the state; the
+            # position hints only pace the NEXT latestOffset and floor
+            self._pos = max(self._pos, end["version"])
+            self._floor = max(self._floor, end["version"])
 
     class SnapshotCdcDataSource(DataSource):
         @classmethod

@@ -773,3 +773,138 @@ def test_snapshot_cdc_stream_publish_shaped_commit(spark, sf_dir):
     got_upd = [r for r in pub_rows if r.doc_id in upd_ids]
     assert len(got_upd) == len(upd_ids)
     assert all(r.n_chars % 1000 > 0 for r in got_upd)  # post-images land
+
+
+def test_snapshot_changes_max_files_per_trigger_paces(spark, sf_dir):
+    """Admission control on the snapshot_changes source: with
+    max_files_per_trigger=2 over six 1-file commits, a processingTime
+    query must deliver them as >=3 micro-batches each spanning at most
+    2 versions (never splitting a commit), totalling every row exactly
+    once — the consumer paces itself instead of planning one monster
+    batch. With availableNow the budget is per-RUN (one capped end
+    offset per invocation, the documented Delta Trigger.Once shape):
+    repeated drains advance <=2 versions each until caught up."""
+    import os
+    import time
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_stream import (
+        register_snapshot_changes,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        write_snapshot,
+    )
+
+    register_snapshot_changes(spark)
+    root = tempfile.mkdtemp(prefix="svdml-rl-")
+    table, out, ckpt = [os.path.join(root, x) for x in ("t", "out", "c")]
+    for i in range(6):
+        write_snapshot(
+            spark.range(i * 10, (i + 1) * 10).coalesce(1), table,
+            mode="append",
+        )
+
+    def outcount():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("path", table).option("start_version", 0)
+        .option("max_files_per_trigger", 2).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while outcount() < 60 and time.time() < deadline:
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 60 and got.distinct().count() == 60
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 3  # paced, not one monster batch
+    import ast
+
+    for p in fed:
+        so = p["sources"][0]  # offsets serialize as dict reprs
+        end = ast.literal_eval(so["endOffset"])["version"]
+        start = (ast.literal_eval(so["startOffset"] or "None") or {}).get(
+            "version", 0
+        )
+        assert end - start <= 2  # budget honored per trigger
+        assert p["numInputRows"] <= 20  # 2 commits x 10 rows
+
+    # availableNow: per-run budget — each drain advances <= 2 versions
+    out2, ckpt2 = os.path.join(root, "out2"), os.path.join(root, "c2")
+    drained = []
+    for _ in range(4):
+        q = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", table).option("start_version", 0)
+            .option("max_files_per_trigger", 2).load()
+            .writeStream.format("parquet").option("path", out2)
+            .option("checkpointLocation", ckpt2)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        drained.append(spark.read.parquet(out2).count())
+    assert drained == [20, 40, 60, 60]  # converges, exactly once
+    assert spark.read.parquet(out2).distinct().count() == 60
+
+
+def test_snapshot_cdc_max_files_per_trigger_paces(spark, sf_dir):
+    """Admission control on the row-level CDC source: the budget counts
+    the commit's planned change-items; three 1-item DML commits under
+    max_files_per_trigger=1 drain as three per-run capped availableNow
+    invocations whose union is bit-identical to batch read_cdc over the
+    whole range."""
+    import os
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_stream import (
+        register_snapshot_cdc,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        merge_upsert,
+        read_cdc,
+        write_snapshot,
+    )
+
+    register_snapshot_cdc(spark)
+    root = tempfile.mkdtemp(prefix="svdml-rlcdc-")
+    table, out, ckpt = [os.path.join(root, x) for x in ("t", "out", "c")]
+    base = spark.range(0, 50).selectExpr("id", "id * 2 as val")
+    write_snapshot(base.coalesce(1), table, mode="append")        # v1
+    for lo in (0, 10, 20):  # three MoR merges: 1 DV + 1 file each
+        # +7 so no post-image ever equals its pre-image (the batch
+        # multiset diff cancels identical pairs; the stream emits them
+        # — the documented Delta-CDF divergence this test isn't about)
+        upd = spark.range(lo, lo + 5).selectExpr("id", "id * 3 + 7 as val")
+        merge_upsert(upd.coalesce(1), table, key_cols=["id"], mor=True)
+
+    counts = []
+    for _ in range(5):
+        q = (
+            spark.readStream.format("snapshot_cdc")
+            .option("path", table).option("start_version", 1)
+            .option("max_files_per_trigger", 1).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        counts.append(spark.read.parquet(out).count())
+    # each merge = 5 deletes + 5 inserts = 10 change rows; the per-run
+    # budget of 1 version admits exactly one commit per drain
+    assert counts == [10, 20, 30, 30, 30]
+    streamed = spark.read.parquet(out)
+    batch = read_cdc(spark, table, 1, 4)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
