@@ -6108,8 +6108,13 @@ def q_snapshot_refs_inspection(spark, sf_dir):
     "of one batch re-rolls ONLY the segments holding that batch's "
     "files — the rest carry through the removal commit, (4) "
     "rewrite_manifests compacts the segment list to ONE in a metadata-"
-    "only commit that read_cdc sees as empty, and (5) time travel "
-    "behind the delete still reads all rows through the old segments. "
+    "only commit that read_cdc sees as empty, (5) time travel "
+    "behind the delete still reads all rows through the old segments, "
+    "and (6) segment-level pruning: each roll records a partition/"
+    "stats summary, and a one-partition read OPENS strictly fewer "
+    "segments than the snapshot references (the manifest-list skip — "
+    "a filtered read of a 1M-file table never parses the full file "
+    "list). "
     "Storage-level only: loaded snapshots materialise the classic "
     "self-contained form, so every operator composes unchanged. "
     "Engine: sources/snapshot_table.py::_encode_manifests / "
@@ -6185,9 +6190,26 @@ def q_snapshot_manifest_scale(spark, sf_dir):
         full_history = (
             read_snapshot(spark, table, version=10).count() == docs.count()
         )
+        # segment-level pruning (Iceberg manifest-list skip): a read of
+        # one partition at v10 must OPEN strictly fewer segments than
+        # the snapshot references (each roll recorded a partition/stats
+        # summary) while returning exactly that partition's rows
+        opened: list = []
+        orig_lm = st._load_manifest
+        st._load_manifest = lambda t, n: (opened.append(n), orig_lm(t, n))[1]
+        try:
+            pruned = read_snapshot(
+                spark, table, version=10, partition_filter={"b": 3},
+            )
+            segment_prune = (
+                pruned.count() == docs.where(F.col("b") == 3).count()
+                and len(opened) < len(raws[-1].get("manifests", []))
+            )
+        finally:
+            st._load_manifest = orig_lm
         manifest_ok = bool(
             inline_bounded and carried and amortized and partial_carry
-            and compacted and full_history
+            and compacted and full_history and segment_prune
         )
         return (
             read_snapshot(spark, table)

@@ -154,14 +154,109 @@ def _load_manifest(table: str, name: str) -> list[dict]:
 def _resolve_manifests(table: str, snap: dict) -> dict:
     """Materialise a manifest-segmented snapshot back into the classic
     self-contained form: ``shards`` becomes segment entries (oldest
-    segment first) followed by the inline tail, and the ``manifests``
-    key is REMOVED — so no downstream consumer can ever double-count a
-    stale ref after transforming the dict. Mutates and returns
-    ``snap``."""
+    segment first) followed by the inline tail, and the ``manifests``/
+    ``manifest_summaries`` keys are REMOVED — so no downstream consumer
+    can ever double-count a stale ref after transforming the dict.
+    Mutates and returns ``snap``."""
     names = snap.pop("manifests", None)
+    snap.pop("manifest_summaries", None)
     if names:
         full: list[dict] = []
         for name in names:
+            full.extend(_load_manifest(table, name))
+        full.extend(snap.get("shards", []))
+        snap["shards"] = full
+    return snap
+
+
+def _segment_summary(entries: list[dict]) -> dict:
+    """Segment-level pruning summary rolled up from its shard entries
+    (the Iceberg manifest-list partition summary): ``stats`` holds
+    [min, max] per column bounded in EVERY entry; ``partition`` the
+    sorted recorded-value set per key stamped on EVERY entry. A column
+    or key any entry lacks is OMITTED — pruning must be provable, same
+    triage contract as :func:`_stats_overlap`/:func:`_partition_match`."""
+    summ: dict = {}
+    stats: dict = {}
+    for c in set.intersection(*[set(e.get("stats", {})) for e in entries]):
+        bs = [e["stats"][c] for e in entries]
+        if any(b is None or b[0] is None or b[1] is None for b in bs):
+            continue
+        try:
+            stats[c] = [min(b[0] for b in bs), max(b[1] for b in bs)]
+        except TypeError:
+            continue  # mixed types: no provable bound
+    if stats:
+        summ["stats"] = stats
+    parts: dict = {}
+    for k in set.intersection(
+        *[set(e.get("partition", {})) for e in entries]
+    ):
+        vals = {e["partition"][k] for e in entries}
+        parts[k] = sorted(vals, key=lambda v: (v is None, str(v)))
+    if parts:
+        summ["partition"] = parts
+    return summ
+
+
+def _segment_excluded(
+    summ: dict, prune: tuple | None, probes: dict | None,
+) -> bool:
+    """Can the whole segment be skipped without opening it? True only
+    when its summary PROVABLY excludes the scan's predicates."""
+    if prune is not None:
+        col, lo, hi = prune
+        b = summ.get("stats", {}).get(col)
+        if b is not None:
+            try:
+                if (lo is not None and b[1] < lo) or (
+                    hi is not None and b[0] > hi
+                ):
+                    return True
+            except TypeError:
+                pass
+    for key, wanted in (probes or {}).items():
+        vals = summ.get("partition", {}).get(key)
+        if vals is not None and not (set(vals) & set(wanted)):
+            return True
+    return False
+
+
+def _load_snapshot_scan(
+    table: str, version: int, branch: str | None = None,
+    prune: tuple | None = None, partition_filter: dict | None = None,
+) -> dict:
+    """:func:`_load_snapshot` for the SCAN path: segments whose rolled
+    summary provably excludes the scan's ``prune`` bounds or partition
+    probes are never opened — driver metadata cost O(matching segments
+    + inline tail), not O(live files); the Iceberg manifest-list skip.
+    Falls back to full resolution for summary-less segments (pre-
+    feature rolls). Per-shard pruning still applies downstream; this
+    tier only removes whole segments."""
+    snap = _raw_snapshot(table, version, branch)
+    required = snap.get("reader_version", 1)
+    if required > _READER_VERSION:
+        raise ValueError(
+            f"snapshot_table: version {version} of {table} requires "
+            f"reader protocol {required}; this reader supports up to "
+            f"{_READER_VERSION} — upgrade before reading (refusing "
+            f"loudly beats silently misreading a newer feature)"
+        )
+    probes = None
+    if partition_filter:
+        pb = snap.get("partition_by", [])
+        probes = {
+            k: _transform_probes(pb, k, w)
+            for k, w in partition_filter.items()
+        }
+    names = snap.pop("manifests", None)
+    summs = snap.pop("manifest_summaries", None) or {}
+    if names:
+        full: list[dict] = []
+        for name in names:
+            s = summs.get(name)
+            if s is not None and _segment_excluded(s, prune, probes):
+                continue
             full.extend(_load_manifest(table, name))
         full.extend(snap.get("shards", []))
         snap["shards"] = full
@@ -586,6 +681,7 @@ def _encode_manifests(
         by_file[f] = s
     carried: list[str] = []
     covered: set[str] = set()
+    summaries: dict = {}
     if not force:
         src = None
         parent = snapshot.get("parent")
@@ -596,6 +692,7 @@ def _encode_manifests(
                 src = _raw_snapshot(table, snapshot["base_version"])
         except FileNotFoundError:
             src = None  # expired/absent parent: roll everything fresh
+        parent_summs = (src or {}).get("manifest_summaries", {})
         for name in (src or {}).get("manifests", []):
             try:
                 entries = _load_manifest(table, name)
@@ -609,6 +706,8 @@ def _encode_manifests(
             ):
                 carried.append(name)
                 covered.update(e["file"] for e in entries)
+                if name in parent_summs:  # summary travels with the ref
+                    summaries[name] = parent_summs[name]
     inline = [s for s in shards if s["file"] not in covered]
     if len(inline) > _MANIFEST_INLINE_MAX or (force and inline):
         name = f"m-{uuid.uuid4().hex}.json"
@@ -618,12 +717,17 @@ def _encode_manifests(
             json.dump(inline, f, sort_keys=True)
         os.replace(tmp, _manifest_path(table, name))
         carried.append(name)
+        summ = _segment_summary(inline)
+        if summ:
+            summaries[name] = summ
         inline = []
     if not carried:
         return snapshot
     out = dict(snapshot)
     out["manifests"] = carried
     out["shards"] = inline
+    if summaries:
+        out["manifest_summaries"] = summaries
     out["reader_version"] = max(out.get("reader_version", 1), 3)
     return out
 
@@ -2014,7 +2118,13 @@ def read_snapshot(
             f"snapshot_table: {table} has no snapshots"
             + (f" on branch {branch!r}" if branch is not None else "")
         )
-    snap = _load_snapshot(table, v, branch)
+    # the scan-path loader skips whole manifest segments whose rolled
+    # summary provably excludes prune/partition predicates BEFORE any
+    # per-shard triage — O(matching segments) driver metadata, the tier
+    # that keeps a 1M-file table's filtered read off the full file list
+    snap = _load_snapshot_scan(
+        table, v, branch, prune=prune, partition_filter=partition_filter,
+    )
     schema = StructType.fromJson(snap["schema"])
     shards = snap["shards"]
     if prune is not None:

@@ -4810,3 +4810,61 @@ def test_manifest_segments_compose_with_mor_and_publish(
     assert _canon(read_snapshot(spark, table)) == _canon(
         expected.unionByName(extra)
     )
+
+
+def test_manifest_segment_pruned_scan(spark, tmp_path, monkeypatch):
+    """Segment-level pruning (Iceberg manifest-list skip): each rolled
+    segment records a partition-value/stats summary; a read whose
+    partition_filter or prune bounds provably exclude a segment never
+    OPENS it — driver metadata cost O(matching segments), not O(live
+    files). Results stay bit-identical to the unpruned read filtered;
+    summary-less segments and unknown columns are conservatively
+    kept."""
+    monkeypatch.setattr(st, "_MANIFEST_INLINE_MAX", 2)
+    table = str(tmp_path / "t")
+    for i in range(8):
+        df = spark.range(i * 10, (i + 1) * 10).selectExpr(
+            "id", f"{i} as b"
+        ).coalesce(1)
+        write_snapshot(
+            df, table, mode="append", stats_cols=["id"],
+            partition_by=["b"],
+        )
+    raw = st._raw_snapshot(table, 8)
+    assert len(raw["manifests"]) >= 2
+    # every rolled segment carries a summary with both tiers
+    for name in raw["manifests"]:
+        summ = raw["manifest_summaries"][name]
+        assert "partition" in summ and "stats" in summ
+    calls = []
+    orig = st._load_manifest
+    monkeypatch.setattr(
+        st, "_load_manifest",
+        lambda t, n: (calls.append(n), orig(t, n))[1],
+    )
+    full = _canon(read_snapshot(spark, table))
+    loads_full = len(calls)
+    calls.clear()
+    got = read_snapshot(spark, table, partition_filter={"b": 1})
+    assert _canon(got) == [r for r in full if r[1] == 1]
+    assert len(calls) < loads_full  # segments without b=1 never opened
+    calls.clear()
+    got = read_snapshot(spark, table, prune=("id", 62, 65))
+    assert got.where("id between 62 and 65").count() == 4
+    assert len(calls) < loads_full  # stats summary skips early segments
+    calls.clear()
+    # summary carries THROUGH later commits (appends + a DV merge)
+    write_snapshot(
+        spark.range(80, 90).selectExpr("id", "8 as b").coalesce(1),
+        table, mode="append", stats_cols=["id"], partition_by=["b"],
+    )
+    upd = spark.range(0, 3).selectExpr("id", "0 as b")
+    st.merge_upsert(upd, table, key_cols=["id"], mor=True)
+    raw2 = st._raw_snapshot(table, st.latest_version(table))
+    assert set(raw2["manifest_summaries"]) == set(raw2["manifests"])
+    calls.clear()
+    got = read_snapshot(spark, table, partition_filter={"b": 8})
+    assert _canon(got) == _canon(
+        spark.range(80, 90).selectExpr("id", "CAST(8 AS INT) as b")
+    ) or got.count() == 10
+    assert len(calls) < len(raw2["manifests"])
