@@ -271,6 +271,21 @@ def _raw_snapshot(table: str, version: int, branch: str | None = None) -> dict:
         return json.load(f)
 
 
+def _raw_history(table: str, branch: str | None = None) -> list[dict]:
+    """All snapshots as WRITTEN, oldest first (expired versions
+    skipped) — the walk for metadata-only consumers (commit stamps,
+    properties, streaming idempotence marks) that must not pay manifest
+    resolution per version."""
+    last = latest_version(table, branch)
+    out: list[dict] = []
+    for v in range(1, (last or 0) + 1):
+        try:
+            out.append(_raw_snapshot(table, v, branch))
+        except FileNotFoundError:
+            continue
+    return out
+
+
 def _log_dir(table: str, branch: str | None = None) -> str:
     """The snapshot-log directory for the main chain (``branch=None``)
     or a named branch (``_refs/<name>/``). Branch logs use the SAME
@@ -437,16 +452,66 @@ def read_metadata_table(
     - ``"refs"`` — one row per live tag (name, pinned main ``version``)
       or branch (name, ``head_seq``, ``base_version``), Iceberg
       ``.refs`` parity via the same race-tolerant walk GC uses.
+    - ``"manifests"`` — one row per manifest segment the pinned version
+      references (Iceberg ``.manifests`` parity): name, entry count,
+      row count, and the rolled partition/stats summary (portable
+      string form) the scan-path pruner skips by. The inline tail
+      lists as one NULL-named row so the rows always account for every
+      live shard.
 
     The 100 TB operational surface: auditing layout, stats coverage,
     partition balance, and commit cadence is a metadata scan, never a
-    data scan. ``version=`` pins files/partitions like
+    data scan. ``version=`` pins files/partitions/manifests like
     :func:`read_snapshot`; history and refs always list everything
     live (``version=`` with them is rejected, not ignored)."""
-    if kind not in ("history", "files", "partitions", "refs"):
+    if kind not in ("history", "files", "partitions", "refs", "manifests"):
         raise ValueError(
             f"snapshot_table: unknown metadata table {kind!r} "
-            f"(history | files | partitions | refs)"
+            f"(history | files | partitions | refs | manifests)"
+        )
+    if kind == "manifests":
+        vm = latest_version(table) if version is None else version
+        if vm is None:
+            raise FileNotFoundError(
+                f"snapshot_table: {table} has no snapshots"
+            )
+        raw = _raw_snapshot(table, vm)
+        summs = raw.get("manifest_summaries", {})
+        rows = []
+        for name in raw.get("manifests", []):
+            entries = _load_manifest(table, name)
+            s = summs.get(name, {})
+            rows.append(
+                {
+                    "manifest": name,
+                    "n_files": len(entries),
+                    "n_rows": sum(e.get("n_rows", 0) for e in entries),
+                    "partition_summary": {
+                        k: [_pstr(x) for x in v]
+                        for k, v in s.get("partition", {}).items()
+                    } or None,
+                    "stats_summary": {
+                        c: [_pstr(b[0]), _pstr(b[1])]
+                        for c, b in s.get("stats", {}).items()
+                    } or None,
+                }
+            )
+        inline = raw.get("shards", [])
+        if inline:
+            rows.append(
+                {
+                    "manifest": None,
+                    "n_files": len(inline),
+                    "n_rows": sum(e.get("n_rows", 0) for e in inline),
+                    "partition_summary": None,
+                    "stats_summary": None,
+                }
+            )
+        return spark.createDataFrame(
+            rows,
+            "manifest string, n_files bigint, n_rows bigint, "
+            "partition_summary map<string,array<string>>, "
+            "stats_summary map<string,array<string>>",
         )
     if kind == "refs":
         # Iceberg .refs parity: one row per tag/branch. Tags expose the
@@ -608,7 +673,7 @@ def version_as_of(table: str, ts: float) -> int:
     the public formats)."""
     best = None
     unstamped = []
-    for snap in snapshot_history(table):
+    for snap in _raw_history(table):  # stamps only: no resolution
         at = snap.get("committed_at")
         if at is None:
             unstamped.append(snap["version"])
@@ -752,8 +817,8 @@ def _claim_snapshot(
     now = time.time()
     parent = snapshot.get("parent")
     if parent is not None:
-        try:
-            prev = _load_snapshot(table, parent, branch).get("committed_at")
+        try:  # stamp only: raw read, no manifest resolution
+            prev = _raw_snapshot(table, parent, branch).get("committed_at")
             if prev is not None and now <= prev:
                 now = prev + 1e-6
         except FileNotFoundError:  # parent expired — clock wins
@@ -2347,8 +2412,8 @@ def expire_snapshots(
     cutoff = last - max(1, keep_last)
     if older_than is not None:
         while cutoff >= 1:
-            try:
-                at = _load_snapshot(table, cutoff).get("committed_at")
+            try:  # stamp only: raw read, no manifest resolution
+                at = _raw_snapshot(table, cutoff).get("committed_at")
             except FileNotFoundError:  # already expired earlier
                 break
             if at is None or at < older_than:
@@ -2935,7 +3000,7 @@ def _streaming_replayed(
     publish, immune to expire_snapshots) is what remembers the
     published high-water mark. Batch ids are monotonic per lineage, so
     only the most recent stamp can matter."""
-    for snap in reversed(snapshot_history(table, branch)):
+    for snap in reversed(_raw_history(table, branch)):
         props = snap.get("properties", {})
         done = props.get("streaming_batch_id")
         if done is None or props.get("streaming_app_id") != app_id:
@@ -2949,7 +3014,7 @@ def _streaming_replayed(
         done = _ledger_marks(table).get(key, -1)
         if done >= batch_id:
             return True  # replay of an already-PUBLISHED batch
-        for snap in reversed(snapshot_history(table)):
+        for snap in reversed(_raw_history(table)):
             marks = snap.get("properties", {}).get(
                 "published_streaming", {}
             )

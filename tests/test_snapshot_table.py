@@ -4868,3 +4868,38 @@ def test_manifest_segment_pruned_scan(spark, tmp_path, monkeypatch):
         spark.range(80, 90).selectExpr("id", "CAST(8 AS INT) as b")
     ) or got.count() == 10
     assert len(calls) < len(raw2["manifests"])
+
+
+def test_manifests_metadata_relation(spark, tmp_path, monkeypatch):
+    """read_metadata_table(kind='manifests'): one row per referenced
+    segment with entry/row counts and the rolled pruning summary, plus
+    one NULL-named row for the inline tail — the rows always account
+    for every live shard of the pinned version. Metadata-only."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        read_metadata_table,
+    )
+
+    monkeypatch.setattr(st, "_MANIFEST_INLINE_MAX", 2)
+    table = str(tmp_path / "t")
+    for i in range(7):
+        write_snapshot(
+            spark.range(i * 10, (i + 1) * 10).selectExpr(
+                "id", f"{i} as b"
+            ).coalesce(1),
+            table, mode="append", stats_cols=["id"], partition_by=["b"],
+        )
+    m = read_metadata_table(spark, table, "manifests")
+    rows = {r["manifest"]: r for r in m.collect()}
+    raw = st._raw_snapshot(table, 7)
+    assert set(rows) == set(raw["manifests"]) | {None}
+    assert sum(r["n_files"] for r in rows.values()) == 7
+    assert sum(r["n_rows"] for r in rows.values()) == 70
+    named = [r for k, r in rows.items() if k is not None]
+    for r in named:
+        assert r["partition_summary"]["b"]  # rolled summary surfaced
+        lo, hi = r["stats_summary"]["id"]
+        assert int(lo) < int(hi)
+    assert rows[None]["n_files"] == len(raw["shards"])
+    # a version= pin lists the OLD layout, same as files/partitions
+    m3 = read_metadata_table(spark, table, "manifests", version=3)
+    assert m3.agg(F.sum("n_files")).first()[0] == 3
