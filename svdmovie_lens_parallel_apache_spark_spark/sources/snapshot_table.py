@@ -196,11 +196,26 @@ def _segment_summary(entries: list[dict]) -> dict:
         parts[k] = sorted(vals, key=lambda v: (v is None, str(v)))
     if parts:
         summ["partition"] = parts
+    # bloom union: cols filtered in EVERY entry under one (m, k) shape
+    # OR together (a union bloom still has no false negatives); omitted
+    # when the union saturates past 80% — no pruning power, dead bytes
+    blooms: dict = {}
+    for c in set.intersection(*[set(e.get("bloom", {})) for e in entries]):
+        bs = [e["bloom"][c] for e in entries]
+        m, k = bs[0]["m"], bs[0]["k"]
+        if any(b["m"] != m or b["k"] != k for b in bs):
+            continue
+        bits = sorted(set().union(*[b["bits"] for b in bs]))
+        if len(bits) < 0.8 * m * k:
+            blooms[c] = {"m": m, "k": k, "bits": bits}
+    if blooms:
+        summ["bloom"] = blooms
     return summ
 
 
 def _segment_excluded(
     summ: dict, prune: tuple | None, probes: dict | None,
+    bloom_point: tuple | None = None,
 ) -> bool:
     """Can the whole segment be skipped without opening it? True only
     when its summary PROVABLY excludes the scan's predicates."""
@@ -219,12 +234,22 @@ def _segment_excluded(
         vals = summ.get("partition", {}).get(key)
         if vals is not None and not (set(vals) & set(wanted)):
             return True
+    if bloom_point is not None:
+        col, value = bloom_point
+        b = summ.get("bloom", {}).get(col)
+        if b is not None:
+            bits = set(b["bits"])
+            if not all(
+                p in bits for p in _bloom_bits_for(value, b["m"], b["k"])
+            ):
+                return True  # union bloom: still no false negatives
     return False
 
 
 def _load_snapshot_scan(
     table: str, version: int, branch: str | None = None,
     prune: tuple | None = None, partition_filter: dict | None = None,
+    bloom_point: tuple | None = None,
 ) -> dict:
     """:func:`_load_snapshot` for the SCAN path: segments whose rolled
     summary provably excludes the scan's ``prune`` bounds or partition
@@ -255,7 +280,9 @@ def _load_snapshot_scan(
         full: list[dict] = []
         for name in names:
             s = summs.get(name)
-            if s is not None and _segment_excluded(s, prune, probes):
+            if s is not None and _segment_excluded(
+                s, prune, probes, bloom_point
+            ):
                 continue
             full.extend(_load_manifest(table, name))
         full.extend(snap.get("shards", []))
@@ -2189,6 +2216,13 @@ def read_snapshot(
     # that keeps a 1M-file table's filtered read off the full file list
     snap = _load_snapshot_scan(
         table, v, branch, prune=prune, partition_filter=partition_filter,
+        # NULL probes are rejected below (blooms record no NULL bits);
+        # never let one prune a segment first
+        bloom_point=(
+            bloom_point
+            if bloom_point is not None and bloom_point[1] is not None
+            else None
+        ),
     )
     schema = StructType.fromJson(snap["schema"])
     shards = snap["shards"]

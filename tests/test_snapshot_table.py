@@ -4903,3 +4903,43 @@ def test_manifests_metadata_relation(spark, tmp_path, monkeypatch):
     # a version= pin lists the OLD layout, same as files/partitions
     m3 = read_metadata_table(spark, table, "manifests", version=3)
     assert m3.agg(F.sum("n_files")).first()[0] == 3
+
+
+def test_manifest_segment_bloom_skip(spark, tmp_path, monkeypatch):
+    """Segment-level Bloom skipping: rolling a segment ORs its entries'
+    per-shard Bloom filters (a union bloom still has no false
+    negatives), so a POINT lookup on an unclustered key skips whole
+    segments that provably lack the value — the tier min/max summaries
+    cannot provide. Results stay exact; probing a present value opens
+    its segment."""
+    monkeypatch.setattr(st, "_MANIFEST_INLINE_MAX", 2)
+    table = str(tmp_path / "t")
+    # ids deliberately interleaved mod 1000 so min/max CANNOT prune
+    for i in range(8):
+        df = spark.range(i, 8000, 8).selectExpr(
+            "id", "id % 7 as g"
+        ).coalesce(1)
+        write_snapshot(df, table, mode="append", bloom_cols=["id"])
+    raw = st._raw_snapshot(table, 8)
+    segs = raw["manifests"]
+    assert segs and all(
+        "bloom" in raw["manifest_summaries"][n] for n in segs
+    )
+    calls = []
+    orig = st._load_manifest
+    monkeypatch.setattr(
+        st, "_load_manifest",
+        lambda t, n: (calls.append(n), orig(t, n))[1],
+    )
+    # id=1 lives only in the i=1 append: other segments bloom-skip
+    got = read_snapshot(spark, table, bloom_point=("id", 1))
+    assert got.where("id = 1").count() == 1
+    opened_present = len(calls)
+    assert opened_present < len(segs) + 1
+    calls.clear()
+    # an absent value: typically every segment bloom-skips (allow fp)
+    read_snapshot(spark, table, bloom_point=("id", 999_999_937))
+    assert len(calls) <= opened_present
+    # NULL probe still refused loudly before any segment pruning
+    with pytest.raises(ValueError, match="may not be None"):
+        read_snapshot(spark, table, bloom_point=("id", None))
