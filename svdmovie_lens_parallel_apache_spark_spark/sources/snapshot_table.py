@@ -1623,7 +1623,7 @@ def _inherited_blooms(
     return out
 
 
-def _remove_unreferenced(table: str) -> int:
+def _remove_unreferenced(table: str, dry_run: bool = False) -> int:
     """Delete data files no surviving snapshot references (the orphan
     sweep shared by :func:`vacuum` and :func:`expire_snapshots`).
     BRANCH snapshots (``_refs/<name>/``) count as references too —
@@ -1633,7 +1633,7 @@ def _remove_unreferenced(table: str) -> int:
     file inside it) is live; segments orphaned by lost commit races or
     expired history are deleted AFTER the data scan (a crash between
     the two sweeps only ever leaves extra files, never a live snapshot
-    naming a deleted one)."""
+    naming a deleted one). ``dry_run`` counts without deleting."""
     def _refs_of(snap: dict):
         for s in snap.get("shards", []):
             yield s["file"]
@@ -1667,12 +1667,14 @@ def _remove_unreferenced(table: str) -> int:
     for pat in ("part-*.parquet", "dv-*.parquet"):
         for p in glob.glob(os.path.join(table, _DATA_DIR, pat)):
             if os.path.basename(p) not in live:
-                os.remove(p)
+                if not dry_run:
+                    os.remove(p)
                 removed += 1
     for p in glob.glob(os.path.join(table, _MAN_DIR, "m-*.json")):
         if os.path.basename(p) not in live_mans:
-            os.remove(p)
-            _MANIFEST_CACHE.pop(p, None)
+            if not dry_run:
+                os.remove(p)
+                _MANIFEST_CACHE.pop(p, None)
     return removed
 
 
@@ -2469,7 +2471,10 @@ def expire_snapshots(
     }
 
 
-def vacuum(table: str, stage_older_than: float | None = None) -> dict:
+def vacuum(
+    table: str, stage_older_than: float | None = None,
+    dry_run: bool = False,
+) -> dict:
     """Orphan-file GC (Delta ``VACUUM`` / Iceberg
     ``remove_orphan_files`` shaped): delete data files referenced by NO
     committed snapshot — the residue of crashed jobs and lost commit
@@ -2490,8 +2495,22 @@ def vacuum(table: str, stage_older_than: float | None = None) -> dict:
     removed (the age threshold is what makes this safe next to
     in-flight jobs); emptied staging directories are pruned. Off by
     default — the return dict gains ``staged_removed`` only when
-    requested."""
-    out = {"orphans_removed": _remove_unreferenced(table)}
+    requested.
+
+    ``dry_run=True`` (Delta ``VACUUM ... DRY RUN``) returns the same
+    counts without deleting anything — the operational preflight for
+    the in-flight-writer hazard above: inspect what WOULD go before
+    letting it go."""
+    out = {
+        "orphans_removed": _remove_unreferenced(table, dry_run=dry_run),
+        **({"dry_run": True} if dry_run else {}),
+    }
+    if stage_older_than is not None and dry_run:
+        raise ValueError(
+            "snapshot_table: vacuum(dry_run=True) does not preview the "
+            "_tmp/ staging sweep — age-thresholded staging residue is "
+            "time-dependent; run the preview without stage_older_than"
+        )
     if stage_older_than is not None:
         cutoff = time.time() - stage_older_than
         staged = 0

@@ -4943,3 +4943,44 @@ def test_manifest_segment_bloom_skip(spark, tmp_path, monkeypatch):
     # NULL probe still refused loudly before any segment pruning
     with pytest.raises(ValueError, match="may not be None"):
         read_snapshot(spark, table, bloom_point=("id", None))
+
+
+def test_vacuum_dry_run(spark, docs, tmp_path):
+    """vacuum(dry_run=True): same orphan counts (data files AND
+    manifest segments), zero deletions — the preflight for the
+    in-flight-writer hazard; the staging sweep refuses to combine with
+    a dry run (time-dependent preview would lie)."""
+    import glob as _glob
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        vacuum,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(docs.where(F.col("lang") == "en"), table)
+    # fabricate orphans: an unreferenced data file + segment file
+    orphan_data = os.path.join(table, "data", "part-orphan.parquet")
+    with open(orphan_data, "wb") as f:
+        f.write(b"x")
+    os.makedirs(os.path.join(table, "_manifests"), exist_ok=True)
+    orphan_seg = st._manifest_path(table, "m-orphan.json")
+    with open(orphan_seg, "w") as f:
+        json.dump([], f)
+    before = set(_glob.glob(os.path.join(table, "data", "*"))) | {
+        orphan_seg
+    }
+    out = vacuum(table, dry_run=True)
+    assert out == {"orphans_removed": 1, "dry_run": True}
+    after = set(_glob.glob(os.path.join(table, "data", "*"))) | (
+        {orphan_seg} if os.path.exists(orphan_seg) else set()
+    )
+    assert after == before  # preview deleted NOTHING
+    with pytest.raises(ValueError, match="dry_run"):
+        vacuum(table, stage_older_than=0.0, dry_run=True)
+    out = vacuum(table)
+    assert out == {"orphans_removed": 1}
+    assert not os.path.exists(orphan_data)
+    assert not os.path.exists(orphan_seg)
+    assert read_snapshot(spark, table).count() == docs.where(
+        F.col("lang") == "en"
+    ).count()
