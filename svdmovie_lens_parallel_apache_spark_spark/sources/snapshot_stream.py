@@ -90,6 +90,7 @@ from .snapshot_table import (
     _load_snapshot,
     _partition_match,
     _transform_probes,
+    _version_change_counts,
     latest_version,
 )
 
@@ -180,7 +181,10 @@ def _build():
             if self.max_files:
                 v = _capped_latest(
                     v, self._pos, self.max_files,
-                    lambda u: len(_added_files(self.table, u - 1, u)[0]),
+                    # raw segment-diff count: O(changed metadata) per
+                    # version, never a full manifest resolution (shape
+                    # guards stay with the planning walk)
+                    lambda u: _version_change_counts(self.table, u)[0],
                 )
             return {"version": v}
 
@@ -493,7 +497,11 @@ def _build_cdc():
             if self.max_files:
                 v = _capped_latest(
                     v, self._pos, self.max_files,
-                    lambda u: len(_cdc_plan_version(self.table, u)),
+                    # raw segment-diff counts: adds + removals + DV-
+                    # covered files ~= the planned change items, in
+                    # O(changed metadata); refusal shapes still fail
+                    # loudly in the planning walk
+                    lambda u: sum(_version_change_counts(self.table, u)),
                 )
             return {"version": v}
 

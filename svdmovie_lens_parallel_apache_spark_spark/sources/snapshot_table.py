@@ -298,6 +298,40 @@ def _raw_snapshot(table: str, version: int, branch: str | None = None) -> dict:
         return json.load(f)
 
 
+def _version_change_counts(table: str, v: int) -> tuple[int, int, int]:
+    """(files added, files removed, DV-covered files) of version ``v``
+    vs its parent, computed from RAW snapshots + only the segments that
+    CHANGED between them — O(changed metadata), never a full manifest
+    resolution. Shared segment names contribute zero adds/removes by
+    the carry-over invariant (a carried segment's entries are
+    dict-identical in both versions), so they are excluded unopened.
+    This is the stream sources' admission-control counter: a paced
+    latestOffset on a 10^6-file table must not pay O(live files) of
+    ``json.loads`` per version per trigger. Shape guards (DML refusal,
+    rename crossings) stay with the planning walk — a mis-counted
+    budget here at worst mis-sizes the batch that then fails loudly
+    there."""
+    try:
+        a = _raw_snapshot(table, v - 1) if v > 1 else {}
+    except FileNotFoundError:
+        a = {}
+    b = _raw_snapshot(table, v)
+    segs_a = set(a.get("manifests", []))
+    segs_b = set(b.get("manifests", []))
+    new_files = {s["file"] for s in b.get("shards", [])}
+    for n in segs_b - segs_a:
+        new_files |= {e["file"] for e in _load_manifest(table, n)}
+    old_files = {s["file"] for s in a.get("shards", [])}
+    for n in segs_a - segs_b:
+        old_files |= {e["file"] for e in _load_manifest(table, n)}
+    old_dels = a.get("deletes", [])
+    extra = b.get("deletes", [])[len(old_dels):]
+    covered = sum(len(d.get("shards", [])) for d in extra)
+    return (
+        len(new_files - old_files), len(old_files - new_files), covered,
+    )
+
+
 def _raw_history(table: str, branch: str | None = None) -> list[dict]:
     """All snapshots as WRITTEN, oldest first (expired versions
     skipped) — the walk for metadata-only consumers (commit stamps,

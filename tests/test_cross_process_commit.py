@@ -175,3 +175,82 @@ def test_cross_process_writers_and_publisher_no_lost_commits(
     assert {(r.doc_id, r.lang) for r in rows} == expected
     if not published:
         assert any(r[0] == "conflict" for r in results)
+
+
+def _drop_worker_manifests(table, buckets, q):
+    """A rebasing committer under manifest encoding: the child process
+    lowers the roll threshold (fresh interpreter — module state is NOT
+    inherited) so every commit it makes exercises carry-over + re-roll
+    against whatever segments the other process just published."""
+    try:
+        from svdmovie_lens_parallel_apache_spark_spark.sources import (
+            snapshot_table as _st,
+        )
+
+        _st._MANIFEST_INLINE_MAX = 2
+        got = [
+            _st.drop_partition(table, {"bucket(16, doc_id)": b})
+            for b in buckets
+        ]
+        q.put(("ok", buckets, got))
+    except Exception as e:
+        q.put(("err", buckets, repr(e)))
+
+
+def test_cross_process_races_under_manifest_encoding(spark, docs, tmp_path):
+    """Manifest segmentation under PROCESS-granularity commit races:
+    4 rebasing drop-partition committers (3 commits each) against a
+    table whose shard list is segment-encoded (threshold 2). Every
+    version must stay contiguous and parseable, every live snapshot's
+    segment refs must resolve, losing attempts' orphaned segment files
+    must sweep without touching live ones, and the final data must be
+    exactly the undropped rows — no lost commits, no dangling refs."""
+    import glob as _glob
+
+    table = str(tmp_path / "t")
+    en = docs.where(F.col("lang") == "en")
+    old = st._MANIFEST_INLINE_MAX
+    st._MANIFEST_INLINE_MAX = 2
+    try:
+        write_snapshot(en, table, partition_by=["bucket(16, doc_id)"])
+    finally:
+        st._MANIFEST_INLINE_MAX = old
+    assert st._raw_snapshot(table, 1).get("manifests")  # encoded start
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    assignments = [(0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11)]
+    procs = [
+        ctx.Process(target=_drop_worker_manifests, args=(table, list(bs), q))
+        for bs in assignments
+    ]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=300) for _ in procs]
+    for p in procs:
+        p.join(timeout=120)
+    assert not [r for r in results if r[0] == "err"], results
+    assert latest_version(table) == 13
+    hist = snapshot_history(table)  # resolves every version's segments
+    assert [s["version"] for s in hist] == list(range(1, 14))
+    # every live snapshot's refs resolve; orphaned segments sweep clean
+    n_before = len(_glob.glob(os.path.join(table, "_manifests", "*.json")))
+    st.vacuum(table)
+    live = set()
+    for v in range(1, 14):
+        live |= set(st._raw_snapshot(table, v).get("manifests", []))
+    left = {
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(table, "_manifests", "m-*.json"))
+    }
+    assert live <= left and len(left) <= n_before
+    for name in live:
+        st._load_manifest(table, name)  # parseable, present
+    bucket = st._parse_partition_spec("bucket(16, doc_id)")["py"]
+    dropped = {bucket(v) for bs in assignments for v in bs}
+    rows = read_snapshot(spark, table).select("doc_id", "lang").collect()
+    expected = {
+        (r.doc_id, r.lang)
+        for r in en.select("doc_id", "lang").collect()
+        if bucket(r.doc_id) not in dropped
+    }
+    assert {(r.doc_id, r.lang) for r in rows} == expected

@@ -4984,3 +4984,47 @@ def test_vacuum_dry_run(spark, docs, tmp_path):
     assert read_snapshot(spark, table).count() == docs.where(
         F.col("lang") == "en"
     ).count()
+
+
+def test_version_change_counts_raw_diff(spark, tmp_path, monkeypatch):
+    """_version_change_counts (the stream sources' admission counter)
+    computes adds/removes/DV-covered from RAW snapshots + only CHANGED
+    segments: equal to the planning walk's add count on append
+    histories (manifest-rolled or classic), conservative (never under)
+    on layout rewrites, and it never opens a carried segment."""
+    monkeypatch.setattr(st, "_MANIFEST_INLINE_MAX", 2)
+    table = str(tmp_path / "t")
+    for i in range(6):
+        write_snapshot(
+            spark.range(i * 10, (i + 1) * 10).coalesce(1), table,
+            mode="append",
+        )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        _added_files,
+        _version_change_counts,
+    )
+
+    for v in range(1, 7):
+        adds = len(_added_files(table, v - 1, v)[0])
+        got = _version_change_counts(table, v)
+        assert got == (adds, 0, 0), f"v{v}: {got} != ({adds},0,0)"
+    # carried segments are never opened by the counter
+    opened = []
+    orig = st._load_manifest
+    monkeypatch.setattr(
+        st, "_load_manifest",
+        lambda t, n: (opened.append(n), orig(t, n))[1],
+    )
+    raw5 = st._raw_snapshot(table, 5)
+    raw6 = st._raw_snapshot(table, 6)
+    shared = set(raw5.get("manifests", [])) & set(raw6.get("manifests", []))
+    _version_change_counts(table, 6)
+    assert shared and not (set(opened) & shared)
+    # MoR merge: covered files counted; compaction: conservative >= 0
+    upd = spark.range(0, 3).selectExpr("id")
+    st.merge_upsert(upd, table, key_cols=["id"], mor=True)
+    a, r, c = _version_change_counts(table, 7)
+    assert c >= 1 and a >= 1  # post-image shard + covered file(s)
+    st.compact_table(spark, table, target_shards=1)
+    a, r, c = _version_change_counts(table, 8)
+    assert a >= 1 and r >= 1  # rewrite shape: conservative over-count
