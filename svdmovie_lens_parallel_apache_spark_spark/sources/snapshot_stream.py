@@ -48,10 +48,17 @@ per-language derived-table refresh (unstamped added shards are
 conservatively kept) — and ``max_files_per_trigger`` (admission
 control, Delta's option of the same name): each micro-batch admits
 whole commits until their cumulative file count would exceed the
-budget, always at least one commit, so a consumer of a hot table paces
-itself instead of planning one monster batch after downtime. Commits
-are never split (a version is wholly inside one batch — the atomicity
-every downstream exactly-once argument leans on). CAVEAT: with
+budget, so a consumer of a hot table paces itself instead of planning
+one monster batch after downtime. For THIS append-level source the
+budget is file-granular: offsets become ``{"version": V, "index": I}``
+(first I adds of V consumed, legacy whole-version offsets normalize
+seamlessly) and a single commit larger than the budget — including a
+fresh subscription's initial 100 TB snapshot — pages through in
+budget-sized batches, Delta's (version, index) idiom. The row-level
+``snapshot_cdc`` source keeps WHOLE-commit granularity instead: its
+apply-sink reduces each batch per key by highest version, and
+splitting a version's delete/insert pairs across batches would make
+replica convergence order-sensitive. CAVEAT: with
 ``availableNow`` Spark captures ONE capped end offset per invocation,
 so the budget becomes a per-RUN budget (the drain advances at most
 budget files, re-invoke to catch up — Delta's historical Trigger.Once
@@ -128,6 +135,47 @@ def _capped_latest(latest: int, pos: int | None, budget: int, count_of) -> int:
     return v
 
 
+def _norm_off(off: dict) -> tuple[int, int]:
+    """Canonical position of a snapshot_changes offset: ``(V, I)`` =
+    every add of versions < V consumed, plus the first I adds (sorted
+    file-name order) of version V. The legacy whole-version form
+    ``{"version": V}`` (no index) means consumed THROUGH V, i.e.
+    ``(V + 1, 0)`` — so pre-split checkpoints resume seamlessly."""
+    if "index" in off:
+        return (off["version"], off["index"])
+    return (off["version"] + 1, 0)
+
+
+def _capped_end_indexed(
+    table: str, latest: int, pos: tuple[int, int], budget: int,
+) -> tuple[int, int]:
+    """File-granular admission control for the APPEND stream (Delta
+    maxFilesPerTrigger with (version, index) offsets): advance from
+    ``pos`` accumulating per-version add counts, splitting INSIDE the
+    version that would blow the budget — so a fresh subscription to a
+    100 TB table pages through its initial snapshot in budget-sized
+    batches instead of one monster batch. Always admits at least one
+    file. Counts come from the raw segment diff; a layout rewrite
+    (compaction) can over-count there, which at worst burns budget on
+    a version the planner slices to nothing — never loss, never
+    duplication (the slice is over the TRUE sorted add list, and a
+    slice past its end is empty)."""
+    v, i = pos
+    total = 0
+    while v <= latest:
+        n = _version_change_counts(table, v)[0]
+        avail = max(0, n - i)
+        if total + avail > budget:  # this version overflows the budget
+            take = budget - total
+            if take <= 0 and total > 0:
+                return (v, i)  # stop at the version boundary
+            return (v, i + max(take, 1))  # ≥1 file: always progress
+        total += avail
+        v += 1
+        i = 0
+    return (v, 0)  # == (latest + 1, 0): fully caught up
+
+
 def _build():
     """Class definitions deferred so importing this module never
     requires the pyspark.sql.datasource surface at import time."""
@@ -168,8 +216,9 @@ def _build():
                 f.name for f in StructType.fromJson(self.schema_json).fields
             ]
             self.max_files = int(options.get("max_files_per_trigger", 0) or 0)
-            self._pos = self.start_version  # planning high-water
-            self._floor = self.start_version  # delivered floor
+            # positions are (version, index) tuples — see _norm_off
+            self._pos = (self.start_version + 1, 0)  # planning high-water
+            self._floor = (self.start_version + 1, 0)  # delivered floor
 
         def initialOffset(self):
             return {"version": self.start_version}
@@ -179,26 +228,33 @@ def _build():
             if v is None:
                 return {"version": self.start_version}
             if self.max_files:
-                v = _capped_latest(
-                    v, self._pos, self.max_files,
-                    # raw segment-diff count: O(changed metadata) per
-                    # version, never a full manifest resolution (shape
-                    # guards stay with the planning walk)
-                    lambda u: _version_change_counts(self.table, u)[0],
+                ev, ei = _capped_end_indexed(
+                    self.table, v, max(self._pos, self._floor),
+                    self.max_files,
                 )
+                # canonical indexed form; equals the committed offset
+                # dict byte-for-byte once caught up (no churn batches)
+                return {"version": ev, "index": ei}
             return {"version": v}
 
         def partitions(self, start, end):
-            # delivered floor: a batch STARTING at v proves everything
-            # <= v was already delivered (Spark's offset log says so) —
-            # clamping below makes a post-restart offset regression
-            # replay-free; in monotone flow this is the identity
-            lo = max(start["version"], self._floor)
-            self._floor = lo
-            self._pos = max(self._pos, lo, end["version"])
-            entries, _ = _added_files(
-                self.table, lo, end["version"]
-            )
+            # delivered floor: a batch STARTING at position p proves
+            # everything before p was already delivered (Spark's offset
+            # log says so) — clamping below makes a post-restart offset
+            # regression replay-free; in monotone flow, the identity
+            s = max(_norm_off(start), self._floor)
+            e = _norm_off(end)
+            self._floor = s
+            self._pos = max(self._pos, s, e)
+            entries = []
+            v, i = s
+            while (v, i) < e:
+                if v == e[0] and e[1] == 0:
+                    break  # (V, 0) references nothing of V
+                adds, _ = _added_files(self.table, v - 1, v)
+                hi = e[1] if v == e[0] else len(adds)
+                entries.extend(adds[i:hi])
+                v, i = v + 1, 0
             if self.probes:
                 entries = [
                     s
@@ -232,8 +288,8 @@ def _build():
         def commit(self, end):
             # the snapshot log + Spark's offset log are the state; the
             # position hints only pace the NEXT latestOffset and floor
-            self._pos = max(self._pos, end["version"])
-            self._floor = max(self._floor, end["version"])
+            self._pos = max(self._pos, _norm_off(end))
+            self._floor = max(self._floor, _norm_off(end))
 
     class SnapshotChangesDataSource(DataSource):
         @classmethod

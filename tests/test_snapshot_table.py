@@ -2939,7 +2939,7 @@ def test_read_metadata_tables(spark, docs, tmp_path):
     parts = read_metadata_table(spark, table, "partitions")
     assert parts.agg(F.sum("n_rows")).collect()[0][0] == docs.count() + 10
     with pytest.raises(ValueError, match="unknown metadata table"):
-        read_metadata_table(spark, table, "manifests")
+        read_metadata_table(spark, table, "entries")  # not a relation
 
 
 def test_stream_source_partition_filter(spark, docs, tmp_path):

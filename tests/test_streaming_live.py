@@ -831,13 +831,18 @@ def test_snapshot_changes_max_files_per_trigger_paces(spark, sf_dir):
     assert len(fed) >= 3  # paced, not one monster batch
     import ast
 
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_stream import (
+        _norm_off,
+    )
+
     for p in fed:
         so = p["sources"][0]  # offsets serialize as dict reprs
-        end = ast.literal_eval(so["endOffset"])["version"]
-        start = (ast.literal_eval(so["startOffset"] or "None") or {}).get(
-            "version", 0
+        end = _norm_off(ast.literal_eval(so["endOffset"]))
+        start = _norm_off(
+            ast.literal_eval(so["startOffset"] or "None") or {"version": 0}
         )
-        assert end - start <= 2  # budget honored per trigger
+        # budget honored per trigger: <= 2 one-file versions advance
+        assert end[0] - start[0] <= 2
         assert p["numInputRows"] <= 20  # 2 commits x 10 rows
 
     # availableNow: per-run budget — each drain advances <= 2 versions
@@ -908,3 +913,81 @@ def test_snapshot_cdc_max_files_per_trigger_paces(spark, sf_dir):
     batch = read_cdc(spark, table, 1, 4)
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_snapshot_changes_splits_monster_commit(spark, sf_dir):
+    """File-granular admission control: ONE commit of 9 files under
+    max_files_per_trigger=2 pages through in (version, index) offset
+    steps — >=5 batches of <=2 files under a processingTime trigger,
+    every row exactly once. The fresh-subscription initial-snapshot
+    case: a budget must bound the FIRST batch too, not just catch-up.
+    Then a restart on the same checkpoint after one more commit
+    resumes from the indexed offset with zero re-emission (legacy and
+    indexed offsets normalize to one position space)."""
+    import ast
+    import os
+    import time
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_stream import (
+        register_snapshot_changes,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        write_snapshot,
+    )
+
+    register_snapshot_changes(spark)
+    root = tempfile.mkdtemp(prefix="svdml-split-")
+    table, out, ckpt = [os.path.join(root, x) for x in ("t", "out", "c")]
+    write_snapshot(
+        spark.range(0, 90).repartition(9), table, mode="append",
+    )  # v1: ONE commit, 9 files
+
+    def outcount():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    def run(expect):
+        q = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", table).option("start_version", 0)
+            .option("max_files_per_trigger", 2).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            while outcount() < expect and time.time() < deadline:
+                time.sleep(0.3)
+        finally:
+            q.stop()
+            q.awaitTermination()
+        return q
+
+    q = run(90)
+    got = spark.read.parquet(out)
+    assert got.count() == 90 and got.distinct().count() == 90
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_stream import (
+        _norm_off,
+    )
+
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 5  # 9 files / 2-file budget
+    for p in fed:
+        end = ast.literal_eval(p["sources"][0]["endOffset"])
+        assert "index" in end  # paced offsets carry the file index
+        start = _norm_off(
+            ast.literal_eval(p["sources"][0]["startOffset"] or "None")
+            or {"version": 0}
+        )
+        if end["version"] == start[0]:  # within one version: <=2 files
+            assert end["index"] - start[1] <= 2
+    # restart on the indexed checkpoint: only the NEW commit's rows
+    write_snapshot(spark.range(90, 120).repartition(3), table,
+                   mode="append")  # v2: 3 files
+    q = run(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 120 and got.distinct().count() == 120
