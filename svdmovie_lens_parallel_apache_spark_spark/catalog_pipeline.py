@@ -6225,3 +6225,98 @@ def q_snapshot_manifest_scale(spark, sf_dir):
         )
     finally:
         st._MANIFEST_INLINE_MAX = keep
+
+
+@register(
+    "snapshot_stream_paced",
+    f"""
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           TRUE                         AS paced_ok
+    FROM documents GROUP BY lang
+    """,
+    tags=("sources", "table-format", "streaming", "admission-control"),
+    description="Admission-controlled streaming read under the oracle "
+    "gate (Delta maxFilesPerTrigger, file-granular): ONE commit of 8 "
+    "files — the fresh-subscription initial-snapshot shape — drained "
+    "by a continuous (processingTime) query with "
+    "max_files_per_trigger=2. paced_ok pins that the drain took >=4 "
+    "non-empty micro-batches, every batch's (version, index) offsets "
+    "advanced at most 2 files within the version, and offsets carry "
+    "the file index (the sub-version paging a 100 TB initial snapshot "
+    "needs — without it the first batch IS the table). The drained "
+    "rows must fingerprint byte-identically to the full table: paging "
+    "loses nothing, duplicates nothing, and the budget bounds every "
+    "batch including the first. Engine: sources/snapshot_stream.py::"
+    "_capped_end_indexed / _norm_off.",
+)
+def q_snapshot_stream_paced(spark, sf_dir):
+    import ast
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from .sources.snapshot_stream import _norm_off, register_snapshot_changes
+    from .sources.snapshot_table import write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    n_expected = docs.count()
+    table = tempfile.mkdtemp(prefix="svdml-paced-")
+    write_snapshot(docs.repartition(8), table, mode="append")  # 1 commit
+    register_snapshot_changes(spark)
+    sink = f"paced_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("path", table)
+        .option("start_version", 0)
+        .option("max_files_per_trigger", 2)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(processingTime="150 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while (
+            spark.table(sink).count() < n_expected
+            and _time.time() < deadline
+        ):
+            _time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    bounded = True
+    for p in fed:
+        so = p["sources"][0]
+        end = ast.literal_eval(so["endOffset"])
+        start = _norm_off(
+            ast.literal_eval(so["startOffset"] or "None") or {"version": 0}
+        )
+        if "index" not in end:
+            bounded = False  # paced offsets must carry the file index
+        elif end["version"] == start[0] and end["index"] - start[1] > 2:
+            bounded = False  # budget blown inside the version
+    paced_ok = bool(
+        len(fed) >= 4  # 8 files / 2-file budget: never one monster batch
+        and bounded
+        and spark.table(sink).count() == n_expected
+    )
+    return (
+        spark.table(sink)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias(
+                "text_fp"
+            ),
+        )
+        .withColumn("paced_ok", F.lit(paced_ok))
+    )
