@@ -190,6 +190,18 @@ def main() -> None:
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             full["scaling_rehearsal"] = json.load(f)
+    # the two-consecutive-runs re-baseline evidence (r9 verdict item 4)
+    # is recorded once on an idle host and carried forward verbatim —
+    # a single fresh run must not silently drop it
+    prior_path = os.path.join(repo_dir, "BENCH_FULL.json")
+    if os.path.exists(prior_path):
+        try:
+            with open(prior_path) as f:
+                prior = json.load(f)
+            if "rebaseline" in prior:
+                full["rebaseline"] = prior["rebaseline"]
+        except (OSError, ValueError):
+            pass
     # Full per-query payload goes to a committed repo file: the driver's
     # BENCH artifact captures only the last ~2000 stdout chars, so the
     # 144-query map must NOT ride on stdout (r3 lesson: parsed:null).
