@@ -5028,3 +5028,46 @@ def test_version_change_counts_raw_diff(spark, tmp_path, monkeypatch):
     st.compact_table(spark, table, target_shards=1)
     a, r, c = _version_change_counts(table, 8)
     assert a >= 1 and r >= 1  # rewrite shape: conservative over-count
+
+
+def test_rewrite_manifests_on_branch_and_tag_retention(
+    spark, tmp_path, monkeypatch
+):
+    """Two manifest edges: (1) rewrite_manifests(branch=) compacts a
+    BRANCH head's segment list without touching main; (2) a TAGGED
+    version's segments survive expire_snapshots however old — the tag
+    is the retention pin for metadata segments exactly as for data
+    files."""
+    import glob as _glob
+
+    monkeypatch.setattr(st, "_MANIFEST_INLINE_MAX", 2)
+    table = str(tmp_path / "t")
+    mk = lambda lo: spark.range(lo, lo + 10).selectExpr("id").coalesce(1)
+    for i in range(5):
+        write_snapshot(mk(i * 10), table, mode="append")
+    st.create_tag(table, "audited", version=5)
+    pinned_segs = set(st._raw_snapshot(table, 5).get("manifests", []))
+    assert pinned_segs
+    st.create_branch(table, "work")
+    for i in range(5, 8):
+        write_snapshot(mk(i * 10), table, mode="append", branch="work")
+    head_b = latest_version(table, "work")
+    assert len(st._raw_snapshot(table, head_b, "work")["manifests"]) >= 2
+    main_head_before = latest_version(table)
+    v = st.rewrite_manifests(table, branch="work")
+    assert v == head_b + 1
+    assert latest_version(table) == main_head_before  # main untouched
+    raw = st._raw_snapshot(table, v, "work")
+    assert len(raw["manifests"]) == 1 and raw["shards"] == []
+    assert read_snapshot(spark, table, branch="work").count() == 80
+    # age out main history: the tagged version's segments must survive
+    for i in range(8, 11):
+        write_snapshot(mk(i * 10), table, mode="append")
+    expire_snapshots(table, keep_last=1)
+    assert os.path.exists(st._snap_path(table, 5))  # tag pins the file
+    on_disk = {
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(table, "_manifests", "m-*.json"))
+    }
+    assert pinned_segs <= on_disk
+    assert read_snapshot(spark, table, tag="audited").count() == 50
