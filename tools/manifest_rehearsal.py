@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Manifest-segmentation metadata rehearsal: measure the COMMIT-side
+metadata cost (bytes written per append, via the REAL claim/encode
+path) as the live-file count grows, classic self-contained snapshots
+vs manifest-segmented ones.
+
+No Spark: the cost being measured is the metadata layer itself —
+synthetic shard entries (file/n_rows/stats, the shapes write_snapshot
+records) appended one per commit through ``_load_snapshot`` (the real
+appender's base load, manifest resolution included) and
+``_claim_snapshot`` (the real encode + put-if-absent claim). Bytes per
+commit = the snapshot JSON written + any new segment files rolled.
+
+Expected shape (the reason the feature exists): classic bytes/commit
+grow LINEARLY with live files (the full shard list re-serialises every
+commit); segmented bytes/commit stay ~FLAT — O(inline tail + segment
+names) — with a periodic ~inline-bound-sized segment roll. Read-side
+load cost is measured too (time to materialise the head snapshot).
+
+Writes the ``manifest_metadata_rehearsal`` key into SCALING.json.
+
+Usage: python tools/manifest_rehearsal.py [n_files]
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from svdmovie_lens_parallel_apache_spark_spark.sources import (  # noqa: E402
+    snapshot_table as st,
+)
+
+CHECKPOINTS = (100, 500, 1000, 2000, 4000)
+
+
+def _shard(i: int) -> dict:
+    return {
+        "file": f"part-{uuid.uuid4().hex}.parquet",
+        "n_rows": 1000,
+        "stats": {"doc_id": [i * 1000, i * 1000 + 999]},
+    }
+
+
+def _append_once(table: str, i: int) -> int:
+    """One real append commit: load base (manifest resolution and all),
+    extend, claim. Returns metadata bytes written by THIS commit."""
+    current = st.latest_version(table)
+    if current is None:
+        base_shards, schema = [], {"type": "struct", "fields": []}
+    else:
+        base = st._load_snapshot(table, current)
+        base_shards, schema = base["shards"], base["schema"]
+    shards = base_shards + [_shard(i)]
+    snapshot = {
+        "version": (current or 0) + 1,
+        "parent": current,
+        "operation": "append",
+        "schema": schema,
+        "n_shards": len(shards),
+        "n_rows": sum(s["n_rows"] for s in shards),
+        "shards": shards,
+    }
+    man_dir = os.path.join(table, st._MAN_DIR)
+    before = {
+        f: os.path.getsize(os.path.join(man_dir, f))
+        for f in (os.listdir(man_dir) if os.path.isdir(man_dir) else [])
+    }
+    tmp = os.path.join(table, "_tmp", uuid.uuid4().hex)
+    try:
+        assert st._claim_snapshot(table, tmp, snapshot)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    snap_bytes = os.path.getsize(
+        st._snap_path(table, snapshot["version"])
+    )
+    new_seg_bytes = sum(
+        os.path.getsize(os.path.join(man_dir, f))
+        for f in (os.listdir(man_dir) if os.path.isdir(man_dir) else [])
+        if f not in before
+    )
+    return snap_bytes + new_seg_bytes
+
+
+def run(mode: str, n_files: int) -> dict:
+    keep = st._MANIFEST_INLINE_MAX
+    st._MANIFEST_INLINE_MAX = 10 ** 9 if mode == "classic" else keep
+    root = tempfile.mkdtemp(prefix=f"manrehearse-{mode}-")
+    table = os.path.join(root, "t")
+    out: dict = {"bytes_per_commit": {}, "load_head_ms": {}}
+    try:
+        window: list[int] = []
+        t_commits = time.time()
+        for i in range(1, n_files + 1):
+            window.append(_append_once(table, i))
+            if i in CHECKPOINTS and i <= n_files:
+                # mean over the trailing 50 commits: segmented cost is
+                # periodic (a roll every inline-bound commits), so a
+                # single-commit sample would alias the sawtooth
+                tail = window[-50:]
+                out["bytes_per_commit"][str(i)] = int(
+                    sum(tail) / len(tail)
+                )
+                t0 = time.time()
+                st._load_snapshot(table, st.latest_version(table))
+                out["load_head_ms"][str(i)] = round(
+                    (time.time() - t0) * 1000, 2
+                )
+        out["total_commit_wall_s"] = round(time.time() - t_commits, 2)
+        raw = st._raw_snapshot(table, st.latest_version(table))
+        out["head_segments"] = len(raw.get("manifests", []))
+        out["head_inline"] = len(raw.get("shards", []))
+    finally:
+        st._MANIFEST_INLINE_MAX = keep
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    res = {
+        "n_files": n,
+        "inline_max": st._MANIFEST_INLINE_MAX,
+        "classic": run("classic", n),
+        "segmented": run("segmented", n),
+        "note": (
+            "bytes written per append commit (snapshot JSON + new "
+            "segments, trailing-50 mean) through the real "
+            "_load_snapshot/_claim_snapshot path with synthetic shard "
+            "entries; classic = roll threshold disabled. The claim: "
+            "classic grows O(live files), segmented stays ~flat."
+        ),
+    }
+    c = res["classic"]["bytes_per_commit"]
+    s = res["segmented"]["bytes_per_commit"]
+    ks = sorted(c, key=int)
+    res["classic_growth"] = round(int(c[ks[-1]]) / int(c[ks[0]]), 1)
+    res["segmented_growth"] = round(int(s[ks[-1]]) / int(s[ks[0]]), 1)
+    path = os.path.join(REPO, "SCALING.json")
+    with open(path) as f:
+        full = json.load(f)
+    full["manifest_metadata_rehearsal"] = res
+    with open(path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    print(json.dumps(res, indent=1))
+
+
+if __name__ == "__main__":
+    main()
