@@ -6320,3 +6320,124 @@ def q_snapshot_stream_paced(spark, sf_dir):
         )
         .withColumn("paced_ok", F.lit(paced_ok))
     )
+
+
+@register(
+    "snapshot_cdc_paged",
+    f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+                         ELSE n_chars END) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           TRUE AS paged_ok
+    FROM documents GROUP BY lang
+    """,
+    tags=("sources", "table-format", "streaming", "cdc",
+          "admission-control"),
+    description="Key-range paging of the snapshot_cdc stream (the "
+    "monster-DML-commit contract): documents committed as 8 files "
+    "(v1) then one MoR merge bumping n_chars by 1000 for every 5th "
+    "doc (v2, pre-image deletes + post-image inserts over deletion "
+    "vectors), drained by a continuous query with "
+    "max_files_per_trigger=3 and page_keys=doc_id — both oversized "
+    "commits must page as deterministic hash-ranges of doc_id "
+    "(offsets carry page/pages) instead of arriving as monster "
+    "batches, and the per-key highest-version reduction of the "
+    "drained rows must reproduce the upstream final state exactly "
+    "(paging preserves convergence: a page holds a key's COMPLETE "
+    "change set for its version). paged_ok pins >=4 non-empty "
+    "micro-batches, paged offsets observed, zero duplicate "
+    "(doc_id, version, change_type) deliveries. Engine: "
+    "sources/snapshot_stream.py::_capped_end_paged + the read()-side "
+    "hash_pandas_object range filter.",
+)
+def q_snapshot_cdc_paged(spark, sf_dir):
+    import ast
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from .sources.snapshot_stream import register_snapshot_cdc
+    from .sources.snapshot_table import merge_upsert, write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    table = tempfile.mkdtemp(prefix="svdml-cdcpaged-") + "/t"
+    write_snapshot(docs.repartition(8), table, mode="append")  # v1: 8 files
+    upd = docs.where(F.col("doc_id") % 5 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    merge_upsert(upd, table, key_cols=["doc_id"], mor=True)  # v2: MoR DML
+    n_docs = docs.count()
+    n_upd = upd.count()
+    n_expected = n_docs + 2 * n_upd  # v1 inserts + v2 delete/insert pairs
+    register_snapshot_cdc(spark)
+    sink = f"cdcpaged_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("snapshot_cdc")
+        .option("path", table)
+        .option("start_version", 0)
+        .option("max_files_per_trigger", 3)
+        .option("page_keys", "doc_id")
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(processingTime="150 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 180
+        while (
+            spark.table(sink).count() < n_expected
+            and _time.time() < deadline
+        ):
+            _time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    paged_seen = False
+    for p in fed:
+        end = ast.literal_eval(p["sources"][0]["endOffset"])
+        if "page" in end:
+            paged_seen = True  # offsets carry the key-range page
+    drained = spark.table(sink)
+    dup_free = (
+        drained.groupBy("doc_id", "_commit_version", "_change_type")
+        .count().where(F.col("count") > 1).count() == 0
+    )
+    paged_ok = bool(
+        len(fed) >= 4
+        and paged_seen
+        and dup_free
+        and drained.count() == n_expected
+    )
+    # per-key highest-version reduction = the CDC apply-sink algebra:
+    # the replica state paging must converge to
+    w = Window.partitionBy("doc_id")
+    final = (
+        drained.withColumn(
+            "_mx", F.max("_commit_version").over(w)
+        )
+        .where(
+            (F.col("_commit_version") == F.col("_mx"))
+            & (F.col("_change_type") == "insert")
+        )
+        .drop("_mx", "_change_type", "_commit_version")
+    )
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias(
+                "text_fp"
+            ),
+        )
+        .withColumn("paged_ok", F.lit(paged_ok))
+    )

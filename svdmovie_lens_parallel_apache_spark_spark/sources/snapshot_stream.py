@@ -55,16 +55,37 @@ budget is file-granular: offsets become ``{"version": V, "index": I}``
 seamlessly) and a single commit larger than the budget — including a
 fresh subscription's initial 100 TB snapshot — pages through in
 budget-sized batches, Delta's (version, index) idiom. The row-level
-``snapshot_cdc`` source keeps WHOLE-commit granularity instead: its
+``snapshot_cdc`` source defaults to WHOLE-commit granularity (its
 apply-sink reduces each batch per key by highest version, and
-splitting a version's delete/insert pairs across batches would make
-replica convergence order-sensitive. CAVEAT: with
+splitting a version's delete/insert pairs arbitrarily across batches
+would make replica convergence order-sensitive); opting in with
+``page_keys`` pages an oversized commit by KEY-RANGE instead —
+offsets gain ``page``/``pages`` — which preserves convergence because
+each page carries a key's complete change set for that version (see
+:func:`_capped_end_paged`). CAVEAT: with
 ``availableNow`` Spark captures ONE capped end offset per invocation,
 so the budget becomes a per-RUN budget (the drain advances at most
 budget files, re-invoke to catch up — Delta's historical Trigger.Once
 behavior); continuous triggers (``processingTime``) pace per trigger
 as expected. The cap counts a commit's files before any
-``partition_filter`` pruning.
+``partition_filter`` pruning. Pacing survives RESTARTS exactly:
+Spark's first post-restart call is the empty-range re-init
+``partitions(last_logged, last_logged)``, which teaches the reader
+the checkpointed position before the first ``latestOffset`` caps —
+so a capped offset never regresses behind the checkpoint (a logged
+regressed offset + a second crash would replay delivered files; see
+the reader ``__init__`` comments). The delivered floor advances only on
+``commit``: a batch's ``start`` offset is logged-not-proven, and
+flooring from it would silently empty the replay of an uncommitted
+batch (lost rows).
+
+**Retention contract** (Delta ``failOnDataLoss`` shaped): both
+sources refuse loudly when the next version to plan precedes the
+oldest retained snapshot (``expire_snapshots`` ran past the
+checkpoint, or ``start_version`` predates retention) — the error
+names the resume options. Opt-in ``allow_data_loss`` = ``'true'``
+skips the expired versions' rows and continues from the oldest
+plannable version instead.
 
 Usage::
 
@@ -96,45 +117,67 @@ from .snapshot_table import (
     _added_files,
     _load_snapshot,
     _partition_match,
+    _snap_path,
     _transform_probes,
     _version_change_counts,
     latest_version,
 )
 
 
-def _capped_latest(latest: int, pos: int | None, budget: int, count_of) -> int:
-    """Admission control (Delta ``maxFilesPerTrigger`` shaped) at
-    VERSION granularity: the largest end version whose cumulative
-    per-commit item count from ``pos`` stays within ``budget`` — always
-    at least one version, so a single commit larger than the budget
-    still ships whole (commits are never split across micro-batches:
-    the CDC apply sink's highest-version-wins reduction and the
-    append stream's per-commit atomicity both rely on a version being
-    wholly inside one batch, the same reason Delta's option admits at
-    minimum one file).
+def _plannable_floor(table: str) -> int:
+    """Oldest version the streaming planners can diff against its
+    parent from the RETAINED log: walking down from the head, the
+    first version whose parent snapshot file is missing (expired by
+    :func:`~.snapshot_table.expire_snapshots`) bounds the walk —
+    version ``v``'s adds/changes need snapshots ``v-1`` AND ``v``, so
+    the plannable range is ``(floor, head]`` when ``floor > 1``, and
+    the full history when ``floor == 1``. Tag-pinned snapshots
+    surviving BELOW an expired gap don't extend the range (their own
+    parents are gone). O(retained history) existence checks, no
+    snapshot loads."""
+    import os
 
-    ``pos`` is the reader's planning high-water, learned from
-    ``partitions``/``commit`` calls and seeded with ``start_version`` —
-    the Python stream-reader API hands ``latestOffset`` no start
-    offset, so after a RESTART from a checkpoint ahead of
-    start_version the first capped offset can land behind the
-    checkpoint. That costs one empty micro-batch (the (checkpoint,
-    behind] range plans nothing) and teaches the reader the true
-    position; the delivered-floor clamp in ``partitions`` makes the
-    recovery duplicate-free when Spark's offset log then steps back
-    through the regressed entry. Steady-state triggers pace exactly."""
-    if pos is None or latest <= pos:
-        return latest
-    total, v = 0, pos
-    while v < latest:
-        c = count_of(v + 1)
-        if total and total + c > budget:
-            break
-        total += c
-        v += 1
-    return v
+    last = latest_version(table)
+    if last is None:
+        return 1
+    c = last
+    while c - 1 >= 1 and os.path.exists(_snap_path(table, c - 1)):
+        c -= 1
+    return c
 
 
+def _retention_check(
+    table: str, first: int, allow_data_loss: bool, fmt: str,
+) -> int:
+    """The expired-history stream contract (Delta ``failOnDataLoss``
+    shaped): a query restarted on a checkpoint whose offset version
+    precedes the oldest retained snapshot cannot reconstruct the
+    expired versions' changes — the planning walk would either die on
+    a raw ``FileNotFoundError`` or, worse, mistake the oldest retained
+    snapshot's ENTIRE file set for fresh adds. Given ``first`` (the
+    first version the walk will load), returns ``first`` when its
+    parent is retained; otherwise FAILS with the resume options, or —
+    with ``allow_data_loss`` explicitly set — returns the first
+    plannable version, acknowledging that the expired versions' rows
+    are skipped (Delta's ``failOnDataLoss=false``)."""
+    c = _plannable_floor(table)
+    if c <= 1 or first > c:
+        return first
+    if not allow_data_loss:
+        raise ValueError(
+            f"{fmt}: the stream needs version {first}'s changes, but "
+            f"history before version {c} has been expired "
+            f"(expire_snapshots) — the oldest plannable version is "
+            f"{c + 1}. Resume options: rebuild the consumer from a "
+            f"batch read of the current table state and restart the "
+            f"stream with a fresh checkpoint and start_version set to "
+            f"the current head version, or restart with "
+            f"start_version >= {c} if versions after {c} suffice, or "
+            f"set option 'allow_data_loss' = 'true' to skip the "
+            f"expired versions' rows and continue from version "
+            f"{c + 1}."
+        )
+    return c + 1
 def _norm_off(off: dict) -> tuple[int, int]:
     """Canonical position of a snapshot_changes offset: ``(V, I)`` =
     every add of versions < V consumed, plus the first I adds (sorted
@@ -174,6 +217,75 @@ def _capped_end_indexed(
         v += 1
         i = 0
     return (v, 0)  # == (latest + 1, 0): fully caught up
+
+
+def _cdc_norm(off: dict) -> tuple[int, int, int]:
+    """Canonical position of a snapshot_cdc offset: ``(V, P, N)`` =
+    all changes of versions < V delivered, plus key-range pages
+    0..P-1 (of N) of version V. The whole-version form
+    ``{"version": V}`` means delivered THROUGH V, i.e.
+    ``(V + 1, 0, 0)``; the paged form ``{"version": V, "page": P,
+    "pages": N}`` (0 < P < N) is mid-version. Lexicographic compare
+    on (V, P) orders positions (P < N, so a partial position always
+    precedes the next version's (V+1, 0))."""
+    if "page" in off:
+        return (off["version"], off["page"], off["pages"])
+    return (off["version"] + 1, 0, 0)
+
+
+def _cdc_off(pos: tuple[int, int, int]) -> dict:
+    """Inverse of :func:`_cdc_norm` — bijective, so a caught-up
+    latestOffset reproduces the committed offset dict byte-for-byte
+    (no churn batches)."""
+    v, p, n = pos
+    if p:
+        return {"version": v, "page": p, "pages": n}
+    return {"version": v - 1}
+
+
+def _capped_end_paged(
+    table: str, latest: int, pos: tuple[int, int, int], budget: int,
+    split: bool,
+) -> tuple[int, int, int]:
+    """Admission control for the CDC stream. Whole versions are
+    admitted under the file budget as before; with ``split`` (the
+    ``page_keys`` option), a single commit whose change-item count
+    exceeds the budget — the 100 TB GDPR purge or backfill that would
+    otherwise arrive at the replica as ONE monster micro-batch — is
+    delivered as ``ceil(count / budget)`` KEY-RANGE pages, each a
+    deterministic hash-range of the key columns (offsets carry the
+    page count, so a restart re-pages identically). Each page still
+    reads the version's changed files (keys cannot be attributed to
+    files), so paging trades read amplification for a bounded
+    per-batch apply at the replica — which is the scale bottleneck:
+    the merge/shuffle/state cost of applying one batch. Convergence
+    is preserved because a page contains EVERY change of version V
+    for its key range: per key, deliveries remain monotone in
+    version, and the apply sink's per-key highest-version reduction
+    never sees a split (version, key) group. Without ``split``,
+    oversized commits ship whole (the pre-paging contract)."""
+    v, p, n = pos
+    total = 0
+    while v <= latest:
+        c = sum(_version_change_counts(table, v))
+        if n == 0 and split and c > budget and total == 0:
+            n = -(-c // budget)  # fix this version's page count
+        if n:
+            per = max(1, c // n)  # ≈ budget items per page
+            avail = budget - total
+            if total and avail < per:
+                break  # no room for a page: stop at the boundary
+            k = max(1, avail // per)
+            if p + k < n:
+                return (v, p + k, n)
+            total += (n - p) * per
+            v, p, n = v + 1, 0, 0
+            continue
+        if total and total + c > budget:
+            break
+        total += c
+        v += 1
+    return (v, 0, 0)
 
 
 def _build():
@@ -216,7 +328,25 @@ def _build():
                 f.name for f in StructType.fromJson(self.schema_json).fields
             ]
             self.max_files = int(options.get("max_files_per_trigger", 0) or 0)
-            # positions are (version, index) tuples — see _norm_off
+            self.allow_data_loss = str(
+                options.get("allow_data_loss", "false")
+            ).lower() == "true"
+            # positions are (version, index) tuples — see _norm_off.
+            # _pos (planning high-water) paces latestOffset; it is
+            # seeded with start_version, which is the TRUE position
+            # only for a fresh query. That seeding is safe because of
+            # an observed-and-relied-on Spark behavior (verified for
+            # both processingTime and availableNow restarts, committed
+            # and uncommitted final batches alike): on RESTART the
+            # engine's first call into the reader is always
+            # partitions(last_logged, last_logged) — an empty-range
+            # re-init that re-creates the last batch's scan — which
+            # teaches _pos the checkpointed position BEFORE the first
+            # latestOffset can cap from the stale seed. A capped
+            # offset therefore never regresses behind the checkpoint
+            # (the hazard: Spark logs whatever latestOffset returns,
+            # and a crash after logging a regressed offset would
+            # replay delivered files on the next restart).
             self._pos = (self.start_version + 1, 0)  # planning high-water
             self._floor = (self.start_version + 1, 0)  # delivered floor
 
@@ -228,23 +358,48 @@ def _build():
             if v is None:
                 return {"version": self.start_version}
             if self.max_files:
-                ev, ei = _capped_end_indexed(
-                    self.table, v, max(self._pos, self._floor),
-                    self.max_files,
-                )
+                try:
+                    ev, ei = _capped_end_indexed(
+                        self.table, v, max(self._pos, self._floor),
+                        self.max_files,
+                    )
+                except FileNotFoundError:
+                    # counting walked into expired history (e.g. a
+                    # fresh subscription with start_version predating
+                    # retention): emit uncapped and let partitions()
+                    # raise the actionable retention contract
+                    return {"version": v}
                 # canonical indexed form; equals the committed offset
                 # dict byte-for-byte once caught up (no churn batches)
                 return {"version": ev, "index": ei}
             return {"version": v}
 
         def partitions(self, start, end):
-            # delivered floor: a batch STARTING at position p proves
-            # everything before p was already delivered (Spark's offset
-            # log says so) — clamping below makes a post-restart offset
-            # regression replay-free; in monotone flow, the identity
+            # On restart Spark's first call is partitions(last_logged,
+            # last_logged) — an empty-range re-init that teaches the
+            # reader the checkpointed position BEFORE any latestOffset
+            # (so pacing resumes exactly — see __init__); a replay of
+            # an uncommitted batch arrives as partitions(committed,
+            # logged). Either way, `start` is a LOGGED offset, not
+            # proof of delivery — the floor (which clamps s below)
+            # advances ONLY in commit(): advancing it from `start`
+            # here would clamp an uncommitted batch's replay to
+            # nothing and silently LOSE its rows. In monotone flow the
+            # clamp is the identity (floor == last committed end <=
+            # start); it exists as defense in depth against a
+            # regressed start offset ever re-planning committed files.
             s = max(_norm_off(start), self._floor)
             e = _norm_off(end)
-            self._floor = s
+            if s < e:
+                # expired-history contract: fail (or, with
+                # allow_data_loss, skip) when the walk's first version
+                # precedes retention — see _retention_check
+                adj = _retention_check(
+                    self.table, s[0], self.allow_data_loss,
+                    "snapshot_changes",
+                )
+                if adj != s[0]:
+                    s = (adj, 0)
             self._pos = max(self._pos, s, e)
             entries = []
             v, i = s
@@ -287,7 +442,9 @@ def _build():
 
         def commit(self, end):
             # the snapshot log + Spark's offset log are the state; the
-            # position hints only pace the NEXT latestOffset and floor
+            # position hints only pace the NEXT latestOffset and floor.
+            # This is the ONLY place the floor advances: a committed
+            # end offset is the one position Spark proves delivered.
             self._pos = max(self._pos, _norm_off(end))
             self._floor = max(self._floor, _norm_off(end))
 
@@ -506,6 +663,8 @@ def _build_cdc():
         version: int = 0
         dv_paths: tuple = ()
         file_name: str = ""
+        pages: tuple | None = None  # admitted key-range pages, or None
+        n_pages: int = 0  # total pages of this version (0 = unsplit)
 
     class SnapshotCdcStreamReader(DataSourceStreamReader):
         """Change-data-feed STREAM over a snapshot table (Delta
@@ -526,7 +685,18 @@ def _build_cdc():
         pair anyway (the batch diff cancels it), Delta CDF's behavior;
         net effect per key is identical for any consumer merging by
         key. The scan schema is pinned at query start; columns added
-        mid-stream surface after a restart."""
+        mid-stream surface after a restart.
+
+        With ``page_keys`` (comma-separated key columns) AND
+        ``max_files_per_trigger``, a commit whose change count blows
+        the budget pages through as deterministic KEY-RANGE sub-
+        batches — offsets gain ``page``/``pages`` — instead of one
+        monster micro-batch; see :func:`_capped_end_paged` for the
+        convergence argument and the read-amplification trade. The
+        key hash is ``pandas.util.hash_pandas_object`` (vectorized
+        SipHash with pandas' fixed default key): deterministic per
+        deployment, which offsets require — pin the pandas version
+        across executors, as any Arrow pipeline already must."""
 
         def __init__(self, options):
             self.table = options.get("path")
@@ -540,8 +710,30 @@ def _build_cdc():
                 )
             self.schema_json = _load_snapshot(self.table, v)["schema"]
             self.max_files = int(options.get("max_files_per_trigger", 0) or 0)
-            self._pos = self.start_version  # planning high-water
-            self._floor = self.start_version  # delivered floor
+            self.allow_data_loss = str(
+                options.get("allow_data_loss", "false")
+            ).lower() == "true"
+            raw_keys = options.get("page_keys", "")
+            self.page_keys = tuple(
+                c.strip() for c in raw_keys.split(",") if c.strip()
+            )
+            fields = {
+                f.name for f in StructType.fromJson(self.schema_json).fields
+            }
+            missing = [c for c in self.page_keys if c not in fields]
+            if missing:
+                raise ValueError(
+                    f"snapshot_cdc: page_keys columns {missing} not in "
+                    f"the table schema"
+                )
+            # seed is the true position only for a FRESH query; safe
+            # because Spark's restart re-init call partitions(
+            # last_logged, last_logged) always precedes the first
+            # latestOffset and re-teaches _pos — see the append
+            # reader's __init__ for the verified call-order contract.
+            # Positions are (version, page, n_pages) — see _cdc_norm.
+            self._pos = (self.start_version + 1, 0, 0)
+            self._floor = (self.start_version + 1, 0, 0)
 
         def initialOffset(self):
             return {"version": self.start_version}
@@ -551,24 +743,55 @@ def _build_cdc():
             if v is None:
                 return {"version": self.start_version}
             if self.max_files:
-                v = _capped_latest(
-                    v, self._pos, self.max_files,
-                    # raw segment-diff counts: adds + removals + DV-
-                    # covered files ~= the planned change items, in
-                    # O(changed metadata); refusal shapes still fail
-                    # loudly in the planning walk
-                    lambda u: sum(_version_change_counts(self.table, u)),
-                )
+                try:
+                    # counts are the raw segment diff (adds + removals
+                    # + DV-covered files ~= the planned change items,
+                    # in O(changed metadata)); refusal shapes still
+                    # fail loudly in the planning walk
+                    return _cdc_off(_capped_end_paged(
+                        self.table, v, max(self._pos, self._floor),
+                        self.max_files, bool(self.page_keys),
+                    ))
+                except FileNotFoundError:
+                    # counting walked into expired history: emit
+                    # uncapped; partitions() raises the actionable
+                    # retention contract
+                    pass
             return {"version": v}
 
         def partitions(self, start, end):
-            # same delivered-floor clamp as snapshot_changes (see there)
-            lo = max(start["version"], self._floor)
-            self._floor = lo
-            self._pos = max(self._pos, lo, end["version"])
+            # same floor discipline as snapshot_changes (see there):
+            # clamp by the COMMITTED floor, never advance it here —
+            # `start` is a logged offset, not proof of delivery, and
+            # Spark's restart re-init call partitions(last_logged,
+            # last_logged) would otherwise clamp an uncommitted
+            # batch's replay to nothing
+            s = max(_cdc_norm(start), self._floor)
+            e = _cdc_norm(end)
+            if (s[0], s[1]) < (e[0], e[1]):
+                # expired-history contract — see _retention_check;
+                # s[0] is the first version the walk will load
+                adj = _retention_check(
+                    self.table, s[0], self.allow_data_loss,
+                    "snapshot_cdc",
+                )
+                if adj != s[0]:
+                    s = (adj, 0, 0)
+            self._pos = max(self._pos, s, e)
             items = []
-            for v in range(lo + 1, end["version"] + 1):
-                items.extend(_cdc_plan_version(self.table, v))
+            v, p, n = s
+            while (v, p) < (e[0], e[1]):
+                plan = _cdc_plan_version(self.table, v)
+                if v == e[0] and e[2]:
+                    pages, npages = tuple(range(p, e[1])), e[2]
+                elif n:
+                    pages, npages = tuple(range(p, n)), n
+                else:
+                    pages, npages = None, 0  # whole version, no filter
+                items.extend(
+                    dict(i, pages=pages, n_pages=npages) for i in plan
+                )
+                v, p, n = v + 1, 0, 0
             return [
                 _Change(
                     kind=i["kind"],
@@ -580,6 +803,8 @@ def _build_cdc():
                     version=i["version"],
                     dv_paths=tuple(i["dv_paths"]),
                     file_name=i["file_name"],
+                    pages=i["pages"],
+                    n_pages=i["n_pages"],
                 )
                 for i in items
             ] or [_Change(kind=None)]
@@ -615,6 +840,26 @@ def _build_cdc():
                 dict(partition.names) if partition.names is not None
                 else None,
             )
+            if partition.pages is not None and len(t):
+                # key-range page filter: keep rows whose key hash
+                # lands in this batch's admitted pages. Delete pre-
+                # images and insert post-images of the same key hash
+                # identically (same key columns), so a page always
+                # holds a key's COMPLETE change set for this version.
+                import pandas as pd
+
+                h = None
+                for c in self.page_keys:
+                    hc = pd.util.hash_pandas_object(
+                        t.column(c).to_pandas(), index=False
+                    ).to_numpy(dtype="uint64")
+                    h = hc if h is None else (
+                        h * np.uint64(1000003)
+                    ) ^ hc
+                page = (h % np.uint64(partition.n_pages)).astype("int64")
+                t = t.filter(pa.array(np.isin(
+                    page, np.asarray(partition.pages, dtype="int64")
+                )))
             kind = "insert" if partition.kind == "insert" else "delete"
             t = t.append_column(
                 "_change_type", pa.array([kind] * len(t), type=pa.string())
@@ -626,9 +871,11 @@ def _build_cdc():
 
         def commit(self, end):
             # the snapshot log + Spark's offset log are the state; the
-            # position hints only pace the NEXT latestOffset and floor
-            self._pos = max(self._pos, end["version"])
-            self._floor = max(self._floor, end["version"])
+            # position hints only pace the NEXT latestOffset and
+            # floor. Only place the floor advances (committed = the
+            # one position Spark proves delivered).
+            self._pos = max(self._pos, _cdc_norm(end))
+            self._floor = max(self._floor, _cdc_norm(end))
 
     class SnapshotCdcDataSource(DataSource):
         @classmethod

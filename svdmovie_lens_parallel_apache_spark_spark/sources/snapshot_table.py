@@ -127,6 +127,13 @@ _MAN_DIR = "_manifests"
 # JSON ~O(100 entries + segment names) while bounding segment count at
 # ~live_files/100 (compact with rewrite_manifests when that grows).
 _MANIFEST_INLINE_MAX = 100
+# Per-process FIFO of raw segment texts, abs path -> text. Sized for
+# the HOT SET only — the inline-tail-adjacent and recently-rolled
+# segments a commit/stream trigger re-reads — NOT the full manifest
+# list: a 10^6-file table has ~live/inline_max ≈ 10^4 segments, so a
+# full head resolution cycles the cache and re-reads from disk (safe,
+# just unaccelerated). 64 entries × ~inline_max-entry segments bounds
+# the cache at a few MB of JSON text per process.
 _MANIFEST_CACHE: dict[str, str] = {}  # abs path -> raw segment text
 _MANIFEST_CACHE_MAX = 64
 
@@ -311,11 +318,19 @@ def _version_change_counts(table: str, v: int) -> tuple[int, int, int]:
     rename crossings) stay with the planning walk — a mis-counted
     budget here at worst mis-sizes the batch that then fails loudly
     there."""
+    b = _raw_snapshot(table, v)
+    if b.get("operation") == "rewrite_manifests":
+        # manifest compaction: the file set is IDENTICAL by
+        # construction (one new segment holding the whole table vs all
+        # old segments), but the segment-name diff below would open
+        # O(live files) of segment JSON just to compute 0/0/0 —
+        # exactly the cost this function exists to avoid on a paced
+        # stream trigger crossing a compaction
+        return (0, 0, 0)
     try:
         a = _raw_snapshot(table, v - 1) if v > 1 else {}
     except FileNotFoundError:
         a = {}
-    b = _raw_snapshot(table, v)
     segs_a = set(a.get("manifests", []))
     segs_b = set(b.get("manifests", []))
     new_files = {s["file"] for s in b.get("shards", [])}
@@ -1667,7 +1682,16 @@ def _remove_unreferenced(table: str, dry_run: bool = False) -> int:
     file inside it) is live; segments orphaned by lost commit races or
     expired history are deleted AFTER the data scan (a crash between
     the two sweeps only ever leaves extra files, never a live snapshot
-    naming a deleted one). ``dry_run`` counts without deleting."""
+    naming a deleted one), and count toward the returned total in both
+    modes — so a ``dry_run`` preview reports exactly what a real run
+    would delete (data files AND segment files). ``dry_run`` counts
+    without deleting.
+
+    Liveness refuses snapshots requiring a NEWER reader protocol, same
+    gate as the read path: GC computes a snapshot's file references by
+    interpreting its keys, and a future protocol may reference files
+    through a key this version doesn't know — silently resolving only
+    the known keys would delete that snapshot's data as orphans."""
     def _refs_of(snap: dict):
         for s in snap.get("shards", []):
             yield s["file"]
@@ -1681,6 +1705,16 @@ def _remove_unreferenced(table: str, dry_run: bool = False) -> int:
     live_mans: set[str] = set()
 
     def _scan(raw: dict) -> None:
+        required = raw.get("reader_version", 1)
+        if required > _READER_VERSION:
+            raise ValueError(
+                f"snapshot_table: GC found a snapshot (version "
+                f"{raw.get('version')}) requiring reader protocol "
+                f"{required}; this reader supports up to "
+                f"{_READER_VERSION} — refusing to compute liveness for "
+                f"a snapshot it cannot fully interpret (its files "
+                f"would be deleted as orphans); upgrade before GC"
+            )
         live_mans.update(raw.get("manifests", []))
         live.update(_refs_of(_resolve_manifests(table, raw)))
 
@@ -1709,6 +1743,7 @@ def _remove_unreferenced(table: str, dry_run: bool = False) -> int:
             if not dry_run:
                 os.remove(p)
                 _MANIFEST_CACHE.pop(p, None)
+            removed += 1
     return removed
 
 

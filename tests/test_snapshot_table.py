@@ -4970,7 +4970,9 @@ def test_vacuum_dry_run(spark, docs, tmp_path):
         orphan_seg
     }
     out = vacuum(table, dry_run=True)
-    assert out == {"orphans_removed": 1, "dry_run": True}
+    # 2 = the orphan data file + the orphan segment file: the preview
+    # counts BOTH sweeps, exactly what a real run deletes
+    assert out == {"orphans_removed": 2, "dry_run": True}
     after = set(_glob.glob(os.path.join(table, "data", "*"))) | (
         {orphan_seg} if os.path.exists(orphan_seg) else set()
     )
@@ -4978,7 +4980,7 @@ def test_vacuum_dry_run(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="dry_run"):
         vacuum(table, stage_older_than=0.0, dry_run=True)
     out = vacuum(table)
-    assert out == {"orphans_removed": 1}
+    assert out == {"orphans_removed": 2}
     assert not os.path.exists(orphan_data)
     assert not os.path.exists(orphan_seg)
     assert read_snapshot(spark, table).count() == docs.where(
@@ -5071,3 +5073,60 @@ def test_rewrite_manifests_on_branch_and_tag_retention(
     }
     assert pinned_segs <= on_disk
     assert read_snapshot(spark, table, tag="audited").count() == 50
+
+
+def test_gc_refuses_future_reader_version(spark, tmp_path):
+    """GC enforces the same reader-protocol gate as the read path: a
+    snapshot written by a FUTURE protocol may reference files through
+    a key this version doesn't know, so computing liveness from only
+    the keys we understand would delete that snapshot's data as
+    orphans. vacuum and expire_snapshots must refuse loudly instead."""
+    table = str(tmp_path / "t")
+    write_snapshot(spark.range(10).coalesce(1), table)
+    write_snapshot(spark.range(10, 20).coalesce(1), table, mode="append")
+    p = st._snap_path(table, 2)
+    with open(p) as f:
+        raw = json.load(f)
+    raw["reader_version"] = st._READER_VERSION + 1
+    with open(p, "w") as f:
+        json.dump(raw, f)
+    with pytest.raises(ValueError, match="reader protocol"):
+        st.vacuum(table)
+    with pytest.raises(ValueError, match="reader protocol"):
+        expire_snapshots(table, keep_last=1)
+    # every referenced file survived the refused sweeps
+    names = {s["file"] for s in raw["shards"]}
+    assert all(
+        os.path.exists(os.path.join(table, "data", n)) for n in names
+    )
+
+
+def test_version_change_counts_rewrite_manifests_shortcut(
+    spark, tmp_path, monkeypatch
+):
+    """A rewrite_manifests commit's file set is identical to its
+    parent's BY CONSTRUCTION, so the admission counter must return
+    (0, 0, 0) without opening ANY segment — otherwise a paced stream
+    trigger crossing a manifest compaction pays O(live files) of
+    segment JSON, the exact cost the counter exists to avoid."""
+    monkeypatch.setattr(st, "_MANIFEST_INLINE_MAX", 2)
+    table = str(tmp_path / "t")
+    for i in range(6):
+        write_snapshot(
+            spark.range(i * 10, (i + 1) * 10).coalesce(1), table,
+            mode="append",
+        )
+    v = st.rewrite_manifests(table)
+    assert st._raw_snapshot(table, v)["operation"] == "rewrite_manifests"
+    opened = []
+    orig = st._load_manifest
+    monkeypatch.setattr(
+        st, "_load_manifest",
+        lambda t, n: (opened.append(n), orig(t, n))[1],
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        _version_change_counts,
+    )
+
+    assert _version_change_counts(table, v) == (0, 0, 0)
+    assert opened == []  # not a single segment opened

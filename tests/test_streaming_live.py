@@ -991,3 +991,359 @@ def test_snapshot_changes_splits_monster_commit(spark, sf_dir):
     q = run(120)
     got = spark.read.parquet(out)
     assert got.count() == 120 and got.distinct().count() == 120
+
+
+def test_paced_restart_offset_never_regresses(spark, tmp_path):
+    """Paced pacing across restarts, simulated at the reader level
+    exactly as Spark drives it (verified call order): on RESTART the
+    engine's first call is the empty-range re-init
+    partitions(last_logged, last_logged), which teaches the reader
+    the checkpointed position BEFORE the first latestOffset — so a
+    capped offset never regresses behind the checkpoint (a logged
+    regressed offset + a second crash would replay delivered files).
+    The re-init must NOT advance the delivered floor: its start is
+    logged, not proven, and flooring from it would silently empty the
+    replay of an uncommitted batch (lost rows — the bug this test
+    pins). The union of all delivered files must be exactly-once."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_stream import (
+        _build,
+        _norm_off,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    for i in range(6):  # v1..v6, one file each
+        write_snapshot(
+            spark.range(i * 10, (i + 1) * 10).coalesce(1), table,
+            mode="append",
+        )
+    DS = _build()
+    opts = {
+        "path": table, "start_version": "0", "max_files_per_trigger": "2",
+    }
+    delivered = []
+
+    def drain(reader, start, end):
+        batch = [
+            p.path for p in reader.partitions(start, end)
+            if p.path is not None
+        ]
+        delivered.extend(batch)
+        return batch
+
+    # --- run 1: fresh query, paced from the seed ---
+    r1 = DS(dict(opts)).streamReader(None)
+    o0 = r1.initialOffset()
+    o1 = r1.latestOffset()
+    assert _norm_off(o1) == (3, 0)  # 2-file budget: versions 1..2
+    drain(r1, o0, o1)
+    r1.commit(o1)
+    o2 = r1.latestOffset()
+    assert _norm_off(o2) == (5, 0)  # versions 3..4
+    b2 = drain(r1, o1, o2)
+    # CRASH before commit(o2): offset log has o2 UNCOMMITTED
+
+    # --- run 2: restart — Spark's first call is the re-init
+    # partitions(last_logged, last_logged), then the uncommitted
+    # batch replays as partitions(committed, logged) ---
+    r2 = DS(dict(opts)).streamReader(None)
+    init = [p.path for p in r2.partitions(o2, o2) if p.path is not None]
+    assert init == []  # empty-range re-init plans nothing
+    replay = [p.path for p in r2.partitions(o1, o2) if p.path is not None]
+    # the replay is byte-identical to the crashed batch — flooring
+    # from the re-init call's start would have emptied it (lost rows)
+    assert replay == b2
+    r2.commit(o2)
+    # paced latestOffset resumes EXACTLY from the checkpoint — and
+    # never regresses behind it (the A1 hazard: a cap computed from
+    # the start_version seed would land at (3,0) < o2)
+    o3 = r2.latestOffset()
+    assert _norm_off(o3) >= _norm_off(o2), (
+        f"regressed offset {o3} behind checkpoint {o2}"
+    )
+    assert _norm_off(o3) == (7, 0)  # versions 5..6, budget-paced
+    drain(r2, o2, o3)
+    r2.commit(o3)
+
+    # --- run 3: clean restart, fully committed and caught up ---
+    r3 = DS(dict(opts)).streamReader(None)
+    assert [p.path for p in r3.partitions(o3, o3) if p.path is not None] == []
+    o4 = r3.latestOffset()
+    assert _norm_off(o4) == (7, 0)  # no churn: caught-up fixpoint
+    # every file delivered exactly once across runs 1-2
+    assert len(delivered) == 6 and len(set(delivered)) == 6
+
+
+def test_stream_restart_onto_expired_history_contract(spark, tmp_path):
+    """failOnDataLoss for the snapshot sources: a checkpoint whose
+    offset precedes the oldest retained snapshot must FAIL with the
+    resume options (never silently replay the oldest snapshot's whole
+    file set as fresh adds); opt-in allow_data_loss skips the expired
+    versions and continues from the oldest plannable one."""
+    import os
+
+    import pytest
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_stream import (
+        register_snapshot_changes,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        expire_snapshots,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    for i in range(5):  # v1..v5
+        write_snapshot(
+            spark.range(i * 10, (i + 1) * 10).coalesce(1), table,
+            mode="append",
+        )
+    register_snapshot_changes(spark)
+
+    def drain(extra=None):
+        src = spark.readStream.format("snapshot_changes").option(
+            "path", table
+        ).option("start_version", 0)
+        for k, v in (extra or {}).items():
+            src = src.option(k, v)
+        q = (
+            src.load().writeStream
+            .foreachBatch(
+                lambda b, _i: b.select("id").write.mode("append")
+                .parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def drained():
+        if not os.path.isdir(out):
+            return []
+        return sorted(
+            r.id for r in spark.read.schema("id bigint").parquet(out)
+            .collect()
+        )
+
+    drain()
+    assert drained() == list(range(50))  # checkpoint at v5
+    write_snapshot(spark.range(50, 60).coalesce(1), table, mode="append")
+    write_snapshot(spark.range(60, 70).coalesce(1), table, mode="append")
+    expire_snapshots(table, keep_last=2)  # keeps v6, v7; v6 unplannable
+    # restart onto the expired gap: loud, actionable
+    with pytest.raises(Exception, match="expired|allow_data_loss"):
+        drain()
+    assert drained() == list(range(50))  # nothing replayed or emitted
+    # opt-in data loss: v6's rows are skipped, v7's delivered
+    drain(extra={"allow_data_loss": "true"})
+    assert drained() == list(range(50)) + list(range(60, 70))
+    # fresh subscription predating retention gets the same contract
+    with pytest.raises(Exception, match="expired|allow_data_loss"):
+        src = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", table).option("start_version", 0).load()
+        )
+        q = (
+            src.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+
+def test_cdc_stream_restart_onto_expired_history(spark, tmp_path):
+    """The row-level snapshot_cdc source shares the retention
+    contract: restart onto expired history fails loudly;
+    allow_data_loss resumes from the oldest plannable version."""
+    import pytest
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_stream import (
+        register_snapshot_cdc,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        expire_snapshots,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    for i in range(4):  # v1..v4
+        write_snapshot(
+            spark.range(i * 10, (i + 1) * 10).coalesce(1), table,
+            mode="append",
+        )
+    register_snapshot_cdc(spark)
+
+    def drain(extra=None):
+        src = spark.readStream.format("snapshot_cdc").option(
+            "path", table
+        ).option("start_version", 0)
+        for k, v in (extra or {}).items():
+            src = src.option(k, v)
+        q = (
+            src.load().writeStream
+            .foreachBatch(
+                lambda b, _i: b.select("id", "_change_type")
+                .write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # checkpoint at v4
+    write_snapshot(spark.range(40, 50).coalesce(1), table, mode="append")
+    write_snapshot(spark.range(50, 60).coalesce(1), table, mode="append")
+    expire_snapshots(table, keep_last=2)  # keeps v5, v6; v5 unplannable
+    with pytest.raises(Exception, match="expired|allow_data_loss"):
+        drain()
+    drain(extra={"allow_data_loss": "true"})
+    got = sorted(
+        r.id
+        for r in spark.read.schema("id bigint, _change_type string")
+        .parquet(out).collect()
+    )
+    # v1..v4 from the first drain + v6 only (v5 lost, acknowledged)
+    assert got == list(range(40)) + list(range(50, 60))
+
+
+def _drain_paged_cdc(reader, start, end):
+    """Collect (id, version, change_type) rows of one planned batch."""
+    import pyarrow as pa
+
+    out = []
+    for p in reader.partitions(start, end):
+        if p.kind is None:
+            continue
+        for rb in reader.read(p):
+            t = pa.Table.from_batches([rb])
+            for i in range(len(t)):
+                out.append(
+                    (
+                        t.column("id")[i].as_py(),
+                        t.column("_commit_version")[i].as_py(),
+                        t.column("_change_type")[i].as_py(),
+                    )
+                )
+    return out
+
+
+def test_cdc_key_range_paging_exactly_once(spark, tmp_path):
+    """page_keys: oversized commits page as deterministic key-range
+    sub-batches (offsets carry page/pages), every change delivered
+    exactly once, every batch bounded ~budget items, and a key's
+    delete/insert pair for one version never splits across batches
+    (the convergence invariant the apply sink needs)."""
+    from collections import Counter
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_stream as ss,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_table as st,
+    )
+
+    table = str(tmp_path / "t")
+    st.write_snapshot(
+        spark.range(0, 400).selectExpr("id", "id % 7 as g")
+        .repartition(8),
+        table, mode="append",
+    )  # v1: 8 files > 3-file budget -> 3 pages
+    st.merge_upsert(
+        spark.range(0, 400, 2).selectExpr("id", "id % 7 + 100 as g"),
+        table, key_cols=["id"], mor=True,
+    )  # v2: MoR DML, 200 delete/insert pairs
+    DS = ss._build_cdc()
+    opts = {
+        "path": table, "start_version": "0",
+        "max_files_per_trigger": "3", "page_keys": "id",
+    }
+    r = DS(dict(opts)).streamReader(None)
+    off = r.initialOffset()
+    seen = Counter()
+    paged_offsets = 0
+    batches = []
+    while True:
+        new = r.latestOffset()
+        if new == off:
+            break
+        rows = _drain_paged_cdc(r, off, new)
+        batches.append(rows)
+        seen.update(rows)
+        if "page" in new:
+            paged_offsets += 1
+        r.commit(new)
+        off = new
+        assert len(batches) < 50, "pager failed to converge"
+    assert paged_offsets >= 3  # both commits page
+    total = sum(seen.values())
+    assert total == 400 + 2 * 200
+    assert not [k for k, c in seen.items() if c > 1]  # exactly-once
+    # convergence invariant: an updated key's v2 delete+insert pair
+    # lands in ONE batch
+    for rows in batches:
+        v2_by_id = {}
+        for id_, ver, kind in rows:
+            if ver == 2:
+                v2_by_id.setdefault(id_, set()).add(kind)
+        for id_, kinds in v2_by_id.items():
+            assert kinds == {"delete", "insert"}, (id_, kinds)
+
+
+def test_cdc_key_range_paging_restart_exactly_once(spark, tmp_path):
+    """Crash mid-pages and restart: offsets carry the page count, so
+    a fresh reader re-pages IDENTICALLY — replay of the uncommitted
+    paged batch is byte-identical and the union across the crash is
+    exactly-once."""
+    from collections import Counter
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_stream as ss,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_table as st,
+    )
+
+    table = str(tmp_path / "t")
+    st.write_snapshot(
+        spark.range(0, 300).selectExpr("id", "id % 5 as g")
+        .repartition(9),
+        table, mode="append",
+    )  # v1: 9 files / 3-file budget -> 3 pages
+    DS = ss._build_cdc()
+    opts = {
+        "path": table, "start_version": "0",
+        "max_files_per_trigger": "3", "page_keys": "id",
+    }
+    r1 = DS(dict(opts)).streamReader(None)
+    o0 = r1.initialOffset()
+    o1 = r1.latestOffset()
+    assert o1 == {"version": 1, "page": 1, "pages": 3}
+    b1 = _drain_paged_cdc(r1, o0, o1)
+    r1.commit(o1)
+    o2 = r1.latestOffset()
+    assert o2 == {"version": 1, "page": 2, "pages": 3}
+    b2 = _drain_paged_cdc(r1, o1, o2)
+    # CRASH before commit(o2): o2 logged, uncommitted
+
+    # restart: re-init partitions(last_logged, last_logged) first,
+    # then the uncommitted paged batch replays byte-identically
+    r2 = DS(dict(opts)).streamReader(None)
+    assert _drain_paged_cdc(r2, o2, o2) == []
+    assert sorted(_drain_paged_cdc(r2, o1, o2)) == sorted(b2)
+    r2.commit(o2)
+    o3 = r2.latestOffset()
+    assert o3 == {"version": 1}  # final page closes the version
+    b3 = _drain_paged_cdc(r2, o2, o3)
+    r2.commit(o3)
+    assert r2.latestOffset() == o3  # caught-up fixpoint, no churn
+    seen = Counter(b1 + b2 + b3)
+    assert sum(seen.values()) == 300
+    assert not [k for k, c in seen.items() if c > 1]
