@@ -99,7 +99,40 @@ def main() -> None:
             print(f"# retime {name}: {timings[name]:.3f}s -> {second:.3f}s", file=sys.stderr)
             timings[name] = second
         _isolate(spark, baseline_tables)
+    # Third pass for the ALS variance watchlist (r10 verdict item 5):
+    # this host runs MLlib on the pure-Java BLAS fallback (the
+    # dev.ludovic.netlib JNI bindings are absent), which makes ALS
+    # timings JIT-warmup-sensitive — min-of-2 left als_replay_hash
+    # drifting 1.9-4.0s across rounds with no code change. One more
+    # sample tightens exactly the queries that inherit that variance.
+    for name in ("als_replay_hash", "movielens_replay", "als_rank_sweep"):
+        if name not in qs:
+            continue
+        t = time.time()
+        qs[name](spark, sf_dir).count()
+        third = round(time.time() - t, 3)
+        if third < timings[name]:
+            print(f"# retime3 {name}: {timings[name]:.3f}s -> {third:.3f}s", file=sys.stderr)
+            timings[name] = third
+        _isolate(spark, baseline_tables)
     total = time.time() - t0
+
+    # Record which BLAS MLlib actually loaded, so round-over-round
+    # diffs read ALS timing drift as environment variance, not a
+    # regression (the JVM warns 'Failed to load ...JNIBLAS' on every
+    # run here; native bindings are not installable in this container)
+    try:
+        spark._jvm.dev.ludovic.netlib.blas.JNIBLAS.getInstance()
+        blas_note = {"native_blas": True}
+    except Exception:
+        blas_note = {
+            "native_blas": False,
+            "note": (
+                "pure-Java BLAS fallback (JNIBLAS unavailable): ALS "
+                "timings are JIT-warmup-sensitive, hence the min-of-3 "
+                "watchlist pass"
+            ),
+        }
 
     # Reference four-phase instrumentation (SVDMovieLensSparkJava.java:166-181:
     # construct / load history / calc features / process test), like-for-like:
@@ -181,7 +214,11 @@ def main() -> None:
         # it moves with host load; sum_query_sec is what round-over-
         # round comparisons should read (r9 verdict: re-baseline).
         "sum_query_sec": round(sum(timings.values()), 3),
-        "timing_discipline": "min-of-2 per query (full second pass)",
+        "timing_discipline": (
+            "min-of-2 per query (full second pass); min-of-3 for the "
+            "ALS variance watchlist"
+        ),
+        "blas": blas_note,
     }
     # scaling rehearsal (tools/scale_rehearsal.py writes SCALING.json:
     # per-query empirical exponents sf0.1 -> 10x replica fixture); embed

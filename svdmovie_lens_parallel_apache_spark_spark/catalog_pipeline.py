@@ -6327,29 +6327,30 @@ def q_snapshot_stream_paced(spark, sf_dir):
     f"""
     SELECT lang,
            count(*) AS n_docs,
-           CAST(sum(CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
-                         ELSE n_chars END) AS BIGINT) AS sum_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
            TRUE AS paged_ok
-    FROM documents GROUP BY lang
+    FROM documents WHERE doc_id % 5 <> 0 GROUP BY lang
     """,
     tags=("sources", "table-format", "streaming", "cdc",
           "admission-control"),
     description="Key-range paging of the snapshot_cdc stream (the "
-    "monster-DML-commit contract): documents committed as 8 files "
-    "(v1) then one MoR merge bumping n_chars by 1000 for every 5th "
-    "doc (v2, pre-image deletes + post-image inserts over deletion "
-    "vectors), drained by a continuous query with "
-    "max_files_per_trigger=3 and page_keys=doc_id — both oversized "
-    "commits must page as deterministic hash-ranges of doc_id "
-    "(offsets carry page/pages) instead of arriving as monster "
-    "batches, and the per-key highest-version reduction of the "
-    "drained rows must reproduce the upstream final state exactly "
+    "monster-DML-commit contract): documents committed as 12 files "
+    "(v1) then one pure-delete MoR merge (delete_keys=every 5th doc, "
+    "positional deletion vectors over all 12 files — change count = "
+    "covered files, deterministic at every sf), drained by a "
+    "continuous query with max_files_per_trigger=4 and "
+    "page_keys=doc_id. BOTH oversized commits must page as "
+    "deterministic hash-ranges of doc_id (3 pages each; offsets "
+    "carry page/pages) instead of arriving as monster batches, and "
+    "the per-key highest-version reduction of the drained rows must "
+    "reproduce the upstream final state exactly — deleted keys' last "
+    "change is the v2 delete pre-image, so the reduction drops them "
     "(paging preserves convergence: a page holds a key's COMPLETE "
-    "change set for its version). paged_ok pins >=4 non-empty "
-    "micro-batches, paged offsets observed, zero duplicate "
-    "(doc_id, version, change_type) deliveries. Engine: "
-    "sources/snapshot_stream.py::_capped_end_paged + the read()-side "
+    "change set for its version). paged_ok pins >=5 non-empty "
+    "micro-batches, >=4 paged offsets, zero duplicate (doc_id, "
+    "version, change_type) deliveries. Engine: sources/"
+    "snapshot_stream.py::_capped_end_paged + the read()-side "
     "hash_pandas_object range filter.",
 )
 def q_snapshot_cdc_paged(spark, sf_dir):
@@ -6367,21 +6368,24 @@ def q_snapshot_cdc_paged(spark, sf_dir):
         "doc_id", "lang", "text", "n_chars"
     )
     table = tempfile.mkdtemp(prefix="svdml-cdcpaged-") + "/t"
-    write_snapshot(docs.repartition(8), table, mode="append")  # v1: 8 files
-    upd = docs.where(F.col("doc_id") % 5 == 0).withColumn(
-        "n_chars", F.col("n_chars") + F.lit(1000)
+    write_snapshot(docs.repartition(12), table, mode="append")  # v1: 12 files
+    dead = docs.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    # v2: pure-delete MoR merge — positional DVs cover all 12 files,
+    # so the commit's change count is exactly 12 at every sf
+    merge_upsert(
+        docs.limit(0), table, key_cols=["doc_id"],
+        delete_keys=dead, mor=True,
     )
-    merge_upsert(upd, table, key_cols=["doc_id"], mor=True)  # v2: MoR DML
     n_docs = docs.count()
-    n_upd = upd.count()
-    n_expected = n_docs + 2 * n_upd  # v1 inserts + v2 delete/insert pairs
+    n_dead = dead.count()
+    n_expected = n_docs + n_dead  # v1 inserts + v2 delete pre-images
     register_snapshot_cdc(spark)
     sink = f"cdcpaged_{_uuid.uuid4().hex[:8]}"
     q = (
         spark.readStream.format("snapshot_cdc")
         .option("path", table)
         .option("start_version", 0)
-        .option("max_files_per_trigger", 3)
+        .option("max_files_per_trigger", 4)
         .option("page_keys", "doc_id")
         .load()
         .writeStream.format("memory")
@@ -6401,24 +6405,24 @@ def q_snapshot_cdc_paged(spark, sf_dir):
         q.stop()
         q.awaitTermination()
     fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
-    paged_seen = False
-    for p in fed:
-        end = ast.literal_eval(p["sources"][0]["endOffset"])
-        if "page" in end:
-            paged_seen = True  # offsets carry the key-range page
+    paged = [
+        p for p in fed
+        if "page" in ast.literal_eval(p["sources"][0]["endOffset"])
+    ]
     drained = spark.table(sink)
     dup_free = (
         drained.groupBy("doc_id", "_commit_version", "_change_type")
         .count().where(F.col("count") > 1).count() == 0
     )
     paged_ok = bool(
-        len(fed) >= 4
-        and paged_seen
+        len(fed) >= 5
+        and len(paged) >= 4
         and dup_free
         and drained.count() == n_expected
     )
     # per-key highest-version reduction = the CDC apply-sink algebra:
-    # the replica state paging must converge to
+    # the replica state paging must converge to; deleted keys' last
+    # change is a delete, so the reduction drops them
     w = Window.partitionBy("doc_id")
     final = (
         drained.withColumn(

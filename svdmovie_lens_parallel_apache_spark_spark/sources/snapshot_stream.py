@@ -39,8 +39,11 @@ module provides that over the snapshot-log format
   same contract as Delta's streaming source).
 
 Options: ``path`` (the table directory), ``start_version`` (default 0 =
-from table creation, so version 1's files are the first batch),
-``partition_filter`` (JSON object ``{field: source_value_or_list}``,
+from table creation, so version 1's files are the first batch) or its
+time-travel twin ``start_timestamp`` (epoch seconds, Delta
+``startingTimestamp`` semantics: every commit stamped at or after the
+timestamp streams; mutually exclusive with ``start_version`` — see
+:func:`_resolve_start`), ``partition_filter`` (JSON object ``{field: source_value_or_list}``,
 fields of the table's partition spec with probes transformed like every
 other surface) — each micro-batch then plans only the matching
 partitions' added files from metadata alone, the streaming form of the
@@ -101,7 +104,10 @@ through the commits row-level DML produces (MoR merge/update deletion
 vectors, pure file removals like ``drop_partition``), so a table fed
 by ``streaming_merge_sink`` can itself be subscribed to: the
 table→table CDC pipeline with updates, end to end, no version
-polling. Commit shapes whose changes are not exactly attributable to
+polling. It shares the append stream's ``partition_filter`` option
+(each work item is one file's changes and a file holds one partition
+tuple, so the stamp filter is exact; unstamped files conservatively
+stream) — the per-partition derived-table refresh with row-level DML. Commit shapes whose changes are not exactly attributable to
 single files (CoW rewrites, condition tombstones, rename/drop
 crossings) fail loudly — fall back to batch ``read_cdc`` or restart
 past them (see :func:`_cdc_plan_version`).
@@ -146,6 +152,36 @@ def _plannable_floor(table: str) -> int:
     return c
 
 
+def _resolve_start(table: str, options, fmt: str) -> int:
+    """Starting position from the reader options: exact
+    ``start_version``, or ``start_timestamp`` (epoch seconds, Delta
+    ``startingTimestamp`` semantics — the stream delivers every commit
+    stamped AT OR AFTER the timestamp; a timestamp before the table's
+    first commit means everything, one after the head means only
+    future commits). Mutually exclusive; commit stamps are strictly
+    monotonic per table (see ``_claim_snapshot``), so the resolution
+    is unambiguous. A resolved start whose history has since expired
+    hits the normal retention contract at planning time."""
+    sv = options.get("start_version")
+    ts = options.get("start_timestamp")
+    if sv is not None and ts is not None:
+        raise ValueError(
+            f"{fmt}: options start_version and start_timestamp are "
+            f"mutually exclusive"
+        )
+    if ts is None:
+        return int(sv or 0)
+    tsf = float(ts)
+    from .snapshot_table import _raw_history
+
+    for snap in _raw_history(table):  # stamps only, oldest first
+        at = snap.get("committed_at")
+        if at is not None and at >= tsf:
+            return snap["version"] - 1
+    lv = latest_version(table)
+    return lv if lv is not None else 0
+
+
 def _retention_check(
     table: str, first: int, allow_data_loss: bool, fmt: str,
 ) -> int:
@@ -159,7 +195,16 @@ def _retention_check(
     parent is retained; otherwise FAILS with the resume options, or —
     with ``allow_data_loss`` explicitly set — returns the first
     plannable version, acknowledging that the expired versions' rows
-    are skipped (Delta's ``failOnDataLoss=false``)."""
+    are skipped (Delta's ``failOnDataLoss=false``).
+
+    Steady-state cost is ONE existence check (version ``first``'s
+    parent present ⟹ the whole walk from ``first`` is plannable, since
+    expiry only removes prefixes); the O(retained history) floor walk
+    runs only on the failure path, to name the resume point."""
+    import os
+
+    if first <= 1 or os.path.exists(_snap_path(table, first - 1)):
+        return first
     c = _plannable_floor(table)
     if c <= 1 or first > c:
         return first
@@ -306,7 +351,9 @@ def _build():
             self.table = options.get("path")
             if not self.table:
                 raise ValueError("snapshot_changes: option 'path' required")
-            self.start_version = int(options.get("start_version", 0))
+            self.start_version = _resolve_start(
+                self.table, options, "snapshot_changes"
+            )
             v = latest_version(self.table)
             if v is None:
                 raise FileNotFoundError(
@@ -406,7 +453,21 @@ def _build():
             while (v, i) < e:
                 if v == e[0] and e[1] == 0:
                     break  # (V, 0) references nothing of V
-                adds, _ = _added_files(self.table, v - 1, v)
+                try:
+                    adds, _ = _added_files(self.table, v - 1, v)
+                except FileNotFoundError:
+                    # a mid-range snapshot is gone — retention with a
+                    # tag-pinned version BELOW the expired gap defeats
+                    # _retention_check's O(1) parent-exists fast path;
+                    # convert to the same actionable contract here
+                    adj = _retention_check(
+                        self.table, max(v, _plannable_floor(self.table)),
+                        self.allow_data_loss, "snapshot_changes",
+                    )
+                    if adj <= v:
+                        raise  # not a retention gap: surface as-is
+                    v, i = adj, 0
+                    continue
                 hi = e[1] if v == e[0] else len(adds)
                 entries.extend(adds[i:hi])
                 v, i = v + 1, 0
@@ -597,6 +658,7 @@ def _cdc_plan_version(table: str, v: int) -> list[dict]:
                 "version": v,
                 "dv_paths": extra_cover.get(s["file"], []),
                 "file_name": s["file"],
+                "partition": s.get("partition", {}),
             }
         )
     # positional parent tombstones per covered file (for removals)
@@ -625,6 +687,7 @@ def _cdc_plan_version(table: str, v: int) -> list[dict]:
                     "version": v,
                     "dv_paths": paths,
                     "file_name": f,
+                    "partition": old[f].get("partition", {}),
                 }
             )
     for s in removed:
@@ -643,6 +706,7 @@ def _cdc_plan_version(table: str, v: int) -> list[dict]:
                 "version": v,
                 "dv_paths": parent_cover.get(f, []),
                 "file_name": f,
+                "partition": s.get("partition", {}),
             }
         )
     return items
@@ -702,13 +766,26 @@ def _build_cdc():
             self.table = options.get("path")
             if not self.table:
                 raise ValueError("snapshot_cdc: option 'path' required")
-            self.start_version = int(options.get("start_version", 0))
+            self.start_version = _resolve_start(
+                self.table, options, "snapshot_cdc"
+            )
             v = latest_version(self.table)
             if v is None:
                 raise FileNotFoundError(
                     f"snapshot_cdc: {self.table} has no snapshots"
                 )
-            self.schema_json = _load_snapshot(self.table, v)["schema"]
+            snap = _load_snapshot(self.table, v)
+            self.schema_json = snap["schema"]
+            self.probes = None
+            raw = options.get("partition_filter")
+            if raw:
+                import json as _json
+
+                pb = snap.get("partition_by", [])
+                self.probes = {
+                    key: _transform_probes(pb, key, want)
+                    for key, want in _json.loads(raw).items()
+                }
             self.max_files = int(options.get("max_files_per_trigger", 0) or 0)
             self.allow_data_loss = str(
                 options.get("allow_data_loss", "false")
@@ -781,13 +858,40 @@ def _build_cdc():
             items = []
             v, p, n = s
             while (v, p) < (e[0], e[1]):
-                plan = _cdc_plan_version(self.table, v)
+                try:
+                    plan = _cdc_plan_version(self.table, v)
+                except FileNotFoundError:
+                    # mid-range expiry gap (tag pinned below it) — see
+                    # the append reader: convert to the loud contract
+                    adj = _retention_check(
+                        self.table, max(v, _plannable_floor(self.table)),
+                        self.allow_data_loss, "snapshot_cdc",
+                    )
+                    if adj <= v:
+                        raise  # not a retention gap: surface as-is
+                    v, p, n = adj, 0, 0
+                    continue
                 if v == e[0] and e[2]:
                     pages, npages = tuple(range(p, e[1])), e[2]
                 elif n:
                     pages, npages = tuple(range(p, n)), n
                 else:
                     pages, npages = None, 0  # whole version, no filter
+                if self.probes:
+                    # CDC narrowed to partitions (the per-partition
+                    # derived-table refresh, WITH row-level DML): each
+                    # work item is one file's changes and a file holds
+                    # rows of exactly one partition tuple, so the stamp
+                    # filter is exact; unstamped files conservatively
+                    # stream (same contract as every pruning surface)
+                    plan = [
+                        i
+                        for i in plan
+                        if all(
+                            _partition_match(i, k, t)
+                            for k, t in self.probes.items()
+                        )
+                    ]
                 items.extend(
                     dict(i, pages=pages, n_pages=npages) for i in plan
                 )

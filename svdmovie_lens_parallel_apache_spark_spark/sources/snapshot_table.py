@@ -127,6 +127,13 @@ _MAN_DIR = "_manifests"
 # JSON ~O(100 entries + segment names) while bounding segment count at
 # ~live_files/100 (compact with rewrite_manifests when that grows).
 _MANIFEST_INLINE_MAX = 100
+# Auto-maintenance threshold: a commit whose carry-over source already
+# holds this many segments compacts them into one as part of ITSELF
+# (see _encode_manifests) — bounding segment count at ~this value for
+# any table age, with the O(live files) compaction cost amortized over
+# ~threshold commits. None disables (operator-cadence rewrite_manifests
+# instead).
+_MANIFEST_AUTO_REWRITE: int | None = 64
 # Per-process FIFO of raw segment texts, abs path -> text. Sized for
 # the HOT SET only — the inline-tail-adjacent and recently-rolled
 # segments a commit/stream trigger re-reads — NOT the full manifest
@@ -807,7 +814,20 @@ def _encode_manifests(
     file name + dict equality (O(live shards) in-memory compares, no
     serialisation). A branch FORK (parent None, ``base_version`` set)
     carries from its main-chain base so branching a huge table costs
-    O(segment names), not a full metadata rewrite."""
+    O(segment names), not a full metadata rewrite.
+
+    Auto-maintenance: when the carry-over source already holds
+    :data:`_MANIFEST_AUTO_REWRITE` or more segments, THIS commit
+    compacts — it carries nothing and rolls the full shard list into
+    one fresh segment (``rewrite_manifests`` semantics amortized into
+    a regular commit: no extra commit, no maintenance daemon), and
+    stamps ``properties.auto_rewrote_manifests`` with the old segment
+    count. Segment count is thereby bounded at the threshold
+    regardless of table age; the compacting commit pays O(live files)
+    metadata once per ~threshold commits (amortized ~inline_max bytes
+    of segment JSON per file added). Set the module knob to ``None``
+    to disable and run :func:`rewrite_manifests` on an operator
+    cadence instead."""
     force = snapshot.pop("_rewrite_manifests", False)
     shards = snapshot.get("shards")
     if not isinstance(shards, list) or (
@@ -823,6 +843,7 @@ def _encode_manifests(
     carried: list[str] = []
     covered: set[str] = set()
     summaries: dict = {}
+    auto_compacted = 0
     if not force:
         src = None
         parent = snapshot.get("parent")
@@ -833,6 +854,13 @@ def _encode_manifests(
                 src = _raw_snapshot(table, snapshot["base_version"])
         except FileNotFoundError:
             src = None  # expired/absent parent: roll everything fresh
+        n_src_segs = len((src or {}).get("manifests", []))
+        if (
+            _MANIFEST_AUTO_REWRITE is not None
+            and n_src_segs >= _MANIFEST_AUTO_REWRITE
+        ):
+            auto_compacted = n_src_segs
+            src = None  # carry nothing: everything rolls into one
         parent_summs = (src or {}).get("manifest_summaries", {})
         for name in (src or {}).get("manifests", []):
             try:
@@ -850,7 +878,7 @@ def _encode_manifests(
                 if name in parent_summs:  # summary travels with the ref
                     summaries[name] = parent_summs[name]
     inline = [s for s in shards if s["file"] not in covered]
-    if len(inline) > _MANIFEST_INLINE_MAX or (force and inline):
+    if len(inline) > _MANIFEST_INLINE_MAX or ((force or auto_compacted) and inline):
         name = f"m-{uuid.uuid4().hex}.json"
         os.makedirs(os.path.join(table, _MAN_DIR), exist_ok=True)
         tmp = _manifest_path(table, f".{name}.tmp-{uuid.uuid4().hex}")
@@ -869,6 +897,11 @@ def _encode_manifests(
     out["shards"] = inline
     if summaries:
         out["manifest_summaries"] = summaries
+    if auto_compacted:
+        out["properties"] = {
+            **out.get("properties", {}),
+            "auto_rewrote_manifests": auto_compacted,
+        }
     out["reader_version"] = max(out.get("reader_version", 1), 3)
     return out
 

@@ -5130,3 +5130,47 @@ def test_version_change_counts_rewrite_manifests_shortcut(
 
     assert _version_change_counts(table, v) == (0, 0, 0)
     assert opened == []  # not a single segment opened
+
+
+def test_manifest_auto_rewrite_bounds_segments(spark, tmp_path, monkeypatch):
+    """Auto-maintenance: a commit whose parent already holds
+    _MANIFEST_AUTO_REWRITE segments compacts them into ONE as part of
+    itself (no extra commit, no daemon) — segment count stays bounded
+    for any table age, the compacting commit is stamped
+    auto_rewrote_manifests, reads stay exact throughout, and
+    carry-over resumes from the merged segment."""
+    monkeypatch.setattr(st, "_MANIFEST_INLINE_MAX", 2)
+    monkeypatch.setattr(st, "_MANIFEST_AUTO_REWRITE", 3)
+    table = str(tmp_path / "t")
+    stamped = []
+    for i in range(12):
+        write_snapshot(
+            spark.range(i * 10, (i + 1) * 10).coalesce(1), table,
+            mode="append",
+        )
+        raw = st._raw_snapshot(table, i + 1)
+        n_segs = len(raw.get("manifests", []))
+        # bounded: never more than threshold segments + the one being
+        # rolled this commit
+        assert n_segs <= 4, f"v{i+1}: {n_segs} segments"
+        if raw.get("properties", {}).get("auto_rewrote_manifests"):
+            stamped.append(i + 1)
+    assert stamped, "threshold never triggered in 12 commits"
+    # the commit AFTER a compaction carries the merged segment by name
+    v = stamped[-1]
+    merged = st._raw_snapshot(table, v)["manifests"]
+    if v < 12:
+        nxt = st._raw_snapshot(table, v + 1)["manifests"]
+        assert set(merged) <= set(nxt)
+    # reads exact at head and at a pre-compaction version
+    assert read_snapshot(spark, table).count() == 120
+    assert read_snapshot(spark, table, version=stamped[0] - 1).count() == (
+        (stamped[0] - 1) * 10
+    )
+    # versions never flagged: normal carry-over (no stamp)
+    assert all(
+        not st._raw_snapshot(table, u).get("properties", {}).get(
+            "auto_rewrote_manifests"
+        )
+        for u in range(1, 13) if u not in stamped
+    )

@@ -1347,3 +1347,208 @@ def test_cdc_key_range_paging_restart_exactly_once(spark, tmp_path):
     seen = Counter(b1 + b2 + b3)
     assert sum(seen.values()) == 300
     assert not [k for k, c in seen.items() if c > 1]
+
+
+def test_snapshot_changes_concurrent_writer_during_triggers(spark, tmp_path):
+    """A writer thread commits WHILE a continuous (processingTime)
+    snapshot_changes query is actively planning micro-batches — not
+    just between drains. The claim protocol makes this safe in theory
+    (a version is wholly before or wholly after any offset); this
+    pins it live: across >=3 triggers with mid-trigger commits, every
+    row arrives exactly once and no commit is skipped."""
+    import threading
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_stream import (
+        register_snapshot_changes,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(0, 10).coalesce(1), table, mode="append"
+    )  # v1 so the source can pin its schema
+    register_snapshot_changes(spark)
+    n_commits = 8
+    stop_writing = threading.Event()
+
+    def writer():
+        # commits land on the writer thread's own Spark jobs while the
+        # stream's trigger loop runs concurrently on the same session
+        for i in range(1, n_commits):
+            if stop_writing.is_set():
+                return
+            write_snapshot(
+                spark.range(i * 10, (i + 1) * 10).coalesce(1),
+                table, mode="append",
+            )
+            time.sleep(0.3)  # interleave with ~150ms triggers
+
+    import uuid
+
+    sink = f"conc_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("path", table).option("start_version", 0)
+        .load()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(processingTime="150 milliseconds")
+        .start()
+    )
+    th = threading.Thread(target=writer)
+    try:
+        th.start()
+        expected = n_commits * 10
+        deadline = time.time() + 120
+        while (
+            spark.table(sink).count() < expected
+            and time.time() < deadline
+        ):
+            time.sleep(0.25)
+        th.join(timeout=60)
+        # grace triggers: any buggy re-emission would land here
+        time.sleep(1.0)
+    finally:
+        stop_writing.set()
+        q.stop()
+        q.awaitTermination()
+        th.join(timeout=60)
+    got = sorted(r.id for r in spark.table(sink).collect())
+    assert got == list(range(n_commits * 10)), (
+        f"loss/duplication under concurrent commits: {len(got)} rows"
+    )
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 3, "commits did not interleave across triggers"
+
+
+def test_stream_tag_pinned_gap_gets_retention_contract(spark, tmp_path):
+    """A tag-pinned snapshot BELOW an expired gap defeats the O(1)
+    parent-exists fast path (the checkpointed version's parent is
+    retained, but versions above it are gone): the mid-walk
+    FileNotFoundError must convert to the same actionable retention
+    error, and allow_data_loss must resume from the plannable floor."""
+    import pytest
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_stream as ss,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_table as st,
+    )
+
+    table = str(tmp_path / "t")
+    for i in range(7):  # v1..v7
+        st.write_snapshot(
+            spark.range(i * 10, (i + 1) * 10).coalesce(1), table,
+            mode="append",
+        )
+    st.create_tag(table, "pin", version=2)
+    st.expire_snapshots(table, keep_last=2)  # keeps v6, v7 + tagged v2
+    import os
+
+    assert os.path.exists(st._snap_path(table, 2))  # tag pinned
+    assert not os.path.exists(st._snap_path(table, 3))  # gap above it
+    DS = ss._build()
+    r = DS({"path": table, "start_version": "0"}).streamReader(None)
+    # checkpoint at v2: parent v2 exists (fast path passes), v3 gone
+    with pytest.raises(ValueError, match="expired"):
+        r.partitions({"version": 2}, {"version": 7})
+    r2 = DS(
+        {"path": table, "start_version": "0", "allow_data_loss": "true"}
+    ).streamReader(None)
+    parts = [
+        p.path for p in r2.partitions({"version": 2}, {"version": 7})
+        if p.path is not None
+    ]
+    # plannable floor is v6 (parent of v7): only v7's file survives
+    assert len(parts) == 1
+
+
+def test_stream_start_timestamp_resolution(spark, tmp_path):
+    """start_timestamp (Delta startingTimestamp): every commit stamped
+    at or after the timestamp streams; before-table means everything,
+    after-head means only future commits; mutually exclusive with
+    start_version. Commit stamps are strictly monotonic, so the
+    resolution is exact even for same-wall-clock commits."""
+    import pytest
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_stream as ss,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_table as st,
+    )
+
+    table = str(tmp_path / "t")
+    for i in range(3):  # v1..v3
+        st.write_snapshot(
+            spark.range(i * 10, (i + 1) * 10).coalesce(1), table,
+            mode="append",
+        )
+    at = {
+        v: st._raw_snapshot(table, v)["committed_at"] for v in (1, 2, 3)
+    }
+
+    def start_of(**opts):
+        o = {"path": table, **{k: str(v) for k, v in opts.items()}}
+        return ss._build()(o).streamReader(None).start_version
+
+    assert start_of(start_timestamp=at[2]) == 1  # v2, v3 stream
+    assert start_of(start_timestamp=(at[2] + at[3]) / 2) == 2  # v3 only
+    assert start_of(start_timestamp=at[1] - 10) == 0  # everything
+    assert start_of(start_timestamp=at[3] + 10) == 3  # future only
+    # the CDC twin resolves identically
+    assert (
+        ss._build_cdc()(
+            {"path": table, "start_timestamp": str(at[2])}
+        ).streamReader(None).start_version
+        == 1
+    )
+    with pytest.raises(Exception, match="mutually exclusive"):
+        start_of(start_version=0, start_timestamp=at[2])
+    # end to end: the resolved start feeds the normal planning walk
+    r = ss._build()(
+        {"path": table, "start_timestamp": str((at[2] + at[3]) / 2)}
+    ).streamReader(None)
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()
+    files = [p.path for p in r.partitions(o0, o1) if p.path is not None]
+    assert len(files) == 1  # v3's single file
+
+
+def test_cdc_partition_filter_narrows_changes(spark, tmp_path):
+    """snapshot_cdc + partition_filter: a CDC feed narrowed to one
+    partition streams only that partition's inserts AND delete
+    pre-images (work items filter on the file's partition stamp —
+    exact, since a file holds one partition tuple), so a
+    per-partition replica sees a complete, correct change set."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_stream as ss,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_table as st,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 100).selectExpr("id", "id % 4 as g")
+    st.write_snapshot(df, table, partition_by=["g"])  # v1
+    # v2: MoR delete of every 10th row — touches several partitions
+    st.merge_upsert(
+        df.limit(0), table, key_cols=["id"],
+        delete_keys=spark.range(0, 100, 10).selectExpr("id"),
+        mor=True,
+    )
+    import json
+
+    DS = ss._build_cdc()
+    r = DS({
+        "path": table, "start_version": "0",
+        "partition_filter": json.dumps({"g": 1}),
+    }).streamReader(None)
+    rows = _drain_paged_cdc(r, r.initialOffset(), r.latestOffset())
+    ins = sorted(i for i, v, k in rows if k == "insert")
+    dels = sorted(i for i, v, k in rows if k == "delete")
+    assert ins == [i for i in range(100) if i % 4 == 1]
+    assert dels == [i for i in range(0, 100, 10) if i % 4 == 1]
