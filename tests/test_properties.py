@@ -316,3 +316,70 @@ def test_wav_and_avi_codecs_round_trip_any_content(seed, w, h, n, rate, n_samp):
 
     frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
     assert np.array_equal(decode_avi_dib(encode_avi_dib(frames)), frames)
+
+
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=12),
+    budget=st.integers(min_value=1, max_value=12),
+    split=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_cdc_pager_covers_every_position_exactly_once(counts, budget, split):
+    """_capped_end_paged driven to exhaustion over an arbitrary commit
+    history: positions strictly advance every non-caught-up step
+    (liveness), page indices stay inside [0, n) with a stable n per
+    version (offsets re-page identically on restart), the offset dict
+    encoding round-trips (no churn batches), and the union of planned
+    (version, page-range) intervals covers every version's full page
+    space exactly once (no loss, no overlap) — the paging twin of the
+    exactly-once claim the live tests pin on real tables."""
+    from unittest import mock
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_stream as ss,
+    )
+
+    latest = len(counts)
+
+    def fake_counts(_table, v):
+        return (counts[v - 1], 0, 0)
+
+    seen: dict[int, list[tuple[int, int, int]]] = {}
+    with mock.patch.object(ss, "_version_change_counts", fake_counts):
+        pos = (1, 0, 0)
+        for _step in range(10_000):
+            end = ss._capped_end_paged("t", latest, pos, budget, split)
+            assert ss._cdc_norm(ss._cdc_off(end)) == end  # bijective
+            if end == pos:
+                assert pos == (latest + 1, 0, 0)  # caught-up fixpoint
+                break
+            assert (end[0], end[1]) > (pos[0], pos[1])  # liveness
+            # record the planned interval per version (mirror of the
+            # partitions() walk)
+            v, p, n = pos
+            while (v, p) < (end[0], end[1]):
+                if v == end[0] and end[2]:
+                    hi, N = end[1], end[2]
+                elif n:
+                    hi, N = n, n
+                else:
+                    hi, N = 1, 1  # whole version == one full "page"
+                seen.setdefault(v, []).append((p, hi, N))
+                v, p, n = v + 1, 0, 0
+            pos = end
+        else:
+            raise AssertionError("pager failed to converge")
+    for v in range(1, latest + 1):
+        ivs = seen.get(v, [])
+        assert ivs, f"version {v} never planned"
+        ns = {N for _lo, _hi, N in ivs}
+        assert len(ns) == 1, f"version {v} re-paged with different n: {ns}"
+        n = ns.pop()
+        covered = []
+        for lo, hi, _ in sorted(ivs):
+            covered.extend(range(lo, hi))
+        assert covered == list(range(n)), (
+            f"version {v}: pages {covered} != full space 0..{n - 1}"
+        )
+        if not split:
+            assert n == 1  # never splits without page_keys
