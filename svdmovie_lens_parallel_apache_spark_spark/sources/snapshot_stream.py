@@ -174,10 +174,22 @@ def _resolve_start(table: str, options, fmt: str) -> int:
     tsf = float(ts)
     from .snapshot_table import _raw_history
 
+    unstamped = []
     for snap in _raw_history(table):  # stamps only, oldest first
         at = snap.get("committed_at")
-        if at is not None and at >= tsf:
+        if at is None:
+            unstamped.append(snap["version"])
+        elif at >= tsf:
             return snap["version"] - 1
+    if unstamped:
+        # pre-stamping history cannot be timestamp-resolved; silently
+        # skipping it would stream only FUTURE commits where the user
+        # asked for history — same loud contract as version_as_of
+        raise ValueError(
+            f"{fmt}: versions {unstamped} of {table} carry no "
+            f"committed_at stamp (written before timestamp support); "
+            f"use start_version to position the stream exactly"
+        )
     lv = latest_version(table)
     return lv if lv is not None else 0
 
@@ -223,6 +235,8 @@ def _retention_check(
             f"{c + 1}."
         )
     return c + 1
+
+
 def _norm_off(off: dict) -> tuple[int, int]:
     """Canonical position of a snapshot_changes offset: ``(V, I)`` =
     every add of versions < V consumed, plus the first I adds (sorted
@@ -411,11 +425,23 @@ def _build():
                         self.max_files,
                     )
                 except FileNotFoundError:
-                    # counting walked into expired history (e.g. a
-                    # fresh subscription with start_version predating
-                    # retention): emit uncapped and let partitions()
-                    # raise the actionable retention contract
-                    return {"version": v}
+                    # counting walked into expired history (a position
+                    # predating retention): retry from the plannable
+                    # floor so the recovery batch STAYS budget-paced —
+                    # an uncapped fallback would hand allow_data_loss
+                    # recoveries the exact monster batch admission
+                    # control exists to prevent. partitions() still
+                    # raises the actionable contract when data loss
+                    # was not opted into.
+                    c = _plannable_floor(self.table)
+                    try:
+                        ev, ei = _capped_end_indexed(
+                            self.table, v,
+                            max(self._pos, self._floor, (c + 1, 0)),
+                            self.max_files,
+                        )
+                    except FileNotFoundError:  # raced with expiry
+                        return {"version": v}
                 # canonical indexed form; equals the committed offset
                 # dict byte-for-byte once caught up (no churn batches)
                 return {"version": ev, "index": ei}
@@ -795,13 +821,30 @@ def _build_cdc():
                 c.strip() for c in raw_keys.split(",") if c.strip()
             )
             fields = {
-                f.name for f in StructType.fromJson(self.schema_json).fields
+                f.name: f.dataType
+                for f in StructType.fromJson(self.schema_json).fields
             }
             missing = [c for c in self.page_keys if c not in fields]
             if missing:
                 raise ValueError(
                     f"snapshot_cdc: page_keys columns {missing} not in "
                     f"the table schema"
+                )
+            from pyspark.sql.types import AtomicType, BinaryType
+
+            bad = [
+                c for c in self.page_keys
+                if not isinstance(fields[c], AtomicType)
+                or isinstance(fields[c], BinaryType)
+            ]
+            if bad:
+                # arrays/structs hash by object identity in pandas and
+                # binary may not cast to the canonical string form —
+                # either would page non-deterministically; refuse loudly
+                raise ValueError(
+                    f"snapshot_cdc: page_keys must be atomic non-binary "
+                    f"columns; {bad} are "
+                    f"{[fields[c].simpleString() for c in bad]}"
                 )
             # seed is the true position only for a FRESH query; safe
             # because Spark's restart re-init call partitions(
@@ -830,10 +873,19 @@ def _build_cdc():
                         self.max_files, bool(self.page_keys),
                     ))
                 except FileNotFoundError:
-                    # counting walked into expired history: emit
-                    # uncapped; partitions() raises the actionable
-                    # retention contract
-                    pass
+                    # expired history: retry from the plannable floor
+                    # so an allow_data_loss recovery stays paced (see
+                    # the append reader); partitions() still raises
+                    # the actionable contract otherwise
+                    c = _plannable_floor(self.table)
+                    try:
+                        return _cdc_off(_capped_end_paged(
+                            self.table, v,
+                            max(self._pos, self._floor, (c + 1, 0, 0)),
+                            self.max_files, bool(self.page_keys),
+                        ))
+                    except FileNotFoundError:  # raced with expiry
+                        pass
             return {"version": v}
 
         def partitions(self, start, end):
@@ -950,12 +1002,25 @@ def _build_cdc():
                 # images and insert post-images of the same key hash
                 # identically (same key columns), so a page always
                 # holds a key's COMPLETE change set for this version.
+                # The hash input is the key CAST TO STRING in Arrow
+                # (deterministic formatting) with nulls filled by a
+                # sentinel — NOT the raw to_pandas() value: Arrow
+                # promotes int64-with-nulls to float64, so the same
+                # key would hash differently depending on whether its
+                # FILE happens to contain a null, splitting a key's
+                # delete/insert pair across pages (and int keys above
+                # 2^53 would collapse). String canonicalisation makes
+                # the page a pure function of the key VALUE.
                 import pandas as pd
+                import pyarrow.compute as pc
 
                 h = None
                 for c in self.page_keys:
+                    s = pc.fill_null(
+                        pc.cast(t.column(c), pa.large_string()), "\x00N"
+                    ).to_pandas()
                     hc = pd.util.hash_pandas_object(
-                        t.column(c).to_pandas(), index=False
+                        s, index=False
                     ).to_numpy(dtype="uint64")
                     h = hc if h is None else (
                         h * np.uint64(1000003)

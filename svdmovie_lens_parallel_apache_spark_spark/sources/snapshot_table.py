@@ -338,6 +338,18 @@ def _version_change_counts(table: str, v: int) -> tuple[int, int, int]:
         a = _raw_snapshot(table, v - 1) if v > 1 else {}
     except FileNotFoundError:
         a = {}
+    if (
+        b.get("operation") == "append"
+        and b.get("properties", {}).get("auto_rewrote_manifests")
+        and isinstance(a.get("n_shards"), int)
+        and isinstance(b.get("n_shards"), int)
+    ):
+        # an AUTO-COMPACTING append replaces every segment name, so
+        # the name diff below would parse the whole old segment list
+        # plus the merged one — O(2x live files) inside a paced
+        # trigger. A pure append removes nothing and covers nothing,
+        # so its add count is exactly the recorded shard-count delta.
+        return (max(b["n_shards"] - a["n_shards"], 0), 0, 0)
     segs_a = set(a.get("manifests", []))
     segs_b = set(b.get("manifests", []))
     new_files = {s["file"] for s in b.get("shards", [])}
@@ -2547,6 +2559,27 @@ def expire_snapshots(
     last = latest_version(table)
     if last is None:
         return {"snapshots_removed": 0, "shards_removed": 0}
+    # protocol gate BEFORE any removal: the orphan sweep below refuses
+    # snapshots requiring a newer reader (it cannot compute their
+    # liveness), and that refusal must arrive while expiry is still a
+    # no-op — raising AFTER the os.remove loop would have already
+    # irreversibly dropped history while looking like a clean failure
+    for p in glob.glob(
+        os.path.join(_log_dir(table), "*.json")
+    ) + glob.glob(os.path.join(table, _REFS_DIR, "*", "*.json")):
+        try:
+            with open(p) as f:
+                required = json.load(f).get("reader_version", 1)
+        except FileNotFoundError:
+            continue
+        if required > _READER_VERSION:
+            raise ValueError(
+                f"snapshot_table: {p} requires reader protocol "
+                f"{required}; this reader supports up to "
+                f"{_READER_VERSION} — refusing to expire history (the "
+                f"orphan sweep cannot compute liveness for snapshots "
+                f"it cannot fully interpret); upgrade before GC"
+            )
     cutoff = last - max(1, keep_last)
     if older_than is not None:
         while cutoff >= 1:

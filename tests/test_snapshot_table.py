@@ -5174,3 +5174,65 @@ def test_manifest_auto_rewrite_bounds_segments(spark, tmp_path, monkeypatch):
         )
         for u in range(1, 13) if u not in stamped
     )
+
+
+def test_expire_refuses_future_protocol_before_removing(
+    spark, tmp_path
+):
+    """The GC protocol gate must fire BEFORE expire_snapshots removes
+    anything: a refusal that arrives after the os.remove loop would
+    have already irreversibly dropped history while reading as a
+    clean failure."""
+    table = str(tmp_path / "t")
+    for i in range(4):
+        write_snapshot(
+            spark.range(i * 10, (i + 1) * 10).coalesce(1), table,
+            mode="append",
+        )
+    p = st._snap_path(table, 4)
+    with open(p) as f:
+        raw = json.load(f)
+    raw["reader_version"] = st._READER_VERSION + 1
+    with open(p, "w") as f:
+        json.dump(raw, f)
+    with pytest.raises(ValueError, match="reader protocol"):
+        expire_snapshots(table, keep_last=1)
+    # EVERY snapshot file survived the refused expiry — expiry was a
+    # true no-op, not a half-completed removal
+    assert all(
+        os.path.exists(st._snap_path(table, v)) for v in range(1, 5)
+    )
+
+
+def test_change_counts_auto_compaction_crossing_is_cheap(
+    spark, tmp_path, monkeypatch
+):
+    """A paced stream trigger crossing an AUTO-COMPACTING append must
+    not pay O(live files) of segment JSON: the counter short-circuits
+    via the recorded n_shards delta (a pure append removes nothing and
+    covers nothing) and opens ZERO segments."""
+    monkeypatch.setattr(st, "_MANIFEST_INLINE_MAX", 2)
+    monkeypatch.setattr(st, "_MANIFEST_AUTO_REWRITE", 3)
+    table = str(tmp_path / "t")
+    stamped = None
+    for i in range(12):
+        write_snapshot(
+            spark.range(i * 10, (i + 1) * 10).coalesce(1), table,
+            mode="append",
+        )
+        raw = st._raw_snapshot(table, i + 1)
+        if raw.get("properties", {}).get("auto_rewrote_manifests"):
+            stamped = i + 1
+    assert stamped is not None
+    opened = []
+    orig = st._load_manifest
+    monkeypatch.setattr(
+        st, "_load_manifest",
+        lambda t, n: (opened.append(n), orig(t, n))[1],
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        _version_change_counts,
+    )
+
+    assert _version_change_counts(table, stamped) == (1, 0, 0)
+    assert opened == []  # not a single segment parsed

@@ -1552,3 +1552,107 @@ def test_cdc_partition_filter_narrows_changes(spark, tmp_path):
     dels = sorted(i for i, v, k in rows if k == "delete")
     assert ins == [i for i in range(100) if i % 4 == 1]
     assert dels == [i for i in range(0, 100, 10) if i % 4 == 1]
+
+
+def test_cdc_page_keys_validation(spark, tmp_path):
+    """page_keys validation: unknown columns and non-atomic types
+    (pandas would hash object-dtype arrays by IDENTITY — pages would
+    differ across processes) refuse loudly at reader construction."""
+    import pytest
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_stream as ss,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_table as st,
+    )
+
+    table = str(tmp_path / "t")
+    st.write_snapshot(
+        spark.range(5).selectExpr("id", "array(id, id+1) as v"), table
+    )
+    DS = ss._build_cdc()
+    with pytest.raises(ValueError, match="not in"):
+        DS({"path": table, "page_keys": "nope"}).streamReader(None)
+    with pytest.raises(ValueError, match="atomic"):
+        DS({"path": table, "page_keys": "v"}).streamReader(None)
+    r = DS({"path": table, "page_keys": "id"}).streamReader(None)
+    assert r.page_keys == ("id",)
+
+
+def test_cdc_paging_hash_ignores_null_dtype_promotion(spark, tmp_path):
+    """The page hash must be a pure function of the key VALUE: Arrow
+    promotes int64-with-nulls to float64 in to_pandas(), so hashing
+    raw pandas values would page the same key differently depending on
+    whether its FILE contains a null — splitting a key's delete/insert
+    pair across batches. The canonical string-cast hash makes the
+    pre-image (from the null-containing file) and post-image (from the
+    clean post-image file) of every updated key land in ONE batch."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_stream as ss,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_table as st,
+    )
+
+    table = str(tmp_path / "t")
+    base = spark.sql(
+        "SELECT id, id * 2 AS v FROM range(50) "
+        "UNION ALL SELECT CAST(NULL AS BIGINT), 0"
+    ).coalesce(1)
+    st.write_snapshot(base, table)  # v1: ONE file containing a null key
+    st.merge_upsert(
+        spark.range(0, 50).selectExpr("id", "id * 3 as v"),
+        table, key_cols=["id"], mor=True,
+    )  # v2: DV over the null-containing file + clean post-image shards
+    DS = ss._build_cdc()
+    r = DS({
+        "path": table, "start_version": "0",
+        "max_files_per_trigger": "1", "page_keys": "id",
+    }).streamReader(None)
+    off = r.initialOffset()
+    batches = []
+    for _ in range(100):
+        new = r.latestOffset()
+        if new == off:
+            break
+        batches.append(_drain_paged_cdc(r, off, new))
+        r.commit(new)
+        off = new
+    assert len(batches) >= 2  # the commits actually paged
+    for rows in batches:
+        v2 = {}
+        for id_, ver, kind in rows:
+            if ver == 2 and id_ is not None:
+                v2.setdefault(id_, set()).add(kind)
+        for id_, kinds in v2.items():
+            assert kinds == {"delete", "insert"}, (
+                f"key {id_}'s v2 pair split across batches: {kinds}"
+            )
+
+
+def test_stream_start_timestamp_refuses_unstamped_history(spark, tmp_path):
+    """start_timestamp on pre-stamping history refuses loudly (the
+    batch twin version_as_of's contract) instead of silently
+    streaming only future commits."""
+    import json
+
+    import pytest
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_stream as ss,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_table as st,
+    )
+
+    table = str(tmp_path / "t")
+    st.write_snapshot(spark.range(10).coalesce(1), table)
+    p = st._snap_path(table, 1)
+    raw = json.load(open(p))
+    del raw["committed_at"]
+    json.dump(raw, open(p, "w"))
+    with pytest.raises(Exception, match="committed_at"):
+        ss._build()(
+            {"path": table, "start_timestamp": "0"}
+        ).streamReader(None)
