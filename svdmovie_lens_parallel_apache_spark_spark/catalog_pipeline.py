@@ -6445,3 +6445,86 @@ def q_snapshot_cdc_paged(spark, sf_dir):
         )
         .withColumn("paged_ok", F.lit(paged_ok))
     )
+
+
+@register(
+    "snapshot_analyze",
+    f"""
+    WITH thr AS (
+      SELECT CAST(floor(max(doc_id) / 4) AS BIGINT) AS t FROM documents
+    )
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           TRUE                         AS analyzed_ok
+    FROM documents, thr WHERE doc_id <= t GROUP BY lang
+    """,
+    tags=("sources", "table-format", "stats", "pruning", "maintenance"),
+    description="ANALYZE for existing tables (Delta compute-statistics "
+    "shaped): documents committed range-clustered but STATS-LESS (the "
+    "streaming-ingest shape — range scans degrade to full reads), then "
+    "analyze_table stamps per-shard doc_id min/max + blooms in ONE "
+    "metadata-only commit (zero data movement, operation 'metadata' so "
+    "streams treat it as row-preserving). analyzed_ok pins: all shards "
+    "unstamped before / stamped after, the data file set untouched, a "
+    "quarter-range probe provably excludes shards from metadata alone "
+    "(0 < overlapping < total), a second analyze is a no-op commit-"
+    "nothing, and the filtered aggregate fingerprints exactly. Engine: "
+    "sources/snapshot_table.py::analyze_table.",
+)
+def q_snapshot_analyze(spark, sf_dir):
+    import glob as _glob
+    import os
+    import tempfile
+
+    from .sources import snapshot_table as st
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    table = tempfile.mkdtemp(prefix="svdml-analyze-") + "/t"
+    st.write_snapshot(
+        docs.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id"),
+        table,
+    )
+    unstamped_before = all(
+        not s.get("stats") for s in st._load_snapshot(table, 1)["shards"]
+    )
+    files_before = sorted(_glob.glob(os.path.join(table, "data", "*")))
+    v = st.analyze_table(
+        spark, table, stats_cols=["doc_id"], bloom_cols=["doc_id"]
+    )
+    snap = st._load_snapshot(table, v)
+    stamped_after = all(
+        "doc_id" in s.get("stats", {}) and "doc_id" in s.get("bloom", {})
+        for s in snap["shards"]
+    )
+    thr = int(docs.agg(F.max("doc_id")).collect()[0][0] // 4)
+    overlapping = sum(
+        1 for s in snap["shards"]
+        if st._stats_overlap(s, "doc_id", None, thr)
+    )
+    noop = st.analyze_table(spark, table, stats_cols=["doc_id"]) == v
+    analyzed_ok = bool(
+        unstamped_before
+        and snap["operation"] == "metadata"
+        and stamped_after
+        and sorted(_glob.glob(os.path.join(table, "data", "*")))
+        == files_before
+        and 0 < overlapping < len(snap["shards"])
+        and noop
+    )
+    return (
+        st.read_snapshot(spark, table, prune=("doc_id", None, thr))
+        .where(F.col("doc_id") <= thr)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias(
+                "text_fp"
+            ),
+        )
+        .withColumn("analyzed_ok", F.lit(analyzed_ok))
+    )

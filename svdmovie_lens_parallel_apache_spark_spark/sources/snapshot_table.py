@@ -2669,6 +2669,205 @@ def vacuum(
     return out
 
 
+def analyze_table(
+    spark: SparkSession, table: str,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 2048, bloom_k: int = 3,
+    branch: str | None = None,
+) -> int:
+    """Compute per-shard min/max stats (and optionally Bloom filters)
+    for LIVE shards that lack them and restamp the snapshot log in one
+    METADATA-ONLY commit (Delta ``ANALYZE``/``compute statistics``
+    shaped) — no data file moves, no visible-row change (the commit is
+    ``operation: 'metadata'``, which every stream source and CDC diff
+    treats as row-preserving). Returns the new version, or the current
+    one when every live shard already carries the requested metadata
+    (idempotent no-op, commits nothing).
+
+    This closes the stats gap for STREAMING-INGESTED tables: the
+    exactly-once sink lands shards unstamped, so range scans on a hot
+    table degrade to full-partition reads until a compaction rewrites
+    the files — analyze restamps them after ONE distributed
+    metadata-weight pass (`input_file_name` group-by, the same job
+    shape the write path uses) at zero rewrite cost. At 100 TB that is
+    the difference between "pruning returns after the nightly
+    compaction" and "pruning returns after a stats pass over only the
+    unstamped files".
+
+    Shards carrying a column MAPPING (rename/drop evolution) are
+    SKIPPED, not guessed at: reading a logical column by name from a
+    mapped shard can hit a reused physical name and stamp WRONG stats,
+    which unlike missing stats would prune incorrectly. Their count is
+    recorded in ``properties.analyze_skipped_mapped``; compaction
+    converges layouts and a later analyze covers them. Columns a shard
+    physically lacks (pre-evolution files) stamp as ``[None, None]`` —
+    conservatively unprunable, never wrong. Concurrent commits are
+    handled by the standard optimistic retry; already-computed per-file
+    results are reused across retries (data files are immutable)."""
+    from pyspark.sql import functions as F
+
+    if not stats_cols and not bloom_cols:
+        raise ValueError(
+            "snapshot_table: analyze_table needs stats_cols and/or "
+            "bloom_cols"
+        )
+    job = uuid.uuid4().hex
+    tmp_dir = os.path.join(table, "_tmp", job)
+    stat_cache: dict[str, dict] = {}
+    bloom_cache: dict[str, dict] = {}
+    try:
+        while True:
+            current = latest_version(table, branch)
+            if current is None:
+                raise FileNotFoundError(
+                    f"snapshot_table: {table} has no snapshots"
+                    + (f" on branch {branch!r}" if branch else "")
+                )
+            head = _load_snapshot(table, current, branch)
+            schema = StructType.fromJson(head["schema"])
+            for c in list(stats_cols or []) + list(bloom_cols or []):
+                if c not in schema.fieldNames():
+                    raise ValueError(
+                        f"snapshot_table: analyze_table column {c!r} "
+                        f"not in the table schema"
+                    )
+            for c in stats_cols or []:
+                t = schema[c].dataType.simpleString()
+                if t not in ("int", "bigint", "smallint", "tinyint",
+                             "float", "double", "string"):
+                    raise ValueError(
+                        f"snapshot_table: stats_cols supports "
+                        f"numeric/string columns only; {c!r} is {t}"
+                    )
+            for c in bloom_cols or []:
+                t = schema[c].dataType.simpleString()
+                if t not in ("int", "bigint", "smallint", "tinyint",
+                             "string"):
+                    raise ValueError(
+                        f"snapshot_table: bloom_cols supports "
+                        f"integral/string columns only; {c!r} is {t}"
+                    )
+            skipped_mapped = 0
+            targets: list[dict] = []
+            for s in head["shards"]:
+                need_stats = any(
+                    c not in s.get("stats", {}) for c in stats_cols or []
+                )
+                need_bloom = any(
+                    c not in s.get("bloom", {}) for c in bloom_cols or []
+                )
+                if not (need_stats or need_bloom):
+                    continue
+                if s.get("names") is not None:
+                    skipped_mapped += 1
+                    continue
+                targets.append(s)
+            if not targets:
+                return current  # fully stamped already: no-op
+            todo_stats = [
+                s["file"] for s in targets
+                if s["file"] not in stat_cache and stats_cols
+            ]
+            if todo_stats:
+                aggs = []
+                for c in stats_cols:
+                    aggs.append(F.min(c).alias(f"__min__{c}"))
+                    aggs.append(F.max(c).alias(f"__max__{c}"))
+                rows = (
+                    spark.read.schema(schema).parquet(
+                        *[
+                            os.path.join(table, _DATA_DIR, n)
+                            for n in todo_stats
+                        ]
+                    )
+                    .groupBy(F.input_file_name().alias("f"))
+                    .agg(*aggs)
+                    .collect()
+                )
+                from urllib.parse import unquote
+
+                for r in rows:
+                    name = os.path.basename(unquote(r["f"]))
+                    stat_cache[name] = {
+                        c: [r[f"__min__{c}"], r[f"__max__{c}"]]
+                        for c in stats_cols
+                    }
+            todo_bloom = [
+                s["file"] for s in targets
+                if s["file"] not in bloom_cache and bloom_cols
+            ]
+            if todo_bloom:
+                bloom_cache.update(
+                    _compute_blooms(
+                        spark, table, todo_bloom, list(bloom_cols),
+                        bloom_bits, bloom_k,
+                    )
+                )
+            restamped = []
+            target_names = {s["file"] for s in targets}
+            for s in head["shards"]:
+                if s["file"] not in target_names:
+                    restamped.append(s)
+                    continue
+                s = dict(s)
+                if stats_cols:
+                    s["stats"] = {
+                        **s.get("stats", {}),
+                        **{
+                            c: v
+                            for c, v in stat_cache.get(
+                                s["file"], {}
+                            ).items()
+                            if c not in s.get("stats", {})
+                        },
+                    }
+                if bloom_cols:
+                    s["bloom"] = {
+                        **s.get("bloom", {}),
+                        **{
+                            c: v
+                            for c, v in bloom_cache.get(
+                                s["file"], {}
+                            ).items()
+                            if c not in s.get("bloom", {})
+                        },
+                    }
+                restamped.append(s)
+            snapshot = {
+                "version": current + 1,
+                "parent": current,
+                "operation": "metadata",
+                "properties": {
+                    "analyzed": len(targets),
+                    **(
+                        {"analyze_stats_cols": sorted(stats_cols)}
+                        if stats_cols else {}
+                    ),
+                    **(
+                        {"analyze_bloom_cols": sorted(bloom_cols)}
+                        if bloom_cols else {}
+                    ),
+                    **(
+                        {"analyze_skipped_mapped": skipped_mapped}
+                        if skipped_mapped else {}
+                    ),
+                },
+                "schema": head["schema"],
+                "n_shards": head["n_shards"],
+                "n_rows": head["n_rows"],
+                "shards": restamped,
+            }
+            for k in ("deletes", "constraints", "partition_by", "branch",
+                      "base_version"):
+                if head.get(k):
+                    snapshot[k] = head[k]
+            if _claim_snapshot(table, tmp_dir, snapshot, branch):
+                return current + 1
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
 def rewrite_manifests(table: str, branch: str | None = None) -> int:
     """Compact the head snapshot's manifest segments into ONE segment
     (Iceberg ``rewrite_manifests`` shaped) as a metadata-only commit —

@@ -5236,3 +5236,82 @@ def test_change_counts_auto_compaction_crossing_is_cheap(
 
     assert _version_change_counts(table, stamped) == (1, 0, 0)
     assert opened == []  # not a single segment parsed
+
+
+def test_analyze_table_restamps_without_rewrite(spark, tmp_path):
+    """analyze_table: stats + blooms land on existing shards as ONE
+    metadata-only commit — data files untouched, pruning turns on,
+    idempotent no-op when fully stamped, mapped shards skipped (wrong
+    stats would prune incorrectly; missing stats never do)."""
+    import glob as _glob
+
+    table = str(tmp_path / "t")
+    # stats-less ingest (the streaming-sink shape)
+    write_snapshot(
+        spark.range(0, 1000).selectExpr("id", "id % 7 as g")
+        .repartitionByRange(8, "id").sortWithinPartitions("id"),
+        table,
+    )
+    before_files = sorted(_glob.glob(os.path.join(table, "data", "*")))
+    assert all(
+        not s.get("stats") for s in st._load_snapshot(table, 1)["shards"]
+    )
+    v = st.analyze_table(
+        spark, table, stats_cols=["id"], bloom_cols=["id"]
+    )
+    assert v == 2
+    snap = st._load_snapshot(table, 2)
+    assert snap["operation"] == "metadata"
+    assert snap["properties"]["analyzed"] == 8
+    assert all("id" in s["stats"] and "id" in s["bloom"]
+               for s in snap["shards"])
+    # zero data movement
+    assert sorted(
+        _glob.glob(os.path.join(table, "data", "*"))
+    ) == before_files
+    # pruning now works: a narrow range plans ONE shard (125 rows =
+    # 1000/8; prune is file-level, the row filter is the caller's)
+    pruned = st.read_snapshot(
+        spark, table, prune=("id", 0, 50)
+    )
+    assert pruned.count() == 125
+    assert pruned.where("id between 0 and 50").count() == 51
+    # and the scan planned a strict subset of shards (stats did it)
+    touched = {
+        s["file"]
+        for s in snap["shards"]
+        if st._stats_overlap(s, "id", 0, 50)
+    }
+    assert 0 < len(touched) < 8
+    # idempotent: nothing left to stamp -> no new commit
+    assert st.analyze_table(spark, table, stats_cols=["id"]) == 2
+    # incremental: a later unstamped append analyzes ONLY its shards
+    write_snapshot(
+        spark.range(1000, 1100).coalesce(1), table, mode="append"
+    )
+    v = st.analyze_table(spark, table, stats_cols=["id"])
+    assert st._load_snapshot(table, v)["properties"]["analyzed"] == 1
+    # mapped shards are skipped, not mis-stamped: with ONLY mapped
+    # shards lacking grp stats, analyze is a no-op (skipping must be
+    # loud-by-absence, never wrong stats); with a fresh unmapped shard
+    # in the mix, it stamps that one and records the skips
+    st.rename_column(spark, table, "g", "grp")
+    head = latest_version(table)
+    assert st.analyze_table(spark, table, stats_cols=["grp"]) == head
+    write_snapshot(
+        spark.range(2000, 2100).selectExpr(
+            "id", "id % 7 as grp"
+        ).coalesce(1),
+        table, mode="append",
+    )
+    v2 = st.analyze_table(spark, table, stats_cols=["grp"])
+    p = st._load_snapshot(table, v2)["properties"]
+    assert p["analyzed"] == 1
+    assert p.get("analyze_skipped_mapped", 0) > 0
+    # streams treat the analyze commit as row-preserving
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        _added_files,
+    )
+
+    adds, _ = _added_files(table, 2, 3)  # range holding only analyze? v3 is append
+    assert len(adds) == 1
