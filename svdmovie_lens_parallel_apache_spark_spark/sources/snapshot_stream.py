@@ -43,9 +43,9 @@ from table creation, so version 1's files are the first batch) or its
 time-travel twin ``start_timestamp`` (epoch seconds, Delta
 ``startingTimestamp`` semantics: every commit stamped at or after the
 timestamp streams; mutually exclusive with ``start_version`` — see
-:func:`_resolve_start`), ``partition_filter`` (JSON object ``{field: source_value_or_list}``,
-fields of the table's partition spec with probes transformed like every
-other surface) — each micro-batch then plans only the matching
+:func:`_resolve_start`), ``partition_filter`` (JSON object
+``{field: source_value_or_list}``, fields of the table's partition
+spec with probes transformed like every other surface) — each micro-batch then plans only the matching
 partitions' added files from metadata alone, the streaming form of the
 per-language derived-table refresh (unstamped added shards are
 conservatively kept) — and ``max_files_per_trigger`` (admission
@@ -107,9 +107,10 @@ table→table CDC pipeline with updates, end to end, no version
 polling. It shares the append stream's ``partition_filter`` option
 (each work item is one file's changes and a file holds one partition
 tuple, so the stamp filter is exact; unstamped files conservatively
-stream) — the per-partition derived-table refresh with row-level DML. Commit shapes whose changes are not exactly attributable to
-single files (CoW rewrites, condition tombstones, rename/drop
-crossings) fail loudly — fall back to batch ``read_cdc`` or restart
+stream) — the per-partition derived-table refresh with row-level DML.
+Commit shapes whose changes are not exactly attributable to single
+files (CoW rewrites, condition tombstones, rename/drop crossings)
+fail loudly — fall back to batch ``read_cdc`` or restart
 past them (see :func:`_cdc_plan_version`).
 """
 
