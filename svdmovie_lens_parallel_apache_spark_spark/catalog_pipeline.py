@@ -1842,7 +1842,13 @@ def q_gap_fill_daily(spark, sf_dir):
     "items per order self-joined within the order key, support-thresholded. "
     "The pair blowup is bounded by C(order_size, 2) per order (TPC-H orders "
     "hold <= 7 items), NOT corpus-quadratic — the same posting-list shape as "
-    "jaccard_pairs; the join co-partitions on orderkey, one shuffle.",
+    "jaccard_pairs; the join co-partitions on orderkey. An in-array "
+    "rewrite (collect_set + nested TRANSFORM combination expansion) was "
+    "measured head-to-head at sf10 and LOST 3.6x (138s vs 38s warm: the "
+    "struct explode breaks codegen and the array build costs more than "
+    "the co-partitioned sort-merge join) — the join stays, and the one "
+    "super-linear-looking rehearsal sample that prompted the experiment "
+    "re-measured sub-linear on an idle host (SCALING.json).",
 )
 def q_copurchase_pairs(spark, sf_dir):
     items = (

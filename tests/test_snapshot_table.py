@@ -5315,3 +5315,41 @@ def test_analyze_table_restamps_without_rewrite(spark, tmp_path):
 
     adds, _ = _added_files(table, 2, 3)  # range holding only analyze? v3 is append
     assert len(adds) == 1
+
+
+def test_analyze_composes_with_manifest_segments(
+    spark, tmp_path, monkeypatch
+):
+    """analyze_table on a manifest-segmented table: restamped shard
+    entries break the carry-over identity of every segment holding
+    them, so the analyze commit re-rolls those segments — reads must
+    stay exact across the re-roll, stats must land inside the SEGMENT
+    files, and the next append resumes carrying the new segments."""
+    monkeypatch.setattr(st, "_MANIFEST_INLINE_MAX", 2)
+    table = str(tmp_path / "t")
+    for i in range(6):
+        write_snapshot(
+            spark.range(i * 10, (i + 1) * 10).coalesce(1), table,
+            mode="append",
+        )
+    assert st._raw_snapshot(table, 6).get("manifests")
+    v = st.analyze_table(spark, table, stats_cols=["id"])
+    snap = st._load_snapshot(table, v)
+    assert all("id" in s.get("stats", {}) for s in snap["shards"])
+    assert read_snapshot(spark, table).count() == 60
+    # stats live in the re-rolled segments (resolution proved it);
+    # the next append carries the analyzed segments by name
+    segs = st._raw_snapshot(table, v).get("manifests", [])
+    assert segs
+    write_snapshot(
+        spark.range(60, 70).coalesce(1), table, mode="append"
+    )
+    carried = st._raw_snapshot(table, v + 1).get("manifests", [])
+    assert set(segs) <= set(carried)
+    # pruning through the segment path: the analyzed first shard plus
+    # the un-analyzed new append (no stats -> conservatively kept)
+    pruned = st.read_snapshot(spark, table, prune=("id", 0, 5))
+    assert pruned.count() == 20
+    st.analyze_table(spark, table, stats_cols=["id"])
+    pruned = st.read_snapshot(spark, table, prune=("id", 0, 5))
+    assert pruned.count() == 10  # now exactly the first shard
