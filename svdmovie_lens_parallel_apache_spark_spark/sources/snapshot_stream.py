@@ -180,7 +180,23 @@ def _resolve_start(table: str, options, fmt: str) -> int:
         at = snap.get("committed_at")
         if at is None:
             unstamped.append(snap["version"])
-        elif at >= tsf:
+        elif at < tsf:
+            # stamps are monotonic, so every unstamped version BEFORE
+            # this one is provably older than the timestamp — safe to
+            # exclude; only unstamped versions with no later-seen
+            # sub-threshold stamp stay ambiguous
+            unstamped = []
+        else:
+            if unstamped and at > tsf:
+                # the unstamped prefix abuts the resolution boundary:
+                # those commits' true times are only bounded by THIS
+                # stamp (strict monotonicity: they precede ``at``), so
+                # with ts < at they could fall on either side of ts —
+                # returning here would silently exclude history the
+                # user may have asked for. With at == ts the prefix is
+                # provably older than ts (strictly before ``at``) and
+                # resolution stays exact.
+                break
             return snap["version"] - 1
     if unstamped:
         # pre-stamping history cannot be timestamp-resolved; silently
@@ -188,8 +204,10 @@ def _resolve_start(table: str, options, fmt: str) -> int:
         # asked for history — same loud contract as version_as_of
         raise ValueError(
             f"{fmt}: versions {unstamped} of {table} carry no "
-            f"committed_at stamp (written before timestamp support); "
-            f"use start_version to position the stream exactly"
+            f"committed_at stamp (written before timestamp support) "
+            f"and no younger stamp proves them older than the "
+            f"requested timestamp; use start_version to position the "
+            f"stream exactly"
         )
     lv = latest_version(table)
     return lv if lv is not None else 0
@@ -247,6 +265,49 @@ def _norm_off(off: dict) -> tuple[int, int]:
     if "index" in off:
         return (off["version"], off["index"])
     return (off["version"] + 1, 0)
+
+
+def _off_of(pos: tuple[int, int]) -> dict:
+    """Inverse of :func:`_norm_off` — the canonical offset dict for a
+    position, so a no-progress latestOffset can echo the current
+    position byte-for-byte (no churn batches)."""
+    v, i = pos
+    if i:
+        return {"version": v, "index": i}
+    return {"version": v - 1}
+
+
+def _page_hash(keys, n_pages: int):
+    """Key-range page assignment for CDC paging: first 64 bits of
+    **md5 of the canonical key string** modulo the page count — the
+    same engine-portable md5 family every other hashing surface uses
+    (``functions/hashing.py``), chosen here because page assignments
+    are persisted INTO offsets: a checkpoint must re-page identically
+    across process restarts, executor heterogeneity, and library
+    upgrades. A pandas/xxhash-style library hash is deterministic only
+    per deployment — replaying an uncommitted paged batch after a
+    library upgrade would silently re-assign keys to different pages
+    (duplicated and lost rows within that version); md5 is pinned by
+    the algorithm itself. hashlib releases the GIL and the loop is
+    C-dominated (~1M keys/s); pages are budget-bounded by
+    construction, so this stays off the scale path.
+
+    ``keys`` is a sequence of canonical key STRINGS (see the caller
+    for the null/dtype canonicalisation); returns int64 page ids in
+    ``[0, n_pages)``."""
+    import hashlib
+
+    import numpy as np
+
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(k.encode("utf-8")).digest()[:8], "big")
+            % n_pages
+            for k in keys
+        ),
+        dtype=np.int64,
+        count=len(keys),
+    )
 
 
 def _capped_end_indexed(
@@ -441,8 +502,14 @@ def _build():
                             max(self._pos, self._floor, (c + 1, 0)),
                             self.max_files,
                         )
-                    except FileNotFoundError:  # raced with expiry
-                        return {"version": v}
+                    except FileNotFoundError:
+                        # raced with a SECOND expiry: echo the current
+                        # position (a no-progress offset) and let the
+                        # next trigger re-cap — falling through to the
+                        # uncapped head would deliver exactly the
+                        # monster recovery batch admission control
+                        # exists to prevent
+                        return _off_of(max(self._pos, self._floor))
                 # canonical indexed form; equals the committed offset
                 # dict byte-for-byte once caught up (no churn batches)
                 return {"version": ev, "index": ei}
@@ -784,10 +851,11 @@ def _build_cdc():
         batches — offsets gain ``page``/``pages`` — instead of one
         monster micro-batch; see :func:`_capped_end_paged` for the
         convergence argument and the read-amplification trade. The
-        key hash is ``pandas.util.hash_pandas_object`` (vectorized
-        SipHash with pandas' fixed default key): deterministic per
-        deployment, which offsets require — pin the pandas version
-        across executors, as any Arrow pipeline already must."""
+        key hash is the engine's portable md5 page hash
+        (:func:`_page_hash`): pinned by the algorithm itself, so a
+        checkpoint's page assignments survive process restarts,
+        heterogeneous executors, and library upgrades with no
+        version-pinning requirement."""
 
         def __init__(self, options):
             self.table = options.get("path")
@@ -839,9 +907,9 @@ def _build_cdc():
                 or isinstance(fields[c], BinaryType)
             ]
             if bad:
-                # arrays/structs hash by object identity in pandas and
-                # binary may not cast to the canonical string form —
-                # either would page non-deterministically; refuse loudly
+                # arrays/structs have no canonical Arrow string cast
+                # and binary may not round-trip one — either would
+                # page non-deterministically; refuse loudly
                 raise ValueError(
                     f"snapshot_cdc: page_keys must be atomic non-binary "
                     f"columns; {bad} are "
@@ -885,8 +953,13 @@ def _build_cdc():
                             max(self._pos, self._floor, (c + 1, 0, 0)),
                             self.max_files, bool(self.page_keys),
                         ))
-                    except FileNotFoundError:  # raced with expiry
-                        pass
+                    except FileNotFoundError:
+                        # raced with a SECOND expiry: echo the current
+                        # position (no progress) and let the next
+                        # trigger re-cap — the uncapped head would be
+                        # exactly the monster recovery batch admission
+                        # control exists to prevent
+                        return _cdc_off(max(self._pos, self._floor))
             return {"version": v}
 
         def partitions(self, start, end):
@@ -1011,22 +1084,27 @@ def _build_cdc():
                 # FILE happens to contain a null, splitting a key's
                 # delete/insert pair across pages (and int keys above
                 # 2^53 would collapse). String canonicalisation makes
-                # the page a pure function of the key VALUE.
-                import pandas as pd
+                # the page a pure function of the key VALUE; the md5
+                # page hash (_page_hash) makes it a pure function of
+                # NOTHING ELSE — no library version, no process seed.
                 import pyarrow.compute as pc
 
-                h = None
-                for c in self.page_keys:
-                    s = pc.fill_null(
+                parts = [
+                    pc.fill_null(
                         pc.cast(t.column(c), pa.large_string()), "\x00N"
-                    ).to_pandas()
-                    hc = pd.util.hash_pandas_object(
-                        s, index=False
-                    ).to_numpy(dtype="uint64")
-                    h = hc if h is None else (
-                        h * np.uint64(1000003)
-                    ) ^ hc
-                page = (h % np.uint64(partition.n_pages)).astype("int64")
+                    )
+                    for c in self.page_keys
+                ]
+                combined = (
+                    parts[0]
+                    if len(parts) == 1
+                    else pc.binary_join_element_wise(
+                        *parts, pa.scalar("\x1f", pa.large_string())
+                    )
+                )
+                page = _page_hash(
+                    combined.to_pylist(), partition.n_pages
+                )
                 t = t.filter(pa.array(np.isin(
                     page, np.asarray(partition.pages, dtype="int64")
                 )))

@@ -1656,3 +1656,132 @@ def test_stream_start_timestamp_refuses_unstamped_history(spark, tmp_path):
         ss._build()(
             {"path": table, "start_timestamp": "0"}
         ).streamReader(None)
+
+
+def test_page_hash_is_portable_md5():
+    """CDC page assignment is the engine's md5 page hash — pinned by
+    the ALGORITHM, not a library version: a checkpoint's page/pages
+    offsets must re-page identically after any pandas/pyarrow/numpy
+    upgrade (the one environment coupling the repo's hashing
+    discipline exists to avoid). Pins _page_hash against an
+    independent hashlib computation, including the null sentinel and
+    the multi-column join form the reader builds."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_stream import (
+        _page_hash,
+    )
+
+    def ref(s, n):
+        return int.from_bytes(
+            hashlib.md5(s.encode("utf-8")).digest()[:8], "big"
+        ) % n
+
+    keys = ["0", "17", "\x00N", "a\x1fb", "9007199254740993"]
+    for n in (2, 3, 7):
+        assert list(_page_hash(keys, n)) == [ref(k, n) for k in keys]
+    # the reader's canonicalisation: Arrow string cast + null sentinel
+    # + \x1f join — a large int key must NOT go through float (2^53+1
+    # survives), and a null key hashes the sentinel
+    t = pa.table({"id": pa.array([9007199254740993, None], pa.int64()),
+                  "g": pa.array(["x", "y"])})
+    parts = [
+        pc.fill_null(pc.cast(t.column(c), pa.large_string()), "\x00N")
+        for c in ("id", "g")
+    ]
+    combined = pc.binary_join_element_wise(
+        *parts, pa.scalar("\x1f", pa.large_string())
+    ).to_pylist()
+    assert combined == ["9007199254740993\x1fx", "\x00N\x1fy"]
+    assert list(_page_hash(combined, 5)) == [ref(k, 5) for k in combined]
+
+
+def test_start_timestamp_unstamped_prefix_at_boundary(spark, tmp_path):
+    """The unstamped-prefix boundary: an unstamped version directly
+    abutting the first stamped version >= ts has an UNKNOWN commit
+    time that could fall on either side of ts — resolution must
+    refuse loudly, not silently exclude it. A younger stamp BELOW ts
+    proves the prefix older (strict monotonicity) and resolution
+    proceeds; ts == the abutting stamp exactly is also provable (the
+    prefix strictly precedes that stamp)."""
+    import pytest
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_stream as ss,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_table as st,
+    )
+
+    table = str(tmp_path / "t")
+    for i in range(3):  # v1..v3
+        st.write_snapshot(
+            spark.range(i * 10, (i + 1) * 10).coalesce(1), table,
+            mode="append",
+        )
+    at = {v: st._raw_snapshot(table, v)["committed_at"] for v in (1, 2, 3)}
+    p = st._snap_path(table, 1)
+    raw = json.load(open(p))
+    del raw["committed_at"]  # v1 becomes pre-stamping history
+    json.dump(raw, open(p, "w"))
+
+    def start_of(ts):
+        return ss._build()(
+            {"path": table, "start_timestamp": str(ts)}
+        ).streamReader(None).start_version
+
+    # ts strictly between v1's (unknown) time bound and v2's stamp:
+    # v1 could be on either side -> loud refusal naming the versions
+    with pytest.raises(ValueError, match=r"\[1\].*committed_at"):
+        start_of((at[1] + at[2]) / 2)
+    # ts == v2's stamp exactly: v1 strictly precedes it -> provable
+    assert start_of(at[2]) == 1
+    # a stamped version BELOW ts (v2) proves the prefix older -> v3 on
+    assert start_of((at[2] + at[3]) / 2) == 2
+    # the CDC twin shares the resolver
+    with pytest.raises(ValueError, match="committed_at"):
+        ss._build_cdc()(
+            {"path": table, "start_timestamp": str((at[1] + at[2]) / 2)}
+        ).streamReader(None)
+
+
+def test_latest_offset_double_expiry_race_stays_paced(spark, tmp_path, monkeypatch):
+    """If the floor-retried capped call races with expiry a SECOND
+    time, latestOffset must echo the current position (no progress —
+    the next trigger re-caps) instead of falling through to the
+    uncapped whole-head offset, which would be exactly the monster
+    recovery batch admission control exists to prevent."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_stream as ss,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        snapshot_table as st,
+    )
+
+    table = str(tmp_path / "t")
+    for i in range(3):
+        st.write_snapshot(
+            spark.range(i * 10, (i + 1) * 10).repartition(2), table,
+            mode="append",
+        )
+
+    def boom(*a, **k):
+        raise FileNotFoundError("expired under the counter")
+
+    r = ss._build()(
+        {"path": table, "start_version": "0", "max_files_per_trigger": "1",
+         "allow_data_loss": "true"}
+    ).streamReader(None)
+    monkeypatch.setattr(ss, "_capped_end_indexed", boom)
+    off = r.latestOffset()
+    assert off == r.initialOffset()  # no progress, NOT {"version": 3}
+    r2 = ss._build_cdc()(
+        {"path": table, "start_version": "0", "max_files_per_trigger": "1",
+         "page_keys": "id", "allow_data_loss": "true"}
+    ).streamReader(None)
+    monkeypatch.setattr(ss, "_capped_end_paged", boom)
+    off2 = r2.latestOffset()
+    assert off2 == r2.initialOffset()
