@@ -6534,3 +6534,99 @@ def q_snapshot_analyze(spark, sf_dir):
         )
         .withColumn("analyzed_ok", F.lit(analyzed_ok))
     )
+
+
+@register(
+    "snapshot_ts_prune",
+    f"""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ),
+    r AS (
+      SELECT lo + (hi - lo) // 4 AS plo, lo + (hi - lo) // 2 AS phi FROM b
+    )
+    SELECT event_type,
+           count(*)                            AS n_events,
+           CAST(sum(epoch_us(ts)) AS BIGINT)   AS sum_us,
+           CAST(sum({oracle_hash_sql('event_id')}) AS BIGINT) AS id_fp,
+           TRUE                                AS prune_ok
+    FROM events, r
+    WHERE epoch_us(ts) >= plo AND epoch_us(ts) <= phi
+    GROUP BY event_type
+    """,
+    tags=("sources", "table-format", "stats", "pruning", "time"),
+    description="Timestamp min/max stats prune shards on EVENT TIME "
+    "(the single most common 100 TB prune axis): events committed "
+    "range-clustered on ts with stats_cols=['ts'] record epoch-micros "
+    "int bounds in the snapshot log (JSON-portable, exact — "
+    "min/max commute with the monotonic conversion), and a quarter-"
+    "span time-range scan skips shards from METADATA ALONE — finer "
+    "than days(ts) partition granularity, no derived epoch column for "
+    "the user to maintain. prune_ok pins: every shard's ts bounds are "
+    "ints, the probe provably excludes shards (0 < surviving < "
+    "total), and datetime/ISO/epoch-second probe forms all normalize "
+    "to the same shard set (_normalize_prune). Engine: "
+    "sources/snapshot_table.py::_stats_input/_epoch_probe.",
+)
+def q_snapshot_ts_prune(spark, sf_dir):
+    import datetime as _dt
+    import tempfile
+
+    from .sources import snapshot_table as st
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    row = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).collect()[0]
+    lo_us = row["lo"] + (row["hi"] - row["lo"]) // 4
+    hi_us = row["lo"] + (row["hi"] - row["lo"]) // 2
+    table = tempfile.mkdtemp(prefix="svdml-tsprune-") + "/t"
+    st.write_snapshot(
+        ev.repartitionByRange(8, "ts").sortWithinPartitions("ts"),
+        table, stats_cols=["ts"],
+    )
+    snap = st._load_snapshot(table, 1)
+    ints_ok = all(
+        isinstance(s["stats"]["ts"][0], int)
+        and isinstance(s["stats"]["ts"][1], int)
+        for s in snap["shards"]
+    )
+    surviving = [
+        s for s in snap["shards"]
+        if st._stats_overlap(s, "ts", lo_us, hi_us)
+    ]
+    # every probe form (exact datetime / ISO string / epoch seconds)
+    # normalizes to the same shard set as the raw int-micros probe
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    lo_dt = epoch + _dt.timedelta(microseconds=lo_us)
+    hi_dt = epoch + _dt.timedelta(microseconds=hi_us)
+    forms_ok = True
+    for plo, phi in (
+        (lo_dt, hi_dt),
+        (lo_dt.isoformat(), hi_dt.isoformat()),
+    ):
+        p = st._normalize_prune(snap["schema"], ("ts", plo, phi))
+        got = [
+            s for s in snap["shards"]
+            if st._stats_overlap(s, p[0], p[1], p[2])
+        ]
+        forms_ok = forms_ok and got == surviving
+    prune_ok = bool(
+        ints_ok and forms_ok and 0 < len(surviving) < len(snap["shards"])
+    )
+    return (
+        st.read_snapshot(spark, table, prune=("ts", lo_dt, hi_dt))
+        .where(
+            (F.unix_micros("ts") >= lo_us) & (F.unix_micros("ts") <= hi_us)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.unix_micros("ts")).cast("long").alias("sum_us"),
+            F.sum(portable_hash64(F.col("event_id"))).cast("long").alias(
+                "id_fp"
+            ),
+        )
+        .withColumn("prune_ok", F.lit(prune_ok))
+    )

@@ -65,6 +65,7 @@ def _build():
     from .snapshot_table import (
         _DATA_DIR,
         _bloom_may_contain,
+        _epoch_probe,
         _load_snapshot,
         _parse_partition_spec,
         _partition_match,
@@ -127,17 +128,41 @@ def _build():
             # one iff AT LEAST one value can be present in it
             self.any_of: list[tuple[str, tuple]] = []
 
+        def _stat_probe(self, col: str, value):
+            # stats-comparison form of a pushed value: temporal
+            # columns' recorded bounds are epoch ints (see
+            # _STATS_COL_TYPES), so datetime/date literals Catalyst
+            # pushes convert before the comparator sees them — raw
+            # values stay raw everywhere else (partition transforms
+            # and blooms consume SOURCE values)
+            try:
+                t = self.schema[col].dataType.simpleString()
+            except KeyError:
+                return value
+            return (
+                _epoch_probe(t, value)
+                if t in ("timestamp", "date")
+                else value
+            )
+
         def _narrow(self, col: str, lo=None, hi=None):
             b = self.bounds.setdefault(col, [None, None])
-            if lo is not None and (b[0] is None or lo > b[0]):
-                b[0] = lo
-            if hi is not None and (b[1] is None or hi < b[1]):
-                b[1] = hi
+            lo, hi = self._stat_probe(col, lo), self._stat_probe(col, hi)
+            try:
+                if lo is not None and (b[0] is None or lo > b[0]):
+                    b[0] = lo
+                if hi is not None and (b[1] is None or hi < b[1]):
+                    b[1] = hi
+            except TypeError:
+                pass  # incomparable narrowing probe: keep the old bound
 
         def pushFilters(self, filters):
             # supported comparison shapes narrow the skip interval;
             # EVERY filter is yielded back unhandled — skipping is a
             # scan reducer, Spark keeps the row-level Filter node
+            import datetime as _d
+
+            ok_types = (int, float, str, _d.date)  # date covers datetime
             for f in filters:
                 attr = getattr(f, "attribute", None)
                 value = getattr(f, "value", None)
@@ -147,7 +172,7 @@ def _build():
                     and attr is not None
                     and len(attr) == 1
                     and value
-                    and all(isinstance(v, (int, float, str)) for v in value)
+                    and all(isinstance(v, ok_types) for v in value)
                 ):
                     # multi-point lookup: stats + bloom per listed value
                     self.any_of.append((attr[0], tuple(value)))
@@ -155,7 +180,7 @@ def _build():
                     attr is not None
                     and len(attr) == 1
                     and value is not None
-                    and isinstance(value, (int, float, str))
+                    and isinstance(value, ok_types)
                 ):
                     col = attr[0]
                     if isinstance(f, EqualTo):
@@ -208,7 +233,11 @@ def _build():
                     s
                     for s in shards
                     if any(
-                        _stats_overlap(s, col, v, v)
+                        _stats_overlap(
+                            s, col,
+                            self._stat_probe(col, v),
+                            self._stat_probe(col, v),
+                        )
                         and _bloom_may_contain(s, col, v)
                         for v in values
                     )

@@ -988,6 +988,138 @@ def _stats_overlap(shard: dict, col: str, lo, hi) -> bool:
     return True
 
 
+# per-shard min/max stats support these column types. Temporal columns
+# are recorded in EPOCH-INTEGER form (micros for timestamp, days for
+# date) because the snapshot log is JSON and the comparator is plain
+# Python ordering: a datetime never round-trips JSON, an int always
+# does, and min/max commute with the monotonic epoch conversion so the
+# recorded bound is exact. Event-time is the single most common prune
+# axis on a 100 TB events table — intra-day range scans must skip
+# shards WITHOUT needing days(ts) partition granularity.
+_STATS_COL_TYPES = (
+    "int", "bigint", "smallint", "tinyint", "float", "double", "string",
+    "date", "timestamp",
+)
+
+
+def _stats_input(dtype: str, col: str):
+    """The aggregation input recorded as a stats bound for a column of
+    ``dtype`` (simpleString): temporal columns record their epoch-int
+    form (``unix_micros``/``unix_date`` — JVM-side, exact, no session
+    timezone in play: Spark timestamps ARE UTC epoch micros
+    internally), everything else records the raw value."""
+    from pyspark.sql import functions as F
+
+    if dtype == "timestamp":
+        return F.unix_micros(F.col(col))
+    if dtype == "date":
+        return F.unix_date(F.col(col))
+    return F.col(col)
+
+
+def _session_tz():
+    """The timezone Spark uses to interpret NAIVE timestamp values
+    (``spark.sql.session.timeZone``, defaulting to the JVM/OS zone):
+    recorded timestamp stats are absolute instants (epoch micros), so
+    a naive probe must be localised exactly the way a collect()
+    localised the values the user derived it from. Falls back to the
+    process-local zone when the conf names a form zoneinfo cannot
+    resolve (conservative: a wrong zone only mis-prunes never — the
+    comparator still sees ints, and the caller's row filter is the
+    correctness layer)."""
+    import datetime as _d
+
+    name = None
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            name = s.conf.get("spark.sql.session.timeZone", None)
+    except Exception:
+        pass
+    if name:
+        try:
+            from zoneinfo import ZoneInfo
+
+            return ZoneInfo(name)
+        except Exception:
+            pass
+    return _d.datetime.now().astimezone().tzinfo
+
+
+def _epoch_probe(dtype: str, value):
+    """Normalize one prune/pushdown probe against a ``date`` /
+    ``timestamp`` column to the RECORDED epoch-int stats form:
+
+    - ``datetime``/``date`` objects convert exactly (tz-aware as-is;
+      naive localised in the session timezone, matching how Spark
+      interprets naive literals);
+    - ISO-8601 strings parse first;
+    - numbers follow the module's time conventions: epoch SECONDS for
+      timestamp columns (the unit ``as_of``/``older_than``/
+      ``start_timestamp`` already use), epoch DAYS for date columns.
+
+    Anything unconvertible returns unchanged — the comparator's
+    incomparable-types rule then conservatively keeps every shard, so
+    a bad probe can never skip wrongly."""
+    import datetime as _d
+
+    if value is None or isinstance(value, bool):
+        return value
+    if dtype == "date":
+        if isinstance(value, (int, float)):
+            return int(value)
+        if isinstance(value, str):
+            try:
+                value = _d.date.fromisoformat(value)
+            except ValueError:
+                return value
+        if isinstance(value, _d.datetime):
+            value = value.date()
+        if isinstance(value, _d.date):
+            return (value - _d.date(1970, 1, 1)).days
+        return value
+    if isinstance(value, (int, float)):
+        return int(round(value * 1_000_000))
+    if isinstance(value, str):
+        try:
+            value = _d.datetime.fromisoformat(value)
+        except ValueError:
+            return value
+    if isinstance(value, _d.date) and not isinstance(value, _d.datetime):
+        value = _d.datetime(value.year, value.month, value.day)
+    if isinstance(value, _d.datetime):
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=_session_tz())
+        epoch = _d.datetime(1970, 1, 1, tzinfo=_d.timezone.utc)
+        return (value - epoch) // _d.timedelta(microseconds=1)
+    return value
+
+
+def _normalize_prune(schema_json: dict, prune: tuple | None):
+    """Map a caller's ``prune=(col, lo, hi)`` probe to the recorded
+    stats form when ``col`` is temporal (see :func:`_epoch_probe`);
+    non-temporal columns pass through untouched. Every prune entry
+    point (batch read, DML triage, DSv2 pushdown) routes through this
+    so datetime probes skip shards instead of hitting the comparator's
+    conservative incomparable-types keep."""
+    if prune is None:
+        return None
+    col, lo, hi = prune
+    t = next(
+        (
+            f.get("type")
+            for f in schema_json.get("fields", [])
+            if f.get("name") == col
+        ),
+        None,
+    )
+    if t not in ("timestamp", "date"):
+        return prune
+    return (col, _epoch_probe(t, lo), _epoch_probe(t, hi))
+
+
 # partition values are recorded in the snapshot log in their PORTABLE
 # string form (what Spark's cast-to-string produces for the hive dir
 # name), so type support mirrors bloom_cols: integral/string only —
@@ -1826,11 +1958,10 @@ def _stage_publish(
         )
     for c in stats_cols or []:
         t = df.schema[c].dataType.simpleString()
-        if t not in ("int", "bigint", "smallint", "tinyint",
-                     "float", "double", "string"):
+        if t not in _STATS_COL_TYPES:
             raise ValueError(
-                f"snapshot_table: stats_cols supports numeric/string "
-                f"columns only; {c!r} is {t}"
+                f"snapshot_table: stats_cols supports numeric/string/"
+                f"date/timestamp columns only; {c!r} is {t}"
             )
     os.makedirs(os.path.join(table, _SNAP_DIR), exist_ok=True)
     os.makedirs(os.path.join(table, _DATA_DIR), exist_ok=True)
@@ -1951,8 +2082,12 @@ def _stage_publish(
     if mine:
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in stats_cols or []:
-            aggs.append(F.min(c).alias(f"__min__{c}"))
-            aggs.append(F.max(c).alias(f"__max__{c}"))
+            # temporal columns record epoch-int bounds (see
+            # _STATS_COL_TYPES); min/max commute with the monotonic
+            # conversion so the recorded bound is exact
+            e = _stats_input(df.schema[c].dataType.simpleString(), c)
+            aggs.append(F.min(e).alias(f"__min__{c}"))
+            aggs.append(F.max(e).alias(f"__max__{c}"))
         rows = (
             spark.read.parquet(
                 *[os.path.join(table, _DATA_DIR, n) for n in mine]
@@ -2042,11 +2177,15 @@ def write_snapshot(
     recorded verbatim in the snapshot (commit metadata — e.g. the
     streaming batch id :func:`streaming_snapshot_sink` uses for
     idempotent replay). ``stats_cols`` records per-shard min/max for
-    those columns in the snapshot (int/float/string only), enabling
-    shard skipping in :func:`read_snapshot` — the Iceberg/Delta
-    file-pruning mechanism, which at 100 TB turns a key-range query
-    from a full scan into a few-file read when the layout clusters the
-    key (pair with ``writers.write_clustered``).
+    those columns in the snapshot (numeric/string/date/timestamp;
+    temporal bounds are stored as epoch days/micros — see
+    :data:`_STATS_COL_TYPES`), enabling shard skipping in
+    :func:`read_snapshot` — the Iceberg/Delta file-pruning mechanism,
+    which at 100 TB turns a key-range query from a full scan into a
+    few-file read when the layout clusters the key (pair with
+    ``writers.write_clustered``). Event-time is the canonical case:
+    stats on a timestamp column let intra-day range scans skip shards
+    at file granularity, finer than ``days(ts)`` partitioning alone.
 
     ``bloom_cols`` additionally records a small per-shard BLOOM FILTER
     per column (``bloom_bits`` bits × ``bloom_k`` hashes, stored as the
@@ -2269,7 +2408,11 @@ def read_snapshot(
     not overlap [lo, hi] — file skipping from snapshot metadata alone,
     before any footer is opened. Shards without stats for ``col`` are
     conservatively kept; the caller still applies its own row filter
-    (pruning is a scan reducer, not a filter).
+    (pruning is a scan reducer, not a filter). Temporal columns take
+    ``datetime``/``date``/ISO-string probes (naive datetimes are
+    interpreted in the session timezone, like Spark literals); a
+    NUMBER against a timestamp column means epoch SECONDS — the same
+    unit as ``as_of`` — and epoch DAYS against a date column.
 
     ``bloom_point=(col, value)`` skips every shard whose recorded Bloom
     filter for ``col`` (``write_snapshot(bloom_cols=...)``) provably
@@ -2325,6 +2468,14 @@ def read_snapshot(
         raise FileNotFoundError(
             f"snapshot_table: {table} has no snapshots"
             + (f" on branch {branch!r}" if branch is not None else "")
+        )
+    if prune is not None:
+        # temporal probes (datetime/date/ISO string/epoch seconds) map
+        # to the recorded epoch-int stats form BEFORE either pruning
+        # tier sees them — otherwise the incomparable-types rule keeps
+        # every shard and event-time range scans silently stop pruning
+        prune = _normalize_prune(
+            _raw_snapshot(table, v, branch)["schema"], prune
         )
     # the scan-path loader skips whole manifest segments whose rolled
     # summary provably excludes prune/partition predicates BEFORE any
@@ -2734,11 +2885,11 @@ def analyze_table(
                     )
             for c in stats_cols or []:
                 t = schema[c].dataType.simpleString()
-                if t not in ("int", "bigint", "smallint", "tinyint",
-                             "float", "double", "string"):
+                if t not in _STATS_COL_TYPES:
                     raise ValueError(
                         f"snapshot_table: stats_cols supports "
-                        f"numeric/string columns only; {c!r} is {t}"
+                        f"numeric/string/date/timestamp columns only; "
+                        f"{c!r} is {t}"
                     )
             for c in bloom_cols or []:
                 t = schema[c].dataType.simpleString()
@@ -2772,8 +2923,11 @@ def analyze_table(
             if todo_stats:
                 aggs = []
                 for c in stats_cols:
-                    aggs.append(F.min(c).alias(f"__min__{c}"))
-                    aggs.append(F.max(c).alias(f"__max__{c}"))
+                    # epoch-int bounds for temporal columns — same
+                    # recording rule as the write path (_stats_input)
+                    e = _stats_input(schema[c].dataType.simpleString(), c)
+                    aggs.append(F.min(e).alias(f"__min__{c}"))
+                    aggs.append(F.max(e).alias(f"__max__{c}"))
                 rows = (
                     spark.read.schema(schema).parquet(
                         *[
@@ -3792,8 +3946,17 @@ def _merge_upsert_cached(
     match_keys = match_keys.distinct()
     bounds = None
     if prune_col is not None:
+        # the bounds compare against RECORDED stats, so a temporal
+        # prune_col computes its epoch-int form (same rule as the
+        # write path) — collected datetimes would hit the comparator's
+        # conservative keep and the partial rewrite would degrade to
+        # full-table
+        pe = _stats_input(
+            match_keys.schema[prune_col].dataType.simpleString(),
+            prune_col,
+        )
         row = match_keys.agg(
-            F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+            F.min(pe).alias("lo"), F.max(pe).alias("hi")
         ).collect()[0]
         if row["lo"] is not None and row["hi"] is not None:
             bounds = (row["lo"], row["hi"])
@@ -4410,8 +4573,8 @@ def delete_where(
             )
         schema = StructType.fromJson(snap["schema"])
         touched, carried = _triage_shards(
-            snap["shards"], prune, partition_prune,
-            snap.get("partition_by", []),
+            snap["shards"], _normalize_prune(snap["schema"], prune),
+            partition_prune, snap.get("partition_by", []),
         )
         if not touched:
             # every shard provably excludes the range/partitions: no
@@ -4650,8 +4813,8 @@ def update_where(
                     f"{want.simpleString()}; cast explicitly"
                 )
         touched, carried = _triage_shards(
-            snap["shards"], prune, partition_prune,
-            snap.get("partition_by", []),
+            snap["shards"], _normalize_prune(snap["schema"], prune),
+            partition_prune, snap.get("partition_by", []),
         )
         if not touched:
             # pruning proved no shard overlaps: a no-op UPDATE must not

@@ -5353,3 +5353,195 @@ def test_analyze_composes_with_manifest_segments(
     st.analyze_table(spark, table, stats_cols=["id"])
     pruned = st.read_snapshot(spark, table, prune=("id", 0, 5))
     assert pruned.count() == 10  # now exactly the first shard
+
+
+def test_timestamp_stats_prune(spark, tmp_path):
+    """Timestamp stats_cols: bounds are recorded as epoch-MICROS ints
+    (JSON-portable, exact), and a prune probe in any caller form —
+    naive/aware datetime, ISO string, epoch-seconds number — skips
+    shards whose event-time range provably excludes it. This is the
+    intra-day range scan on a streaming events table pruning at FILE
+    granularity, finer than days(ts) partitioning."""
+    import datetime as d
+
+    table = str(tmp_path / "t")
+    # 4 range-clustered shards over 4 hours of event time (UTC session)
+    base = 1_700_000_000  # 2023-11-14T22:13:20Z
+    df = spark.range(0, 4 * 3600, 10).select(
+        F.timestamp_micros(
+            (F.lit(base) + F.col("id")) * 1_000_000
+        ).alias("ts"),
+        (F.col("id") % 97).alias("v"),
+    )
+    write_snapshot(
+        df.repartitionByRange(4, "ts").sortWithinPartitions("ts"),
+        table, stats_cols=["ts"],
+    )
+    snap = st._load_snapshot(table, 1)
+    for s in snap["shards"]:
+        lo, hi = s["stats"]["ts"]
+        assert isinstance(lo, int) and isinstance(hi, int)
+        assert base * 1_000_000 <= lo <= hi < (base + 4 * 3600) * 1_000_000
+
+    lo_dt = d.datetime.fromtimestamp(base + 3600, d.timezone.utc)
+    hi_dt = d.datetime.fromtimestamp(base + 5400, d.timezone.utc)
+
+    def surviving(lo, hi):
+        p = st._normalize_prune(snap["schema"], ("ts", lo, hi))
+        return [s for s in snap["shards"]
+                if st._stats_overlap(s, p[0], p[1], p[2])]
+
+    # a half-hour probe hits 1 shard of 4 (range-clustered layout)
+    assert len(surviving(lo_dt, hi_dt)) < 4
+    # every probe form agrees: aware dt == naive dt (UTC session) ==
+    # ISO string == epoch seconds
+    forms = [
+        (lo_dt, hi_dt),
+        (lo_dt.replace(tzinfo=None), hi_dt.replace(tzinfo=None)),
+        (lo_dt.isoformat(), hi_dt.isoformat()),
+        (base + 3600, base + 5400),
+        (float(base + 3600), float(base + 5400)),
+    ]
+    counts = {len(surviving(lo, hi)) for lo, hi in forms}
+    assert len(counts) == 1
+    # pruned read == unpruned read + row filter (reducer, not filter)
+    got = _canon(
+        read_snapshot(spark, table, prune=("ts", lo_dt, hi_dt))
+        .where((F.col("ts") >= lo_dt) & (F.col("ts") <= hi_dt))
+    )
+    want = _canon(
+        df.where((F.col("ts") >= lo_dt) & (F.col("ts") <= hi_dt))
+    )
+    assert got == want and len(got) == 181
+
+
+def test_date_stats_prune_and_analyze(spark, tmp_path):
+    """Date stats_cols record epoch-DAYS ints; analyze_table stamps
+    temporal stats onto unstamped (streaming-ingested) shards in the
+    same form, and date/ISO probes prune from metadata alone."""
+    import datetime as d
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   F.col("id").cast("int")).alias("day"),
+        F.col("id").alias("v"),
+    )
+    # committed WITHOUT stats (the streaming-ingest shape)
+    write_snapshot(
+        df.repartitionByRange(4, "day").sortWithinPartitions("day"), table
+    )
+    assert all(
+        not s.get("stats") for s in st._load_snapshot(table, 1)["shards"]
+    )
+    v = st.analyze_table(spark, table, stats_cols=["day"])
+    snap = st._load_snapshot(table, v)
+    epoch = d.date(1970, 1, 1)
+    want_lo = (d.date(2024, 1, 1) - epoch).days
+    for s in snap["shards"]:
+        lo, hi = s["stats"]["day"]
+        assert isinstance(lo, int) and want_lo <= lo <= hi < want_lo + 400
+    p = st._normalize_prune(
+        snap["schema"], ("day", "2024-02-01", d.date(2024, 2, 10))
+    )
+    live = [
+        s for s in snap["shards"] if st._stats_overlap(s, p[0], p[1], p[2])
+    ]
+    assert 0 < len(live) < len(snap["shards"])
+    got = _canon(
+        read_snapshot(
+            spark, table, prune=("day", "2024-02-01", d.date(2024, 2, 10))
+        ).where(F.col("day").between("2024-02-01", "2024-02-10"))
+    )
+    assert len(got) == 10
+    # a second analyze over already-stamped temporal stats is a no-op
+    assert st.analyze_table(spark, table, stats_cols=["day"]) == v
+
+
+def test_temporal_dml_pruning(spark, tmp_path):
+    """DML triage understands temporal probes: delete_where(prune=) and
+    merge_upsert(prune_col=) on a timestamp column carry disjoint
+    shards verbatim (zero read, zero write — same file names) instead
+    of degrading to a full rewrite on the incomparable-types keep."""
+    import datetime as d
+
+    table = str(tmp_path / "t")
+    base = 1_700_000_000
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        F.timestamp_micros(
+            (F.lit(base) + F.col("id") * 10) * 1_000_000
+        ).alias("ts"),
+        (F.col("id") % 13).alias("v"),
+    )
+    write_snapshot(
+        df.repartitionByRange(4, "ts").sortWithinPartitions("ts"),
+        table, stats_cols=["ts"],
+    )
+    files_v1 = {s["file"] for s in st._load_snapshot(table, 1)["shards"]}
+    # delete one narrow time slice; prune bounds in datetime form
+    lo = d.datetime.fromtimestamp(base, d.timezone.utc)
+    hi = d.datetime.fromtimestamp(base + 1000, d.timezone.utc)
+    st.delete_where(
+        spark, table,
+        f"ts <= timestamp_micros({(base + 1000) * 1_000_000}::bigint)",
+        prune=("ts", lo, hi),
+    )
+    snap2 = st._load_snapshot(table, 2)
+    carried = files_v1 & {s["file"] for s in snap2["shards"]}
+    assert len(carried) >= 2  # disjoint shards carried verbatim
+    assert read_snapshot(spark, table).count() == 4000 - 101
+    # merge keyed on ts with prune_col=ts: only overlapping shards
+    # rewrite; disjoint ones carry
+    upd = spark.range(3900, 4000).select(
+        F.timestamp_micros(
+            (F.lit(base) + F.col("id") * 10) * 1_000_000
+        ).alias("ts"),
+        F.col("id"),
+        F.lit(999).cast("bigint").alias("v"),
+    )
+    st.merge_upsert(upd, table, key_cols=["ts"], prune_col="ts")
+    snap3 = st._load_snapshot(table, 3)
+    files_v2 = {s["file"] for s in snap2["shards"]}
+    assert len(files_v2 & {s["file"] for s in snap3["shards"]}) >= 2
+    out = read_snapshot(spark, table)
+    assert out.where(F.col("v") == 999).count() == 100
+    assert out.count() == 4000 - 101
+
+
+def test_official_reader_timestamp_pushdown(spark, tmp_path):
+    """The DSv2 reader converts pushed datetime literals to the
+    recorded epoch-int form: a .where() range on a timestamp column
+    prunes planned shards (plan_log proof) and returns exactly the
+    row-filtered result."""
+    import datetime as d
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_datasource import (
+        register_snapshot_table_source,
+    )
+
+    register_snapshot_table_source(spark)
+    table = str(tmp_path / "t")
+    base = 1_700_000_000
+    df = spark.range(0, 4 * 3600, 10).select(
+        F.timestamp_micros(
+            (F.lit(base) + F.col("id")) * 1_000_000
+        ).alias("ts"),
+        (F.col("id") % 97).alias("v"),
+    )
+    write_snapshot(
+        df.repartitionByRange(4, "ts").sortWithinPartitions("ts"),
+        table, stats_cols=["ts"],
+    )
+    lo = d.datetime.fromtimestamp(base + 3600, d.timezone.utc)
+    hi = d.datetime.fromtimestamp(base + 5400, d.timezone.utc)
+    log = str(tmp_path / "plan.json")
+    out = (
+        spark.read.format("snapshot_table")
+        .option("path", table).option("plan_log", log)
+        .load().where((F.col("ts") >= lo) & (F.col("ts") <= hi))
+    )
+    want = _canon(df.where((F.col("ts") >= lo) & (F.col("ts") <= hi)))
+    assert _canon(out) == want and len(want) == 181
+    plan = json.load(open(log))
+    assert 0 < plan["planned"] < plan["total"]
