@@ -117,9 +117,11 @@ _READER_VERSION = 3
 # races, expired history) are swept by :func:`_remove_unreferenced`,
 # which treats a segment referenced by any live snapshot — main,
 # branch, or tagged — as live, exactly like data files. The same
-# in-flight-writer caveat as data files applies: a segment written in
+# in-flight-writer hazard as data files applies: a segment written in
 # step 3 before its snapshot link looks orphaned to a concurrent
-# vacuum; don't vacuum while a write is in flight.
+# vacuum. vacuum(orphan_older_than=...) is the fix (the mtime grace
+# window spares anything younger than the window); a bare vacuum
+# must still not run while a write is in flight.
 # ---------------------------------------------------------------------------
 _MAN_DIR = "_manifests"
 # Inline tail bound: a commit whose post-carry-over inline shard count
@@ -1787,21 +1789,37 @@ def _bloom_may_contain(shard: dict, col: str, value) -> bool:
 def _compute_blooms(
     spark: SparkSession, table: str, names: list[str],
     bloom_cols: list[str], m: int, k: int,
+    schema: StructType | None = None,
 ) -> dict[str, dict]:
     """Per-shard Bloom filters for ``bloom_cols`` as snapshot metadata:
     one distributed pass per column over just this job's shards —
     explode the ``k`` hash rows, distinct the ≤ m·k set bit positions
     per file, collect the sorted position list (≤ m·k ints, metadata
     weight). NULLs set no bits (point lookup of NULL is not a bloom
-    question — stats/row filters handle it)."""
+    question — stats/row filters handle it).
+
+    Every requested file starts with an EMPTY filter (``bits: []``)
+    that rows then overwrite: a file contributing no non-null values —
+    zero rows, an all-NULL column, or a column it physically predates —
+    is stamped with the provably-excludes-everything sentinel instead
+    of silently left bloom-less, which is both the correct filter for
+    it (no non-null value exists to look up) and what lets
+    :func:`analyze_table`'s second run be a true no-op. ``schema``
+    (pass the TABLE schema when the files may predate a column) pins
+    the read so an absent column NULL-fills instead of failing
+    analysis."""
     from pyspark.sql import functions as F
 
     from ..operators.sketches import _salted_bucket
 
-    out: dict[str, dict] = {n: {} for n in names}
     if not names or not bloom_cols:
-        return out
-    df = spark.read.parquet(*[os.path.join(table, _DATA_DIR, n) for n in names])
+        return {n: {} for n in names}
+    out: dict[str, dict] = {
+        n: {c: {"m": m, "k": k, "bits": []} for c in bloom_cols}
+        for n in names
+    }
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(*[os.path.join(table, _DATA_DIR, n) for n in names])
     j = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("j")
     for c in bloom_cols:
         rows = (
@@ -1849,7 +1867,9 @@ def _inherited_blooms(
     return out
 
 
-def _remove_unreferenced(table: str, dry_run: bool = False) -> int:
+def _remove_unreferenced(
+    table: str, dry_run: bool = False, older_than: float | None = None,
+) -> int:
     """Delete data files no surviving snapshot references (the orphan
     sweep shared by :func:`vacuum` and :func:`expire_snapshots`).
     BRANCH snapshots (``_refs/<name>/``) count as references too —
@@ -1862,7 +1882,15 @@ def _remove_unreferenced(table: str, dry_run: bool = False) -> int:
     naming a deleted one), and count toward the returned total in both
     modes — so a ``dry_run`` preview reports exactly what a real run
     would delete (data files AND segment files). ``dry_run`` counts
-    without deleting.
+    without deleting. ``older_than`` (seconds) is the in-flight-writer
+    grace window: only unreferenced files whose mtime is older than
+    the threshold are removed — a file published (step 2) but not yet
+    claimed by a snapshot (step 3) looks orphaned to a concurrent
+    sweep, and the age threshold is how production engines (Delta
+    VACUUM's retention, Iceberg remove_orphan_files' older_than) make
+    GC safe next to live writers. Recently-written true orphans
+    survive until a later sweep — GC is idempotent, so deferral never
+    loses anything.
 
     Liveness refuses snapshots requiring a NEWER reader protocol, same
     gate as the read path: GC computes a snapshot's file references by
@@ -1908,15 +1936,25 @@ def _remove_unreferenced(table: str, dry_run: bool = False) -> int:
         # a missing SEGMENT under a live snapshot raises loudly here —
         # silently skipping it would orphan-delete that segment's data
         _scan(raw)
+    cutoff = None if older_than is None else time.time() - older_than
+
+    def _young(p: str) -> bool:
+        if cutoff is None:
+            return False
+        try:
+            return os.path.getmtime(p) >= cutoff
+        except FileNotFoundError:
+            return True  # gone already: nothing to sweep
+
     removed = 0
     for pat in ("part-*.parquet", "dv-*.parquet"):
         for p in glob.glob(os.path.join(table, _DATA_DIR, pat)):
-            if os.path.basename(p) not in live:
+            if os.path.basename(p) not in live and not _young(p):
                 if not dry_run:
                     os.remove(p)
                 removed += 1
     for p in glob.glob(os.path.join(table, _MAN_DIR, "m-*.json")):
-        if os.path.basename(p) not in live_mans:
+        if os.path.basename(p) not in live_mans and not _young(p):
             if not dry_run:
                 os.remove(p)
                 _MANIFEST_CACHE.pop(p, None)
@@ -2759,7 +2797,7 @@ def expire_snapshots(
 
 def vacuum(
     table: str, stage_older_than: float | None = None,
-    dry_run: bool = False,
+    dry_run: bool = False, orphan_older_than: float | None = None,
 ) -> dict:
     """Orphan-file GC (Delta ``VACUUM`` / Iceberg
     ``remove_orphan_files`` shaped): delete data files referenced by NO
@@ -2768,10 +2806,15 @@ def vacuum(
     touching any snapshot (history and time travel keep working,
     unlike :func:`expire_snapshots`). Safe concurrently with readers:
     an unreferenced file is unreachable from every snapshot by
-    construction. Concurrent WRITERS are the one hazard (a file
-    published in step 2 but not yet claimed in step 3 looks orphaned) —
-    production engines use an age threshold for exactly this reason;
-    here the caller must not vacuum while a write is in flight.
+    construction. Concurrent WRITERS are the hazard (a file published
+    in step 2 but not yet claimed in step 3 looks orphaned):
+    ``orphan_older_than`` (seconds) is the production-engine fix — the
+    data/manifest orphan sweep then removes only files older than the
+    window (Iceberg ``remove_orphan_files(older_than=...)``), so any
+    in-flight write younger than it survives to commit and vacuum is
+    safe to run next to live writers. Without it, the caller must not
+    vacuum while a write is in flight. The window is mtime-based, so a
+    ``dry_run`` preview with it reflects file ages AT PREVIEW TIME.
 
     ``stage_older_than`` (seconds) additionally sweeps the residue of
     CRASHED writers out of ``_tmp/``: the stream/batch Arrow writers
@@ -2788,7 +2831,9 @@ def vacuum(
     the in-flight-writer hazard above: inspect what WOULD go before
     letting it go."""
     out = {
-        "orphans_removed": _remove_unreferenced(table, dry_run=dry_run),
+        "orphans_removed": _remove_unreferenced(
+            table, dry_run=dry_run, older_than=orphan_older_than
+        ),
         **({"dry_run": True} if dry_run else {}),
     }
     if stage_older_than is not None and dry_run:
@@ -2852,8 +2897,12 @@ def analyze_table(
     which unlike missing stats would prune incorrectly. Their count is
     recorded in ``properties.analyze_skipped_mapped``; compaction
     converges layouts and a later analyze covers them. Columns a shard
-    physically lacks (pre-evolution files) stamp as ``[None, None]`` —
-    conservatively unprunable, never wrong. Concurrent commits are
+    physically lacks (pre-evolution files) stamp as ``[None, None]``
+    stats — conservatively unprunable, never wrong — and the EMPTY
+    bloom sentinel (``bits: []``, which provably excludes every probe:
+    no non-null value exists in the file); zero-row and all-NULL files
+    stamp the same way, so every target leaves the set and a repeat
+    analyze is a true no-op. Concurrent commits are
     handled by the standard optimistic retry; already-computed per-file
     results are reused across retries (data files are immutable)."""
     from pyspark.sql import functions as F
@@ -2947,15 +2996,27 @@ def analyze_table(
                         c: [r[f"__min__{c}"], r[f"__max__{c}"]]
                         for c in stats_cols
                     }
+                for n in todo_stats:
+                    if n not in stat_cache:
+                        # a zero-row file produces no group: stamp the
+                        # conservative unprunable sentinel so it leaves
+                        # the target set and re-analyze stays a no-op
+                        stat_cache[n] = {
+                            c: [None, None] for c in stats_cols
+                        }
             todo_bloom = [
                 s["file"] for s in targets
                 if s["file"] not in bloom_cache and bloom_cols
             ]
             if todo_bloom:
+                # schema-pinned like the stats pass: target files may
+                # PREDATE a bloom column (evolution) — the pinned read
+                # NULL-fills it and the file stamps the empty sentinel
+                # instead of failing analysis
                 bloom_cache.update(
                     _compute_blooms(
                         spark, table, todo_bloom, list(bloom_cols),
-                        bloom_bits, bloom_k,
+                        bloom_bits, bloom_k, schema=schema,
                     )
                 )
             restamped = []

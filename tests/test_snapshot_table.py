@@ -5545,3 +5545,103 @@ def test_official_reader_timestamp_pushdown(spark, tmp_path):
     assert _canon(out) == want and len(want) == 181
     plan = json.load(open(log))
     assert 0 < plan["planned"] < plan["total"]
+
+
+def test_analyze_bloom_evolution_and_noop_contract(spark, tmp_path):
+    """analyze_table's bloom pass pins the TABLE schema: a bloom
+    column the target files physically predate (add_column evolution)
+    NULL-fills instead of raising, and stamps the empty-filter
+    sentinel (provably excludes every probe — the correct filter for a
+    file holding no non-null values). All-NULL columns stamp the same
+    sentinel. Consequence under test: targets empty out, so the second
+    analyze is a TRUE no-op (commits nothing) instead of an identical
+    metadata commit per call."""
+    table = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(0, 40).selectExpr(
+            "id", "CAST(NULL AS STRING) AS tag"
+        ).coalesce(2),
+        table,
+    )
+    v2 = st.add_column(spark, table, "label", "string")
+    # bloom col 'label' is physically absent from every file; 'tag' is
+    # physically present but all-NULL — both previously unstampable
+    v3 = st.analyze_table(
+        spark, table, stats_cols=["id", "label"],
+        bloom_cols=["label", "tag"],
+    )
+    assert v3 == v2 + 1
+    snap = st._load_snapshot(table, v3)
+    for s in snap["shards"]:
+        assert s["bloom"]["label"]["bits"] == []  # empty sentinel
+        assert s["bloom"]["tag"]["bits"] == []
+        assert s["stats"]["label"] == [None, None]  # unprunable, never wrong
+        assert s["stats"]["id"][0] is not None
+        # the sentinel provably excludes any probe — correct: no
+        # non-null value exists in the file
+        assert not st._bloom_may_contain(s, "label", "x")
+    # the no-op contract: nothing left to stamp, no commit
+    assert st.analyze_table(
+        spark, table, stats_cols=["id", "label"],
+        bloom_cols=["label", "tag"],
+    ) == v3
+    # rows keep flowing: reads are unaffected by metadata stamps
+    assert read_snapshot(spark, table).count() == 40
+
+
+def test_vacuum_orphan_grace_window_in_flight_writer(spark, tmp_path):
+    """vacuum(orphan_older_than=...): the mtime grace window makes the
+    data/manifest orphan sweep safe NEXT TO AN IN-FLIGHT WRITER — a
+    file published (step 2) but not yet claimed (step 3) survives a
+    concurrent vacuum and the write then commits intact; a bare
+    vacuum would have swept it (dry-run proof). Aged true orphans
+    still go."""
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    table = str(tmp_path / "t")
+    write_snapshot(spark.range(0, 20).coalesce(1), table)
+
+    # LIVE interleave: vacuum fires between publish and claim of a
+    # real write_snapshot (wrapping the claim step), with the grace
+    # window — the commit must land and read back intact
+    real_claim = st._claim_snapshot
+    calls = {}
+
+    def claim_with_vacuum(*a, **k):
+        calls["swept"] = st.vacuum(table, orphan_older_than=3600)
+        return real_claim(*a, **k)
+
+    st._claim_snapshot = claim_with_vacuum
+    try:
+        v2 = write_snapshot(
+            spark.range(20, 40).coalesce(1), table, mode="append"
+        )
+    finally:
+        st._claim_snapshot = real_claim
+    assert v2 == 2 and calls["swept"]["orphans_removed"] == 0
+    assert read_snapshot(spark, table).count() == 40
+    for s in st._load_snapshot(table, 2)["shards"]:
+        assert os.path.exists(os.path.join(table, "data", s["file"]))
+
+    # the same in-flight shape under a BARE vacuum would have swept it
+    # (dry-run proof on a manually published, unclaimed file + manifest)
+    src = os.path.join(
+        table, "data", st._load_snapshot(table, 2)["shards"][0]["file"]
+    )
+    pub = os.path.join(table, "data", f"part-{_uuid.uuid4().hex}.parquet")
+    shutil.copyfile(src, pub)
+    man = os.path.join(table, "_manifests", f"m-{_uuid.uuid4().hex}.json")
+    os.makedirs(os.path.dirname(man), exist_ok=True)
+    with open(man, "w") as f:
+        f.write("[]")
+    assert st.vacuum(table, dry_run=True)["orphans_removed"] == 2
+    # graced: both survive
+    assert st.vacuum(table, orphan_older_than=3600)["orphans_removed"] == 0
+    assert os.path.exists(pub) and os.path.exists(man)
+    # aged past the window: swept (true orphans still get collected)
+    old = _time.time() - 7200
+    os.utime(pub, (old, old)), os.utime(man, (old, old))
+    assert st.vacuum(table, orphan_older_than=3600)["orphans_removed"] == 2
+    assert not os.path.exists(pub) and not os.path.exists(man)
