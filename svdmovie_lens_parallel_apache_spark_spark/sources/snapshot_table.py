@@ -2717,6 +2717,7 @@ def _scan_with_deletes(
 
 def expire_snapshots(
     table: str, keep_last: int = 1, older_than: float | None = None,
+    orphan_older_than: float | None = None,
 ) -> dict:
     """Retention maintenance (Iceberg ``expire_snapshots`` shaped):
     drop expired snapshot files, then delete data shards no surviving
@@ -2744,6 +2745,13 @@ def expire_snapshots(
     is deleted). Branch logs are untouched (their forks hold verbatim
     COPIES of main snapshots, so expiring the main file never breaks
     a branch).
+
+    ``orphan_older_than`` (seconds) threads the in-flight-writer grace
+    window into the trailing orphan sweep, same as
+    :func:`vacuum` — expiry's own deletions are unaffected (they
+    follow snapshot liveness, not age), but the sweep for
+    now-unreferenced shards then spares anything younger than the
+    window, making scheduled retention safe next to live writers.
     """
     last = latest_version(table)
     if last is None:
@@ -2791,7 +2799,9 @@ def expire_snapshots(
             pass
     return {
         "snapshots_removed": removed_snaps,
-        "shards_removed": _remove_unreferenced(table),
+        "shards_removed": _remove_unreferenced(
+            table, older_than=orphan_older_than
+        ),
     }
 
 

@@ -5645,3 +5645,35 @@ def test_vacuum_orphan_grace_window_in_flight_writer(spark, tmp_path):
     os.utime(pub, (old, old)), os.utime(man, (old, old))
     assert st.vacuum(table, orphan_older_than=3600)["orphans_removed"] == 2
     assert not os.path.exists(pub) and not os.path.exists(man)
+
+
+def test_expire_snapshots_orphan_grace_window(spark, tmp_path):
+    """expire_snapshots(orphan_older_than=...): the trailing orphan
+    sweep spares a concurrent writer's published-but-unclaimed file,
+    while the shards orphaned by the expiry itself (old mtimes) are
+    still reclaimed."""
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    table = str(tmp_path / "t")
+    write_snapshot(spark.range(0, 10).coalesce(1), table)
+    write_snapshot(spark.range(10, 20).coalesce(1), table,
+                   mode="overwrite")
+    # v1's shard is now only referenced by v1; expiring v1 orphans it.
+    # Backdate every committed file so the grace window only spares
+    # the simulated in-flight publish below.
+    old = _time.time() - 7200
+    for p in os.listdir(os.path.join(table, "data")):
+        fp = os.path.join(table, "data", p)
+        os.utime(fp, (old, old))
+    src = os.path.join(
+        table, "data", st._load_snapshot(table, 2)["shards"][0]["file"]
+    )
+    pub = os.path.join(table, "data", f"part-{_uuid.uuid4().hex}.parquet")
+    shutil.copyfile(src, pub)  # fresh mtime = in-flight publish
+    out = expire_snapshots(table, keep_last=1, orphan_older_than=3600)
+    assert out["snapshots_removed"] == 1
+    assert out["shards_removed"] == 1  # v1's aged orphan went
+    assert os.path.exists(pub)  # the in-flight file survived
+    assert read_snapshot(spark, table).count() == 10
