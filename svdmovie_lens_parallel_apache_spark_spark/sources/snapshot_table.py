@@ -449,7 +449,10 @@ def table_stats(table: str, version: int | None = None) -> dict:
     guessed). At 100 TB this answers ``COUNT(*)`` / ``MIN`` / ``MAX``
     in O(metadata) where a scan pays O(table). Pending lazy-delete
     tombstones make the metadata counts stale UPPER bounds, so they
-    raise loudly (compact first, or scan via :func:`read_snapshot`)."""
+    raise loudly (compact first, or scan via :func:`read_snapshot`).
+    Temporal stats columns report their RECORDED epoch-int form
+    (micros for timestamp, days for date — see
+    :data:`_STATS_COL_TYPES`)."""
     v = latest_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"snapshot_table: {table} has no snapshots")
