@@ -1932,20 +1932,30 @@ def q16_supplier_counts(spark, sf_dir):
     """,
     tags=("join", "correlated", "tpch"),
     description="TPC-H Q17 small-quantity-order revenue: the correlated per-part "
-    "avg subquery decorrelated into a pre-aggregated per-part average (exact "
-    "decimal sum / count, deterministic threshold), joined back to the fact — "
-    "the standard scale-out plan for correlated aggregates.",
+    "avg subquery decorrelated into a per-part WINDOW average computed AFTER the "
+    "brand filter — the filter is part-level, so the broadcast semi-reduction "
+    "keeps each surviving part's complete row set and the window average is "
+    "identical to the whole-table one (exact decimal sum / count). One shuffle "
+    "on l_partkey over the ~4%-selectivity slice replaces aggregate-all-parts + "
+    "self-join (the naive decorrelation aggregates the full fact table before "
+    "the filter can cut anything — measured 1.5-superlinear at sf10 from "
+    "per-task hash-agg spill at 2M groups; this shape re-measured ~linear).",
 )
 def q17_small_qty_revenue(spark, sf_dir):
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
-    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
-    )
     part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li_b3 = li.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
     return (
-        li.select("l_partkey", "l_quantity", "l_extendedprice")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(part_avg, F.col("pk") == F.col("l_partkey"))
+        li_b3.withColumn("avg_qty", avg_qty)
         .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             _r(

@@ -6630,3 +6630,85 @@ def q_snapshot_ts_prune(spark, sf_dir):
         )
         .withColumn("prune_ok", F.lit(prune_ok))
     )
+
+
+@register(
+    "snapshot_vacuum_grace",
+    f"""
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({oracle_hash_sql('text')}) AS BIGINT) AS text_fp,
+           TRUE                         AS vacuum_ok
+    FROM documents GROUP BY lang
+    """,
+    tags=("sources", "table-format", "maintenance", "gc"),
+    description="Age-thresholded orphan GC (Iceberg remove_orphan_files "
+    "older_than / Delta VACUUM retention shaped): a crashed writer's "
+    "published-but-unclaimed data file and manifest segment look "
+    "orphaned; vacuum with orphan_older_than spares anything younger "
+    "than the window (safe next to in-flight writers), while the same "
+    "files aged past the window sweep on the next run. vacuum_ok pins: "
+    "dry-run sees both orphans, the graced sweep removes neither, the "
+    "aged sweep removes both, live shards and row-level results are "
+    "untouched throughout, and a second aged sweep is a no-op (GC "
+    "idempotence). Engine: sources/snapshot_table.py::vacuum/"
+    "_remove_unreferenced(older_than=).",
+)
+def q_snapshot_vacuum_grace(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from .sources import snapshot_table as st
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    table = tempfile.mkdtemp(prefix="svdml-vacgrace-") + "/t"
+    st.write_snapshot(docs.repartition(4), table)
+    live_before = sorted(
+        s["file"] for s in st._load_snapshot(table, 1)["shards"]
+    )
+    data = os.path.join(table, "data")
+    src = os.path.join(data, live_before[0])
+    pub = os.path.join(data, f"part-{_uuid.uuid4().hex}.parquet")
+    shutil.copyfile(src, pub)  # step-2 publish, never claimed
+    man = os.path.join(table, "_manifests", f"m-{_uuid.uuid4().hex}.json")
+    os.makedirs(os.path.dirname(man), exist_ok=True)
+    with open(man, "w") as fh:
+        fh.write("[]")
+    preview = st.vacuum(table, dry_run=True)["orphans_removed"]
+    graced = st.vacuum(table, orphan_older_than=3600)["orphans_removed"]
+    survived = os.path.exists(pub) and os.path.exists(man)
+    old = _time.time() - 7200
+    os.utime(pub, (old, old)), os.utime(man, (old, old))
+    swept = st.vacuum(table, orphan_older_than=3600)["orphans_removed"]
+    noop = st.vacuum(table, orphan_older_than=3600)["orphans_removed"]
+    live_after = sorted(
+        s["file"] for s in st._load_snapshot(table, 1)["shards"]
+    )
+    vacuum_ok = bool(
+        preview == 2
+        and graced == 0
+        and survived
+        and swept == 2
+        and noop == 0
+        and not os.path.exists(pub)
+        and live_after == live_before
+        and all(os.path.exists(os.path.join(data, f)) for f in live_after)
+    )
+    return (
+        st.read_snapshot(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("long").alias(
+                "text_fp"
+            ),
+        )
+        .withColumn("vacuum_ok", F.lit(vacuum_ok))
+    )
