@@ -383,3 +383,37 @@ def test_cdc_pager_covers_every_position_exactly_once(counts, budget, split):
         )
         if not split:
             assert n == 1  # never splits without page_keys
+
+
+@given(
+    us=st.integers(min_value=0, max_value=4_000_000_000 * 1_000_000),
+    days=st.integers(min_value=-300_000, max_value=300_000),
+)
+@_settings
+def test_epoch_probe_form_agreement(us, days):
+    """Every probe form a caller can hand a temporal prune — tz-aware
+    datetime, ISO string, epoch-seconds number (timestamp) / date
+    object, ISO string, epoch-days int (date) — normalizes to the
+    SAME recorded epoch int, and the conversion is exact (no float
+    round-trip loss) for any microsecond in ~120 years and any date
+    within ±800 years."""
+    import datetime as d
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        _epoch_probe,
+    )
+
+    epoch = d.datetime(1970, 1, 1, tzinfo=d.timezone.utc)
+    dt = epoch + d.timedelta(microseconds=us)
+    got_dt = _epoch_probe("timestamp", dt)
+    got_iso = _epoch_probe("timestamp", dt.isoformat())
+    assert got_dt == got_iso == us
+    if us % 1_000_000 == 0:  # whole seconds: the numeric form agrees too
+        assert _epoch_probe("timestamp", us // 1_000_000) == us
+    day = d.date(1970, 1, 1) + d.timedelta(days=days)
+    assert _epoch_probe("date", day) == days
+    assert _epoch_probe("date", day.isoformat()) == days
+    assert _epoch_probe("date", days) == days
+    # None and unparseable values pass through (conservative keep)
+    assert _epoch_probe("timestamp", None) is None
+    assert _epoch_probe("date", "not-a-date") == "not-a-date"

@@ -5677,3 +5677,63 @@ def test_expire_snapshots_orphan_grace_window(spark, tmp_path):
     assert out["shards_removed"] == 1  # v1's aged orphan went
     assert os.path.exists(pub)  # the in-flight file survived
     assert read_snapshot(spark, table).count() == 10
+
+
+def test_days_partition_composes_with_ts_stats(spark, tmp_path):
+    """The two event-time pruning tiers compose: days(ts) hidden
+    partitioning prunes to the probed DAY from recorded partition
+    values (exact), and intra-day ts min/max stats prune WITHIN the
+    day at file granularity — a quarter-day range scan on a 4-day,
+    16-shard table plans a strict subset of the day's shards from
+    metadata alone, and the datetime partition_filter probe maps
+    through the days() transform like every other probe form."""
+    import datetime as d
+
+    table = str(tmp_path / "t")
+    base = 1_700_006_400  # 2023-11-15T00:00:00Z, day-aligned
+    df = spark.range(0, 4 * 86400, 60).select(
+        F.timestamp_micros(
+            (F.lit(base) + F.col("id")) * 1_000_000
+        ).alias("ts"),
+        (F.col("id") % 7).alias("v"),
+    )
+    # 4 days x 4 clustered files per day: partition on days(ts), then
+    # compact each day clustered by ts so intra-day stats are selective
+    write_snapshot(df, table, partition_by=["days(ts)"],
+                   stats_cols=["ts"])
+    st.compact_partitions(
+        spark, table, {"days(ts)": d.date(2023, 11, 16)}, target_shards=4,
+        cluster_by=["ts"], stats_cols=["ts"],
+    )
+    snap = st._load_snapshot(table, latest_version(table))
+    day2 = [
+        s for s in snap["shards"]
+        if s.get("partition", {}).get("days(ts)") == "2023-11-16"
+    ]
+    assert len(day2) == 4
+    # partition tier: a datetime probe inside day 2 keeps only day 2
+    probe_dt = d.datetime(2023, 11, 16, 6, 0, 0, tzinfo=d.timezone.utc)
+    tvals = st._transform_probes(["days(ts)"], "days(ts)", probe_dt)
+    part_live = [
+        s for s in snap["shards"] if st._partition_match(s, "days(ts)", tvals)
+    ]
+    assert sorted(s["file"] for s in part_live) == sorted(
+        s["file"] for s in day2
+    )
+    # stats tier: a quarter-day range within day 2 drops shards of day 2
+    lo = d.datetime(2023, 11, 16, 6, 0, 0, tzinfo=d.timezone.utc)
+    hi = d.datetime(2023, 11, 16, 11, 59, 0, tzinfo=d.timezone.utc)
+    p = st._normalize_prune(snap["schema"], ("ts", lo, hi))
+    both = [
+        s for s in part_live if st._stats_overlap(s, p[0], p[1], p[2])
+    ]
+    assert 0 < len(both) < len(day2)
+    # end to end: both tiers through read_snapshot == plain row filter
+    got = _canon(
+        read_snapshot(
+            spark, table, prune=("ts", lo, hi),
+            partition_filter={"days(ts)": probe_dt},
+        ).where((F.col("ts") >= lo) & (F.col("ts") <= hi))
+    )
+    want = _canon(df.where((F.col("ts") >= lo) & (F.col("ts") <= hi)))
+    assert got == want and len(got) == 360
