@@ -2720,14 +2720,22 @@ def inter_event_gap_quantiles(spark, sf_dir):
     "partsupp; value = lineitem revenue per part): per-part decimal rollup, "
     "scalar-subquery total decorrelated to a broadcast 1-row cross join, "
     "fraction-of-total HAVING as a deterministic double comparison of exact "
-    "decimal sums.",
+    "decimal sums. The total is the FLAT decimal sum over the fact table — "
+    "decimal addition is exact and associative, so it equals the oracle's "
+    "sum-of-per-part-sums bit-for-bit while skipping a second 2M-group "
+    "hash aggregate (Spark plans no ReusedExchange across the two "
+    "branches; measured 1.18 superlinear at sf10 before, spill-onset of "
+    "the doubled wide-group agg).",
 )
 def q11_important_parts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
     pv = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("val")
     )
-    total = pv.agg(F.sum("val").cast("double").alias("total"))
+    total = li.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double").alias("total")
+    )
     return (
         pv.crossJoin(F.broadcast(total))
         .where(F.col("val").cast("double") > F.col("total") * 0.00065)
