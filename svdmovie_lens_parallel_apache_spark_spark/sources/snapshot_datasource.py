@@ -141,7 +141,7 @@ def _build():
                 return value
             return (
                 _epoch_probe(t, value)
-                if t in ("timestamp", "date")
+                if t in ("timestamp", "timestamp_ntz", "date")
                 else value
             )
 

@@ -1003,7 +1003,7 @@ def _stats_overlap(shard: dict, col: str, lo, hi) -> bool:
 # shards WITHOUT needing days(ts) partition granularity.
 _STATS_COL_TYPES = (
     "int", "bigint", "smallint", "tinyint", "float", "double", "string",
-    "date", "timestamp",
+    "date", "timestamp", "timestamp_ntz",
 )
 
 
@@ -1017,6 +1017,28 @@ def _stats_input(dtype: str, col: str):
 
     if dtype == "timestamp":
         return F.unix_micros(F.col(col))
+    if dtype == "timestamp_ntz":
+        # NTZ is a zoneless wall clock; record micros-of-the-wall-clock
+        # (the canonical Iceberg encoding) via pure COMPONENT math —
+        # cast-to-date and HOUR/MINUTE/SECOND date_parts read the wall
+        # fields directly. Deliberately NOT unix_micros(to_utc_timestamp
+        # (ntz, "UTC")): that shape implicitly coerces NTZ -> TIMESTAMP
+        # through the SESSION zone first, silently baking the writer's
+        # timezone into the recorded bound (caught by the Tokyo-session
+        # test). SECOND carries the fractional part (decimal), so x1e6
+        # is exact micros.
+        c = F.col(col)
+        return (
+            F.unix_date(c.cast("date")).cast("long")
+            * F.lit(86_400_000_000)
+            + F.date_part(F.lit("HOUR"), c).cast("long")
+            * F.lit(3_600_000_000)
+            + F.date_part(F.lit("MINUTE"), c).cast("long")
+            * F.lit(60_000_000)
+            + (F.date_part(F.lit("SECOND"), c) * F.lit(1_000_000)).cast(
+                "long"
+            )
+        ).cast("long")
     if dtype == "date":
         return F.unix_date(F.col(col))
     return F.col(col)
@@ -1072,6 +1094,30 @@ def _epoch_probe(dtype: str, value):
 
     if value is None or isinstance(value, bool):
         return value
+    if dtype == "timestamp_ntz":
+        # wall-clock encoding: naive datetimes/ISO strings ARE the wall
+        # clock; a tz-aware probe converts to its UTC wall clock first
+        # (documented choice — NTZ columns order by wall clock)
+        if isinstance(value, (int, float)):
+            return int(round(value * 1_000_000))
+        if isinstance(value, str):
+            try:
+                value = _d.datetime.fromisoformat(value)
+            except ValueError:
+                return value
+        if isinstance(value, _d.date) and not isinstance(
+            value, _d.datetime
+        ):
+            value = _d.datetime(value.year, value.month, value.day)
+        if isinstance(value, _d.datetime):
+            if value.tzinfo is not None:
+                value = value.astimezone(_d.timezone.utc).replace(
+                    tzinfo=None
+                )
+            return (
+                value - _d.datetime(1970, 1, 1)
+            ) // _d.timedelta(microseconds=1)
+        return value
     if dtype == "date":
         if isinstance(value, (int, float)):
             return int(value)
@@ -1120,7 +1166,7 @@ def _normalize_prune(schema_json: dict, prune: tuple | None):
         ),
         None,
     )
-    if t not in ("timestamp", "date"):
+    if t not in ("timestamp", "timestamp_ntz", "date"):
         return prune
     return (col, _epoch_probe(t, lo), _epoch_probe(t, hi))
 
@@ -2002,7 +2048,8 @@ def _stage_publish(
         if t not in _STATS_COL_TYPES:
             raise ValueError(
                 f"snapshot_table: stats_cols supports numeric/string/"
-                f"date/timestamp columns only; {c!r} is {t}"
+                f"date/timestamp/timestamp_ntz columns only; "
+                f"{c!r} is {t}"
             )
     os.makedirs(os.path.join(table, _SNAP_DIR), exist_ok=True)
     os.makedirs(os.path.join(table, _DATA_DIR), exist_ok=True)
@@ -2218,7 +2265,8 @@ def write_snapshot(
     recorded verbatim in the snapshot (commit metadata — e.g. the
     streaming batch id :func:`streaming_snapshot_sink` uses for
     idempotent replay). ``stats_cols`` records per-shard min/max for
-    those columns in the snapshot (numeric/string/date/timestamp;
+    those columns in the snapshot (numeric/string/date/timestamp/
+    timestamp_ntz;
     temporal bounds are stored as epoch days/micros — see
     :data:`_STATS_COL_TYPES`), enabling shard skipping in
     :func:`read_snapshot` — the Iceberg/Delta file-pruning mechanism,
@@ -2950,8 +2998,8 @@ def analyze_table(
                 if t not in _STATS_COL_TYPES:
                     raise ValueError(
                         f"snapshot_table: stats_cols supports "
-                        f"numeric/string/date/timestamp columns only; "
-                        f"{c!r} is {t}"
+                        f"numeric/string/date/timestamp/timestamp_ntz "
+                        f"columns only; {c!r} is {t}"
                     )
             for c in bloom_cols or []:
                 t = schema[c].dataType.simpleString()

@@ -5737,3 +5737,56 @@ def test_days_partition_composes_with_ts_stats(spark, tmp_path):
     )
     want = _canon(df.where((F.col("ts") >= lo) & (F.col("ts") <= hi)))
     assert got == want and len(got) == 360
+
+
+def test_timestamp_ntz_stats_session_tz_independent(spark, tmp_path):
+    """timestamp_ntz stats record the WALL-CLOCK epoch micros (the
+    canonical zoneless encoding) regardless of
+    spark.sql.session.timeZone — NTZ columns order by wall clock, so
+    the recorded bound must not absorb the writer session's zone.
+    Naive datetime / ISO probes are the wall clock; tz-aware probes
+    convert to their UTC wall clock."""
+    import datetime as d
+
+    table = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT timestampadd(MINUTE, CAST(id AS INT), "
+        "TIMESTAMP_NTZ '2024-03-01 00:00:00') AS t, id AS v "
+        "FROM range(4 * 1440)"  # 4 days of minutes
+    )
+    assert df.schema["t"].dataType.simpleString() == "timestamp_ntz"
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        write_snapshot(
+            df.repartitionByRange(4, "t").sortWithinPartitions("t"),
+            table, stats_cols=["t"],
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    snap = st._load_snapshot(table, 1)
+    wall0 = int(
+        (d.datetime(2024, 3, 1) - d.datetime(1970, 1, 1)).total_seconds()
+    ) * 1_000_000
+    los = sorted(s["stats"]["t"][0] for s in snap["shards"])
+    assert los[0] == wall0  # wall clock, not Tokyo-shifted
+    # naive probe == ISO probe == wall clock; aware probe folds to UTC
+    lo = d.datetime(2024, 3, 2, 6, 0, 0)
+    hi = d.datetime(2024, 3, 2, 12, 0, 0)
+    p = st._normalize_prune(snap["schema"], ("t", lo, hi))
+    assert p[1] == wall0 + (30 * 3600) * 1_000_000
+    p_iso = st._normalize_prune(
+        snap["schema"], ("t", lo.isoformat(), hi.isoformat())
+    )
+    assert (p_iso[1], p_iso[2]) == (p[1], p[2])
+    aware = lo.replace(tzinfo=d.timezone(d.timedelta(hours=2)))
+    assert st._epoch_probe("timestamp_ntz", aware) == p[1] - 2 * 3600 * 1_000_000
+    live = [
+        s for s in snap["shards"] if st._stats_overlap(s, p[0], p[1], p[2])
+    ]
+    assert 0 < len(live) < len(snap["shards"])
+    got = _canon(
+        read_snapshot(spark, table, prune=("t", lo, hi))
+        .where((F.col("t") >= lo) & (F.col("t") <= hi))
+    )
+    assert len(got) == 361
