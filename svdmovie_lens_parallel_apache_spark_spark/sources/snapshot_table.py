@@ -1274,6 +1274,70 @@ def _parse_partition_spec(spec: str) -> dict:
             "kind": "truncate", "types": _PARTITION_TYPES,
             "expr": _trunc_expr, "py": _trunc_py,
         }
+    m = re.fullmatch(r"(years|months|hours)\(\s*(\w+)\s*\)", s)
+    if m:
+        kind, col = m.group(1), m.group(2)
+
+        def _fold_aware(v):
+            # same convention as days(): the JVM twin records wall
+            # fields in the session timezone (UTC everywhere this
+            # engine runs); a tz-aware probe normalizes to UTC first
+            if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+                return v.astimezone(datetime.timezone.utc)
+            return v
+
+        if kind == "years":
+
+            def _py(v):
+                if v is None:
+                    return None
+                if isinstance(v, str):
+                    return str(int(v[:4]))  # de-pad to match F.year
+                return str(_fold_aware(v).year)
+
+            expr = lambda df, col=col: F.year(F.col(col)).cast("string")  # noqa: E731
+            types: tuple = ("date", "timestamp", "timestamp_ntz")
+        elif kind == "months":
+
+            def _py(v):
+                if v is None:
+                    return None
+                if isinstance(v, str):
+                    return f"{int(v[:4])}-{v[5:7]}"
+                v = _fold_aware(v)
+                return f"{v.year}-{v.month:02d}"
+
+            expr = lambda df, col=col: F.concat(  # noqa: E731
+                F.year(F.col(col)).cast("string"),
+                F.lit("-"),
+                F.lpad(F.month(F.col(col)).cast("string"), 2, "0"),
+            )
+            types = ("date", "timestamp", "timestamp_ntz")
+        else:  # hours
+
+            def _py(v):
+                if v is None:
+                    return None
+                if isinstance(v, str):
+                    return f"{v[:10]} {v[11:13]}"
+                v = _fold_aware(v)
+                return f"{v.date().isoformat()} {v.hour:02d}"
+
+            expr = lambda df, col=col: F.concat(  # noqa: E731
+                F.col(col).cast("date").cast("string"),
+                F.lit(" "),
+                F.lpad(F.hour(F.col(col)).cast("string"), 2, "0"),
+            )
+            types = ("timestamp", "timestamp_ntz")
+        # component extraction (year/month/hour/cast-to-date) reads
+        # wall fields directly for date and timestamp_ntz, and
+        # session-zone fields for timestamp — the exact convention
+        # days() established; no date_format (whose timestamp path
+        # would re-render through the session zone ambiguously for ntz)
+        return {
+            "spec": f"{kind}({col})", "source": col, "kind": kind,
+            "types": types, "expr": expr, "py": _py,
+        }
     m = re.fullmatch(r"days\(\s*(\w+)\s*\)", s)
     if m:
         col = m.group(1)
@@ -1301,7 +1365,8 @@ def _parse_partition_spec(spec: str) -> dict:
         }
     raise ValueError(
         f"snapshot_table: unsupported partition transform {spec!r} "
-        f"(supported: col, bucket(N, col), truncate(W, col), days(col))"
+        f"(supported: col, bucket(N, col), truncate(W, col), "
+        f"years(col), months(col), days(col), hours(col))"
     )
 
 

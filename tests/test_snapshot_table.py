@@ -2511,7 +2511,8 @@ def test_partition_transform_hidden_pushdown_and_spec_rules(
     with pytest.raises(ValueError, match="not a partition field"):
         read_snapshot(spark, table, partition_filter={"nope": 1}).count()
     with pytest.raises(ValueError, match="unsupported partition transform"):
-        write_snapshot(docs, str(tmp_path / "bad"), partition_by=["years(x)"])
+        # years/months/days/hours are all supported now; weeks is not
+        write_snapshot(docs, str(tmp_path / "bad"), partition_by=["weeks(x)"])
     with pytest.raises(Exception, match="not supported through the batch"):
         (
             docs.write.format("snapshot_table")
@@ -5790,3 +5791,71 @@ def test_timestamp_ntz_stats_session_tz_independent(spark, tmp_path):
         .where((F.col("t") >= lo) & (F.col("t") <= hi))
     )
     assert len(got) == 361
+
+
+def test_partition_transforms_years_months_hours(spark, tmp_path):
+    """The Iceberg transform set completes: years/months/hours (next to
+    days) partition hidden — recorded values come from wall-field
+    component extraction, probes in datetime/ISO-string form map
+    through the transform, pruning is exact, and the types gate
+    rejects hours() on a date column."""
+    import datetime as d
+
+    import pytest
+
+    base = 1_700_006_400  # 2023-11-15T00:00:00Z
+    ts = F.timestamp_micros((F.lit(base) + F.col("id")) * 1_000_000)
+
+    # hours() over 4 hours of seconds -> 4 partitions
+    t1 = str(tmp_path / "hours")
+    df = spark.range(0, 4 * 3600, 30).select(ts.alias("ts"), "id")
+    write_snapshot(df, t1, partition_by=["hours(ts)"])
+    snap = st._load_snapshot(t1, 1)
+    vals = {s["partition"]["hours(ts)"] for s in snap["shards"]}
+    assert vals == {f"2023-11-15 {h:02d}" for h in range(4)}
+    probe = d.datetime(2023, 11, 15, 2, 30, 0, tzinfo=d.timezone.utc)
+    tv = st._transform_probes(["hours(ts)"], "hours(ts)", probe)
+    assert tv == {"2023-11-15 02"}
+    live = [s for s in snap["shards"]
+            if st._partition_match(s, "hours(ts)", tv)]
+    assert {s["partition"]["hours(ts)"] for s in live} == {"2023-11-15 02"}
+    got = read_snapshot(
+        spark, t1, partition_filter={"hours(ts)": probe.isoformat()}
+    )
+    assert got.count() == 120  # one hour's rows
+
+    # months()/years() over a date column spanning 2 years
+    t2 = str(tmp_path / "months")
+    df2 = spark.range(0, 720).select(
+        F.date_add(F.lit("2023-02-15").cast("date"),
+                   F.col("id").cast("int")).alias("day"),
+        "id",
+    )
+    write_snapshot(df2, t2, partition_by=["months(day)"])
+    snap2 = st._load_snapshot(t2, 1)
+    mvals = {s["partition"]["months(day)"] for s in snap2["shards"]}
+    assert "2023-02" in mvals and "2024-12" in mvals and len(mvals) == 25
+    assert st._transform_probes(
+        ["months(day)"], "months(day)", d.date(2024, 3, 9)
+    ) == {"2024-03"}
+    assert st._transform_probes(
+        ["months(day)"], "months(day)", "2024-03-09"
+    ) == {"2024-03"}
+    assert read_snapshot(
+        spark, t2, partition_filter={"months(day)": d.date(2024, 3, 1)}
+    ).count() == 31
+
+    t3 = str(tmp_path / "years")
+    write_snapshot(df2, t3, partition_by=["years(day)"])
+    snap3 = st._load_snapshot(t3, 1)
+    assert {s["partition"]["years(day)"] for s in snap3["shards"]} == {
+        "2023", "2024", "2025"
+    }
+    assert st._transform_probes(
+        ["years(day)"], "years(day)", "2024-06-01"
+    ) == {"2024"}
+
+    # types gate: hours() needs a time component
+    with pytest.raises(ValueError, match="hours"):
+        write_snapshot(df2, str(tmp_path / "bad"),
+                       partition_by=["hours(day)"])
