@@ -6712,3 +6712,89 @@ def q_snapshot_vacuum_grace(spark, sf_dir):
         )
         .withColumn("vacuum_ok", F.lit(vacuum_ok))
     )
+
+
+@register(
+    "snapshot_hours_partition",
+    f"""
+    WITH lo AS (SELECT min(ts) AS t0 FROM events),
+    h AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS hb FROM events, lo
+      WHERE ts < t0 + INTERVAL 2 DAY ORDER BY hb LIMIT 4
+    ),
+    pick AS (SELECT max(hb) AS hb FROM h)
+    SELECT event_type,
+           count(*)                          AS n_events,
+           CAST(sum(epoch_us(ts)) AS BIGINT) AS sum_us,
+           CAST(sum({oracle_hash_sql('event_id')}) AS BIGINT) AS id_fp,
+           TRUE                              AS hours_ok
+    FROM events, pick
+    WHERE date_trunc('hour', ts) = pick.hb
+    GROUP BY event_type
+    """,
+    tags=("sources", "table-format", "partitioning", "hidden-partition",
+          "hours"),
+    description="hours(ts) hidden partitioning (the finest Iceberg "
+    "calendar transform): events committed partitioned by hours(ts), "
+    "then a one-hour scan prunes to that hour's shards from partition "
+    "metadata ALONE — the streaming-ingest retention/refresh grain for "
+    "hot event tables. hours_ok pins: every shard records its hour "
+    "value, a datetime probe maps through the transform to exactly the "
+    "probed hour's shards (0 < matching < total), and the pruned "
+    "aggregate fingerprints exactly against the wall-clock oracle. "
+    "Engine: sources/snapshot_table.py::_parse_partition_spec (hours).",
+)
+def q_snapshot_hours_partition(spark, sf_dir):
+    import tempfile
+
+    from .sources import snapshot_table as st
+
+    ev_all = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    # bound the HARNESS table to the first two days (48 hour-partitions
+    # — the gate's semantics are per-partition, not per-table-age; the
+    # full fixture would fan 720 files into a table built per run,
+    # which is harness cost, not evidence). The oracle slices the same
+    # window; the probed hour comes from inside it.
+    t0 = ev_all.agg(F.min("ts")).collect()[0][0]
+    import datetime as _dt
+
+    ev = ev_all.where(F.col("ts") < F.lit(t0 + _dt.timedelta(days=2)))
+    # the 4th distinct hour bucket — deterministic, fixture-derived
+    hb = (
+        ev.select(F.date_trunc("hour", "ts").alias("hb"))
+        .distinct().orderBy("hb").limit(4)
+        .agg(F.max("hb")).collect()[0][0]
+    )
+    table = tempfile.mkdtemp(prefix="svdml-hourspart-") + "/t"
+    st.write_snapshot(ev, table, partition_by=["hours(ts)"])
+    snap = st._load_snapshot(table, 1)
+    stamped = all(
+        s.get("partition", {}).get("hours(ts)") is not None
+        for s in snap["shards"]
+    )
+    tvals = st._transform_probes(["hours(ts)"], "hours(ts)", hb)
+    matching = [
+        s for s in snap["shards"]
+        if st._partition_match(s, "hours(ts)", tvals)
+    ]
+    exact = all(
+        s["partition"]["hours(ts)"] in tvals for s in matching
+    )
+    hours_ok = bool(
+        stamped and exact and 0 < len(matching) < len(snap["shards"])
+    )
+    return (
+        st.read_snapshot(spark, table, partition_filter={"hours(ts)": hb})
+        .where(F.date_trunc("hour", "ts") == F.lit(hb))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.unix_micros("ts")).cast("long").alias("sum_us"),
+            F.sum(portable_hash64(F.col("event_id"))).cast("long").alias(
+                "id_fp"
+            ),
+        )
+        .withColumn("hours_ok", F.lit(hours_ok))
+    )

@@ -1196,6 +1196,10 @@ def _parse_partition_spec(spec: str) -> dict:
     - ``"truncate(W, col)"`` string prefix of width W / integer floored
                              to a multiple of W
     - ``"days(col)"``        calendar date of a date/timestamp column
+    - ``"years(col)"`` / ``"months(col)"`` / ``"hours(col)"``
+                             the coarser/finer calendar tiers (the full
+                             Iceberg transform set); hours requires a
+                             time component (timestamp/timestamp_ntz)
 
     Returns ``{spec, source, kind, expr, py, types}`` where ``spec`` is
     the canonical string (the snapshot-log key), ``expr(df)`` builds the
