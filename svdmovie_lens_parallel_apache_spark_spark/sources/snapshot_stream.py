@@ -172,45 +172,14 @@ def _resolve_start(table: str, options, fmt: str) -> int:
         )
     if ts is None:
         return int(sv or 0)
-    tsf = float(ts)
-    from .snapshot_table import _raw_history
+    # shared resolver (snapshot_table._version_before_timestamp): the
+    # exclusive-start Delta startingTimestamp semantics including the
+    # unstamped-prefix boundary contract — batch read_changes/read_cdc
+    # timestamps resolve through the SAME function, so the stream and
+    # batch forms can never disagree on a boundary
+    from .snapshot_table import _version_before_timestamp
 
-    unstamped = []
-    for snap in _raw_history(table):  # stamps only, oldest first
-        at = snap.get("committed_at")
-        if at is None:
-            unstamped.append(snap["version"])
-        elif at < tsf:
-            # stamps are monotonic, so every unstamped version BEFORE
-            # this one is provably older than the timestamp — safe to
-            # exclude; only unstamped versions with no later-seen
-            # sub-threshold stamp stay ambiguous
-            unstamped = []
-        else:
-            if unstamped and at > tsf:
-                # the unstamped prefix abuts the resolution boundary:
-                # those commits' true times are only bounded by THIS
-                # stamp (strict monotonicity: they precede ``at``), so
-                # with ts < at they could fall on either side of ts —
-                # returning here would silently exclude history the
-                # user may have asked for. With at == ts the prefix is
-                # provably older than ts (strictly before ``at``) and
-                # resolution stays exact.
-                break
-            return snap["version"] - 1
-    if unstamped:
-        # pre-stamping history cannot be timestamp-resolved; silently
-        # skipping it would stream only FUTURE commits where the user
-        # asked for history — same loud contract as version_as_of
-        raise ValueError(
-            f"{fmt}: versions {unstamped} of {table} carry no "
-            f"committed_at stamp (written before timestamp support) "
-            f"and no younger stamp proves them older than the "
-            f"requested timestamp; use start_version to position the "
-            f"stream exactly"
-        )
-    lv = latest_version(table)
-    return lv if lv is not None else 0
+    return _version_before_timestamp(table, float(ts), fmt)
 
 
 def _retention_check(

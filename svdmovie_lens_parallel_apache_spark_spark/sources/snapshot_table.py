@@ -796,6 +796,45 @@ def version_as_of(table: str, ts: float) -> int:
     return best
 
 
+def _version_before_timestamp(table: str, ts: float, what: str) -> int:
+    """Resolve an EXCLUSIVE-start timestamp (Delta CDF
+    ``startingTimestamp`` semantics): returns the version BEFORE the
+    first commit stamped at or after ``ts``, so a ``(start, end]``
+    range walk delivers every commit stamped >= ts. Shared by the
+    streaming sources' ``start_timestamp`` option and the batch
+    incremental reads. A timestamp before the table's first commit
+    means everything (returns 0); after the head means nothing yet
+    (returns the head). Strictly monotonic stamps make resolution
+    exact; an UNSTAMPED history prefix abutting the resolution
+    boundary refuses loudly — its commit times are only bounded by the
+    NEXT stamp, so with ts strictly below that stamp they could fall
+    on either side of ts (a younger sub-threshold stamp, or an exact
+    boundary stamp, proves the prefix older and resolution proceeds).
+    """
+    unstamped = []
+    for snap in _raw_history(table):  # stamps only, oldest first
+        at = snap.get("committed_at")
+        if at is None:
+            unstamped.append(snap["version"])
+        elif at < ts:
+            # provably older than ts — and so is every unstamped
+            # version before this stamp (strict monotonicity)
+            unstamped = []
+        else:
+            if unstamped and at > ts:
+                break  # ambiguous prefix: fall through to the refusal
+            return snap["version"] - 1
+    if unstamped:
+        raise ValueError(
+            f"{what}: versions {unstamped} of {table} carry no "
+            f"committed_at stamp (written before timestamp support) "
+            f"and no younger stamp proves them older than the "
+            f"requested timestamp; use a version to position exactly"
+        )
+    lv = latest_version(table)
+    return lv if lv is not None else 0
+
+
 def _merge_schema(old: StructType, new: StructType) -> StructType:
     """Union-by-name evolution: new nullable columns widen the schema;
     same-name columns must keep their type (reject, don't coerce)."""
@@ -5225,11 +5264,37 @@ def rollback(table: str, version: int) -> int:
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
+def _resolve_change_range(
+    table: str, start_version: int | None, start_timestamp: float | None,
+    branch: str | None, what: str,
+) -> int:
+    """Start-of-range plumbing shared by the batch incremental reads:
+    exactly one of start_version/start_timestamp, timestamps main-chain
+    only (branch stamps are monotonic within the branch log alone),
+    resolution via the streaming sources' exclusive-start resolver."""
+    if (start_version is None) == (start_timestamp is None):
+        raise ValueError(
+            f"snapshot_table: {what} needs exactly one of "
+            f"start_version / start_timestamp"
+        )
+    if start_timestamp is None:
+        return start_version
+    if branch is not None:
+        raise ValueError(
+            f"snapshot_table: {what} timestamps are main-chain only "
+            f"(branch commit stamps are monotonic within the branch "
+            f"log alone); use start_version with branch="
+        )
+    return _version_before_timestamp(table, float(start_timestamp), what)
+
+
 def read_changes(
-    spark: SparkSession, table: str, start_version: int,
+    spark: SparkSession, table: str, start_version: int | None = None,
     end_version: int | None = None,
     partition_filter: dict | None = None,
     branch: str | None = None,
+    start_timestamp: float | None = None,
+    end_timestamp: float | None = None,
 ) -> DataFrame:
     """Incremental read (Iceberg incremental append scan / Delta CDF's
     append-only fast path): the rows ADDED after ``start_version`` up to
@@ -5261,7 +5326,25 @@ def read_changes(
     without touching main or rescanning the fork's content.
     ``start_version=0`` is rejected for branches: the fork (sequence 1)
     is a verbatim copy of a main snapshot, so "since creation" would
-    report the entire forked corpus as a change."""
+    report the entire forked corpus as a change.
+
+    ``start_timestamp`` / ``end_timestamp`` (epoch seconds) are the
+    Delta-CDF timestamp forms of the same range — start delivers every
+    commit stamped AT OR AFTER it (the streaming ``start_timestamp``
+    contract, shared resolver); end is AS-OF inclusive
+    (:func:`version_as_of`). Each is mutually exclusive with its
+    version twin and main-chain only (branch stamps are monotonic
+    within the branch log alone)."""
+    start_version = _resolve_change_range(
+        table, start_version, start_timestamp, branch, "read_changes"
+    )
+    if end_timestamp is not None:
+        if end_version is not None:
+            raise ValueError(
+                "snapshot_table: end_version and end_timestamp are "
+                "mutually exclusive"
+            )
+        end_version = version_as_of(table, end_timestamp)
     if branch is not None and latest_version(table, branch) is None:
         raise FileNotFoundError(
             f"snapshot_table: no branch {branch!r} on {table}; "
@@ -5298,9 +5381,11 @@ def read_changes(
 
 
 def read_cdc(
-    spark: SparkSession, table: str, start_version: int,
+    spark: SparkSession, table: str, start_version: int | None = None,
     end_version: int | None = None,
     branch: str | None = None,
+    start_timestamp: float | None = None,
+    end_timestamp: float | None = None,
 ) -> DataFrame:
     """Change-data-feed read (Delta CDF / Iceberg changelog scan
     shaped): every row-level change in ``(start_version, end_version]``
@@ -5342,9 +5427,25 @@ def read_cdc(
     read cannot represent. ``start_version=0`` is rejected for
     branches: the fork (sequence 1) is a verbatim copy of a main
     snapshot, so diffing from empty would report the entire forked
-    corpus as inserts."""
+    corpus as inserts.
+
+    ``start_timestamp`` / ``end_timestamp`` (epoch seconds) mirror
+    :func:`read_changes`: commits stamped at or after start through
+    the as-of end — Delta CDF's startingTimestamp/endingTimestamp,
+    resolved by the same code the streaming sources use; main-chain
+    only, each mutually exclusive with its version twin."""
     from pyspark.sql import functions as F
 
+    start_version = _resolve_change_range(
+        table, start_version, start_timestamp, branch, "read_cdc"
+    )
+    if end_timestamp is not None:
+        if end_version is not None:
+            raise ValueError(
+                "snapshot_table: end_version and end_timestamp are "
+                "mutually exclusive"
+            )
+        end_version = version_as_of(table, end_timestamp)
     if branch is not None and latest_version(table, branch) is None:
         raise FileNotFoundError(
             f"snapshot_table: no branch {branch!r} on {table}; "

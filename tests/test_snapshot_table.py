@@ -5859,3 +5859,47 @@ def test_partition_transforms_years_months_hours(spark, tmp_path):
     with pytest.raises(ValueError, match="hours"):
         write_snapshot(df2, str(tmp_path / "bad"),
                        partition_by=["hours(day)"])
+
+
+def test_batch_incremental_reads_by_timestamp(spark, tmp_path):
+    """read_changes/read_cdc accept Delta-CDF-style start_timestamp /
+    end_timestamp: start delivers every commit stamped at or after it
+    (the streaming start_timestamp contract — SAME resolver, so batch
+    and stream can never disagree on a boundary), end is as-of
+    inclusive; version twins must agree row-for-row; the exclusivity
+    and branch gates refuse loudly."""
+    import pytest
+
+    table = str(tmp_path / "t")
+    for i in range(3):  # v1..v3
+        write_snapshot(
+            spark.range(i * 10, (i + 1) * 10).coalesce(1), table,
+            mode="append",
+        )
+    at = {v: st._raw_snapshot(table, v)["committed_at"] for v in (1, 2, 3)}
+    # start: everything stamped >= at[2] == versions 2..3
+    got = st.read_changes(spark, table, start_timestamp=at[2])
+    want = st.read_changes(spark, table, 1)
+    assert _canon(got) == _canon(want) and got.count() == 20
+    # end as-of: through v2 only
+    got2 = st.read_changes(
+        spark, table, 0, end_timestamp=(at[2] + at[3]) / 2
+    )
+    assert _canon(got2) == _canon(st.read_changes(spark, table, 0, 2))
+    # CDC twin, both bounds by timestamp
+    cdc = st.read_cdc(
+        spark, table, start_timestamp=at[2],
+        end_timestamp=(at[2] + at[3]) / 2,
+    )
+    assert _canon(cdc) == _canon(st.read_cdc(spark, table, 1, 2))
+    # gates
+    with pytest.raises(ValueError, match="exactly one of"):
+        st.read_changes(spark, table)
+    with pytest.raises(ValueError, match="exactly one of"):
+        st.read_changes(spark, table, 1, start_timestamp=at[2])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        st.read_changes(spark, table, 0, end_version=2,
+                        end_timestamp=at[2])
+    st.create_branch(table, "b")
+    with pytest.raises(ValueError, match="main-chain only"):
+        st.read_changes(spark, table, start_timestamp=at[2], branch="b")
