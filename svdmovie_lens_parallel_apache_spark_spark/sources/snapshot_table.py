@@ -1088,12 +1088,20 @@ def _session_tz():
     (``spark.sql.session.timeZone``, defaulting to the JVM/OS zone):
     recorded timestamp stats are absolute instants (epoch micros), so
     a naive probe must be localised exactly the way a collect()
-    localised the values the user derived it from. Falls back to the
-    process-local zone when the conf names a form zoneinfo cannot
-    resolve (conservative: a wrong zone only mis-prunes never — the
-    comparator still sees ints, and the caller's row filter is the
-    correctness layer)."""
+    localised the values the user derived it from.
+
+    Resolution order: zoneinfo region IDs, then Spark's fixed-offset
+    forms ('+08:00', '-0530', 'GMT+8', 'UTC+08:00:30', 'Z', 'UT') as
+    :class:`datetime.timezone` offsets. Returns ``None`` when the conf
+    names a form neither path can resolve — callers MUST treat None as
+    "cannot localise" and leave the probe unconverted, so the
+    comparator's incomparable-types rule conservatively keeps every
+    shard. Guessing the process-local zone here would be a correctness
+    hazard, not conservative: pruning is trusted as a superset
+    reducer, and a probe shifted by a wrong offset can move the prune
+    interval off the shards that actually contain matching rows."""
     import datetime as _d
+    import re as _re
 
     name = None
     try:
@@ -1104,14 +1112,32 @@ def _session_tz():
             name = s.conf.get("spark.sql.session.timeZone", None)
     except Exception:
         pass
-    if name:
-        try:
-            from zoneinfo import ZoneInfo
+    if not name:
+        # no session conf to read: Spark itself would fall back to the
+        # JVM/OS zone, so the process-local zone IS the session zone
+        return _d.datetime.now().astimezone().tzinfo
+    try:
+        from zoneinfo import ZoneInfo
 
-            return ZoneInfo(name)
-        except Exception:
-            pass
-    return _d.datetime.now().astimezone().tzinfo
+        return ZoneInfo(name)
+    except Exception:
+        pass
+    if name in ("Z", "UT", "UTC", "GMT"):
+        return _d.timezone.utc
+    m = _re.fullmatch(
+        r"(?:UTC|GMT|UT)?([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?",
+        name,
+    )
+    if m:
+        sign = -1 if m.group(1) == "-" else 1
+        delta = _d.timedelta(
+            hours=int(m.group(2)),
+            minutes=int(m.group(3) or 0),
+            seconds=int(m.group(4) or 0),
+        )
+        if delta <= _d.timedelta(hours=18):  # ZoneOffset's legal range
+            return _d.timezone(sign * delta)
+    return None
 
 
 def _epoch_probe(dtype: str, value):
@@ -1128,8 +1154,27 @@ def _epoch_probe(dtype: str, value):
 
     Anything unconvertible returns unchanged — the comparator's
     incomparable-types rule then conservatively keeps every shard, so
-    a bad probe can never skip wrongly."""
+    a bad probe can never skip wrongly. Two loud exceptions where
+    silence would be a SKIP hazard rather than a KEEP: a numeric
+    timestamp probe of implausible magnitude (``table_stats`` reports
+    bounds in epoch MICROS — feeding those back as "seconds" would
+    scale every bound 1e6× high and silently skip every shard)
+    raises; and an unresolvable session timezone leaves naive probes
+    unconverted (see :func:`_session_tz`) instead of guessing."""
     import datetime as _d
+
+    def _plausible_seconds(v):
+        # epoch SECONDS ~1.7e9 today; 1e11 is already year ~5138.
+        # Millis (~1.7e12) and micros (~1.7e15) — the forms a user
+        # copies out of table_stats — both exceed it.
+        if abs(v) > 100_000_000_000:
+            raise ValueError(
+                f"snapshot_table: numeric timestamp probes are epoch "
+                f"SECONDS; {v!r} is implausibly large for seconds "
+                f"(millis/micros fed back from table_stats?) — pass "
+                f"seconds, a datetime, or an ISO-8601 string"
+            )
+        return v
 
     if value is None or isinstance(value, bool):
         return value
@@ -1138,7 +1183,7 @@ def _epoch_probe(dtype: str, value):
         # clock; a tz-aware probe converts to its UTC wall clock first
         # (documented choice — NTZ columns order by wall clock)
         if isinstance(value, (int, float)):
-            return int(round(value * 1_000_000))
+            return int(round(_plausible_seconds(value) * 1_000_000))
         if isinstance(value, str):
             try:
                 value = _d.datetime.fromisoformat(value)
@@ -1171,7 +1216,7 @@ def _epoch_probe(dtype: str, value):
             return (value - _d.date(1970, 1, 1)).days
         return value
     if isinstance(value, (int, float)):
-        return int(round(value * 1_000_000))
+        return int(round(_plausible_seconds(value) * 1_000_000))
     if isinstance(value, str):
         try:
             value = _d.datetime.fromisoformat(value)
@@ -1181,7 +1226,15 @@ def _epoch_probe(dtype: str, value):
         value = _d.datetime(value.year, value.month, value.day)
     if isinstance(value, _d.datetime):
         if value.tzinfo is None:
-            value = value.replace(tzinfo=_session_tz())
+            tz = _session_tz()
+            if tz is None:
+                # unresolvable session zone: leave the probe naive so
+                # the comparator's incomparable-types rule KEEPS every
+                # shard — never localise with a guessed zone (a wrong
+                # offset shifts the prune interval and can wrongly
+                # SKIP shards holding matching rows)
+                return value
+            value = value.replace(tzinfo=tz)
         epoch = _d.datetime(1970, 1, 1, tzinfo=_d.timezone.utc)
         return (value - epoch) // _d.timedelta(microseconds=1)
     return value
@@ -1363,6 +1416,18 @@ def _parse_partition_spec(spec: str) -> dict:
                     return None
                 if isinstance(v, str):
                     return f"{v[:10]} {v[11:13]}"
+                if isinstance(v, datetime.date) and not isinstance(
+                    v, datetime.datetime
+                ):
+                    # months/years accept plain dates (their buckets
+                    # are date-grained); an hours bucket is not
+                    # derivable from a date — refuse loudly instead of
+                    # the AttributeError v.hour would raise
+                    raise ValueError(
+                        "snapshot_table: hours(...) partition probes "
+                        "need a time component — pass a datetime or "
+                        "ISO timestamp string, not a plain date"
+                    )
                 v = _fold_aware(v)
                 return f"{v.date().isoformat()} {v.hour:02d}"
 
@@ -5288,6 +5353,32 @@ def _resolve_change_range(
     return _version_before_timestamp(table, float(start_timestamp), what)
 
 
+def _resolve_change_end(
+    table: str, end_version: int | None, end_timestamp: float | None,
+    branch: str | None, what: str,
+) -> int | None:
+    """End-of-range twin of :func:`_resolve_change_range`: at most one
+    of end_version/end_timestamp, and — the same main-chain-only rule
+    the start form enforces — end_timestamp with branch= refuses
+    loudly. ``version_as_of`` resolves against the MAIN commit chain;
+    applying that version as a bound on a branch's independent
+    sequence numbering would silently return a wrong change range."""
+    if end_timestamp is None:
+        return end_version
+    if end_version is not None:
+        raise ValueError(
+            f"snapshot_table: end_version and end_timestamp are "
+            f"mutually exclusive"
+        )
+    if branch is not None:
+        raise ValueError(
+            f"snapshot_table: {what} timestamps are main-chain only "
+            f"(branch commit stamps are monotonic within the branch "
+            f"log alone); use end_version with branch="
+        )
+    return version_as_of(table, end_timestamp)
+
+
 def read_changes(
     spark: SparkSession, table: str, start_version: int | None = None,
     end_version: int | None = None,
@@ -5338,13 +5429,9 @@ def read_changes(
     start_version = _resolve_change_range(
         table, start_version, start_timestamp, branch, "read_changes"
     )
-    if end_timestamp is not None:
-        if end_version is not None:
-            raise ValueError(
-                "snapshot_table: end_version and end_timestamp are "
-                "mutually exclusive"
-            )
-        end_version = version_as_of(table, end_timestamp)
+    end_version = _resolve_change_end(
+        table, end_version, end_timestamp, branch, "read_changes"
+    )
     if branch is not None and latest_version(table, branch) is None:
         raise FileNotFoundError(
             f"snapshot_table: no branch {branch!r} on {table}; "
@@ -5439,13 +5526,9 @@ def read_cdc(
     start_version = _resolve_change_range(
         table, start_version, start_timestamp, branch, "read_cdc"
     )
-    if end_timestamp is not None:
-        if end_version is not None:
-            raise ValueError(
-                "snapshot_table: end_version and end_timestamp are "
-                "mutually exclusive"
-            )
-        end_version = version_as_of(table, end_timestamp)
+    end_version = _resolve_change_end(
+        table, end_version, end_timestamp, branch, "read_cdc"
+    )
     if branch is not None and latest_version(table, branch) is None:
         raise FileNotFoundError(
             f"snapshot_table: no branch {branch!r} on {table}; "

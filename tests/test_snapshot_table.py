@@ -5903,3 +5903,71 @@ def test_batch_incremental_reads_by_timestamp(spark, tmp_path):
     st.create_branch(table, "b")
     with pytest.raises(ValueError, match="main-chain only"):
         st.read_changes(spark, table, start_timestamp=at[2], branch="b")
+    # end form gets the SAME main-chain-only refusal: version_as_of
+    # resolves against main, and applying that version to the branch's
+    # independent sequence would silently return a wrong range
+    with pytest.raises(ValueError, match="main-chain only"):
+        st.read_changes(spark, table, 1, end_timestamp=at[2], branch="b")
+    with pytest.raises(ValueError, match="main-chain only"):
+        st.read_cdc(spark, table, 1, end_timestamp=at[2], branch="b")
+
+
+def test_session_tz_fixed_offsets_and_probe_guards(spark, tmp_path):
+    """ADVICE r12 closures, all four:
+
+    1. _session_tz resolves Spark's fixed-offset zone forms
+       ('+08:00', 'GMT+8', 'UTC+08:00', '-0530') as real offsets;
+    2. an UNRESOLVABLE session zone leaves naive timestamp probes
+       unconverted (conservative keep-all) instead of guessing the
+       process zone — a guessed offset can wrongly SKIP shards;
+    3. numeric timestamp probes of micros/millis magnitude refuse
+       loudly instead of silently pruning everything;
+    4. hours(...) partition probes reject plain dates with a clear
+       ValueError, not an AttributeError."""
+    import datetime as d
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for name, hours in [
+            ("+08:00", 8), ("GMT+8", 8), ("UTC+08:00", 8),
+            ("-0530", -5.5), ("UT+1", 1), ("Z", 0),
+        ]:
+            spark.conf.set("spark.sql.session.timeZone", name)
+            tz = st._session_tz()
+            assert tz is not None, name
+            assert tz.utcoffset(None) == d.timedelta(hours=hours), name
+        # fixed offsets localise naive probes exactly
+        spark.conf.set("spark.sql.session.timeZone", "+08:00")
+        naive = d.datetime(2024, 3, 1, 8, 0, 0)
+        assert st._epoch_probe("timestamp", naive) == int(
+            d.datetime(2024, 3, 1, tzinfo=d.timezone.utc).timestamp()
+        ) * 1_000_000
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    # unresolvable: probe returned unconverted -> comparator's
+    # incomparable-types rule keeps every shard (never a skip).
+    # Spark validates the conf, so simulate a form the Python side
+    # cannot resolve (e.g. a JVM-only region id) by stubbing the
+    # resolver's conf read.
+    import unittest.mock as _mock
+
+    with _mock.patch.object(st, "_session_tz", return_value=None):
+        assert st._epoch_probe("timestamp", naive) is naive
+    # magnitude guard: table_stats reports MICROS; feeding those back
+    # as "seconds" must refuse, not silently skip every shard
+    with pytest.raises(ValueError, match="implausibly large"):
+        st._epoch_probe("timestamp", 1_709_251_200_000_000)
+    with pytest.raises(ValueError, match="implausibly large"):
+        st._epoch_probe("timestamp_ntz", 1_709_251_200_000)
+    assert st._epoch_probe("timestamp", 1_709_251_200) == (
+        1_709_251_200 * 1_000_000
+    )
+    # hours() probe with a plain date: loud ValueError, not
+    # AttributeError (months/years accept dates — date-grained)
+    tf = st._parse_partition_spec("hours(ts)")
+    with pytest.raises(ValueError, match="time component"):
+        tf["py"](d.date(2024, 3, 1))
+    assert tf["py"](d.datetime(2024, 3, 1, 7, 30)) == "2024-03-01 07"
+    assert st._parse_partition_spec("months(ts)")["py"](
+        d.date(2024, 3, 1)
+    ) == "2024-03"
