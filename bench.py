@@ -30,6 +30,32 @@ _BENCH_TMP = tempfile.mkdtemp(prefix="svdml-bench-root-")
 tempfile.tempdir = _BENCH_TMP
 
 
+def _calibrate(spark) -> float:
+    """Host-speed calibration constant (r12 verdict item 1): a pure-JVM,
+    CPU-bound, I/O-free whole-stage-codegen kernel — sum of xxhash64 over
+    a 600M-row range, 64 partitions — timed min-of-3. It exercises the
+    same JVM/codegen substrate the catalog queries run on but touches no
+    files, no Python, no shuffle, so its wall time moves ONLY with host
+    load/CPU contention. Round-over-round absolute drift in the suite
+    (r11->r12: untouched pure-JVM phases slowed 1.29-1.35x with zero code
+    change) divides out as timings[q] / kernel_sec; the artifact records
+    the constant pre- and post-suite so a judge can separate code change
+    from host drift mechanically instead of by hand analysis."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(3):
+        t = time.time()
+        # bit_xor reduction: overflow-free under ANSI mode (sum of
+        # 150M xxhash64 longs overflows), same per-row codegen cost
+        spark.range(0, 600_000_000, 1, 64).select(
+            F.expr("bit_xor(xxhash64(id))").alias("h")
+        ).collect()
+        dt = time.time() - t
+        best = dt if best is None or dt < best else best
+    return round(best, 4)
+
+
 def _isolate(spark, baseline_tables: set) -> None:
     """Reset session state between timed queries so each timing reflects the
     query alone (r2 lesson: streaming memory-sink tables, temp views, cached
@@ -72,6 +98,9 @@ def main() -> None:
 
     for name in ("lineitem", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, name).count()
+
+    cal_pre = _calibrate(spark)
+    print(f"# calibration kernel (pre-suite): {cal_pre:.4f}s", file=sys.stderr)
 
     baseline_tables = {t.name for t in spark.catalog.listTables()}
     timings: dict[str, float] = {}
@@ -117,6 +146,9 @@ def main() -> None:
         _isolate(spark, baseline_tables)
     total = time.time() - t0
 
+    cal_post = _calibrate(spark)
+    print(f"# calibration kernel (post-suite): {cal_post:.4f}s", file=sys.stderr)
+
     # Record which BLAS MLlib actually loaded, so round-over-round
     # diffs read ALS timing drift as environment variance, not a
     # regression (the JVM warns 'Failed to load ...JNIBLAS' on every
@@ -128,9 +160,19 @@ def main() -> None:
         blas_note = {
             "native_blas": False,
             "note": (
-                "pure-Java BLAS fallback (JNIBLAS unavailable): ALS "
-                "timings are JIT-warmup-sensitive, hence the min-of-3 "
-                "watchlist pass"
+                "pure-Java BLAS fallback: ADJUDICATED IMPOSSIBLE in "
+                "this image, not merely unconfigured. The only BLAS "
+                "shared object present is numpy's bundled ILP64 "
+                "OpenBLAS (libopenblas64_p*.so) whose symbols are "
+                "suffixed (dgemm_64_); netlib JNIBLAS binds the LP64 "
+                "names (dgemm_), so pointing "
+                "dev.ludovic.netlib.blas.nativeLibPath at it "
+                "hard-fails, no system libblas.so.3 exists "
+                "(ldconfig -p: zero BLAS/LAPACK entries), and "
+                "pip/apt installs are banned. ALS timings therefore "
+                "stay JIT-warmup-sensitive — hence the min-of-3 "
+                "watchlist pass and the calibration-normalized "
+                "ratios below."
             ),
         }
 
@@ -220,6 +262,30 @@ def main() -> None:
         ),
         "blas": blas_note,
     }
+    # Drift-normalized protocol (r12 verdict item 1): divide every
+    # per-query timing by the host-speed kernel constant. Ratios are
+    # dimensionless "multiples of the calibration kernel" — stable
+    # under uniform host slowdown, so a round-over-round ratio change
+    # isolates CODE change. kernel_sec uses the min of pre/post (the
+    # kernel itself is load-sensitive; min is the least-loaded view),
+    # and the pre/post pair bounds WITHIN-run drift.
+    kernel_sec = min(cal_pre, cal_post)
+    full["calibration"] = {
+        "kernel": (
+            "range(600e6, 64 partitions) -> sum(xxhash64(id)) collect; "
+            "pure-JVM whole-stage codegen, no I/O, no Python, no "
+            "shuffle; min-of-3, run before and after the suite"
+        ),
+        "kernel_sec_pre": cal_pre,
+        "kernel_sec_post": cal_post,
+        "kernel_sec": kernel_sec,
+    }
+    full["queries_normalized"] = {
+        q: round(t / kernel_sec, 3) for q, t in timings.items()
+    }
+    full["sum_query_normalized"] = round(
+        sum(timings.values()) / kernel_sec, 3
+    )
     # scaling rehearsal (tools/scale_rehearsal.py writes SCALING.json:
     # per-query empirical exponents sf0.1 -> 10x replica fixture); embed
     # so the committed full artifact carries the latest rehearsal
@@ -237,6 +303,17 @@ def main() -> None:
                 prior = json.load(f)
             if "rebaseline" in prior:
                 full["rebaseline"] = prior["rebaseline"]
+            # host-drift factor vs the previous committed artifact:
+            # >1 means this host/run is that much slower per unit of
+            # pure-JVM compute than last time — absolute per-query
+            # deltas inside this band are drift, not regression
+            prior_kernel = (prior.get("calibration") or {}).get(
+                "kernel_sec"
+            )
+            if prior_kernel:
+                full["host_drift_vs_prior_artifact"] = round(
+                    kernel_sec / prior_kernel, 3
+                )
         except (OSError, ValueError):
             pass
     # Full per-query payload goes to a committed repo file: the driver's
@@ -256,6 +333,7 @@ def main() -> None:
         "n_queries": len(qs),
         "queries": slowest,
         "reference_phases": phases,
+        "calibration_kernel_sec": kernel_sec,
         "full_artifact": "BENCH_FULL.json",
     }
     line = json.dumps(compact, separators=(",", ":"))

@@ -996,6 +996,89 @@ def fuzzy_part_names(spark, sf_dir):
 
 
 @register(
+    "fuzzy_part_names_snm",
+    """
+    WITH s AS (
+      SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part)
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM s a JOIN s b ON b.rn BETWEEN a.rn + 1 AND a.rn + 5
+    WHERE levenshtein(a.p_name, b.p_name) <= 8
+    """,
+    tags=("fuzzy", "entity-resolution", "dedup", "scale"),
+    description="Output-bounded entity resolution: sorted-neighborhood "
+    "method (Hernandez & Stolfo) — sort by name, compare only rank "
+    "neighbors within w=5, so candidate pairs are <= w*n (linear) "
+    "regardless of blocking-key cardinality. The scale-path companion "
+    "to fuzzy_part_names, whose fixed-cardinality (brand,size) blocks "
+    "make full-pair output quadratic in corpus size (PLANS.md r12 "
+    "adjudication).",
+)
+def fuzzy_part_names_snm(spark, sf_dir):
+    """Distributed SNM without a single-partition global window: range-
+    partition by the sort key, then global rank = per-partition
+    row_number + the partition's cumulative row offset (an O(#partitions)
+    driver-side map — at 1000 executors still trivially small). The
+    w-neighborhood band join is re-expressed as explode(sequence(rn+1,
+    rn+w)) -> shuffle EQUI-join on rn, so every stage is linear: sort
+    O(n log n), candidates exactly w*n, no block-size quadratic term.
+    Reference parity: the record-linkage shape (J1/J2 equi-join + U4-ish
+    scalar distance), scale-hardened."""
+    from pyspark.sql import Window
+
+    w = 5
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    s = (
+        p.repartitionByRange(nparts, "p_name", "p_partkey")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    # O(#partitions) rows to the driver: the cumulative offsets that turn
+    # per-partition ranks into a global rank (range partitions are
+    # ordered, so pid order IS sort order)
+    counts = s.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    offs, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["pid"]):
+        offs.append((r["pid"], acc))
+        acc += r["n"]
+    off_df = spark.createDataFrame(offs or [(0, 0)], "pid int, off long")
+    ranked = (
+        s.withColumn(
+            "rn_in",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy("p_name", "p_partkey")
+            ),
+        )
+        .join(F.broadcast(off_df), "pid")
+        .select(
+            "p_partkey", "p_name", (F.col("off") + F.col("rn_in")).alias("rn")
+        )
+    )
+    probe = ranked.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + F.lit(w))
+        ).alias("rn"),
+    )
+    cand = ranked.select(
+        F.col("p_partkey").alias("part_b"), F.col("p_name").alias("name_b"), "rn"
+    )
+    return (
+        probe.join(cand, "rn")
+        .select(
+            "part_a",
+            "part_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 8)
+    )
+
+
+@register(
     "merge_upsert_orders",
     f"""
     WITH updates AS (

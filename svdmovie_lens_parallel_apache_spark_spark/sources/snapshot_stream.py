@@ -599,6 +599,70 @@ def register_snapshot_changes(spark) -> None:
     spark.dataSource.register(_build())
 
 
+def drain_available_now(
+    start_run, checkpoint_dir: str, max_runs: int = 10_000
+) -> int:
+    """Budget-paced FULL drain for availableNow over the Python
+    DataSource bridge — the engine-side closure of the per-RUN pacing
+    gap (module CAVEAT / DEPLOY.md "availableNow pacing is per-RUN"):
+    Spark 4's ``PythonMicroBatchStream`` implements no
+    ``SupportsTriggerAvailableNow``, so one availableNow invocation
+    advances at most ``max_files_per_trigger`` files. This helper
+    re-invokes until an invocation ends with the source offset log
+    unmoved — a paced full drain TODAY, per-invocation budget
+    preserved, exactly-once by construction (position lives solely in
+    the checkpoint's offset log; every run resumes from it, and a
+    crash mid-run replays only that run's uncommitted batch).
+
+    ``start_run``: zero-arg callable returning a STARTED availableNow
+    ``StreamingQuery`` whose sink checkpoints at ``checkpoint_dir``
+    (build the whole readStream→writeStream chain inside it — a
+    StreamingQuery object is single-use). Runs sequentially; returns
+    the number of runs that made progress. Raises if ``max_runs``
+    invocations were all progressing (backlog still growing faster
+    than the budget drains it — raise the budget or keep a continuous
+    trigger instead).
+
+    When the upstream bridge grows ``SupportsTriggerAvailableNow``,
+    per-batch caps activate inside a single run (``_capped_end_*``
+    already compute them) and this loop degenerates to one
+    progressing run + one no-progress confirmation — callers need no
+    change."""
+    import glob
+    import os
+
+    def _offset_fingerprint():
+        # newest offsets file's SOURCE lines (skip the v1 header +
+        # metadata line: its batchWatermarkMs/batchTimestampMs move on
+        # every batch even when no source progress was made)
+        files = [
+            f
+            for f in glob.glob(os.path.join(checkpoint_dir, "offsets", "*"))
+            if os.path.basename(f).isdigit()
+        ]
+        if not files:
+            return None
+        newest = max(files, key=lambda f: int(os.path.basename(f)))
+        with open(newest) as fh:
+            return "\n".join(fh.read().splitlines()[2:])
+
+    progressed = 0
+    prev = _offset_fingerprint()
+    for _ in range(max_runs):
+        q = start_run()
+        q.awaitTermination()
+        cur = _offset_fingerprint()
+        if cur == prev:
+            return progressed
+        prev = cur
+        progressed += 1
+    raise RuntimeError(
+        f"drain_available_now: still progressing after {max_runs} "
+        f"invocations — backlog outpaces the per-run budget; raise "
+        f"max_files_per_trigger or run a processingTime trigger"
+    )
+
+
 def _conform_arrow(t, fields, names: dict | None):
     """Conform a pyarrow table to the stream's pinned logical
     ``fields`` — the executor-side twin of the driver's
