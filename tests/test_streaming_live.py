@@ -1840,3 +1840,81 @@ def test_drain_available_now_budget_paced_full_drain(spark, tmp_path):
     assert drain_available_now(start_run, ckpt) == 2  # 3 files / 2
     got2 = spark.read.parquet(out)
     assert got2.count() == 130 and got2.distinct().count() == 130
+
+
+def test_stream_schema_evolution_restart_surfaces_new_columns(spark, tmp_path):
+    """The pinned-schema streaming contract (snapshot_stream.py module
+    doc: 'schema evolution mid-stream needs a restart to surface new
+    columns'), live (r12 verdict item 6): evolve the table mid-stream,
+    restart on the SAME checkpoint, and assert (a) the restarted query's
+    schema carries the new column, (b) a not-yet-delivered shard written
+    BEFORE the evolution NULL-fills it while post-evolution rows carry
+    real values, (c) offsets survive the restart uncorrupted — the
+    pre-restart commit is not re-emitted (exactly-once) and the resumed
+    run picks up exactly where the checkpoint left off."""
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_stream import (
+        register_snapshot_changes,
+    )
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        write_snapshot,
+    )
+
+    register_snapshot_changes(spark)
+    table, out, ckpt = [str(tmp_path / x) for x in ("t", "out", "c")]
+    old = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    write_snapshot(old(0, 10).coalesce(1), table, mode="append")   # v1
+    write_snapshot(old(10, 20).coalesce(1), table, mode="append")  # v2
+
+    def start_run():
+        return (
+            spark.readStream.format("snapshot_changes")
+            .option("path", table).option("start_version", 0)
+            .option("max_files_per_trigger", 1).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # run 1 (per-RUN budget: one file) delivers ONLY v1, old schema
+    q = start_run()
+    q.awaitTermination()
+    got1 = spark.read.parquet(out)
+    assert sorted(got1.columns) == ["id", "v"] and got1.count() == 10
+
+    # evolve mid-stream: v3 widens the schema with `score`
+    write_snapshot(
+        spark.range(20, 30)
+        .select("id", (F.col("id") * 2).alias("v"),
+                (F.col("id") / 10.0).alias("score"))
+        .coalesce(1),
+        table, mode="append",
+    )
+
+    # restart on the same checkpoint: the re-pinned scan schema now
+    # carries `score`; drain the backlog (v2 then v3)
+    q = start_run()
+    q.awaitTermination()
+    q = start_run()
+    q.awaitTermination()
+    got = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "score" in got.columns
+    assert got.count() == 30
+    assert got.select("id").distinct().count() == 30  # no re-emission of v1
+    # v2's shard predates the evolution: NULL-filled after the restart
+    v2_rows = got.where((F.col("id") >= 10) & (F.col("id") < 20))
+    assert v2_rows.count() == 10
+    assert v2_rows.where(F.col("score").isNotNull()).count() == 0
+    # v3's rows carry real values
+    v3_rows = got.where(F.col("id") >= 20)
+    assert v3_rows.count() == 10
+    assert v3_rows.where(F.col("score").isNull()).count() == 0
+    assert v3_rows.where(
+        F.col("score") == F.col("id") / 10.0
+    ).count() == 10
+    # offsets uncorrupted: a further restart is a clean no-progress run
+    q = start_run()
+    q.awaitTermination()
+    assert spark.read.option("mergeSchema", "true").parquet(out).count() == 30
