@@ -26,6 +26,9 @@ Usage:
     python tools/make_scale_fixture.py /root/testdata/sf0.1 scratch/sf10 100
     python tools/scale_rehearsal.py [q1,q2,...]   # decade 1 (sf0.1 -> sf1)
     SPARK_GRAFT_DECADE=2 python tools/scale_rehearsal.py [q1,q2,...]
+    # decade 3 (sf10 -> sf100; build scratch/sf100 from scratch/sf10 x10
+    # first): the 100 TB-risk families only (r12 verdict item 5)
+    SPARK_GRAFT_DECADE=3 python tools/scale_rehearsal.py [q1,q2,...]
 """
 from __future__ import annotations
 
@@ -79,20 +82,38 @@ DECADE2_QUERIES = [
     "bpe_merge_rounds",
 ]
 
+# decade-3 subset: the five shapes whose 100 TB story carries the most
+# risk (r12 verdict item 5) — lossless prefix-filter pair generation,
+# connected-components edge-threshold crossing, CDC key-range paging,
+# manifest metadata scaling, and the tf-idf two-pass agg
+DECADE3_QUERIES = [
+    "dedup_jaccard_prefix",
+    "dedup_clusters",
+    "snapshot_cdc_paged",
+    "snapshot_manifest_scale",
+    "tfidf_top_terms",
+]
+
 DECADE = os.environ.get("SPARK_GRAFT_DECADE", "1")
 _D2 = DECADE == "2"
-SMALL = os.environ.get(
-    "SPARK_GRAFT_SMALL_SF",
-    os.path.join(REPO, "scratch", "sf1") if _D2 else "/root/testdata/sf0.1",
+_D3 = DECADE == "3"
+_SMALL_DEFAULT = {
+    "1": "/root/testdata/sf0.1",
+    "2": os.path.join(REPO, "scratch", "sf1"),
+    "3": os.path.join(REPO, "scratch", "sf10"),
+}[DECADE]
+_BIG_DEFAULT = os.path.join(
+    REPO, "scratch", {"1": "sf1", "2": "sf10", "3": "sf100"}[DECADE]
 )
-BIG = os.environ.get(
-    "SPARK_GRAFT_BIG_SF", os.path.join(REPO, "scratch", "sf10" if _D2 else "sf1")
-)
+SMALL = os.environ.get("SPARK_GRAFT_SMALL_SF", _SMALL_DEFAULT)
+BIG = os.environ.get("SPARK_GRAFT_BIG_SF", _BIG_DEFAULT)
 RATIO = float(os.environ.get("SPARK_GRAFT_SF_RATIO", "10"))
 
 
 def main() -> None:
-    default = DECADE2_QUERIES if _D2 else DEFAULT_QUERIES
+    default = (
+        DECADE3_QUERIES if _D3 else DECADE2_QUERIES if _D2 else DEFAULT_QUERIES
+    )
     names = sys.argv[1].split(",") if len(sys.argv) > 1 else default
     import tempfile
 
@@ -156,9 +177,10 @@ def main() -> None:
     if os.path.exists(path):
         with open(path) as f:
             prior_full = json.load(f)
+    _block_key = "third_decade" if _D3 else "second_decade" if _D2 else None
     prior = (
-        prior_full.get("second_decade", {}).get("queries", {})
-        if _D2
+        prior_full.get(_block_key, {}).get("queries", {})
+        if _block_key
         else prior_full.get("queries", {})
     )
     merged = {**{k: v for k, v in prior.items() if k in qs}, **out}
@@ -170,10 +192,10 @@ def main() -> None:
     }
     # other top-level keys (the other decade, cc_natural_rehearsal, ...)
     # are preserved verbatim on write
-    if _D2:
+    if _block_key:
         payload = {
-            **{k: v for k, v in prior_full.items() if k != "second_decade"},
-            "second_decade": block,
+            **{k: v for k, v in prior_full.items() if k != _block_key},
+            _block_key: block,
         }
     else:
         own = ("small_sf_dir", "big_sf_dir", "size_ratio", "queries")
