@@ -20,7 +20,21 @@ original, bit-identical):
   while cross-replica 3-gram Jaccard collapses to ~0.36^3 ~ 0.02 — far
   below the 0.5 near-dup threshold — so pair counts scale ~linearly with
   corpus size, as a real crawl's would, instead of exploding quadratically
-  from artificial exact duplicates.
+  from artificial exact duplicates. Two caveats learned in round 13:
+  (a) ALWAYS replicate from the ORIGINAL driver fixture, never compose
+  (e.g. sf20 must be sf0.1 x200, NOT sf10 x2): a composed build reuses
+  salt values already present in its input, so replica j of the composed
+  pass regenerates token streams identical to the input's replica-j docs
+  — artificial cross-replica EXACT duplicates (measured: 3.5x pair
+  growth for 2x docs before the round-13 rebuild);
+  (b) even a clean build leaves a mild superlinear PAIR tail: a doc
+  whose every token falls in the unmapped ~60% for a given salt is
+  byte-identical in that replica (P ~ 0.6^k for k distinct tokens), so
+  short docs form cross-replica exact-dup groups whose size grows with
+  the replica count and whose PAIR count grows quadratically in group
+  size. Interpret dedup pair-count growth against this artifact (engine
+  health = cost per emitted pair), or compare rehearsals at matched
+  replica counts.
 - events.ts / dates / measures: unchanged (identical distributions per
   replica; user_id/event_id disjointness keeps sessions and windows
   per-replica).
