@@ -272,7 +272,7 @@ def main() -> None:
     kernel_sec = min(cal_pre, cal_post)
     full["calibration"] = {
         "kernel": (
-            "range(600e6, 64 partitions) -> sum(xxhash64(id)) collect; "
+            "range(600e6, 64 partitions) -> bit_xor(xxhash64(id)) collect; "
             "pure-JVM whole-stage codegen, no I/O, no Python, no "
             "shuffle; min-of-3, run before and after the suite"
         ),

@@ -6798,3 +6798,103 @@ def q_snapshot_hours_partition(spark, sf_dir):
         )
         .withColumn("hours_ok", F.lit(hours_ok))
     )
+
+
+@register(
+    "snapshot_mv_refresh",
+    f"""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS band,
+           count(*)                                    AS cnt,
+           {_R('CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)',
+               2)}                                     AS sum_price,
+           {_R('min(o_totalprice)', 2)}                AS min_price,
+           {_R('max(o_totalprice)', 2)}                AS max_price,
+           TRUE                                        AS mv_ok
+    FROM orders WHERE o_totalprice >= 50000 GROUP BY 1
+    """,
+    tags=("sources", "table-format", "cdc", "incremental", "mv"),
+    description="DECLARATIVE incremental materialized view "
+    "(sources/materialized_view.py::refresh_aggregate_view — the "
+    "engine-level form of the hand-rolled snapshot_cdc_aggregate "
+    "pattern, Delta/Snowflake MV refresh shaped): a count/sum/min/max "
+    "aggregate of orders by price band is built once, then maintained "
+    "through an append (insert-only least/greatest fold, zero source "
+    "rescans) and a CoW delete that empties one whole band (min/max "
+    "dirty-group recompute restricted by semi-join + stats pruning; "
+    "the emptied group MERGE-DELETEs). Each refresh is ONE atomic "
+    "commit carrying the source-version watermark in its properties; "
+    "a no-op refresh commits nothing. mv_ok pins: watermarks advance "
+    "1->2->3, the no-op commits no view version, and the maintained "
+    "view equals a full recompute exactly (exceptAll both ways). At "
+    "100 TB each refresh is O(delta + touched groups), never a "
+    "source rescan. Oracle: the same aggregate over the source's "
+    "final state.",
+)
+def q_snapshot_mv_refresh(spark, sf_dir):
+    import tempfile
+
+    from .sources import materialized_view as mvw
+    from .sources import snapshot_table as st
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn(
+            "band", F.floor(F.col("o_totalprice") / 50000).cast("long")
+        )
+    )
+    root = tempfile.mkdtemp(prefix="svdml-mv-")
+    src, view = root + "/src", root + "/view"
+    spec = dict(
+        group_by=["band"],
+        sums={"sum_price": "CAST(o_totalprice AS DECIMAL(18,6))"},
+        mins={"min_price": "o_totalprice"},
+        maxs={"max_price": "o_totalprice"},
+        count_col="cnt",
+    )
+    st.write_snapshot(
+        orders.where(F.col("o_orderkey") % 3 != 2),
+        src,
+        stats_cols=["band"],
+    )                                                           # src v1
+    w1 = mvw.refresh_aggregate_view(spark, src, view, **spec)
+    st.write_snapshot(
+        orders.where(F.col("o_orderkey") % 3 == 2),
+        src,
+        mode="append",
+        stats_cols=["band"],
+    )                                                           # src v2
+    w2 = mvw.refresh_aggregate_view(spark, src, view, **spec)
+    st.delete_where(spark, src, "o_totalprice < 50000")         # src v3
+    w3 = mvw.refresh_aggregate_view(spark, src, view, **spec)
+    view_v = st.latest_version(view)
+    w_noop = mvw.refresh_aggregate_view(spark, src, view, **spec)
+    noop_ok = w_noop == 3 and st.latest_version(view) == view_v
+
+    maintained = st.read_snapshot(spark, view)
+    recomputed = (
+        st.read_snapshot(spark, src)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,6))")).alias(
+                "sum_price"
+            ),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .select(*maintained.columns)
+    )
+    equal = (
+        maintained.exceptAll(recomputed).limit(1).count() == 0
+        and recomputed.exceptAll(maintained).limit(1).count() == 0
+    )
+    mv_ok = bool((w1, w2, w3) == (1, 2, 3) and noop_ok and equal)
+    return maintained.select(
+        "band",
+        "cnt",
+        _r(F.col("sum_price").cast("double"), 2).alias("sum_price"),
+        _r(F.col("min_price"), 2).alias("min_price"),
+        _r(F.col("max_price"), 2).alias("max_price"),
+        F.lit(mv_ok).alias("mv_ok"),
+    )

@@ -1,0 +1,505 @@
+"""Incremental MATERIALIZED-VIEW maintenance over snapshot tables —
+the declarative, engine-level form of the pattern the
+``snapshot_cdc_aggregate`` catalog query demonstrates by hand.
+
+A 100 TB training-data pipeline is a chain of derived aggregate tables
+(per-language corpus stats, per-source quality rollups, per-day token
+counts) that must track a mutating base table — appends, CoW/MoR
+merges, GDPR deletes — without rescanning it. The public engines ship
+this as a managed feature (Databricks/Delta materialized views,
+Snowflake MVs, Materialize); this module provides the same contract on
+the snapshot-log format (``sources/snapshot_table.py``):
+
+- **One call, O(delta) work.** :func:`refresh_aggregate_view` reads the
+  row-level change feed since the last refresh
+  (:func:`~.snapshot_table.read_cdc` — O(changed files), never
+  O(table)), folds it into the view's current groups, and commits ONE
+  atomic snapshot on the view. Touched-group state is looked up with a
+  single join; untouched groups are never read or written.
+- **The watermark lives in the view's own commit log.** Every refresh
+  stamps ``properties.materialized_view = {spec..., source_version}``
+  on the commit it makes (a metadata-only commit when the delta is
+  empty, so retention on the source can expire the consumed range);
+  recovery after a crash needs no side state — the log IS the state,
+  the same discipline the streaming sinks use for exactly-once.
+- **sum/count fold, min/max bounded recompute.** Signed deltas maintain
+  sums and counts exactly under inserts AND deletes. min/max are not
+  incrementally maintainable under deletes (the classic MV limitation:
+  a deleted row may BE the min), so groups whose delta contains a
+  delete are recomputed from the source — restricted to exactly those
+  groups via a semi-join (AQE broadcasts it when small) and, when the
+  view groups by a single stats-stamped column, pre-restricted at file
+  granularity by metadata pruning. Insert-only deltas take the cheap
+  path: ``least(old_min, delta_min)`` / ``greatest(old_max,
+  delta_max)``, no source scan at all.
+- **Loud contracts, same house rules as the table format.** Spec drift
+  between refreshes, NULL group keys (merge key equality cannot match
+  them), filters over CDC metadata columns, negative group counts
+  (non-deterministic spec expressions), and concurrent refreshers all
+  raise with the fix in the message instead of silently corrupting the
+  view.
+
+Reference parity: the reference (SVDMovieLensSparkJava.java:191-343)
+recomputes its per-key rating aggregates from scratch every run; this
+module is the scale-path replacement — the same aggregates maintained
+from deltas. Public designs: Delta CDF-driven MV refresh, the
+DBSP/Materialize z-set (signed multiset) delta algebra for
+sum/count, and the "recompute affected groups" min/max fallback
+Snowflake documents for its MVs. Implemented from scratch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from . import snapshot_table as st
+
+_MV_KEY = "materialized_view"
+# internal column prefix in the delta frame; the CDC feed already
+# reserves _change_type/_commit_version, so user columns may not start
+# with __mv_ either — validated below
+_P = "__mv_"
+
+
+def _canon_spec(
+    source: str, group_by, sums, mins, maxs, count_col, filter,
+) -> dict:
+    """Validated, canonical JSON-able spec — stored verbatim in every
+    refresh commit and compared verbatim on the next one."""
+    if not group_by or not all(isinstance(c, str) and c for c in group_by):
+        raise ValueError(
+            "materialized_view: group_by must be a non-empty list of "
+            "column names"
+        )
+    outs = [count_col]
+    for m in (sums, mins, maxs):
+        outs.extend(m)
+    clash = sorted(
+        {c for c in outs if outs.count(c) > 1 or c in group_by}
+    )
+    if clash:
+        raise ValueError(
+            f"materialized_view: output column(s) {clash} collide "
+            f"(each sum/min/max output and the count column must be "
+            f"distinct and must not shadow a group key)"
+        )
+    bad = sorted(
+        c
+        for c in outs + list(group_by)
+        if c.startswith(_P) or c in ("_change_type", "_commit_version")
+    )
+    if bad:
+        raise ValueError(
+            f"materialized_view: column name(s) {bad} are reserved "
+            f"(CDC metadata / internal {_P}* aliases)"
+        )
+    for label, exprs in (("sums", sums), ("mins", mins), ("maxs", maxs)):
+        for out, e in exprs.items():
+            if not isinstance(e, str) or not e.strip():
+                raise ValueError(
+                    f"materialized_view: {label}[{out!r}] must be a SQL "
+                    f"expression string"
+                )
+    if filter is not None and (
+        "_change_type" in filter or "_commit_version" in filter
+    ):
+        raise ValueError(
+            "materialized_view: filter must be a predicate over SOURCE "
+            "columns only — referencing CDC metadata (_change_type/"
+            "_commit_version) would make the full build and the "
+            "incremental path disagree"
+        )
+    return {
+        "source": os.path.abspath(source),
+        "group_by": list(group_by),
+        "sums": dict(sums),
+        "mins": dict(mins),
+        "maxs": dict(maxs),
+        "count_col": count_col,
+        "filter": filter,
+    }
+
+
+def _agg_exprs(spec: dict) -> list:
+    exprs = [F.count(F.lit(1)).cast("long").alias(spec["count_col"])]
+    for out, e in spec["sums"].items():
+        exprs.append(F.sum(F.expr(e)).alias(out))
+    for out, e in spec["mins"].items():
+        exprs.append(F.min(F.expr(e)).alias(out))
+    for out, e in spec["maxs"].items():
+        exprs.append(F.max(F.expr(e)).alias(out))
+    return exprs
+
+
+def _out_cols(spec: dict) -> list[str]:
+    return (
+        spec["group_by"]
+        + [spec["count_col"]]
+        + list(spec["sums"])
+        + list(spec["mins"])
+        + list(spec["maxs"])
+    )
+
+
+def _refuse_null_keys(df: DataFrame, group_by: list[str], where: str):
+    """Merge keys are matched by equality; a NULL group key would never
+    match its own view row and the group would silently duplicate —
+    refuse up front (one cheap limit-1 job on an already-small frame)."""
+    null_pred = None
+    for c in group_by:
+        p = F.col(c).isNull()
+        null_pred = p if null_pred is None else (null_pred | p)
+    if df.where(null_pred).limit(1).count():
+        raise ValueError(
+            f"materialized_view: NULL group key found in {where} — "
+            f"group_by columns must be non-null (filter them out with "
+            f"filter=, or coalesce to a sentinel in the source)"
+        )
+
+
+def mv_state(view: str) -> dict | None:
+    """The view's latest refresh stamp ``{spec..., source_version}``, or
+    None when ``view`` has no snapshots at all. Walks parent links past
+    foreign commits (a compaction/analyze on the view does not carry
+    the stamp); raises if the table exists but no reachable commit is
+    stamped — that's not a materialized view (or its stamped history
+    was expired: rebuild with ``force_rebuild=True``)."""
+    v = st.latest_version(view)
+    if v is None:
+        return None
+    latest = v
+    while v is not None:
+        try:
+            snap = st._load_snapshot(view, v)
+        except FileNotFoundError:
+            break  # expired tail — treat like an exhausted walk
+        props = snap.get("properties") or {}
+        if _MV_KEY in props:
+            return {**props[_MV_KEY], "view_version": v}
+        v = snap.get("parent")
+    raise ValueError(
+        f"materialized_view: {view} (version {latest}) has no "
+        f"reachable refresh stamp — not a materialized view, or its "
+        f"stamped history was expired; refresh with force_rebuild=True"
+    )
+
+
+def _stamp_watermark(view: str, mv_props: dict) -> int:
+    """Metadata-only commit that advances the stored watermark without
+    touching data — the empty-delta refresh (same commit shape as
+    :func:`~.snapshot_table.analyze_table`'s restamp: operation
+    'metadata', shard list carried verbatim, so CDC readers and
+    streams over the VIEW treat it as row-preserving)."""
+    job = uuid.uuid4().hex
+    tmp_dir = os.path.join(view, "_tmp", job)
+    try:
+        while True:
+            current = st.latest_version(view)
+            head = st._load_snapshot(view, current)
+            snapshot = {
+                "version": current + 1,
+                "parent": current,
+                "operation": "metadata",
+                "properties": {_MV_KEY: mv_props},
+                "schema": head["schema"],
+                "n_shards": head["n_shards"],
+                "n_rows": head["n_rows"],
+                "shards": head["shards"],
+            }
+            for k in ("deletes", "constraints", "partition_by"):
+                if head.get(k):
+                    snapshot[k] = head[k]
+            if st._claim_snapshot(view, tmp_dir, snapshot):
+                return current + 1
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def _prunable(values: list) -> bool:
+    """Probe types :func:`~.snapshot_table.read_snapshot` prune=
+    accepts unambiguously for a range (bool excluded: stats stamp ints)."""
+    import datetime
+
+    ok = (int, float, str, datetime.date, datetime.datetime)
+    return bool(values) and all(
+        isinstance(v, ok) and not isinstance(v, bool) for v in values
+    )
+
+
+def refresh_aggregate_view(
+    spark: SparkSession,
+    source: str,
+    view: str,
+    *,
+    group_by: list[str],
+    sums: dict[str, str] | None = None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
+    count_col: str = "n_rows",
+    filter: str | None = None,
+    force_rebuild: bool = False,
+) -> int:
+    """Create or incrementally refresh the aggregate view ``view`` of
+    snapshot table ``source``; returns the SOURCE version the view now
+    reflects. The view is itself a snapshot table::
+
+        GROUP BY group_by:
+          count_col = count(*)
+          <out> = sum(expr)   for each sums[out] = expr
+          <out> = min(expr)   for each mins[out] = expr
+          <out> = max(expr)   for each maxs[out] = expr
+        over (SELECT * FROM source WHERE filter)
+
+    First call (or ``force_rebuild=True``) computes the aggregate in
+    full and commits it with the watermark stamp. Every later call
+    reads ONLY the change feed ``(last_watermark, current]`` and:
+
+    - folds signed deltas into count/sum state for touched groups
+      (exact under inserts and deletes — the z-set algebra);
+    - merges insert-only min/max deltas via least/greatest (no source
+      scan);
+    - recomputes from the source ONLY the groups whose delta contains
+      a delete when min/max columns exist (deletes can remove the
+      extremum), restricted by a semi-join on those group keys and —
+      single-column group keys with recorded stats — metadata file
+      pruning;
+    - commits everything as ONE atomic merge on the view: upserts,
+      MERGE-DELETE for groups whose count reached zero, and the new
+      watermark in the commit properties. An empty delta advances the
+      watermark with a metadata-only commit (so source retention can
+      expire the consumed range); a refresh with nothing new returns
+      the stored watermark without committing.
+
+    Contracts (all loud): the spec must match the one the view was
+    built with (change it with ``force_rebuild=True``); aggregate
+    expressions and ``filter`` must be deterministic row-local
+    functions of source columns; group keys must be non-null; exactly
+    one refresher per view at a time (a concurrent refresh is detected
+    at commit time and raises — run refreshes from a single scheduler,
+    the same contract the public engines' refresh jobs have).
+    ``read_cdc`` needs the consumed snapshot range to still exist —
+    if source retention outran the watermark, the refresh raises and
+    ``force_rebuild=True`` recovers.
+
+    Scale: a refresh is O(delta rows + touched-group state + dirty-
+    group recompute); the common append-mostly corpus table refreshes
+    with zero source rescans of any kind. Reference parity:
+    SVDMovieLensSparkJava.java:191-343 recomputes per-key aggregates
+    every run; this is the O(delta) replacement.
+    """
+    spec = _canon_spec(
+        source, group_by, sums or {}, mins or {}, maxs or {},
+        count_col, filter,
+    )
+    cur = st.latest_version(source)
+    if cur is None:
+        raise FileNotFoundError(
+            f"materialized_view: source {source} has no snapshots"
+        )
+    state = mv_state(view)
+
+    if state is not None and not force_rebuild:
+        stored = {k: state[k] for k in spec}
+        if stored != spec:
+            raise ValueError(
+                f"materialized_view: spec drift — {view} was built "
+                f"with {json.dumps(stored, sort_keys=True)} but this "
+                f"call passed {json.dumps(spec, sort_keys=True)}; "
+                f"pass force_rebuild=True to rebuild under the new "
+                f"spec"
+            )
+
+    if state is None or force_rebuild:
+        full = st.read_snapshot(spark, source, version=cur)
+        if filter is not None:
+            full = full.where(filter)
+        agg = full.groupBy(*spec["group_by"]).agg(*_agg_exprs(spec))
+        _refuse_null_keys(agg, spec["group_by"], "the full build")
+        st.write_snapshot(
+            agg,
+            view,
+            mode="overwrite" if state is not None else "append",
+            properties={_MV_KEY: {**spec, "source_version": cur}},
+        )
+        return cur
+
+    last = int(state["source_version"])
+    if cur == last:
+        return last  # watermark already current — nothing to commit
+    if cur < last:
+        raise ValueError(
+            f"materialized_view: {view} watermark {last} is AHEAD of "
+            f"{source} head {cur} — the stamp names a different "
+            f"table's history; rebuild with force_rebuild=True"
+        )
+
+    delta = st.read_cdc(spark, source, start_version=last, end_version=cur)
+    if filter is not None:
+        delta = delta.where(filter)
+    ins = F.col("_change_type") == "insert"
+    sign = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
+    want_extrema = bool(spec["mins"] or spec["maxs"])
+    d_exprs = [F.sum(sign).cast("long").alias(_P + spec["count_col"])]
+    for out, e in spec["sums"].items():
+        x = F.expr(e)
+        d_exprs.append(
+            F.sum(F.when(ins, x).otherwise(-x)).alias(_P + out)
+        )
+    for out, e in spec["mins"].items():
+        d_exprs.append(F.min(F.when(ins, F.expr(e))).alias(_P + "i_" + out))
+    for out, e in spec["maxs"].items():
+        d_exprs.append(F.max(F.when(ins, F.expr(e))).alias(_P + "i_" + out))
+    d_exprs.append(
+        F.max(F.when(ins, F.lit(0)).otherwise(F.lit(1))).alias(_P + "del")
+    )
+    d = delta.groupBy(*spec["group_by"]).agg(*d_exprs).persist()
+    pinned = [d]
+    try:
+        mv_props = {**spec, "source_version": cur}
+        if d.limit(1).count() == 0:
+            # commits in range touched no qualifying rows: advance the
+            # watermark anyway so source retention never outruns it
+            _recheck(view, last)
+            _stamp_watermark(view, mv_props)
+            return cur
+        _refuse_null_keys(d, spec["group_by"], "the change feed")
+
+        vschema = StructType.fromJson(
+            st._load_snapshot(view, st.latest_version(view))["schema"]
+        )
+        vtypes = {f.name: f.dataType for f in vschema.fields}
+        missing = [c for c in _out_cols(spec) if c not in vtypes]
+        if missing:
+            raise ValueError(
+                f"materialized_view: view {view} lacks column(s) "
+                f"{missing} the spec produces — rebuild with "
+                f"force_rebuild=True"
+            )
+        old = st.read_snapshot(spark, view).select(*_out_cols(spec))
+        j = d.join(old, spec["group_by"], "left")
+
+        def _merged(rows: DataFrame) -> DataFrame:
+            cols = [F.col(c) for c in spec["group_by"]]
+            cols.append(
+                (
+                    F.coalesce(F.col(spec["count_col"]), F.lit(0))
+                    + F.col(_P + spec["count_col"])
+                ).cast(vtypes[spec["count_col"]]).alias(spec["count_col"])
+            )
+            for out in spec["sums"]:
+                cols.append(
+                    (F.coalesce(F.col(out), F.lit(0)) + F.col(_P + out))
+                    .cast(vtypes[out]).alias(out)
+                )
+            for out in spec["mins"]:
+                cols.append(
+                    F.least(F.col(out), F.col(_P + "i_" + out))
+                    .cast(vtypes[out]).alias(out)
+                )
+            for out in spec["maxs"]:
+                cols.append(
+                    F.greatest(F.col(out), F.col(_P + "i_" + out))
+                    .cast(vtypes[out]).alias(out)
+                )
+            return rows.select(*cols)
+
+        gone = None
+        if want_extrema:
+            clean = _merged(j.where(F.col(_P + "del") == 0))
+            dirty_keys = (
+                j.where(F.col(_P + "del") == 1)
+                .select(*spec["group_by"])
+                .persist()
+            )
+            pinned.append(dirty_keys)
+            src = None
+            if len(spec["group_by"]) == 1:
+                key = spec["group_by"][0]
+                b = dirty_keys.agg(
+                    F.min(key).alias("lo"), F.max(key).alias("hi")
+                ).collect()[0]
+                if _prunable([b["lo"], b["hi"]]):
+                    try:
+                        # metadata file pruning: a reducer, never a
+                        # filter — the semi-join below is the filter,
+                        # so an unprunable probe just reads more files
+                        src = st.read_snapshot(
+                            spark, source, version=cur,
+                            prune=(key, b["lo"], b["hi"]),
+                        )
+                    except ValueError:
+                        src = None
+            if src is None:
+                src = st.read_snapshot(spark, source, version=cur)
+            if filter is not None:
+                src = src.where(filter)
+            rec = (
+                src.join(dirty_keys, spec["group_by"], "left_semi")
+                .groupBy(*spec["group_by"])
+                .agg(*_agg_exprs(spec))
+                .select(
+                    *spec["group_by"],
+                    *[
+                        F.col(c).cast(vtypes[c]).alias(c)
+                        for c in _out_cols(spec)
+                        if c not in spec["group_by"]
+                    ],
+                )
+            )
+            # dirty groups now empty in the source: MERGE-DELETE keys
+            gone = dirty_keys.join(rec, spec["group_by"], "left_anti")
+            upserts = clean.unionByName(rec)
+        else:
+            upserts = _merged(j)
+        upserts = upserts.select(*_out_cols(spec)).persist()
+        pinned.append(upserts)
+        neg = upserts.where(F.col(spec["count_col"]) < 0).limit(1).count()
+        if neg:
+            raise ValueError(
+                "materialized_view: a group count went NEGATIVE while "
+                "folding the delta — the spec's filter/expressions are "
+                "not deterministic over the source rows (or the view "
+                "was edited outside refresh); rebuild with "
+                "force_rebuild=True and fix the spec"
+            )
+        _recheck(view, last)
+        pre = st.latest_version(view)
+        got = st.merge_upsert(
+            upserts,
+            view,
+            key_cols=spec["group_by"],
+            delete_condition=f"{spec['count_col']} = 0",
+            delete_keys=gone,
+            properties={_MV_KEY: mv_props},
+        )
+        if got == pre:
+            # delta rows cancelled exactly: merge committed nothing —
+            # stamp the watermark so the range is never re-read
+            _stamp_watermark(view, mv_props)
+        return cur
+    finally:
+        for frame in pinned:
+            frame.unpersist()
+
+
+def _recheck(view: str, last: int) -> None:
+    """Concurrent-refresher tripwire, checked just before committing:
+    the watermark this refresh folded from must still be the view's
+    latest. A best-effort guard (the window between check and commit
+    remains — the documented contract is one refresher per view); it
+    turns the common double-scheduler mistake into a loud error
+    instead of a silently double-applied delta."""
+    now = mv_state(view)
+    if now is None or int(now["source_version"]) != last:
+        raise RuntimeError(
+            f"materialized_view: concurrent refresh detected on {view} "
+            f"(watermark moved {last} -> "
+            f"{None if now is None else now['source_version']} while "
+            f"this refresh was folding); run one refresher per view"
+        )
