@@ -106,15 +106,17 @@ def _canon_spec(
                     f"materialized_view: {label}[{out!r}] must be a SQL "
                     f"expression string"
                 )
-    if filter is not None and (
-        "_change_type" in filter or "_commit_version" in filter
-    ):
-        raise ValueError(
-            "materialized_view: filter must be a predicate over SOURCE "
-            "columns only — referencing CDC metadata (_change_type/"
-            "_commit_version) would make the full build and the "
-            "incremental path disagree"
-        )
+    if filter is not None:
+        import re
+
+        if re.search(r"(?<![A-Za-z0-9_])_(change_type|commit_version)\b",
+                     filter):
+            raise ValueError(
+                "materialized_view: filter must be a predicate over "
+                "SOURCE columns only — referencing CDC metadata "
+                "(_change_type/_commit_version) would make the full "
+                "build and the incremental path disagree"
+            )
     return {
         "source": os.path.abspath(source),
         "group_by": list(group_by),
@@ -135,6 +137,39 @@ def _agg_exprs(spec: dict) -> list:
     for out, e in spec["maxs"].items():
         exprs.append(F.max(F.expr(e)).alias(out))
     return exprs
+
+
+def _null_sum_checks(spec: dict) -> list:
+    """Per-group flags marking rows whose SUM expression is NULL —
+    computed inside the same aggregation (free: no extra pass). NULL
+    sum inputs are refused because the signed fold cannot represent
+    them: SQL ``sum`` skips NULLs, so folding a NULL delta would
+    either poison the running sum (old + NULL) or silently coerce a
+    genuinely-NULL group sum to 0 when its last non-NULL row is
+    deleted. min/max need no such guard — their folds and the dirty
+    recompute both skip NULLs exactly like the full aggregate."""
+    return [
+        F.max(F.when(F.expr(e).isNull(), 1).otherwise(0)).alias(
+            _P + "nn_" + out
+        )
+        for out, e in spec["sums"].items()
+    ]
+
+
+def _refuse_null_sums(agged: DataFrame, spec: dict, where: str) -> None:
+    if not spec["sums"]:
+        return
+    pred = None
+    for out in spec["sums"]:
+        p = F.col(_P + "nn_" + out) == 1
+        pred = p if pred is None else (pred | p)
+    if agged.where(pred).limit(1).count():
+        raise ValueError(
+            f"materialized_view: a sum expression evaluated to NULL in "
+            f"{where} — the signed fold cannot maintain NULL sum "
+            f"inputs; make the expression total (e.g. "
+            f"coalesce(expr, 0)) or exclude those rows with filter="
+        )
 
 
 def _out_cols(spec: dict) -> list[str]:
@@ -279,7 +314,11 @@ def refresh_aggregate_view(
     Contracts (all loud): the spec must match the one the view was
     built with (change it with ``force_rebuild=True``); aggregate
     expressions and ``filter`` must be deterministic row-local
-    functions of source columns; group keys must be non-null; exactly
+    functions of source columns; group keys must be non-null; SUM
+    expressions must never evaluate to NULL (the signed fold cannot
+    represent SQL sum's NULL-skipping — wrap in ``coalesce(expr, 0)``
+    or exclude the rows with ``filter=``; min/max handle NULLs
+    exactly and need no such wrap); exactly
     one refresher per view at a time (a concurrent refresh is detected
     at commit time and raises — run refreshes from a single scheduler,
     the same contract the public engines' refresh jobs have).
@@ -319,14 +358,22 @@ def refresh_aggregate_view(
         full = st.read_snapshot(spark, source, version=cur)
         if filter is not None:
             full = full.where(filter)
-        agg = full.groupBy(*spec["group_by"]).agg(*_agg_exprs(spec))
-        _refuse_null_keys(agg, spec["group_by"], "the full build")
-        st.write_snapshot(
-            agg,
-            view,
-            mode="overwrite" if state is not None else "append",
-            properties={_MV_KEY: {**spec, "source_version": cur}},
+        agg = (
+            full.groupBy(*spec["group_by"])
+            .agg(*_agg_exprs(spec), *_null_sum_checks(spec))
+            .persist()
         )
+        try:
+            _refuse_null_keys(agg, spec["group_by"], "the full build")
+            _refuse_null_sums(agg, spec, "the full build")
+            st.write_snapshot(
+                agg.select(*_out_cols(spec)),
+                view,
+                mode="overwrite" if state is not None else "append",
+                properties={_MV_KEY: {**spec, "source_version": cur}},
+            )
+        finally:
+            agg.unpersist()
         return cur
 
     last = int(state["source_version"])
@@ -358,6 +405,7 @@ def refresh_aggregate_view(
     d_exprs.append(
         F.max(F.when(ins, F.lit(0)).otherwise(F.lit(1))).alias(_P + "del")
     )
+    d_exprs.extend(_null_sum_checks(spec))
     d = delta.groupBy(*spec["group_by"]).agg(*d_exprs).persist()
     pinned = [d]
     try:
@@ -369,6 +417,7 @@ def refresh_aggregate_view(
             _stamp_watermark(view, mv_props)
             return cur
         _refuse_null_keys(d, spec["group_by"], "the change feed")
+        _refuse_null_sums(d, spec, "the change feed")
 
         vschema = StructType.fromJson(
             st._load_snapshot(view, st.latest_version(view))["schema"]

@@ -314,3 +314,42 @@ def test_dirty_recompute_prunes_source_files(spark, orders, tmp_path):
         st.read_snapshot = real
     assert seen.get("prune") == ("band", 2, 2)
     _assert_equiv(spark, src, view)
+
+
+def test_null_sum_expression_refuses_at_build_and_in_delta(
+    spark, orders, tmp_path
+):
+    src = str(tmp_path / "src")
+    nullable = orders.withColumn(
+        "maybe",
+        F.when(F.col("o_orderkey") % 50 == 0, None).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    st.write_snapshot(nullable.where("o_orderkey % 2 = 0"), src)
+    spec = dict(group_by=["band"], sums={"s": "maybe"}, count_col="cnt")
+    with pytest.raises(ValueError, match="sum expression .* NULL"):
+        mv.refresh_aggregate_view(
+            spark, src, str(tmp_path / "v1"), **spec
+        )
+    # a total expression builds fine...
+    spec_ok = dict(
+        group_by=["band"], sums={"s": "coalesce(maybe, 0)"},
+        count_col="cnt",
+    )
+    view = str(tmp_path / "v2")
+    mv.refresh_aggregate_view(spark, src, view, **spec_ok)
+    # ...and the raw one is caught again when NULLs arrive via the feed
+    view3 = str(tmp_path / "v3")
+    clean_spec = dict(group_by=["band"], sums={"s": "maybe"},
+                      count_col="cnt")
+    src2 = str(tmp_path / "src2")
+    st.write_snapshot(
+        nullable.where("o_orderkey % 50 <> 0"), src2
+    )
+    mv.refresh_aggregate_view(spark, src2, view3, **clean_spec)
+    st.write_snapshot(
+        nullable.where("o_orderkey % 50 = 0"), src2, mode="append"
+    )
+    with pytest.raises(ValueError, match="sum expression .* NULL"):
+        mv.refresh_aggregate_view(spark, src2, view3, **clean_spec)
