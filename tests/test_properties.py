@@ -417,3 +417,88 @@ def test_epoch_probe_form_agreement(us, days):
     # None and unparseable values pass through (conservative keep)
     assert _epoch_probe("timestamp", None) is None
     assert _epoch_probe("date", "not-a-date") == "not-a-date"
+
+
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-5, 5)),
+        min_size=1, max_size=12,
+    ),
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("append"),
+                st.lists(
+                    st.tuples(st.integers(0, 4), st.integers(-5, 5)),
+                    min_size=0, max_size=8,
+                ),
+            ),
+            st.tuples(st.just("delete"), st.integers(-5, 5)),
+            st.tuples(st.just("update"), st.integers(0, 4)),
+        ),
+        min_size=1, max_size=3,
+    ),
+)
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mv_refresh_equals_full_recompute_under_any_dml(spark, base, ops):
+    """Property: after ANY sequence of appends / predicate deletes /
+    in-place updates on the source, refresh_aggregate_view's maintained
+    count/sum/min/max state equals a from-scratch recompute — including
+    groups that empty (must vanish), groups born mid-sequence, deltas
+    that match nothing (watermark-only refresh), and deletes that
+    remove a group's extremum (dirty recompute path). Integer values so
+    equality is exact."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from svdmovie_lens_parallel_apache_spark_spark.sources import (
+        materialized_view as mvw,
+        snapshot_table as stab,
+    )
+
+    root = _tf.mkdtemp(prefix="svdml-mvprop-")
+    src, view = root + "/src", root + "/view"
+    spec = dict(
+        group_by=["k"],
+        sums={"s": "v"},
+        mins={"mn": "v"},
+        maxs={"mx": "v"},
+        count_col="cnt",
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(rows or [], "k long, v long")
+
+    try:
+        stab.write_snapshot(frame(base), src)
+        mvw.refresh_aggregate_view(spark, src, view, **spec)
+        for op, arg in ops:
+            if op == "append":
+                stab.write_snapshot(frame(arg), src, mode="append")
+            elif op == "delete":
+                stab.delete_where(spark, src, f"v <= {arg}")
+            else:
+                stab.update_where(
+                    spark, src, {"v": "v + 3"}, f"k = {arg}"
+                )
+            mvw.refresh_aggregate_view(spark, src, view, **spec)
+            got = sorted(
+                map(tuple, stab.read_snapshot(spark, view)
+                    .select("k", "cnt", "s", "mn", "mx").collect())
+            )
+            want = sorted(
+                map(tuple, stab.read_snapshot(spark, src)
+                    .groupBy("k")
+                    .agg(
+                        F.count(F.lit(1)).cast("long").alias("cnt"),
+                        F.sum("v").alias("s"),
+                        F.min("v").alias("mn"),
+                        F.max("v").alias("mx"),
+                    ).collect())
+            )
+            assert got == want, (got, want, op, arg)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
