@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -71,17 +72,28 @@ def _canon_spec(
     source: str, group_by, sums, mins, maxs, count_col, filter,
 ) -> dict:
     """Validated, canonical JSON-able spec — stored verbatim in every
-    refresh commit and compared verbatim on the next one."""
-    if not group_by or not all(isinstance(c, str) and c for c in group_by):
+    refresh commit and compared verbatim on the next one. ``group_by``
+    canonicalizes to ``{out_name: sql_expr}``: a list of column names
+    becomes the identity mapping, a dict declares DERIVED group keys
+    (e.g. ``{"day": "date_trunc('day', ts)"}`` — the time-windowed
+    rollup shape) evaluated row-locally on source and delta alike."""
+    if isinstance(group_by, dict):
+        gb = dict(group_by)
+    else:
+        gb = {c: c for c in (group_by or [])}
+    if not gb or not all(
+        isinstance(n, str) and n and isinstance(e, str) and e.strip()
+        for n, e in gb.items()
+    ):
         raise ValueError(
             "materialized_view: group_by must be a non-empty list of "
-            "column names"
+            "column names or {name: sql_expr} dict"
         )
     outs = [count_col]
     for m in (sums, mins, maxs):
         outs.extend(m)
     clash = sorted(
-        {c for c in outs if outs.count(c) > 1 or c in group_by}
+        {c for c in outs if outs.count(c) > 1 or c in gb}
     )
     if clash:
         raise ValueError(
@@ -91,7 +103,7 @@ def _canon_spec(
         )
     bad = sorted(
         c
-        for c in outs + list(group_by)
+        for c in outs + list(gb)
         if c.startswith(_P) or c in ("_change_type", "_commit_version")
     )
     if bad:
@@ -107,8 +119,6 @@ def _canon_spec(
                     f"expression string"
                 )
     if filter is not None:
-        import re
-
         if re.search(r"(?<![A-Za-z0-9_])_(change_type|commit_version)\b",
                      filter):
             raise ValueError(
@@ -119,13 +129,25 @@ def _canon_spec(
             )
     return {
         "source": os.path.abspath(source),
-        "group_by": list(group_by),
+        "group_by": gb,
         "sums": dict(sums),
         "mins": dict(mins),
         "maxs": dict(maxs),
         "count_col": count_col,
         "filter": filter,
     }
+
+
+def _gb_names(spec: dict) -> list[str]:
+    return list(spec["group_by"])
+
+
+def _gb_cols(spec: dict) -> list:
+    """Grouping columns: each key expression evaluated and named —
+    identical row-local evaluation on the full build, the delta fold,
+    and the dirty recompute, which is what makes the three paths
+    agree."""
+    return [F.expr(e).alias(n) for n, e in spec["group_by"].items()]
 
 
 def _agg_exprs(spec: dict) -> list:
@@ -174,7 +196,7 @@ def _refuse_null_sums(agged: DataFrame, spec: dict, where: str) -> None:
 
 def _out_cols(spec: dict) -> list[str]:
     return (
-        spec["group_by"]
+        _gb_names(spec)
         + [spec["count_col"]]
         + list(spec["sums"])
         + list(spec["mins"])
@@ -272,7 +294,7 @@ def refresh_aggregate_view(
     source: str,
     view: str,
     *,
-    group_by: list[str],
+    group_by: list[str] | dict[str, str],
     sums: dict[str, str] | None = None,
     mins: dict[str, str] | None = None,
     maxs: dict[str, str] | None = None,
@@ -290,6 +312,14 @@ def refresh_aggregate_view(
           <out> = min(expr)   for each mins[out] = expr
           <out> = max(expr)   for each maxs[out] = expr
         over (SELECT * FROM source WHERE filter)
+
+    ``group_by`` is a list of source column names or a
+    ``{name: sql_expr}`` dict of DERIVED keys evaluated row-locally —
+    ``{"day": "date_trunc('day', ts)"}`` gives the time-windowed
+    rollup without materializing the column in the source (same idiom
+    as partition transforms). Derived keys forgo the dirty-path file
+    pruning (key values do not map to any source column's stats); the
+    semi-join restriction still applies.
 
     First call (or ``force_rebuild=True``) computes the aggregate in
     full and commits it with the watermark stamp. Every later call
@@ -359,12 +389,12 @@ def refresh_aggregate_view(
         if filter is not None:
             full = full.where(filter)
         agg = (
-            full.groupBy(*spec["group_by"])
+            full.groupBy(*_gb_cols(spec))
             .agg(*_agg_exprs(spec), *_null_sum_checks(spec))
             .persist()
         )
         try:
-            _refuse_null_keys(agg, spec["group_by"], "the full build")
+            _refuse_null_keys(agg, _gb_names(spec), "the full build")
             _refuse_null_sums(agg, spec, "the full build")
             st.write_snapshot(
                 agg.select(*_out_cols(spec)),
@@ -406,7 +436,7 @@ def refresh_aggregate_view(
         F.max(F.when(ins, F.lit(0)).otherwise(F.lit(1))).alias(_P + "del")
     )
     d_exprs.extend(_null_sum_checks(spec))
-    d = delta.groupBy(*spec["group_by"]).agg(*d_exprs).persist()
+    d = delta.groupBy(*_gb_cols(spec)).agg(*d_exprs).persist()
     pinned = [d]
     try:
         mv_props = {**spec, "source_version": cur}
@@ -416,7 +446,7 @@ def refresh_aggregate_view(
             _recheck(view, last)
             _stamp_watermark(view, mv_props)
             return cur
-        _refuse_null_keys(d, spec["group_by"], "the change feed")
+        _refuse_null_keys(d, _gb_names(spec), "the change feed")
         _refuse_null_sums(d, spec, "the change feed")
 
         vschema = StructType.fromJson(
@@ -431,10 +461,10 @@ def refresh_aggregate_view(
                 f"force_rebuild=True"
             )
         old = st.read_snapshot(spark, view).select(*_out_cols(spec))
-        j = d.join(old, spec["group_by"], "left")
+        j = d.join(old, _gb_names(spec), "left")
 
         def _merged(rows: DataFrame) -> DataFrame:
-            cols = [F.col(c) for c in spec["group_by"]]
+            cols = [F.col(c) for c in _gb_names(spec)]
             cols.append(
                 (
                     F.coalesce(F.col(spec["count_col"]), F.lit(0))
@@ -463,50 +493,71 @@ def refresh_aggregate_view(
             clean = _merged(j.where(F.col(_P + "del") == 0))
             dirty_keys = (
                 j.where(F.col(_P + "del") == 1)
-                .select(*spec["group_by"])
+                .select(*_gb_names(spec))
                 .persist()
             )
             pinned.append(dirty_keys)
             src = None
-            if len(spec["group_by"]) == 1:
-                key = spec["group_by"][0]
-                b = dirty_keys.agg(
-                    F.min(key).alias("lo"), F.max(key).alias("hi")
-                ).collect()[0]
-                if _prunable([b["lo"], b["hi"]]):
-                    try:
-                        # metadata file pruning: a reducer, never a
-                        # filter — the semi-join below is the filter,
-                        # so an unprunable probe just reads more files
-                        src = st.read_snapshot(
-                            spark, source, version=cur,
-                            prune=(key, b["lo"], b["hi"]),
-                        )
-                    except ValueError:
-                        src = None
+            gb = spec["group_by"]
+            if len(gb) == 1:
+                name, kexpr = next(iter(gb.items()))
+                # pruning maps key VALUES to source-column stats, so it
+                # applies only when the key expression IS a source
+                # column (the identity-mapping list form)
+                if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", kexpr):
+                    b = dirty_keys.agg(
+                        F.min(name).alias("lo"), F.max(name).alias("hi")
+                    ).collect()[0]
+                    if _prunable([b["lo"], b["hi"]]):
+                        try:
+                            # metadata file pruning: a reducer, never a
+                            # filter — the semi-join below is the
+                            # filter, so an unprunable probe just reads
+                            # more files
+                            src = st.read_snapshot(
+                                spark, source, version=cur,
+                                prune=(kexpr, b["lo"], b["hi"]),
+                            )
+                        except ValueError:
+                            src = None
             if src is None:
                 src = st.read_snapshot(spark, source, version=cur)
             if filter is not None:
                 src = src.where(filter)
+            # key expressions evaluated under internal aliases so a
+            # derived key name can never collide with a source column
+            keyed = src.select(
+                "*", *[F.expr(e).alias(_P + "k_" + n) for n, e in gb.items()]
+            )
+            dk = dirty_keys.select(
+                *[F.col(n).alias(_P + "k_" + n) for n in gb]
+            )
             rec = (
-                src.join(dirty_keys, spec["group_by"], "left_semi")
-                .groupBy(*spec["group_by"])
+                keyed.join(dk, [_P + "k_" + n for n in gb], "left_semi")
+                .groupBy(
+                    *[F.col(_P + "k_" + n).alias(n) for n in gb]
+                )
                 .agg(*_agg_exprs(spec))
                 .select(
-                    *spec["group_by"],
+                    *_gb_names(spec),
                     *[
                         F.col(c).cast(vtypes[c]).alias(c)
                         for c in _out_cols(spec)
-                        if c not in spec["group_by"]
+                        if c not in gb
                     ],
                 )
             )
             # dirty groups now empty in the source: MERGE-DELETE keys
-            gone = dirty_keys.join(rec, spec["group_by"], "left_anti")
+            gone = dirty_keys.join(rec, _gb_names(spec), "left_anti")
             upserts = clean.unionByName(rec)
         else:
             upserts = _merged(j)
-        upserts = upserts.select(*_out_cols(spec)).persist()
+        # the VIEW's field order, not the spec dict's: a caller may pass
+        # the same mapping in a different key order between refreshes
+        want = set(_out_cols(spec))
+        upserts = upserts.select(
+            *[f.name for f in vschema.fields if f.name in want]
+        ).persist()
         pinned.append(upserts)
         neg = upserts.where(F.col(spec["count_col"]) < 0).limit(1).count()
         if neg:
@@ -522,7 +573,7 @@ def refresh_aggregate_view(
         got = st.merge_upsert(
             upserts,
             view,
-            key_cols=spec["group_by"],
+            key_cols=_gb_names(spec),
             delete_condition=f"{spec['count_col']} = 0",
             delete_keys=gone,
             properties={_MV_KEY: mv_props},

@@ -353,3 +353,60 @@ def test_null_sum_expression_refuses_at_build_and_in_delta(
     )
     with pytest.raises(ValueError, match="sum expression .* NULL"):
         mv.refresh_aggregate_view(spark, src2, view3, **clean_spec)
+
+
+def test_derived_group_keys_fold_and_dirty_path(spark, orders, tmp_path):
+    """Dict-form group_by: derived keys evaluated row-locally must
+    agree across the full build, the signed fold, and the dirty
+    recompute — including a derived key NAME that shadows a source
+    column (internal aliasing keeps the semi-join unambiguous)."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    spec = dict(
+        group_by={"parity": "o_orderkey % 2",
+                  "o_orderstatus": "upper(o_orderstatus)"},
+        sums={"s": "o_totalprice"},
+        mins={"m": "o_totalprice"},
+        count_col="cnt",
+    )
+    st.write_snapshot(orders.where("o_orderkey % 3 != 2"), src)
+    mv.refresh_aggregate_view(spark, src, view, **spec)
+    st.write_snapshot(
+        orders.where("o_orderkey % 3 = 2"), src, mode="append"
+    )
+    mv.refresh_aggregate_view(spark, src, view, **spec)   # insert fold
+    st.delete_where(spark, src, "o_totalprice < 80000")
+    mv.refresh_aggregate_view(spark, src, view, **spec)   # dirty path
+
+    exp = (
+        st.read_snapshot(spark, src)
+        .groupBy(
+            F.expr("o_orderkey % 2").alias("parity"),
+            F.expr("upper(o_orderstatus)").alias("o_orderstatus"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("o_totalprice").alias("s"),
+            F.min("o_totalprice").alias("m"),
+        )
+    )
+    got = st.read_snapshot(spark, view).select(*exp.columns)
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+    # list-form and dict-form identity specs are the SAME canonical
+    # spec: a view built with one refreshes under the other
+    src2 = str(tmp_path / "src2")
+    view2 = str(tmp_path / "view2")
+    st.write_snapshot(orders, src2)
+    mv.refresh_aggregate_view(
+        spark, src2, view2,
+        group_by=["band"], sums={"s": "o_totalprice"}, count_col="cnt",
+    )
+    st.delete_where(spark, src2, "band = 0")
+    w = mv.refresh_aggregate_view(
+        spark, src2, view2,
+        group_by={"band": "band"}, sums={"s": "o_totalprice"},
+        count_col="cnt",
+    )
+    assert w == st.latest_version(src2)
