@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .catalog import _R, _t, register
+from .catalog import _R, _t, _ts, register
 from .functions.hashing import (
     oracle_hash_sql,
     oracle_shingle_hash_sql,
@@ -6895,6 +6895,98 @@ def q_snapshot_mv_refresh(spark, sf_dir):
         "cnt",
         _r(F.col("sum_price").cast("double"), 2).alias("sum_price"),
         _r(F.col("min_price"), 2).alias("min_price"),
+        _r(F.col("max_price"), 2).alias("max_price"),
+        F.lit(mv_ok).alias("mv_ok"),
+    )
+
+
+@register(
+    "snapshot_mv_time_rollup",
+    f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           count(*)                       AS cnt,
+           {_R('CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)',
+               2)}                        AS sum_price,
+           {_R('max(o_totalprice)', 2)}   AS max_price,
+           TRUE                           AS mv_ok
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1993-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    tags=("sources", "table-format", "cdc", "incremental", "mv",
+          "time-window"),
+    description="Time-windowed materialized view via DERIVED group "
+    "keys: a monthly revenue rollup grouped by "
+    "date_format(o_orderdate, 'yyyy-MM') — the key is an expression "
+    "evaluated row-locally on the full build, the signed fold, and "
+    "the dirty recompute alike, so the rollup needs NO materialized "
+    "month column in the source (the partition-transform idiom "
+    "applied to MV maintenance). Maintained through an append of "
+    "three later years (insert-only fold) and a GDPR-shaped delete "
+    "of the earliest year (dirty recompute; every 1992 month group "
+    "must vanish). mv_ok pins watermark sequence and exceptAll-"
+    "equality with a full recompute. Oracle: the same monthly "
+    "aggregate over the source's final state.",
+)
+def q_snapshot_mv_time_rollup(spark, sf_dir):
+    import tempfile
+
+    from .sources import materialized_view as mvw
+    from .sources import snapshot_table as st
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="svdml-mvtr-")
+    src, view = root + "/src", root + "/view"
+    spec = dict(
+        group_by={"month": "date_format(o_orderdate, 'yyyy-MM')"},
+        sums={"sum_price": "CAST(o_totalprice AS DECIMAL(18,6))"},
+        maxs={"max_price": "o_totalprice"},
+        count_col="cnt",
+    )
+    cut = _ts("1996-01-01 00:00:00")
+    st.write_snapshot(
+        orders.where(F.col("o_orderdate") < cut), src,
+        stats_cols=["o_orderdate"],
+    )                                                           # src v1
+    w1 = mvw.refresh_aggregate_view(spark, src, view, **spec)
+    st.write_snapshot(
+        orders.where(F.col("o_orderdate") >= cut), src,
+        mode="append", stats_cols=["o_orderdate"],
+    )                                                           # src v2
+    w2 = mvw.refresh_aggregate_view(spark, src, view, **spec)
+    st.delete_where(
+        spark, src, "o_orderdate < TIMESTAMP '1993-01-01 00:00:00'"
+    )                                                           # src v3
+    w3 = mvw.refresh_aggregate_view(spark, src, view, **spec)
+
+    maintained = st.read_snapshot(spark, view)
+    recomputed = (
+        st.read_snapshot(spark, src)
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,6))")).alias(
+                "sum_price"
+            ),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .select(*maintained.columns)
+    )
+    equal = (
+        maintained.exceptAll(recomputed).limit(1).count() == 0
+        and recomputed.exceptAll(maintained).limit(1).count() == 0
+    )
+    no_1992 = (
+        maintained.where(F.col("month") < "1993-01").limit(1).count() == 0
+    )
+    mv_ok = bool((w1, w2, w3) == (1, 2, 3) and equal and no_1992)
+    return maintained.select(
+        "month",
+        "cnt",
+        _r(F.col("sum_price").cast("double"), 2).alias("sum_price"),
         _r(F.col("max_price"), 2).alias("max_price"),
         F.lit(mv_ok).alias("mv_ok"),
     )
