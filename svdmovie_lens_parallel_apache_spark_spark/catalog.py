@@ -1034,6 +1034,13 @@ def fuzzy_part_names_snm(spark, sf_dir):
     s = (
         p.repartitionByRange(nparts, "p_name", "p_partkey")
         .withColumn("pid", F.spark_partition_id())
+        # the persist is a CORRECTNESS pin, not a perf hint: the range
+        # partitioner samples its boundaries, so the counts job below
+        # and the ranked frame must see the SAME materialized
+        # partitioning or the per-partition offsets could disagree
+        # with the ranks. Released by the session's clearCache (bench
+        # isolates per query); the eager collect is the O(#partitions)
+        # offset map the distributed global rank is built from.
         .persist()
     )
     # O(#partitions) rows to the driver: the cumulative offsets that turn

@@ -247,16 +247,25 @@ def mv_state(view: str) -> dict | None:
     )
 
 
-def _stamp_watermark(view: str, mv_props: dict) -> int:
+def _stamp_watermark(view: str, mv_props: dict, expected_last: int) -> int:
     """Metadata-only commit that advances the stored watermark without
     touching data — the empty-delta refresh (same commit shape as
     :func:`~.snapshot_table.analyze_table`'s restamp: operation
     'metadata', shard list carried verbatim, so CDC readers and
-    streams over the VIEW treat it as row-preserving)."""
+    streams over the VIEW treat it as row-preserving).
+
+    Every claim iteration re-verifies the view's stamp still reads
+    ``expected_last``: losing the version claim is DIRECT evidence of
+    a concurrent view commit, and blindly re-claiming could stamp a
+    STALE watermark over a rival refresher's newer one — after which
+    the next refresh would silently re-fold the rival's already-
+    applied delta. Raising here keeps the module's promise that the
+    double-scheduler mistake is loud."""
     job = uuid.uuid4().hex
     tmp_dir = os.path.join(view, "_tmp", job)
     try:
         while True:
+            _recheck(view, expected_last)
             current = st.latest_version(view)
             head = st._load_snapshot(view, current)
             snapshot = {
@@ -371,15 +380,38 @@ def refresh_aggregate_view(
         raise FileNotFoundError(
             f"materialized_view: source {source} has no snapshots"
         )
-    state = mv_state(view)
+    view_exists = st.latest_version(view) is not None
+    try:
+        state = mv_state(view)
+    except ValueError:
+        # table exists but no reachable stamp (expired history / not an
+        # MV): that is exactly what force_rebuild recovers from — the
+        # remedy the error prescribes must not re-raise it
+        if not force_rebuild:
+            raise
+        state = None
 
     if state is not None and not force_rebuild:
-        stored = {k: state[k] for k in spec}
-        if stored != spec:
+        a, b = state["source"], spec["source"]
+        same_source = (
+            os.path.samefile(a, b)
+            if os.path.exists(a) and os.path.exists(b)
+            else a == b
+        )
+        if not same_source:
+            raise ValueError(
+                f"materialized_view: {view} tracks source {a} but "
+                f"this call passed {b} — one view maintains one "
+                f"source (pass the same path, or force_rebuild=True "
+                f"to repoint)"
+            )
+        stored = {k: state[k] for k in spec if k != "source"}
+        passed = {k: v for k, v in spec.items() if k != "source"}
+        if stored != passed:
             raise ValueError(
                 f"materialized_view: spec drift — {view} was built "
                 f"with {json.dumps(stored, sort_keys=True)} but this "
-                f"call passed {json.dumps(spec, sort_keys=True)}; "
+                f"call passed {json.dumps(passed, sort_keys=True)}; "
                 f"pass force_rebuild=True to rebuild under the new "
                 f"spec"
             )
@@ -399,7 +431,7 @@ def refresh_aggregate_view(
             st.write_snapshot(
                 agg.select(*_out_cols(spec)),
                 view,
-                mode="overwrite" if state is not None else "append",
+                mode="overwrite" if view_exists else "append",
                 properties={_MV_KEY: {**spec, "source_version": cur}},
             )
         finally:
@@ -443,8 +475,7 @@ def refresh_aggregate_view(
         if d.limit(1).count() == 0:
             # commits in range touched no qualifying rows: advance the
             # watermark anyway so source retention never outruns it
-            _recheck(view, last)
-            _stamp_watermark(view, mv_props)
+            _stamp_watermark(view, mv_props, expected_last=last)
             return cur
         _refuse_null_keys(d, _gb_names(spec), "the change feed")
         _refuse_null_sums(d, spec, "the change feed")
@@ -581,7 +612,30 @@ def refresh_aggregate_view(
         if got == pre:
             # delta rows cancelled exactly: merge committed nothing —
             # stamp the watermark so the range is never re-read
-            _stamp_watermark(view, mv_props)
+            _stamp_watermark(view, mv_props, expected_last=last)
+        else:
+            # the merge's internal conflict retry rebases over ANY
+            # concurrent view commit — legitimate for maintenance
+            # (compaction/analyze), but a rival refresh interleaving
+            # here has already double-folded its delta into ours;
+            # detect it the moment it is detectable and prescribe the
+            # recovery instead of leaving silent corruption
+            for v in range(pre + 1, got):
+                try:
+                    props = st._load_snapshot(view, v).get(
+                        "properties"
+                    ) or {}
+                except FileNotFoundError:
+                    continue
+                if _MV_KEY in props:
+                    raise RuntimeError(
+                        f"materialized_view: concurrent refresh "
+                        f"interleaved with this one on {view} (rival "
+                        f"stamp at view version {v}); the view may "
+                        f"have double-folded a delta — rebuild with "
+                        f"force_rebuild=True and run one refresher "
+                        f"per view"
+                    )
         return cur
     finally:
         for frame in pinned:

@@ -649,12 +649,27 @@ def drain_available_now(
     progressed = 0
     prev = _offset_fingerprint()
     for _ in range(max_runs):
+        first = prev is None  # fresh checkpoint: no offsets yet
         q = start_run()
         q.awaitTermination()
         cur = _offset_fingerprint()
         if cur == prev:
             return progressed
         prev = cur
+        if first:
+            # batch 0 on a fresh checkpoint always writes an offsets
+            # file, even over an empty backlog — that initialization
+            # is only "progress" if rows actually moved; otherwise a
+            # caller keying on the return value (drained == 0 means
+            # nothing arrived) would be misled on the first drain
+            try:
+                rows = sum(
+                    int(p["numInputRows"]) for p in q.recentProgress
+                )
+            except Exception:
+                rows = 1  # unknown — count the offset motion
+            if rows == 0:
+                continue
         progressed += 1
     raise RuntimeError(
         f"drain_available_now: still progressing after {max_runs} "

@@ -1415,6 +1415,19 @@ def _parse_partition_spec(spec: str) -> dict:
                 if v is None:
                     return None
                 if isinstance(v, str):
+                    # the same date-only refusal as the datetime.date
+                    # branch below, for the string form: '2024-03-01'
+                    # would silently yield bucket '2024-03-01 ' (empty
+                    # hour) that matches no recorded value and skips
+                    # every shard
+                    if len(v) < 13 or not v[11:13].isdigit():
+                        raise ValueError(
+                            "snapshot_table: hours(...) partition "
+                            "probes need a time component — pass an "
+                            "ISO timestamp string like "
+                            "'2024-03-01 07:00', not a date-only "
+                            "string"
+                        )
                     return f"{v[:10]} {v[11:13]}"
                 if isinstance(v, datetime.date) and not isinstance(
                     v, datetime.datetime

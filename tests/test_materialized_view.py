@@ -410,3 +410,67 @@ def test_derived_group_keys_fold_and_dirty_path(spark, orders, tmp_path):
         count_col="cnt",
     )
     assert w == st.latest_version(src2)
+
+
+def test_force_rebuild_recovers_expired_stamp(spark, orders, tmp_path):
+    """The prescribed remedy must actually work: when the view's only
+    stamped commit is expired (foreign maintenance commit on top, then
+    retention), a plain refresh raises the 'no reachable refresh
+    stamp' error and force_rebuild=True RECOVERS — overwriting (not
+    appending to) the stampless table — after which plain refreshes
+    resume."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    st.write_snapshot(orders.where("band <= 2"), src)
+    mv.refresh_aggregate_view(spark, src, view, **SPEC)
+    st.analyze_table(spark, view, stats_cols=["band"])  # unstamped head
+    st.expire_snapshots(view, keep_last=1)  # stamped commit gone
+    with pytest.raises(ValueError, match="reachable refresh stamp"):
+        mv.refresh_aggregate_view(spark, src, view, **SPEC)
+    w = mv.refresh_aggregate_view(
+        spark, src, view, **SPEC, force_rebuild=True
+    )
+    assert w == st.latest_version(src)
+    _assert_equiv(spark, src, view)  # overwrite: no duplicated rows
+    st.write_snapshot(orders.where("band > 2"), src, mode="append")
+    mv.refresh_aggregate_view(spark, src, view, **SPEC)
+    _assert_equiv(spark, src, view)
+
+
+def test_source_path_mismatch_names_the_two_paths(spark, orders, tmp_path):
+    src = str(tmp_path / "src")
+    other = str(tmp_path / "other")
+    view = str(tmp_path / "view")
+    st.write_snapshot(orders, src)
+    st.write_snapshot(orders.where("band <= 1"), other)
+    mv.refresh_aggregate_view(spark, src, view, **SPEC)
+    with pytest.raises(ValueError, match="tracks source"):
+        mv.refresh_aggregate_view(spark, other, view, **SPEC)
+
+
+def test_stale_watermark_stamp_race_raises(spark, orders, tmp_path,
+                                           monkeypatch):
+    """An empty-delta refresh that loses its metadata-commit claim to a
+    rival refresher must raise, not stamp its STALE watermark over the
+    rival's newer one (which would make the next refresh re-fold the
+    rival's delta)."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    spec = dict(SPEC, filter="o_totalprice >= 100000")
+    st.write_snapshot(orders, src)
+    mv.refresh_aggregate_view(spark, src, view, **spec)
+    st.delete_where(spark, src, "o_totalprice < 60000")  # empty delta
+
+    real = mv.st._claim_snapshot
+
+    def lose_once(table, tmp_dir, snapshot, branch=None):
+        if not getattr(lose_once, "fired", False):
+            lose_once.fired = True
+            # rival refresher lands first and consumes through head
+            mv.refresh_aggregate_view(spark, src, view, **spec)
+            return False  # this claim loses the version race
+        return real(table, tmp_dir, snapshot, branch)
+
+    monkeypatch.setattr(mv.st, "_claim_snapshot", lose_once)
+    with pytest.raises(RuntimeError, match="concurrent refresh"):
+        mv.refresh_aggregate_view(spark, src, view, **spec)

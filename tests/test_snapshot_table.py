@@ -5967,6 +5967,12 @@ def test_session_tz_fixed_offsets_and_probe_guards(spark, tmp_path):
     tf = st._parse_partition_spec("hours(ts)")
     with pytest.raises(ValueError, match="time component"):
         tf["py"](d.date(2024, 3, 1))
+    # ...and the string form of the same mistake: a date-only string
+    # would otherwise yield bucket '2024-03-01 ' (empty hour) that
+    # matches nothing and silently skips every shard
+    with pytest.raises(ValueError, match="time component"):
+        tf["py"]("2024-03-01")
+    assert tf["py"]("2024-03-01T07:30:00") == "2024-03-01 07"
     assert tf["py"](d.datetime(2024, 3, 1, 7, 30)) == "2024-03-01 07"
     assert st._parse_partition_spec("months(ts)")["py"](
         d.date(2024, 3, 1)

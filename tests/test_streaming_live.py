@@ -1838,6 +1838,27 @@ def test_drain_available_now_budget_paced_full_drain(spark, tmp_path):
     # ...and new data resumes from the checkpoint, still paced
     write_snapshot(spark.range(100, 130).repartition(3), table, mode="append")
     assert drain_available_now(start_run, ckpt) == 2  # 3 files / 2
+    # fresh checkpoint over an EMPTY backlog: batch 0 still writes an
+    # offsets file (initialization), but no rows moved — that must
+    # read as 0 progressing runs, not 1
+    from svdmovie_lens_parallel_apache_spark_spark.sources.snapshot_table import (
+        latest_version,
+    )
+    head = latest_version(table)
+    out2, ckpt2 = [str(tmp_path / x) for x in ("out2", "c2")]
+
+    def start_run_empty():
+        return (
+            spark.readStream.format("snapshot_changes")
+            .option("path", table).option("start_version", head)
+            .option("max_files_per_trigger", 2).load()
+            .writeStream.format("parquet").option("path", out2)
+            .option("checkpointLocation", ckpt2)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    assert drain_available_now(start_run_empty, ckpt2) == 0
     got2 = spark.read.parquet(out)
     assert got2.count() == 130 and got2.distinct().count() == 130
 

@@ -95,6 +95,12 @@ DECADE3_QUERIES = [
 ]
 
 DECADE = os.environ.get("SPARK_GRAFT_DECADE", "1")
+if DECADE not in ("1", "2", "3"):
+    sys.exit(
+        f"scale_rehearsal: SPARK_GRAFT_DECADE={DECADE!r} is not one of "
+        f"1/2/3; for a custom fixture pair use SPARK_GRAFT_DECADE=1 "
+        f"with SPARK_GRAFT_SMALL_SF/SPARK_GRAFT_BIG_SF overrides"
+    )
 _D2 = DECADE == "2"
 _D3 = DECADE == "3"
 _SMALL_DEFAULT = {
