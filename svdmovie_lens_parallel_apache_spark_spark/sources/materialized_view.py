@@ -178,20 +178,39 @@ def _null_sum_checks(spec: dict) -> list:
     ]
 
 
-def _refuse_null_sums(agged: DataFrame, spec: dict, where: str) -> None:
-    if not spec["sums"]:
-        return
-    pred = None
+def _gate(agged: DataFrame, spec: dict, where: str) -> int:
+    """ONE one-row aggregation job answering every pre-merge gate at
+    once — group count, any-NULL-group-key, any-NULL-sum-input —
+    instead of three separate limit(1) actions over the (persisted)
+    grouped frame. Raises the matching loud contract error; returns
+    the number of touched groups (0 = empty delta)."""
+    null_key = [F.col(c).isNull() for c in _gb_names(spec)]
+    any_null = null_key[0]
+    for p in null_key[1:]:
+        any_null = any_null | p
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(any_null, 1).otherwise(0)).alias("null_key"),
+    ]
     for out in spec["sums"]:
-        p = F.col(_P + "nn_" + out) == 1
-        pred = p if pred is None else (pred | p)
-    if agged.where(pred).limit(1).count():
+        aggs.append(F.max(F.col(_P + "nn_" + out)).alias("nn_" + out))
+    row = agged.agg(*aggs).collect()[0]
+    if row["n"] == 0:
+        return 0
+    if row["null_key"] == 1:
+        raise ValueError(
+            f"materialized_view: NULL group key found in {where} — "
+            f"group_by columns must be non-null (filter them out with "
+            f"filter=, or coalesce to a sentinel in the source)"
+        )
+    if any(row["nn_" + out] == 1 for out in spec["sums"]):
         raise ValueError(
             f"materialized_view: a sum expression evaluated to NULL in "
             f"{where} — the signed fold cannot maintain NULL sum "
             f"inputs; make the expression total (e.g. "
             f"coalesce(expr, 0)) or exclude those rows with filter="
         )
+    return int(row["n"])
 
 
 def _out_cols(spec: dict) -> list[str]:
@@ -202,22 +221,6 @@ def _out_cols(spec: dict) -> list[str]:
         + list(spec["mins"])
         + list(spec["maxs"])
     )
-
-
-def _refuse_null_keys(df: DataFrame, group_by: list[str], where: str):
-    """Merge keys are matched by equality; a NULL group key would never
-    match its own view row and the group would silently duplicate —
-    refuse up front (one cheap limit-1 job on an already-small frame)."""
-    null_pred = None
-    for c in group_by:
-        p = F.col(c).isNull()
-        null_pred = p if null_pred is None else (null_pred | p)
-    if df.where(null_pred).limit(1).count():
-        raise ValueError(
-            f"materialized_view: NULL group key found in {where} — "
-            f"group_by columns must be non-null (filter them out with "
-            f"filter=, or coalesce to a sentinel in the source)"
-        )
 
 
 def mv_state(view: str) -> dict | None:
@@ -426,8 +429,7 @@ def refresh_aggregate_view(
             .persist()
         )
         try:
-            _refuse_null_keys(agg, _gb_names(spec), "the full build")
-            _refuse_null_sums(agg, spec, "the full build")
+            _gate(agg, spec, "the full build")
             st.write_snapshot(
                 agg.select(*_out_cols(spec)),
                 view,
@@ -472,13 +474,11 @@ def refresh_aggregate_view(
     pinned = [d]
     try:
         mv_props = {**spec, "source_version": cur}
-        if d.limit(1).count() == 0:
+        if _gate(d, spec, "the change feed") == 0:
             # commits in range touched no qualifying rows: advance the
             # watermark anyway so source retention never outruns it
             _stamp_watermark(view, mv_props, expected_last=last)
             return cur
-        _refuse_null_keys(d, _gb_names(spec), "the change feed")
-        _refuse_null_sums(d, spec, "the change feed")
 
         vschema = StructType.fromJson(
             st._load_snapshot(view, st.latest_version(view))["schema"]
