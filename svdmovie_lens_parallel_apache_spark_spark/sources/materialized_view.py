@@ -313,6 +313,7 @@ def refresh_aggregate_view(
     count_col: str = "n_rows",
     filter: str | None = None,
     force_rebuild: bool = False,
+    _delta_cache: dict | None = None,
 ) -> int:
     """Create or incrementally refresh the aggregate view ``view`` of
     snapshot table ``source``; returns the SOURCE version the view now
@@ -450,7 +451,18 @@ def refresh_aggregate_view(
             f"table's history; rebuild with force_rebuild=True"
         )
 
-    delta = st.read_cdc(spark, source, start_version=last, end_version=cur)
+    if _delta_cache is not None and (last, cur) in _delta_cache:
+        delta = _delta_cache[(last, cur)]
+    else:
+        delta = st.read_cdc(
+            spark, source, start_version=last, end_version=cur
+        )
+        if _delta_cache is not None:
+            # multi-view refresh: pin the raw CDC frame so each view's
+            # fold reuses ONE multiset diff instead of recomputing it;
+            # ownership (unpersist) stays with refresh_aggregate_views
+            delta = delta.persist()
+            _delta_cache[(last, cur)] = delta
     if filter is not None:
         delta = delta.where(filter)
     ins = F.col("_change_type") == "insert"
@@ -657,3 +669,38 @@ def _recheck(view: str, last: int) -> None:
             f"{None if now is None else now['source_version']} while "
             f"this refresh was folding); run one refresher per view"
         )
+
+
+def refresh_aggregate_views(
+    spark: SparkSession, source: str, views: dict[str, dict],
+) -> dict[str, int]:
+    """Refresh SEVERAL aggregate views of one source table, sharing the
+    change-feed read: a 100 TB corpus table commonly feeds a handful of
+    rollups (per-language stats, per-day token counts, per-source
+    quality), and the expensive part of each refresh — the CDC
+    multiset diff over the changed files — is identical for every view
+    at the same watermark. This helper computes it ONCE per distinct
+    ``(watermark, head]`` range, pins it, and folds each view from the
+    shared frame; views at divergent watermarks (one was just created,
+    another lagged) fall back to their own range read transparently.
+
+    ``views`` maps view path -> the keyword spec
+    :func:`refresh_aggregate_view` takes (``group_by``/``sums``/...).
+    Views refresh sequentially (each commit is its own atomic merge
+    with its own watermark stamp — a failure in one view leaves the
+    others' committed refreshes standing; the failed view re-runs
+    safely from its unchanged watermark). Returns
+    ``{view: source_version}``. Same one-refresher-per-view contract
+    as the single-view form.
+    """
+    cache: dict = {}
+    out: dict[str, int] = {}
+    try:
+        for view, spec in views.items():
+            out[view] = refresh_aggregate_view(
+                spark, source, view, **spec, _delta_cache=cache
+            )
+        return out
+    finally:
+        for df in cache.values():
+            df.unpersist()

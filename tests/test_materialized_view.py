@@ -36,7 +36,10 @@ def orders(spark, sf_dir):
 
 SPEC = dict(
     group_by=["band"],
-    sums={"sum_price": "o_totalprice"},
+    # DECIMAL sum: the module's documented exactness contract — double
+    # sums fold in a different addition order than a full recompute
+    # and drift by ulps (see DEPLOY.md)
+    sums={"sum_price": "CAST(o_totalprice AS DECIMAL(18,6))"},
     mins={"min_price": "o_totalprice"},
     maxs={"max_price": "o_totalprice"},
     count_col="cnt",
@@ -132,7 +135,7 @@ def test_update_where_pairs_hit_dirty_path(spark, orders, tmp_path):
     view = str(tmp_path / "view")
     spec = dict(
         group_by=["o_orderstatus"],
-        sums={"s": "o_totalprice"},
+        sums={"s": "CAST(o_totalprice AS DECIMAL(18,6))"},
         mins={"m": "o_totalprice"},
         maxs={},
         count_col="cnt",
@@ -150,7 +153,9 @@ def test_sums_only_spec_drops_zero_count_groups(spark, orders, tmp_path):
     src = str(tmp_path / "src")
     view = str(tmp_path / "view")
     spec = dict(
-        group_by=["band"], sums={"s": "o_totalprice"}, count_col="cnt"
+        group_by=["band"],
+        sums={"s": "CAST(o_totalprice AS DECIMAL(18,6))"},
+        count_col="cnt",
     )
     st.write_snapshot(orders, src)
     mv.refresh_aggregate_view(spark, src, view, **spec)
@@ -171,7 +176,9 @@ def test_spec_drift_refuses_and_force_rebuild_recovers(
     view = str(tmp_path / "view")
     st.write_snapshot(orders, src)
     mv.refresh_aggregate_view(spark, src, view, **SPEC)
-    drifted = dict(SPEC, sums={"sum_price": "o_totalprice * 2"})
+    drifted = dict(
+        SPEC, sums={"sum_price": "CAST(o_totalprice * 2 AS DECIMAL(18,6))"}
+    )
     with pytest.raises(ValueError, match="spec drift"):
         mv.refresh_aggregate_view(spark, src, view, **drifted)
     w = mv.refresh_aggregate_view(
@@ -365,7 +372,7 @@ def test_derived_group_keys_fold_and_dirty_path(spark, orders, tmp_path):
     spec = dict(
         group_by={"parity": "o_orderkey % 2",
                   "o_orderstatus": "upper(o_orderstatus)"},
-        sums={"s": "o_totalprice"},
+        sums={"s": "CAST(o_totalprice AS DECIMAL(18,6))"},
         mins={"m": "o_totalprice"},
         count_col="cnt",
     )
@@ -386,7 +393,7 @@ def test_derived_group_keys_fold_and_dirty_path(spark, orders, tmp_path):
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("cnt"),
-            F.sum("o_totalprice").alias("s"),
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,6))")).alias("s"),
             F.min("o_totalprice").alias("m"),
         )
     )
@@ -474,3 +481,40 @@ def test_stale_watermark_stamp_race_raises(spark, orders, tmp_path,
     monkeypatch.setattr(mv.st, "_claim_snapshot", lose_once)
     with pytest.raises(RuntimeError, match="concurrent refresh"):
         mv.refresh_aggregate_view(spark, src, view, **spec)
+
+
+def test_multi_view_refresh_shares_one_cdc_read(spark, orders, tmp_path,
+                                                monkeypatch):
+    """refresh_aggregate_views folds N views at the same watermark from
+    ONE CDC multiset diff (the expensive part of a refresh) — and both
+    views still equal their full recomputes."""
+    src = str(tmp_path / "src")
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spec1 = dict(
+        group_by=["band"],
+        sums={"s": "CAST(o_totalprice AS DECIMAL(18,6))"},
+        count_col="cnt",
+    )
+    spec2 = dict(group_by=["o_orderstatus"],
+                 mins={"m": "o_totalprice"}, count_col="cnt")
+    st.write_snapshot(orders.where("o_orderkey % 2 = 0"), src)
+    mv.refresh_aggregate_views(spark, src, {v1: spec1, v2: spec2})
+    st.write_snapshot(
+        orders.where("o_orderkey % 2 = 1"), src, mode="append"
+    )
+    st.delete_where(spark, src, "o_totalprice < 60000")
+
+    calls = []
+    real = mv.st.read_cdc
+
+    def counting(spark_, table, **kw):
+        calls.append(kw)
+        return real(spark_, table, **kw)
+
+    monkeypatch.setattr(mv.st, "read_cdc", counting)
+    out = mv.refresh_aggregate_views(spark, src, {v1: spec1, v2: spec2})
+    assert out == {v1: 3, v2: 3}
+    assert len(calls) == 1  # one diff, two folds
+    _assert_equiv(spark, src, v1, spec1)
+    _assert_equiv(spark, src, v2, spec2)
