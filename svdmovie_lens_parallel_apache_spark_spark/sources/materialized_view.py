@@ -693,12 +693,32 @@ def refresh_aggregate_views(
     ``{view: source_version}``. Same one-refresher-per-view contract
     as the single-view form.
     """
+    from collections import Counter
+
+    # pre-read each view's watermark (cheap metadata walk) so only
+    # ranges with TWO OR MORE consumers get pinned — persisting a
+    # singleton range (a lagged or just-created view) would
+    # materialize a potentially large raw CDC frame for zero reuse
+    lasts: dict[str, int] = {}
+    for view in views:
+        try:
+            stt = mv_state(view)
+        except ValueError:
+            continue  # stampless — refresh() decides (rebuild/raise)
+        if stt is not None:
+            lasts[view] = int(stt["source_version"])
+    shared = {
+        w for w, n in Counter(lasts.values()).items() if n >= 2
+    }
     cache: dict = {}
     out: dict[str, int] = {}
     try:
         for view, spec in views.items():
             out[view] = refresh_aggregate_view(
-                spark, source, view, **spec, _delta_cache=cache
+                spark, source, view, **spec,
+                _delta_cache=(
+                    cache if lasts.get(view) in shared else None
+                ),
             )
         return out
     finally:
