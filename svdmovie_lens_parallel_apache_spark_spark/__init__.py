@@ -11,6 +11,10 @@ into a general analytics + training-data-pipeline engine:
   semantics (reference ``SVDMovieLensSparkJava.java:499-513``);
 - large-scale pipeline operators: dedup (exact/minhash/simhash/jaccard),
   embedding similarity search, text analysis, multimodal plumbing;
+- a transactional snapshot-table format (time travel, CDC, branches,
+  DML, compaction, stats/bloom/partition pruning) with streaming
+  sources/sinks and incrementally-maintained materialized views
+  (``sources/materialized_view.py``);
 - batch + Structured Streaming window aggregation over event streams.
 
 Everything is declared through the DataFrame API so Catalyst/Tungsten/AQE
