@@ -6990,3 +6990,103 @@ def q_snapshot_mv_time_rollup(spark, sf_dir):
         _r(F.col("max_price"), 2).alias("max_price"),
         F.lit(mv_ok).alias("mv_ok"),
     )
+
+
+@register(
+    "snapshot_mv_multi",
+    f"""
+    SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS band,
+           count(*)                                    AS cnt,
+           {_R('CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)',
+               2)}                                     AS sum_price,
+           TRUE                                        AS mv_ok
+    FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1
+    """,
+    tags=("sources", "table-format", "cdc", "incremental", "mv"),
+    description="MULTI-VIEW refresh under the oracle: two aggregate "
+    "views of one source (price-band sum/count and per-status "
+    "min/max) maintained by refresh_aggregate_views — the CDC "
+    "multiset diff computed ONCE and folded into both (the "
+    "multi-rollup pipeline shape; the one-read sharing itself is "
+    "pytest-pinned by a read_cdc call counter, and the A/B is "
+    "SCALING.json[mv_multi_view_ab]). The source takes an append "
+    "plus a keyed CoW delete between refreshes; mv_ok pins both "
+    "views' exceptAll-equality with full recomputes and the shared "
+    "watermark sequence. Oracle: view 1's aggregate over the final "
+    "state.",
+)
+def q_snapshot_mv_multi(spark, sf_dir):
+    import tempfile
+
+    from .sources import materialized_view as mvw
+    from .sources import snapshot_table as st
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).withColumn(
+        "band", F.floor(F.col("o_totalprice") / 20000).cast("long")
+    )
+    root = tempfile.mkdtemp(prefix="svdml-mvmulti-")
+    src, v1, v2 = root + "/src", root + "/v1", root + "/v2"
+    spec1 = dict(
+        group_by=["band"],
+        sums={"sum_price": "CAST(o_totalprice AS DECIMAL(18,6))"},
+        count_col="cnt",
+    )
+    spec2 = dict(
+        group_by=["o_orderstatus"],
+        mins={"min_price": "o_totalprice"},
+        maxs={"max_price": "o_totalprice"},
+        count_col="cnt",
+    )
+    views = {v1: spec1, v2: spec2}
+    st.write_snapshot(orders.where("o_orderkey % 2 = 0"), src)  # v1
+    w0 = mvw.refresh_aggregate_views(spark, src, views)
+    st.write_snapshot(
+        orders.where("o_orderkey % 2 = 1"), src, mode="append"
+    )                                                           # v2
+    st.delete_where(spark, src, "o_orderkey % 7 = 3")           # v3
+    w1 = mvw.refresh_aggregate_views(spark, src, views)
+
+    m1 = st.read_snapshot(spark, v1)
+    m2 = st.read_snapshot(spark, v2)
+    r1 = (
+        st.read_snapshot(spark, src)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,6))")).alias(
+                "sum_price"
+            ),
+        )
+        .select(*m1.columns)
+    )
+    r2 = (
+        st.read_snapshot(spark, src)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .select(*m2.columns)
+    )
+
+    def _eq(a, b):
+        return (
+            a.exceptAll(b).limit(1).count() == 0
+            and b.exceptAll(a).limit(1).count() == 0
+        )
+
+    mv_ok = bool(
+        w0 == {v1: 1, v2: 1}
+        and w1 == {v1: 3, v2: 3}
+        and _eq(m1, r1)
+        and _eq(m2, r2)
+    )
+    return m1.select(
+        "band",
+        "cnt",
+        _r(F.col("sum_price").cast("double"), 2).alias("sum_price"),
+        F.lit(mv_ok).alias("mv_ok"),
+    )
