@@ -3296,8 +3296,12 @@ def q_snapshot_cdc_stream(spark, sf_dir):
         "doc_id", "lang", "n_chars", "_change_type", "_commit_version"
     )
     parity_ok = (
-        streamed.exceptAll(batch).isEmpty()
-        and batch.exceptAll(streamed).isEmpty()
+        # one action, not two: A==B (multiset) iff both directed diffs
+        # are empty iff their union is empty (round-13 gate
+        # consolidation — each extra action pays a scheduling gap)
+        streamed.exceptAll(batch)
+        .unionAll(batch.exceptAll(streamed))
+        .isEmpty()
     )
     return (
         streamed.groupBy(
@@ -3419,8 +3423,10 @@ def q_snapshot_cdc_replication(spark, sf_dir):
     v_now = latest_version(down)
     sink(read_cdc(spark, up, 1, 2), 0)  # replay: must commit nothing
     replication_ok = (
-        replica.exceptAll(upstream).isEmpty()
-        and upstream.exceptAll(replica).isEmpty()
+        # one action: union of both directed diffs is empty iff equal
+        replica.exceptAll(upstream)
+        .unionAll(upstream.exceptAll(replica))
+        .isEmpty()
         and latest_version(down) == v_now
     )
     return (
@@ -6886,8 +6892,10 @@ def q_snapshot_mv_refresh(spark, sf_dir):
         .select(*maintained.columns)
     )
     equal = (
-        maintained.exceptAll(recomputed).limit(1).count() == 0
-        and recomputed.exceptAll(maintained).limit(1).count() == 0
+        # one action: union of both directed diffs is empty iff equal
+        maintained.exceptAll(recomputed)
+        .unionAll(recomputed.exceptAll(maintained))
+        .isEmpty()
     )
     mv_ok = bool((w1, w2, w3) == (1, 2, 3) and noop_ok and equal)
     return maintained.select(
@@ -6976,13 +6984,20 @@ def q_snapshot_mv_time_rollup(spark, sf_dir):
         .select(*maintained.columns)
     )
     equal = (
-        maintained.exceptAll(recomputed).limit(1).count() == 0
-        and recomputed.exceptAll(maintained).limit(1).count() == 0
+        # one action: union of both directed diffs is empty iff equal
+        maintained.exceptAll(recomputed)
+        .unionAll(recomputed.exceptAll(maintained))
+        # the GDPR gate rides the same single action: any surviving
+        # pre-1993 month group fails equality-with-recompute anyway
+        # only if the source disagreed, so it is pinned separately —
+        # as rows unioned into the one emptiness check
+        .unionAll(
+            maintained.where(F.col("month") < "1993-01")
+            .select(*maintained.columns)
+        )
+        .isEmpty()
     )
-    no_1992 = (
-        maintained.where(F.col("month") < "1993-01").limit(1).count() == 0
-    )
-    mv_ok = bool((w1, w2, w3) == (1, 2, 3) and equal and no_1992)
+    mv_ok = bool((w1, w2, w3) == (1, 2, 3) and equal)
     return maintained.select(
         "month",
         "cnt",
@@ -7073,10 +7088,8 @@ def q_snapshot_mv_multi(spark, sf_dir):
     )
 
     def _eq(a, b):
-        return (
-            a.exceptAll(b).limit(1).count() == 0
-            and b.exceptAll(a).limit(1).count() == 0
-        )
+        # one action: union of both directed diffs is empty iff equal
+        return a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty()
 
     mv_ok = bool(
         w0 == {v1: 1, v2: 1}

@@ -25,6 +25,12 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # micros (not the legacy INT96 default): smaller files, and the
+    # footer carries real min/max statistics for timestamp columns —
+    # both the engine's driver-side stats stamping (snapshot_table.
+    # _footer_stats) and any external parquet reader depend on them;
+    # INT96 is deprecated upstream and records no statistics at all
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": "32",

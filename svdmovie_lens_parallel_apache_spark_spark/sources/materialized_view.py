@@ -178,12 +178,21 @@ def _null_sum_checks(spec: dict) -> list:
     ]
 
 
-def _gate(agged: DataFrame, spec: dict, where: str) -> int:
+def _gate(
+    agged: DataFrame, spec: dict, where: str,
+    dirty_bounds_col: str | None = None,
+) -> tuple[int, tuple] | int:
     """ONE one-row aggregation job answering every pre-merge gate at
     once — group count, any-NULL-group-key, any-NULL-sum-input —
     instead of three separate limit(1) actions over the (persisted)
     grouped frame. Raises the matching loud contract error; returns
-    the number of touched groups (0 = empty delta)."""
+    the number of touched groups (0 = empty delta).
+
+    ``dirty_bounds_col`` additionally folds the dirty-group key bounds
+    (min/max of the group key over rows whose delta carries a delete)
+    into the SAME single-row job — the bounds previously cost their
+    own collect over the persisted frame (~4 AQE jobs on the measured
+    timeline, round 13); when set, returns ``(n, (lo, hi))``."""
     null_key = [F.col(c).isNull() for c in _gb_names(spec)]
     any_null = null_key[0]
     for p in null_key[1:]:
@@ -194,9 +203,25 @@ def _gate(agged: DataFrame, spec: dict, where: str) -> int:
     ]
     for out in spec["sums"]:
         aggs.append(F.max(F.col(_P + "nn_" + out)).alias("nn_" + out))
+    if dirty_bounds_col is not None:
+        dirty = F.col(_P + "del") == 1
+        aggs.append(
+            F.min(F.when(dirty, F.col(dirty_bounds_col))).alias("__dlo")
+        )
+        aggs.append(
+            F.max(F.when(dirty, F.col(dirty_bounds_col))).alias("__dhi")
+        )
     row = agged.agg(*aggs).collect()[0]
+    bounds = (
+        (row["__dlo"], row["__dhi"])
+        if dirty_bounds_col is not None else None
+    )
+
+    def _ret(n):
+        return (n, bounds) if dirty_bounds_col is not None else n
+
     if row["n"] == 0:
-        return 0
+        return _ret(0)
     if row["null_key"] == 1:
         raise ValueError(
             f"materialized_view: NULL group key found in {where} — "
@@ -210,7 +235,7 @@ def _gate(agged: DataFrame, spec: dict, where: str) -> int:
             f"inputs; make the expression total (e.g. "
             f"coalesce(expr, 0)) or exclude those rows with filter="
         )
-    return int(row["n"])
+    return _ret(int(row["n"]))
 
 
 def _out_cols(spec: dict) -> list[str]:
@@ -486,7 +511,20 @@ def refresh_aggregate_view(
     pinned = [d]
     try:
         mv_props = {**spec, "source_version": cur}
-        if _gate(d, spec, "the change feed") == 0:
+        # single-source-column group key: the dirty-group bounds used
+        # for metadata file pruning ride the gate's one-row job (they
+        # used to be a second collect over the persisted frame)
+        gbspec = spec["group_by"]
+        bounds_col = None
+        if want_extrema and len(gbspec) == 1:
+            _bname, _bexpr = next(iter(gbspec.items()))
+            if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", _bexpr):
+                bounds_col = _bname
+        gated = _gate(d, spec, "the change feed", dirty_bounds_col=bounds_col)
+        n_touched, dirty_bounds = (
+            gated if bounds_col is not None else (gated, None)
+        )
+        if n_touched == 0:
             # commits in range touched no qualifying rows: advance the
             # watermark anyway so source retention never outruns it
             _stamp_watermark(view, mv_props, expected_last=last)
@@ -542,27 +580,25 @@ def refresh_aggregate_view(
             pinned.append(dirty_keys)
             src = None
             gb = spec["group_by"]
-            if len(gb) == 1:
-                name, kexpr = next(iter(gb.items()))
+            if bounds_col is not None and dirty_bounds is not None:
                 # pruning maps key VALUES to source-column stats, so it
                 # applies only when the key expression IS a source
-                # column (the identity-mapping list form)
-                if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", kexpr):
-                    b = dirty_keys.agg(
-                        F.min(name).alias("lo"), F.max(name).alias("hi")
-                    ).collect()[0]
-                    if _prunable([b["lo"], b["hi"]]):
-                        try:
-                            # metadata file pruning: a reducer, never a
-                            # filter — the semi-join below is the
-                            # filter, so an unprunable probe just reads
-                            # more files
-                            src = st.read_snapshot(
-                                spark, source, version=cur,
-                                prune=(kexpr, b["lo"], b["hi"]),
-                            )
-                        except ValueError:
-                            src = None
+                # column (the identity-mapping list form); the bounds
+                # were folded into the gate's single-row job above
+                kexpr = gb[bounds_col]
+                lo, hi = dirty_bounds
+                if _prunable([lo, hi]):
+                    try:
+                        # metadata file pruning: a reducer, never a
+                        # filter — the semi-join below is the
+                        # filter, so an unprunable probe just reads
+                        # more files
+                        src = st.read_snapshot(
+                            spark, source, version=cur,
+                            prune=(kexpr, lo, hi),
+                        )
+                    except ValueError:
+                        src = None
             if src is None:
                 src = st.read_snapshot(spark, source, version=cur)
             if filter is not None:

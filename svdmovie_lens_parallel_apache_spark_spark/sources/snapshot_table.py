@@ -64,6 +64,7 @@ from __future__ import annotations
 import datetime
 import glob
 import json
+import math
 import os
 import shutil
 import time
@@ -2197,6 +2198,147 @@ def _remove_unreferenced(
     return removed
 
 
+def _footer_stats(
+    table: str, names: list[str], schema, stats_cols: list[str] | None,
+) -> tuple[dict, dict] | None:
+    """Per-shard row counts and min/max stats read from the parquet
+    FOOTERS on the driver — no Spark job, no re-scan of data just
+    written (round-13 optimization: the stats pass was one extra job +
+    scheduling gap per commit, ~0.3-0.9s each on the measured
+    timeline). Returns ``(counts, stats)`` in exactly the shapes the
+    Spark aggregation produced, or ``None`` when ANY value cannot be
+    proven bit-identical to the aggregation — the caller then falls
+    back to the Spark job, so this path can only ever be a cost
+    reducer, never a semantics change.
+
+    Exactness whitelist (validated empirically against ``F.min/F.max``
+    per type, see OPTIMIZATION_r13.md):
+
+    - counts: ``FileMetaData.num_rows`` — exact by definition.
+    - int/bigint/smallint/tinyint: footer int stats are exact.
+    - string: parquet-mr stores full chunk-level min/max (it DROPS the
+      pair above ~4 KB rather than truncating); values are accepted
+      only below a 1 KiB paranoia bound. Byte-wise unsigned UTF-8
+      order == Spark's UTF8String order == Python ``str`` order.
+    - date: INT32 epoch days == ``unix_date`` exactly.
+    - timestamp: INT64 epoch micros == ``unix_micros`` exactly (the
+      session writes TIMESTAMP_MICROS, never stats-less INT96);
+      timestamp_ntz: INT64 wall-clock micros == the component-math
+      encoding in :func:`_stats_input` exactly.
+    - float/double: accepted only when both bounds are finite and
+      nonzero — NaN ordering and ±0.0 normalization are the two spots
+      where a writer's idea of min/max could diverge from Spark's, so
+      those fall back to the aggregation.
+
+    All-NULL shards (``has_min_max`` false, ``null_count == num_rows``)
+    stamp the ``[None, None]`` sentinel, same as the aggregation path.
+    Any other surprise — missing stats, row-group without statistics,
+    an unexpected python type — returns None (fallback)."""
+    import datetime as _dt
+
+    try:
+        import pyarrow.parquet as _pq
+    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+        return None
+
+    dtypes = {}
+    for c in stats_cols or []:
+        dtypes[c] = schema[c].dataType.simpleString()
+
+    _EPOCH_D = _dt.date(1970, 1, 1)
+    _EPOCH_TS = _dt.datetime(1970, 1, 1)
+
+    def _micros(v, ltz: bool):
+        if not isinstance(v, _dt.datetime):
+            return None
+        if ltz:
+            off = v.utcoffset()
+            if off is None:
+                return None  # LTZ column surfaced naive — bail
+            v = v.replace(tzinfo=None) - off
+        elif v.tzinfo is not None:
+            return None  # NTZ column surfaced tz-aware — bail
+        d = v - _EPOCH_TS
+        return (
+            d.days * 86_400_000_000 + d.seconds * 1_000_000 + d.microseconds
+        )
+
+    def _convert(dtype: str, v):
+        """Footer value -> the recorded stats form; None = not provable
+        (distinct from a legitimately-NULL bound, which never reaches
+        here: has_min_max was true)."""
+        if dtype in ("int", "bigint", "smallint", "tinyint"):
+            return v if isinstance(v, int) and not isinstance(v, bool) \
+                else None
+        if dtype == "string":
+            if isinstance(v, bytes):
+                try:
+                    v = v.decode("utf-8")
+                except UnicodeDecodeError:
+                    return None
+            if isinstance(v, str) and len(v.encode("utf-8")) <= 1024:
+                return v
+            return None
+        if dtype == "date":
+            return (
+                (v - _EPOCH_D).days if type(v) is _dt.date else None
+            )
+        if dtype == "timestamp":
+            return _micros(v, ltz=True)
+        if dtype == "timestamp_ntz":
+            return _micros(v, ltz=False)
+        if dtype in ("float", "double"):
+            if isinstance(v, float) and math.isfinite(v) and v != 0.0:
+                return v
+            return None
+        return None
+
+    counts: dict[str, int] = {}
+    stats: dict[str, dict] = {}
+    for n in names:
+        path = os.path.join(table, _DATA_DIR, n)
+        try:
+            md = _pq.ParquetFile(path).metadata
+        except Exception:
+            return None
+        counts[n] = md.num_rows
+        if not dtypes:
+            stats[n] = {}
+            continue
+        per_col: dict[str, list] = {}
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        for c, dtype in dtypes.items():
+            if c not in idx:
+                return None
+            lo = hi = None
+            nulls = 0
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(idx[c])
+                st = col.statistics
+                if st is None or st.null_count is None:
+                    return None
+                nulls += st.null_count
+                if not st.has_min_max:
+                    if st.null_count != md.row_group(rg).num_rows:
+                        return None  # stats dropped, not all-NULL
+                    continue
+                a, b = _convert(dtype, st.min), _convert(dtype, st.max)
+                if a is None or b is None:
+                    return None
+                lo = a if lo is None or a < lo else lo
+                hi = b if hi is None or b > hi else hi
+            if lo is None:
+                # no row group carried bounds: legal only when every
+                # value is NULL (or the shard is empty)
+                if nulls != md.num_rows:
+                    return None
+            per_col[c] = [lo, hi]
+        stats[n] = per_col
+    return counts, stats
+
+
 def _stage_publish(
     df: DataFrame, table: str, tmp_dir: str,
     stats_cols: list[str] | None,
@@ -2353,7 +2495,14 @@ def _stage_publish(
     spark = df.sparkSession
     counts = {n: 0 for n in mine}
     stats: dict[str, dict] = {n: {} for n in mine}
-    if mine:
+    footer = _footer_stats(table, mine, df.schema, stats_cols) if mine \
+        else None
+    if footer is not None:
+        # driver-side footer read replaces the per-commit stats job —
+        # bit-identical by the _footer_stats whitelist, else it
+        # returned None and the aggregation below runs as before
+        counts, stats = footer
+    elif mine:
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in stats_cols or []:
             # temporal columns record epoch-int bounds (see
@@ -3912,10 +4061,19 @@ def streaming_merge_sink(
         props = {"streaming_batch_id": batch_id}
         if app_id is not None:
             props["streaming_app_id"] = app_id
-        merge_upsert(
-            batch_df, table, key_cols=key_cols, mor=mor, branch=branch,
-            properties=props,
-        )
+        # pin the micro-batch: merge_upsert runs several actions over
+        # its input (ambiguity gate, match scan, stage write), and a
+        # batch backed by a Python streaming source re-executes the
+        # whole Python-boundary scan per action without this (guide
+        # §4: cross the JVM<->Python boundary once)
+        batch_df = batch_df.persist()
+        try:
+            merge_upsert(
+                batch_df, table, key_cols=key_cols, mor=mor,
+                branch=branch, properties=props,
+            )
+        finally:
+            batch_df.unpersist()
 
     return sink
 
@@ -3963,10 +4121,15 @@ def streaming_cdc_apply_sink(
             F.desc("_commit_version"),
             F.when(F.col("_change_type") == "insert", 0).otherwise(1),
         )
+        # pin the per-key reduction: post/dead and every merge_upsert
+        # action below would otherwise re-run the window AND the
+        # Python streaming source's Arrow scan per action (measured
+        # round 13: addBatch 7.9s -> the merge's own ~2s once pinned)
         reduced = (
             batch_df.withColumn("__rank", F.row_number().over(w))
             .where(F.col("__rank") == 1)
             .drop("__rank")
+            .persist()
         )
         payload = [
             c for c in reduced.columns
@@ -3981,10 +4144,13 @@ def streaming_cdc_apply_sink(
         props = {"streaming_batch_id": batch_id}
         if app_id is not None:
             props["streaming_app_id"] = app_id
-        merge_upsert(
-            post, table, key_cols=key_cols, delete_keys=dead,
-            mor=mor, branch=branch, properties=props,
-        )
+        try:
+            merge_upsert(
+                post, table, key_cols=key_cols, delete_keys=dead,
+                mor=mor, branch=branch, properties=props,
+            )
+        finally:
+            reduced.unpersist()
 
     return sink
 
@@ -4194,38 +4360,107 @@ def _merge_upsert_cached(
     from pyspark.sql import functions as F
 
     spark = updates.sparkSession
-    updates_empty = updates.isEmpty()
-    deletes_empty = delete_keys is None or delete_keys.isEmpty()
-    # ambiguous merges fail loudly (Delta's "multiple source rows matched"
-    # rule): duplicate keys in ONE updates batch would silently land twice,
-    # and a key both updated and key-deleted has no defined outcome
-    dup = (
-        []
-        if updates_empty
-        else updates.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") > 1)
-        .limit(1)
-        .collect()
+    # ONE per-key aggregation answers every pre-commit guard at once
+    # (round-13 consolidation — these were 4-6 separate actions, each
+    # paying its scheduling gap on the measured timeline):
+    #   - updates_empty / deletes_empty (no-op rules)
+    #   - duplicate update keys (Delta's "multiple source rows
+    #     matched" refusal)
+    #   - update-vs-delete_keys clash (ambiguous merge)
+    #   - surviving_empty (delete_condition consumed the whole batch)
+    #   - prune_col bounds over ALL match keys (updates ∪ delete_keys)
+    # Sample keys for the two error messages are re-queried only on
+    # the failure path.
+    surv_flag = (
+        F.lit(1) if delete_condition is None
+        else F.when(
+            F.coalesce(
+                F.expr(delete_condition).cast("boolean"), F.lit(False)
+            ),
+            F.lit(0),
+        ).otherwise(F.lit(1))
     )
-    if dup:
+    uk = updates.select(
+        *key_cols,
+        F.lit(1).alias("__u"),
+        F.lit(0).alias("__d"),
+        surv_flag.alias("__s"),
+    )
+    if delete_keys is not None:
+        uk = uk.unionByName(
+            delete_keys.select(
+                *key_cols,
+                F.lit(0).alias("__u"),
+                F.lit(1).alias("__d"),
+                F.lit(0).alias("__s"),
+            )
+        )
+    per_key = uk.groupBy(*key_cols).agg(
+        F.sum("__u").alias("__nu"),
+        F.sum("__d").alias("__nd"),
+        F.sum("__s").alias("__ns"),
+    )
+    # the historical clash check was a null-UNSAFE semi-join: a NULL
+    # merge key never clashes there, so exclude NULL-keyed groups from
+    # the folded flag to preserve that behavior exactly
+    any_null_key = F.col(key_cols[0]).isNull()
+    for c in key_cols[1:]:
+        any_null_key = any_null_key | F.col(c).isNull()
+    top_aggs = [
+        F.coalesce(F.sum("__nu"), F.lit(0)).alias("n_upd"),
+        F.coalesce(F.sum("__nd"), F.lit(0)).alias("n_del"),
+        F.coalesce(F.sum("__ns"), F.lit(0)).alias("n_surv"),
+        F.coalesce(F.max("__nu"), F.lit(0)).alias("max_dup"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("__nu") > 0)
+                    & (F.col("__nd") > 0)
+                    & ~any_null_key,
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("clash"),
+    ]
+    if prune_col is not None:
+        # the bounds compare against RECORDED stats, so a temporal
+        # prune_col computes its epoch-int form (same rule as the
+        # write path) — collected datetimes would hit the comparator's
+        # conservative keep and the partial rewrite would degrade to
+        # full-table
+        pe = _stats_input(
+            updates.schema[prune_col].dataType.simpleString(), prune_col,
+        )
+        top_aggs.append(F.min(pe).alias("__plo"))
+        top_aggs.append(F.max(pe).alias("__phi"))
+    g = per_key.agg(*top_aggs).collect()[0]
+    updates_empty = g["n_upd"] == 0
+    deletes_empty = delete_keys is None or g["n_del"] == 0
+    if g["max_dup"] > 1:
+        dup = (
+            updates.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
         raise ValueError(
             f"snapshot_table: updates contain duplicate merge key "
             f"{tuple(dup[0][c] for c in key_cols)!r}"
         )
-    if not updates_empty and not deletes_empty:
+    if g["clash"] == 1:
         clash = (
             updates.select(*key_cols)
             .join(delete_keys, on=key_cols, how="left_semi")
             .limit(1)
             .collect()
         )
-        if clash:
-            raise ValueError(
-                f"snapshot_table: merge key "
-                f"{tuple(clash[0][c] for c in key_cols)!r} appears in "
-                f"both updates and delete_keys — ambiguous"
-            )
+        raise ValueError(
+            f"snapshot_table: merge key "
+            f"{tuple(clash[0][c] for c in key_cols)!r} appears in "
+            f"both updates and delete_keys — ambiguous"
+        )
     surviving = updates
     if delete_condition is not None:
         # rows matching the delete clause take their key OUT of the
@@ -4244,7 +4479,7 @@ def _merge_upsert_cached(
     # path re-checks after staging the vector: no vector + nothing
     # surviving → no-op too).
     surviving_empty = updates_empty or (
-        delete_condition is not None and surviving.isEmpty()
+        delete_condition is not None and g["n_surv"] == 0
     )
     # every key that can MATCH a current row: update keys and delete
     # keys alike anti-join/semi-join the current rows away
@@ -4253,21 +4488,9 @@ def _merge_upsert_cached(
         match_keys = match_keys.unionByName(delete_keys)
     match_keys = match_keys.distinct()
     bounds = None
-    if prune_col is not None:
-        # the bounds compare against RECORDED stats, so a temporal
-        # prune_col computes its epoch-int form (same rule as the
-        # write path) — collected datetimes would hit the comparator's
-        # conservative keep and the partial rewrite would degrade to
-        # full-table
-        pe = _stats_input(
-            match_keys.schema[prune_col].dataType.simpleString(),
-            prune_col,
-        )
-        row = match_keys.agg(
-            F.min(pe).alias("lo"), F.max(pe).alias("hi")
-        ).collect()[0]
-        if row["lo"] is not None and row["hi"] is not None:
-            bounds = (row["lo"], row["hi"])
+    if prune_col is not None and g["__plo"] is not None \
+            and g["__phi"] is not None:
+        bounds = (g["__plo"], g["__phi"])
     if branch is not None and latest_version(table, branch) is None:
         raise FileNotFoundError(
             f"snapshot_table: no branch {branch!r} on {table}; "
