@@ -6290,7 +6290,7 @@ def q_snapshot_stream_paced(spark, sf_dir):
         .writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
-        .trigger(processingTime="150 milliseconds")
+        .trigger(processingTime="0 milliseconds")
         .start()
     )
     try:
@@ -6299,7 +6299,7 @@ def q_snapshot_stream_paced(spark, sf_dir):
             spark.table(sink).count() < n_expected
             and _time.time() < deadline
         ):
-            _time.sleep(0.25)
+            _time.sleep(0.1)
     finally:
         q.stop()
         q.awaitTermination()
@@ -6403,7 +6403,7 @@ def q_snapshot_cdc_paged(spark, sf_dir):
         .writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
-        .trigger(processingTime="150 milliseconds")
+        .trigger(processingTime="0 milliseconds")
         .start()
     )
     try:
@@ -6412,7 +6412,7 @@ def q_snapshot_cdc_paged(spark, sf_dir):
             spark.table(sink).count() < n_expected
             and _time.time() < deadline
         ):
-            _time.sleep(0.25)
+            _time.sleep(0.1)
     finally:
         q.stop()
         q.awaitTermination()

@@ -54,7 +54,14 @@ def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     # for column-level use.
     from pyspark.ml.feature import NGram
 
-    toksed = docs.select("doc_id", "lang", tokens(F.lower(F.col("text"))).alias("__toks"))
+    from .relational import spread_small
+
+    # the tokenize+n-gram explosion is the CPU-dense map stage of every
+    # Jaccard-family pipeline; a single-split input runs it on one core
+    # (round 13 — no-op when the scan is already parallel)
+    toksed = spread_small(docs).select(
+        "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("__toks")
+    )
     ng = NGram(n=n, inputCol="__toks", outputCol="__ng")
     return ng.transform(toksed).select(
         "doc_id", "lang", F.array_distinct("__ng").alias("shingles")
@@ -430,7 +437,9 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     toks = F.array_distinct(tokens(F.lower(F.col("text"))))
     # materialise token hashes once; the per-bit votes then fold over
     # the array column instead of re-hashing per bit
-    hashed = docs.select(
+    from .relational import spread_small
+
+    hashed = spread_small(docs).select(
         "doc_id", F.transform(toks, lambda t: portable_hash_wide(t, hash_bits)).alias("hs")
     )
 
@@ -554,8 +563,10 @@ def substring_dup_stats(docs: DataFrame, window: int = 20) -> DataFrame:
     trade entirely, and it does not shard; this is the form a Spark
     pipeline actually runs.
     """
+    from .relational import spread_small
+
     w = max(1, window)
-    t = docs.select(
+    t = spread_small(docs).select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
     )
     starts = F.when(

@@ -95,6 +95,11 @@ _SOF0_PRE_HEX = "FFC0001108"
 _SOF0_POST_HEX = "03012200021101031101"
 
 
+# guarded pre-kernel repartition: shared with the relational operators
+# (measured round 13: the jpeg round trip was one 11s task before this)
+from .relational import spread_small as _spread  # noqa: E402
+
+
 def attach_fake_media(docs: DataFrame, copies: int = 4) -> DataFrame:
     """Synthesize a deterministic binary media column from the text digest
     (md5 bytes repeated) + typed metadata — the shape a real ingest would
@@ -339,7 +344,7 @@ def extract_media_features(media: DataFrame, batch_size_hint: int = 256) -> Data
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields])
 
-    return media.mapInPandas(_extract, MEDIA_FEATURE_SCHEMA)
+    return _spread(media).mapInPandas(_extract, MEDIA_FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_k: int = 2, frame_bytes: int = 16) -> DataFrame:
@@ -544,7 +549,9 @@ def attach_synthetic_pixel_images(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "media_bytes"])
 
-    return docs.select("doc_id", "text").mapInPandas(_build, schema)
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
+        _build, schema
+    )
 
 
 PIXEL_FEATURE_SCHEMA = T.StructType(
@@ -726,7 +733,9 @@ def attach_synthetic_audio(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "media_bytes"])
 
-    return docs.select("doc_id", "text").mapInPandas(_build, schema)
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
+        _build, schema
+    )
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType(
@@ -934,7 +943,9 @@ def attach_synthetic_video(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "media_bytes"])
 
-    return docs.select("doc_id", "text").mapInPandas(_build, schema)
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
+        _build, schema
+    )
 
 
 VIDEO_FEATURE_SCHEMA = T.StructType(
@@ -1027,7 +1038,9 @@ def attach_synthetic_jpeg(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "text", "media_bytes"])
 
-    return docs.select("doc_id", "text").mapInPandas(_build, schema)
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
+        _build, schema
+    )
 
 
 JPEG_ROUNDTRIP_SCHEMA = T.StructType(

@@ -17,6 +17,24 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def spread_small(df: DataFrame) -> DataFrame:
+    """Round-robin repartition an UNDER-PARALLEL input ahead of a
+    CPU-dense stage (round-13, guide §2.5: input skew — one
+    unsplittable input). The sf fixtures are single-row-group parquet
+    files, so a scan is ONE task and every expensive map stage chained
+    on it (n-gram explosion, codec kernels, pair enumeration) ran
+    single-threaded on a 32-core host. The guard makes this a no-op
+    whenever the input already carries >= defaultParallelism
+    partitions — at 100 TB real tables have many splits and the
+    exchange never fires; on the fixtures it moves a few hundred KB
+    once to light every core."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """Rows of ``left`` with a match in ``right`` (EXISTS)."""
     return left.join(right, on=on, how="left_semi")
