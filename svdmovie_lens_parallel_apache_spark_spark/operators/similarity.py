@@ -80,9 +80,6 @@ def adaptive_n_planes(
 
 
 def lsh_buckets(emb: DataFrame, dim: int = 64, n_planes: int = 16) -> DataFrame:
-    from .relational import spread_small
-
-    emb = spread_small(emb)  # no-op unless the scan is under-parallel
     planes = lsh_hyperplanes(dim, n_planes)
     vec = to_double(F.col("embedding"))
     return emb.select("vec_id", lsh_bucket(vec, planes).alias("bucket"))
@@ -92,9 +89,6 @@ def knn_brute_force(emb: DataFrame, query_ids_below: int = 10, k: int = 5) -> Da
     """Exact cosine top-k: queries (vec_id < N) broadcast against all
     candidates; per-query window picks the k best. Deterministic ordering:
     (cosine desc, neighbor_id asc)."""
-    from .relational import spread_small
-
-    emb = spread_small(emb)  # no-op unless the scan is under-parallel
     from pyspark.sql import Window
 
     base = emb.select("vec_id", to_double(F.col("embedding")).alias("vec"))
@@ -119,9 +113,6 @@ def knn_brute_force_l2(emb: DataFrame, query_ids_below: int = 10, k: int = 5) ->
     sum of squared diffs, per-query window. Deterministic ordering:
     (sq_dist asc, neighbor_id asc). The exact twin for the MLlib BRP-LSH
     variant, whose metric is Euclidean rather than cosine."""
-    from .relational import spread_small
-
-    emb = spread_small(emb)  # no-op unless the scan is under-parallel
     from pyspark.sql import Window
 
     base = emb.select("vec_id", to_double(F.col("embedding")).alias("vec"))
@@ -396,9 +387,6 @@ def knn_ivf(emb: DataFrame, query_ids_below: int = 10, k: int = 5,
 
 def embedding_norm_stats(emb: DataFrame) -> DataFrame:
     """Per-label count / mean L2 norm / min / max — array math smoke stats."""
-    from .relational import spread_small
-
-    emb = spread_small(emb)  # no-op unless the scan is under-parallel
     vec = to_double(F.col("embedding"))
     norms = emb.select("label", l2_norm(vec).alias("norm"))
     return norms.groupBy("label").agg(
@@ -755,14 +743,13 @@ def kmeans_lloyd(
             f"kmeans_lloyd: assign must be 'vectorized', 'literal' or "
             f"'blas', got {assign!r}"
         )
-    from .relational import spread_small
-
-    # spread BEFORE the persist: the pinned projection inherits the
-    # scan's partitioning, and a single-split fixture would pin ONE
-    # partition — making every iteration's assign+means pass
-    # single-threaded (round 13; no-op on already-parallel inputs)
-    v = spread_small(
-        emb.select("vec_id", to_double(F.col("embedding")).alias("vec"))
+    # NOT spread_small-wrapped (round 13): measured at the bench scale,
+    # repartitioning the pinned projection REGRESSED the kmeans family
+    # (normalized 15.5->19.7) — the per-iteration aggregations are
+    # task-overhead-bound at small k·n, and at real scale the source
+    # already carries many splits.
+    v = emb.select(
+        "vec_id", to_double(F.col("embedding")).alias("vec")
     ).persist()
     init = v.orderBy("vec_id").limit(k).collect()  # k rows — bounded
     centroids = [(i, list(r["vec"])) for i, r in enumerate(init)]
