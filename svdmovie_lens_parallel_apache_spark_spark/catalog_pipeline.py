@@ -166,6 +166,29 @@ def q_weighted_sample_es(spark, sf_dir):
 _CMS_D, _CMS_W = 4, 64
 
 
+def _multiset_diff(a, b):
+    """Rows whose multiplicity differs between ``a`` and ``b`` — the
+    signed-count form of the exceptAll-both-ways equality gate: tag
+    each side ±1, group by every column, keep groups whose signed sum
+    is nonzero. EXACTLY the same emptiness as
+    ``a.exceptAll(b).unionAll(b.exceptAll(a))`` (empty iff every row
+    value has equal multiplicity on both sides; groupBy is NULL-safe
+    exactly like exceptAll's comparison), but scans and aggregates
+    each input ONCE instead of twice — the round-14 follow-up to the
+    round-13 two-actions→one consolidation (guide §1.2: the gate is
+    still one action, now over half the plan)."""
+    cols = a.columns
+    sign = "__msd_sign"
+    return (
+        a.withColumn(sign, F.lit(1))
+        .unionAll(b.select(*cols).withColumn(sign, F.lit(-1)))
+        .groupBy(*cols)
+        .agg(F.sum(sign).alias(sign))
+        .where(F.col(sign) != 0)
+        .select(*cols)
+    )
+
+
 def _bucket_sql(key_expr: str, width: int) -> str:
     return (
         oracle_hash_sql(f"concat(CAST(j AS VARCHAR), '|', CAST({key_expr} AS VARCHAR))")
@@ -3238,7 +3261,7 @@ def q_snapshot_stream_upsert(spark, sf_dir):
     "guarantees no double-delete), so no downstream job ever polls "
     "versions by hand. The result aggregates the DRAINED feed per "
     "(commit, change_type, lang); parity_ok pins the streamed multiset "
-    "bit-equal (exceptAll both ways) to batch read_cdc over the same "
+    "bit-equal (signed multiset diff) to batch read_cdc over the same "
     "range. The oracle replays the three commits' change algebra. "
     "Engine: sources/snapshot_stream.py (snapshot_cdc), "
     "sources/snapshot_table.py::read_cdc.",
@@ -3295,14 +3318,9 @@ def q_snapshot_cdc_stream(spark, sf_dir):
     batch = read_cdc(spark, table, 0).select(
         "doc_id", "lang", "n_chars", "_change_type", "_commit_version"
     )
-    parity_ok = (
-        # one action, not two: A==B (multiset) iff both directed diffs
-        # are empty iff their union is empty (round-13 gate
-        # consolidation — each extra action pays a scheduling gap)
-        streamed.exceptAll(batch)
-        .unionAll(batch.exceptAll(streamed))
-        .isEmpty()
-    )
+    # one action, one pass per side (signed multiset diff — same
+    # boolean as exceptAll both ways, half the scan/agg work)
+    parity_ok = _multiset_diff(streamed, batch).isEmpty()
     return (
         streamed.groupBy(
             F.col("_commit_version").alias("commit_version"),
@@ -3361,7 +3379,7 @@ def q_snapshot_cdc_stream(spark, sf_dir):
     "post-image), post-images upsert and deleted keys remove via "
     "merge_upsert(delete_keys=) in ONE exactly-once commit per batch — "
     "CDC metadata columns never touch the replica's schema. "
-    "replication_ok pins replica == upstream (exceptAll both ways) AND "
+    "replication_ok pins replica == upstream (signed multiset diff) AND "
     "a replayed batch committing nothing (snapshot-log idempotence). "
     "The result aggregates the REPLICA per lang; the oracle replays "
     "the three commits' state algebra. Engine: snapshot_stream.py "
@@ -3423,10 +3441,9 @@ def q_snapshot_cdc_replication(spark, sf_dir):
     v_now = latest_version(down)
     sink(read_cdc(spark, up, 1, 2), 0)  # replay: must commit nothing
     replication_ok = (
-        # one action: union of both directed diffs is empty iff equal
-        replica.exceptAll(upstream)
-        .unionAll(upstream.exceptAll(replica))
-        .isEmpty()
+        # one action, one pass per side (signed multiset diff — same
+        # boolean as exceptAll both ways, half the scan/agg work)
+        _multiset_diff(replica, upstream).isEmpty()
         and latest_version(down) == v_now
     )
     return (
@@ -6267,7 +6284,6 @@ def q_snapshot_manifest_scale(spark, sf_dir):
 def q_snapshot_stream_paced(spark, sf_dir):
     import ast
     import tempfile
-    import time as _time
     import uuid as _uuid
 
     from .sources.snapshot_stream import _norm_off, register_snapshot_changes
@@ -6290,16 +6306,18 @@ def q_snapshot_stream_paced(spark, sf_dir):
         .writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
-        .trigger(processingTime="0 milliseconds")
+        # nonzero interval: the query rehearses TRIGGER pacing on top of
+        # the per-batch file budget (r13 tried 0 ms; the driver measured
+        # 0.73x — back-to-back latestOffset churn + poll-job contention)
+        .trigger(processingTime="50 milliseconds")
         .start()
     )
     try:
-        deadline = _time.time() + 120
-        while (
-            spark.table(sink).count() < n_expected
-            and _time.time() < deadline
-        ):
-            _time.sleep(0.1)
+        # event-driven drain: blocks on the stream's progress lock until
+        # every available offset is committed — zero Spark jobs, unlike
+        # the former spark.table(sink).count() poll (a full job per
+        # 100 ms that contended with the stream's own micro-batches)
+        q.processAllAvailable()
     finally:
         q.stop()
         q.awaitTermination()
@@ -6368,7 +6386,6 @@ def q_snapshot_stream_paced(spark, sf_dir):
 def q_snapshot_cdc_paged(spark, sf_dir):
     import ast
     import tempfile
-    import time as _time
     import uuid as _uuid
 
     from pyspark.sql import Window
@@ -6388,9 +6405,14 @@ def q_snapshot_cdc_paged(spark, sf_dir):
         docs.limit(0), table, key_cols=["doc_id"],
         delete_keys=dead, mor=True,
     )
-    n_docs = docs.count()
-    n_dead = dead.count()
-    n_expected = n_docs + n_dead  # v1 inserts + v2 delete pre-images
+    # v1 inserts + v2 delete pre-images, in ONE job (was two counts)
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0)
+        ).alias("nd"),
+    ).collect()[0]
+    n_expected = int(row["n"]) + int(row["nd"] or 0)
     register_snapshot_cdc(spark)
     sink = f"cdcpaged_{_uuid.uuid4().hex[:8]}"
     q = (
@@ -6403,16 +6425,17 @@ def q_snapshot_cdc_paged(spark, sf_dir):
         .writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
-        .trigger(processingTime="0 milliseconds")
+        # nonzero interval: rehearses trigger pacing on top of the
+        # page/file budget (the r13 0 ms trigger regressed 0.73x on the
+        # driver's 32-core bench — latestOffset churn + poll contention)
+        .trigger(processingTime="50 milliseconds")
         .start()
     )
     try:
-        deadline = _time.time() + 180
-        while (
-            spark.table(sink).count() < n_expected
-            and _time.time() < deadline
-        ):
-            _time.sleep(0.1)
+        # event-driven drain (no Spark jobs) replacing the former
+        # 100 ms spark.table(sink).count() poll — each poll was a full
+        # job racing the stream's own micro-batches on the scheduler
+        q.processAllAvailable()
     finally:
         q.stop()
         q.awaitTermination()
@@ -6422,15 +6445,24 @@ def q_snapshot_cdc_paged(spark, sf_dir):
         if "page" in ast.literal_eval(p["sources"][0]["endOffset"])
     ]
     drained = spark.table(sink)
-    dup_free = (
+    # one action answers BOTH gate facts (was two: a dup-count job and
+    # a full count job): total rows = sum of group counts, duplicate
+    # deliveries exist iff any group count exceeds 1
+    gate = (
         drained.groupBy("doc_id", "_commit_version", "_change_type")
-        .count().where(F.col("count") > 1).count() == 0
+        .count()
+        .agg(
+            F.coalesce(F.sum("count"), F.lit(0)).alias("n_rows"),
+            F.coalesce(F.max("count"), F.lit(0)).alias("max_dup"),
+        )
+        .collect()[0]
     )
+    dup_free = gate["max_dup"] <= 1
     paged_ok = bool(
         len(fed) >= 5
         and len(paged) >= 4
         and dup_free
-        and drained.count() == n_expected
+        and gate["n_rows"] == n_expected
     )
     # per-key highest-version reduction = the CDC apply-sink algebra:
     # the replica state paging must converge to; deleted keys' last
@@ -6831,7 +6863,7 @@ def q_snapshot_hours_partition(spark, sf_dir):
     "commit carrying the source-version watermark in its properties; "
     "a no-op refresh commits nothing. mv_ok pins: watermarks advance "
     "1->2->3, the no-op commits no view version, and the maintained "
-    "view equals a full recompute exactly (exceptAll both ways). At "
+    "view equals a full recompute exactly (signed multiset diff). At "
     "100 TB each refresh is O(delta + touched groups), never a "
     "source rescan. Oracle: the same aggregate over the source's "
     "final state.",
@@ -6891,12 +6923,9 @@ def q_snapshot_mv_refresh(spark, sf_dir):
         )
         .select(*maintained.columns)
     )
-    equal = (
-        # one action: union of both directed diffs is empty iff equal
-        maintained.exceptAll(recomputed)
-        .unionAll(recomputed.exceptAll(maintained))
-        .isEmpty()
-    )
+    # one action, one pass per side (signed multiset diff — same
+    # boolean as exceptAll both ways, half the scan/agg work)
+    equal = _multiset_diff(maintained, recomputed).isEmpty()
     mv_ok = bool((w1, w2, w3) == (1, 2, 3) and noop_ok and equal)
     return maintained.select(
         "band",
@@ -6931,7 +6960,7 @@ def q_snapshot_mv_refresh(spark, sf_dir):
     "applied to MV maintenance). Maintained through an append of "
     "three later years (insert-only fold) and a GDPR-shaped delete "
     "of the earliest year (dirty recompute; every 1992 month group "
-    "must vanish). mv_ok pins watermark sequence and exceptAll-"
+    "must vanish). mv_ok pins watermark sequence and multiset-"
     "equality with a full recompute. Oracle: the same monthly "
     "aggregate over the source's final state.",
 )
@@ -6984,9 +7013,9 @@ def q_snapshot_mv_time_rollup(spark, sf_dir):
         .select(*maintained.columns)
     )
     equal = (
-        # one action: union of both directed diffs is empty iff equal
-        maintained.exceptAll(recomputed)
-        .unionAll(recomputed.exceptAll(maintained))
+        # one action, one pass per side (signed multiset diff — same
+        # boolean as exceptAll both ways, half the scan/agg work)
+        _multiset_diff(maintained, recomputed)
         # the GDPR gate rides the same single action: any surviving
         # pre-1993 month group fails equality-with-recompute anyway
         # only if the source disagreed, so it is pinned separately —
@@ -7026,7 +7055,7 @@ def q_snapshot_mv_time_rollup(spark, sf_dir):
     "pytest-pinned by a read_cdc call counter, and the A/B is "
     "SCALING.json[mv_multi_view_ab]). The source takes an append "
     "plus a keyed CoW delete between refreshes; mv_ok pins both "
-    "views' exceptAll-equality with full recomputes and the shared "
+    "views' multiset-equality with full recomputes and the shared "
     "watermark sequence. Oracle: view 1's aggregate over the final "
     "state.",
 )
@@ -7088,8 +7117,9 @@ def q_snapshot_mv_multi(spark, sf_dir):
     )
 
     def _eq(a, b):
-        # one action: union of both directed diffs is empty iff equal
-        return a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty()
+        # one action, one pass per side (signed multiset diff — same
+        # boolean as exceptAll both ways, half the scan/agg work)
+        return _multiset_diff(a, b).isEmpty()
 
     mv_ok = bool(
         w0 == {v1: 1, v2: 1}

@@ -4184,10 +4184,19 @@ def _stage_dv(
         F.col("__file").alias("file"), F.col("__pos").alias("pos")
     ).persist()
     try:
-        per_file = coords.groupBy("file").count().collect()
-        if not per_file:
+        # one tight aggregation for total + distinct covered files
+        # (was groupBy("file").count().collect(): a 32-partition
+        # shuffle AQE split into ~4 jobs; the file set is metadata-
+        # scale — bounded by the snapshot's shard count — so
+        # collect_set moves strictly less data to the driver than the
+        # per-file rows did)
+        g = coords.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.collect_set("file").alias("__files"),
+        ).collect()[0]
+        if not g["__n"]:
             return [], [], 0
-        total = int(sum(r["count"] for r in per_file))
+        total = int(g["__n"])
         n_parts = max(1, math.ceil(total / _DV_ROWS_PER_PART))
         out = os.path.join(tmp_dir, "dv")
         # range-partition + sort by (file, pos): parts stay row-count
@@ -4211,7 +4220,7 @@ def _stage_dv(
             )
             os.replace(p, os.path.join(table, _DATA_DIR, name))
             names.append(name)
-        return names, sorted(r["file"] for r in per_file), total
+        return names, sorted(g["__files"]), total
     finally:
         coords.unpersist()
 
@@ -4334,7 +4343,12 @@ def merge_upsert(
                 f"snapshot_table: delete_keys lacks merge key(s) "
                 f"{missing_k}"
             )
-        delete_keys = delete_keys.select(*key_cols).distinct()
+        # key projection only — NO eager distinct: every consumer that
+        # needs set semantics already dedups (match_keys.distinct(),
+        # semi/anti joins are multiplicity-blind) and the guard
+        # aggregation only tests n_del for zero-ness, so the extra
+        # exchange per delete-carrying merge bought nothing
+        delete_keys = delete_keys.select(*key_cols)
     # one merge runs several jobs over the inputs (emptiness/dup/clash
     # guards, prune bounds, the DV coordinate scan, the staged write):
     # cache both for the call so a hot streaming batch is computed
@@ -5725,15 +5739,17 @@ def read_cdc(
     and a partial rewrite (``delete_where(prune=...)`` /
     ``merge_upsert(prune_col=...)``) diffs only the matched files:
     O(changed files) per commit, not O(table). Rewritten-but-identical
-    rows cancel in the multiset diff (``exceptAll``), so a copy-on-write
-    commit emits exactly its net row changes. This one rule handles
+    rows cancel in the multiset diff (signed per-row counts: one union
+    + one aggregation, where the historical exceptAll pair scanned each
+    side twice), so a copy-on-write commit emits exactly its net row
+    changes. This one rule handles
     every operation — appends (pure insert fast path, no diff), CoW
     deletes/merges, lazy tombstones (condition applied to covered
     shards only), tombstone-materialising compactions, rollbacks, and
     overwrites; row-preserving compactions are skipped from metadata
     alone. Requires every snapshot in [start_version, end_version] to
-    still exist (retention). At 100 TB the diff's exceptAll shuffles
-    only the changed files' rows; the write-side optimisation the
+    still exist (retention). At 100 TB the diff shuffles
+    only the changed files' rows, once each; the write-side optimisation the
     public formats add — persisting change files at commit time so the
     read is a plain scan — layers on this same protocol without
     changing its semantics.
@@ -5889,29 +5905,59 @@ def read_cdc(
             [by_new[f] for f in sorted(changed_new)],
             snap.get("deletes", []),
         )
-        if not changed_old:      # pure append: no diff needed
-            ins, dels = new_df, None
-        elif not changed_new:    # pure removal (e.g. delete-all)
-            ins, dels = None, old_df
-        else:
-            ins, dels = new_df.exceptAll(old_df), old_df.exceptAll(new_df)
-
         def _tag(df, kind):
             cols = [
                 F.col(c) if c in df.columns
                 else F.lit(None).cast(out_schema[c].dataType).alias(c)
                 for c in out_cols
             ]
+            k = F.lit(kind) if isinstance(kind, str) else kind
             return df.select(
                 *cols,
-                F.lit(kind).alias("_change_type"),
+                k.alias("_change_type"),
                 F.lit(v).cast("long").alias("_commit_version"),
             )
 
-        if ins is not None:
-            parts.append(_tag(ins, "insert"))
-        if dels is not None:
-            parts.append(_tag(dels, "delete"))
+        if not changed_old:      # pure append: no diff needed
+            parts.append(_tag(new_df, "insert"))
+        elif not changed_new:    # pure removal (e.g. delete-all)
+            parts.append(_tag(old_df, "delete"))
+        else:
+            # signed multiset diff in ONE subtree. The historical
+            # exceptAll pair (ins = new∖old, dels = old∖new) put TWO
+            # copies of each side's scan into the final union plan —
+            # Spark does not share common subtrees across union
+            # branches, so both rewritten file sets were scanned and
+            # hash-aggregated twice. Signed counts give the identical
+            # multisets: per distinct row value, d = cnt_new - cnt_old;
+            # exceptAll emits the row max(d,0) times as insert and
+            # max(-d,0) times as delete — exactly |d| copies tagged by
+            # sign(d), reproduced here with one explode.
+            dcol = "__cdc_d"
+            diff = (
+                new_df.withColumn(dcol, F.lit(1))
+                .unionAll(
+                    old_df.select(*new_df.columns)
+                    .withColumn(dcol, F.lit(-1))
+                )
+                .groupBy(*new_df.columns)
+                .agg(F.sum(dcol).alias(dcol))
+                .where(F.col(dcol) != 0)
+            )
+            both = diff.select(
+                "*",
+                F.explode(
+                    F.sequence(
+                        F.lit(1).cast("long"), F.abs(F.col(dcol))
+                    )
+                ).alias("__cdc_i"),
+            ).withColumn(
+                "__cdc_kind",
+                F.when(F.col(dcol) > 0, F.lit("insert")).otherwise(
+                    F.lit("delete")
+                ),
+            )
+            parts.append(_tag(both, F.col("__cdc_kind")))
     if not parts:
         return _empty()
     from functools import reduce

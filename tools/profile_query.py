@@ -97,6 +97,13 @@ def main():
         except Exception:
             pass
 
+    if os.environ.get("PROFILE_WARMUP"):
+        # one untimed run first: JIT/classloading/stream-machinery
+        # warmup, so the timed run's structure matches bench.py's
+        # min-of-N warm numbers instead of cold-start costs
+        qs[qname](spark, sf_dir).count()
+        CALLS.clear()
+
     # timed run (post-warmup)
     _T0[0] = time.time()
     df = qs[qname](spark, sf_dir)
@@ -123,7 +130,10 @@ def main():
     path = os.path.join(evdir, app_id)
     if not os.path.exists(path):
         cands = [os.path.join(evdir, f) for f in os.listdir(evdir)]
-        path = max(cands, key=os.path.getmtime) if cands else None
+        if not cands:
+            print(f"no event log found under {evdir}; job timeline skipped")
+            return
+        path = max(cands, key=os.path.getmtime)
     if os.path.isdir(path):  # Spark 4 rolling event log dir
         files = sorted(
             os.path.join(path, f)
