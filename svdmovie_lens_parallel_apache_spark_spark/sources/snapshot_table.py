@@ -2245,6 +2245,29 @@ def _footer_stats(
     for c in stats_cols or []:
         dtypes[c] = schema[c].dataType.simpleString()
 
+    if any(t == "string" for t in dtypes.values()):
+        # trust-boundary pin (round-14, VERDICT item 9): the string
+        # whitelist relies on parquet-mr DROPPING oversized chunk
+        # statistics rather than truncating them. That holds at the
+        # default config, but `parquet.statistics.truncate.length`
+        # makes the writer store a truncated (prefix / last-byte-
+        # incremented) bound that pyarrow 16 cannot distinguish from
+        # an exact one — so if the session's Hadoop conf sets any
+        # finite truncation length, refuse the fast path and let the
+        # caller run the exact aggregation instead.
+        try:
+            from pyspark.sql import SparkSession
+
+            sess = SparkSession.getActiveSession()
+            if sess is None:
+                return None
+            hc = sess.sparkContext._jsc.hadoopConfiguration()
+            v = hc.get("parquet.statistics.truncate.length")
+            if v is not None and int(v) < (1 << 31) - 1:
+                return None
+        except Exception:
+            return None  # cannot prove the writer config — fall back
+
     _EPOCH_D = _dt.date(1970, 1, 1)
     _EPOCH_TS = _dt.datetime(1970, 1, 1)
 
