@@ -4261,8 +4261,8 @@ def q_snapshot_hidden_partition(spark, sf_dir):
     register_snapshot_table_source(spark)
     bucket = _parse_partition_spec("bucket(16, doc_id)")["py"]
     shards = snapshot_history(table)[-1]["shards"]
-    parts, ok = [], True
-    for p in probes:
+
+    def _probe(p):
         log = tempfile.mktemp(prefix="svdml-snaphidden-plan-")
         out = (
             spark.read.format("snapshot_table")
@@ -4271,7 +4271,7 @@ def q_snapshot_hidden_partition(spark, sf_dir):
         )
         rows = out.collect()
         plan = json.load(open(log))
-        ok = ok and 0 < plan["planned"] < plan["total"]
+        p_ok = 0 < plan["planned"] < plan["total"]
         # twin agreement, for real: the reader must have planned
         # EXACTLY the shards whose JVM-recorded bucket equals the
         # Python twin's bucket of the probe — if the two md5 paths
@@ -4281,8 +4281,18 @@ def q_snapshot_hidden_partition(spark, sf_dir):
             s for s in shards
             if s["partition"]["bucket(16, doc_id)"] == bucket(p)
         ]
-        ok = ok and plan["planned"] == len(owning) > 0 and len(rows) == 1
-        parts.append(spark.createDataFrame(rows, out.schema))
+        p_ok = p_ok and plan["planned"] == len(owning) > 0 and len(rows) == 1
+        return spark.createDataFrame(rows, out.schema), p_ok
+
+    # the three probes are independent reads; each pays ~0.5s of
+    # Python-DataSource planning gap before a ~0.2s job — overlap them
+    # (guide §2.6) so the gaps back-fill instead of serialising
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(probes)) as pool:
+        results = list(pool.map(_probe, probes))
+    parts = [df for df, _ in results]
+    ok = all(p_ok for _, p_ok in results)
     out = parts[0]
     for q in parts[1:]:
         out = out.unionByName(q)

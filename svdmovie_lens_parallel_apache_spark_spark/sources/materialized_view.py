@@ -749,13 +749,48 @@ def refresh_aggregate_views(
     cache: dict = {}
     out: dict[str, int] = {}
     try:
-        for view, spec in views.items():
-            out[view] = refresh_aggregate_view(
-                spark, source, view, **spec,
-                _delta_cache=(
-                    cache if lasts.get(view) in shared else None
-                ),
-            )
+        if shared:
+            # pre-build the shared CDC frame(s) single-threaded: the
+            # refreshes below run concurrently and the cache dict must
+            # not be mutated from two threads (each refresh then only
+            # READS its (last, cur) entry)
+            cur = st.latest_version(source)
+            for w in sorted(shared):
+                if cur is not None and cur > w:
+                    cache[(w, cur)] = st.read_cdc(
+                        spark, source, start_version=w, end_version=cur
+                    ).persist()
+        # distinct views are independent tables (the one-refresher
+        # contract is PER VIEW): run them as concurrent driver jobs so
+        # one view's commit-protocol gaps back-fill with another
+        # view's jobs (guide §2.6 — Spark's scheduler interleaves
+        # concurrent actions; 2-3 in flight is enough to hide the
+        # per-commit fixed costs, more would fight for executors)
+        names = list(views)
+        if len(names) <= 1:
+            for view in names:
+                out[view] = refresh_aggregate_view(
+                    spark, source, view, **views[view],
+                    _delta_cache=(
+                        cache if lasts.get(view) in shared else None
+                    ),
+                )
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _one(view):
+                return refresh_aggregate_view(
+                    spark, source, view, **views[view],
+                    _delta_cache=(
+                        cache if lasts.get(view) in shared else None
+                    ),
+                )
+
+            with ThreadPoolExecutor(
+                max_workers=min(3, len(names))
+            ) as pool:
+                for view, got in zip(names, pool.map(_one, names)):
+                    out[view] = got
         return out
     finally:
         for df in cache.values():
