@@ -25,3 +25,20 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMALL
+
+
+@pytest.fixture(scope="session")
+def catalog_fingerprints(spark, sf_dir):
+    """ONE whole-catalog plan build shared by the three catalog-wide
+    plan gates (fingerprint snapshot, cartesian guard, JVM-only guard).
+
+    Building all 224 queries executes the harness queries' imperative
+    setup (~3 min at sf0.001); each of those three tests used to pay it
+    separately — the single biggest block of suite wall time and the
+    reason the round-13 driver verify window timed out at ~72%
+    (VERDICT item 2). The assertions themselves are unchanged: every
+    field they check (cartesian, python_udf, the full fingerprint) is
+    computed by the same plan_fingerprint pass."""
+    from tools.plan_fingerprints import compute_fingerprints
+
+    return compute_fingerprints(spark, sf_dir)

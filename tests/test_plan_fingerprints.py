@@ -18,12 +18,10 @@ import os
 SNAPSHOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_FINGERPRINTS.json")
 
 
-def test_catalog_plan_fingerprints_match_snapshot(spark, sf_dir):
-    from tools.plan_fingerprints import compute_fingerprints
-
+def test_catalog_plan_fingerprints_match_snapshot(catalog_fingerprints):
     with open(SNAPSHOT) as f:
         expected = json.load(f)
-    actual = compute_fingerprints(spark, sf_dir)
+    actual = catalog_fingerprints
 
     missing = sorted(set(actual) - set(expected))
     assert not missing, (

@@ -41,7 +41,7 @@ def test_q05_star_join_all_broadcast(spark, sf_dir):
     assert not s["has_python_udf"]
 
 
-def test_relational_suite_is_jvm_only(spark, sf_dir):
+def test_relational_suite_is_jvm_only(catalog_fingerprints):
     """No Python UDFs anywhere in the relational/text/dedup hot paths —
     everything is Catalyst expressions. Deliberate exceptions, all
     Arrow-batched (never row-at-a-time): multimodal codec boundary,
@@ -70,8 +70,9 @@ def test_relational_suite_is_jvm_only(spark, sf_dir):
             )
         ):
             continue
-        s = plan_summary(q.builder(spark, sf_dir))
-        assert not s["has_python_udf"], name
+        # same plan_fingerprint pass, shared session-wide (see
+        # conftest.catalog_fingerprints) — assertion unchanged
+        assert not catalog_fingerprints[name]["python_udf"], name
 
 
 def test_aggregations_are_two_phase(spark, sf_dir):
@@ -287,7 +288,7 @@ def test_cms_build_single_exchange(spark, sf_dir):
     assert not s["has_python_udf"]
 
 
-def test_no_accidental_cartesian_anywhere(spark, sf_dir):
+def test_no_accidental_cartesian_anywhere(catalog_fingerprints):
     """Catalog-wide guard: no query may contain a CartesianProduct node
     unless it is on the explicit whitelist of INTENDED cross joins (all of
     which broadcast a tiny side: query sets, single-row aggregates/bit
@@ -316,17 +317,15 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "streaming",             # micro-batch plans not built here
         "winsorized_stats",      # broadcast 5-row bounds table
     )
-    offenders = []
-    for name, q in REGISTRY.items():
-        if name.startswith(INTENDED):
-            continue
-        try:
-            s = plan_summary(q.builder(spark, sf_dir))
-        except Exception:
-            continue  # streaming-only builders need a running stream
-        n_cart = sum(n == "CartesianProduct" for n in s["nodes"])
-        if n_cart:
-            offenders.append(name)
+    # the CartesianProduct count per query comes from the session's ONE
+    # shared catalog build (conftest.catalog_fingerprints) — identical
+    # plan_fingerprint pass, so the assertion is unchanged while the
+    # 224-query build is no longer repeated per test
+    offenders = [
+        name
+        for name, fp in catalog_fingerprints.items()
+        if not name.startswith(INTENDED) and fp["cartesian"]
+    ]
     assert not offenders, f"accidental CartesianProduct in: {offenders}"
 
 

@@ -256,8 +256,6 @@ def test_iterative_queries_invariant_under_executor_count(spark, sf_dir):
     def canon(rows):
         return sorted(str(sorted(r.asDict().items())) for r in rows)
 
-    here = {n: canon(qs[n](spark, sf_dir).collect()) for n in NAMES}
-
     script = f"""
 import sys, json
 sys.path.insert(0, {repo!r})
@@ -275,11 +273,19 @@ for n in {NAMES!r}:
 print("RESULT::" + json.dumps(out))
 spark.stop()
 """
-    proc = subprocess.run(
-        [sys.executable, "-c", script], capture_output=True, text=True, timeout=900
+    # start the fresh-process half FIRST, compute the in-session half
+    # while it boots and runs: the two halves are independent by
+    # construction (that independence IS the property under test), so
+    # overlapping them halves this test's wall time without touching
+    # what it asserts
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
     )
-    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT::")]
-    assert lines, f"subprocess failed: {proc.stderr[-2000:]}"
+    here = {n: canon(qs[n](spark, sf_dir).collect()) for n in NAMES}
+    stdout, stderr = proc.communicate(timeout=900)
+    lines = [ln for ln in stdout.splitlines() if ln.startswith("RESULT::")]
+    assert lines, f"subprocess failed: {stderr[-2000:]}"
     other = json.loads(lines[0][len("RESULT::"):])
     for n in NAMES:
         assert here[n] == other[n], f"{n} changed between local[4] and local[32]"
