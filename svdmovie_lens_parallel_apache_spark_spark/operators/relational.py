@@ -30,6 +30,15 @@ def spread_small(df: DataFrame) -> DataFrame:
     once to light every core."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    # exchange-carrying plans are left alone WITHOUT touching .rdd:
+    # the shuffle already sets downstream parallelism, and accessing
+    # .rdd on an adaptive plan with exchanges finalizes the AQE plan —
+    # eagerly executing its shuffle stages just to read a partition
+    # count, work that is NOT reused by the later action (round-14,
+    # ADVICE item). sparkPlan() is the non-adaptive physical plan — a
+    # pure planning artifact, never executed by inspecting it.
+    if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
